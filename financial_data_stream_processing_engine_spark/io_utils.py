@@ -1,0 +1,53 @@
+"""Loading the driver test tables.
+
+Parquet is the fixture format; reads go through ``spark.read.parquet``
+so Catalyst gets vectorized scans, predicate pushdown and column
+pruning for free.  ``events.ts`` is physically timestamp[ns]; Spark
+reads it as TIMESTAMP_NTZ(ns→µs) — we normalize to the session-TZ
+TIMESTAMP type explicitly so every downstream operator (and the DuckDB
+oracle comparison) sees microsecond-precision timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from financial_data_stream_processing_engine_spark.schema import TABLE_NAMES
+
+
+#: columns stored as parquet TIMESTAMP(NANOS) (read as int64 via
+#: spark.sql.legacy.parquet.nanosAsLong) that must become µs TIMESTAMPs.
+_NANOS_COLUMNS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table from ``{sf_dir}/{name}.parquet``."""
+    if name in _NANOS_COLUMNS:
+        # Self-sufficient even on a caller-provided SparkSession (the
+        # driver harness builds its own): without this runtime conf,
+        # Spark refuses parquet TIMESTAMP(NANOS) outright.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Normalize timestamp physical types to Spark TIMESTAMP (µs, session TZ)
+    # so oracle comparisons and window semantics are stable.
+    for col in _NANOS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # ns → µs truncation, integer DIV (doubles lose precision at 1e18)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for field in df.schema.fields:
+        if field.dataType.typeName().startswith("timestamp"):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all driver tables as a name->DataFrame dict."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views (for spark.sql)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

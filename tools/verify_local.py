@@ -1,0 +1,135 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry in Spark and its ``oracle_sql()`` in
+DuckDB at a given sf dir, then compares row count, sorted column names,
+and order-insensitive values.  Floats are compared exactly first (the
+engine's parity strategy aims at bit-identical results); on mismatch
+the max absolute difference is reported so a tolerance-level diff is
+distinguishable from a real bug.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize_cell(x) for x in v)
+    return v
+
+
+def rows_key(rows, colnames):
+    """Order-insensitive, column-name-sorted canonical form."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        tuple(normalize_cell(r[i]) for i in order) for r in rows
+    )
+
+
+def compare(name, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    a = rows_key(spark_rows, spark_cols)
+    b = rows_key(duck_rows, duck_cols)
+    if a != b:
+        # locate first difference + max float delta for diagnostics
+        max_delta = 0.0
+        n_diff = 0
+        first = None
+        for ra, rb in zip(a, b):
+            if ra != rb:
+                n_diff += 1
+                if first is None:
+                    first = (ra, rb)
+                for xa, xb in zip(ra, rb):
+                    if isinstance(xa, float) and isinstance(xb, float):
+                        max_delta = max(max_delta, abs(xa - xb))
+        problems.append(
+            f"values differ: {n_diff} rows, max_float_delta={max_delta:.3e}, "
+            f"first diff:\n  spark={first[0] if first else None}\n  duck ={first[1] if first else None}"
+        )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from financial_data_stream_processing_engine_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    con = duck_connection(sf_dir)
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        spark_cols = df.columns
+        spark_rows = [tuple(r) for r in df.collect()]
+        t_spark = time.time() - t0
+        if name not in oracles:
+            status = f"rows-only: {len(spark_rows)} rows"
+            print(f"  {name:32s} [{t_spark:5.1f}s] {status}")
+            if len(spark_rows) == 0:
+                failed.append(name)
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        t_duck = time.time() - t0
+        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        if problems:
+            failed.append(name)
+            print(f"✗ {name:32s} [{t_spark:5.1f}s/{t_duck:4.1f}s]")
+            for p in problems:
+                print(f"    {p}")
+        else:
+            print(f"✓ {name:32s} [{t_spark:5.1f}s/{t_duck:4.1f}s] {len(spark_rows)} rows")
+    print()
+    if failed:
+        print(f"FAILED: {failed}")
+        return 1
+    print("ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
