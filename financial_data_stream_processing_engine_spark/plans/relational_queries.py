@@ -1,7 +1,924 @@
 """Catalog entries: general relational operator inventory (SURVEY.md §2.2).
 
-Populated milestone by milestone; every entry is a built-in DataFrame
-composition with a DuckDB oracle.
+Every query is a built-in DataFrame composition (no Python in the hot
+path) with a DuckDB oracle.  Float parity strategy (see
+``functions.numeric``): per-row double arithmetic is IEEE-identical
+across engines, so products/differences are computed in doubles and
+aggregated through exact DECIMAL accumulation (``dsum``/``davg``) —
+order-independent, hence stable at any parallelism.
+
+Scale notes are attached per query: which side broadcasts, where the
+shuffles are, what AQE contributes.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from financial_data_stream_processing_engine_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from financial_data_stream_processing_engine_spark.io_utils import load_table
+from financial_data_stream_processing_engine_spark.operators.asof import asof_join
+from financial_data_stream_processing_engine_spark.plans.catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    sql=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, 8 aggregates over 2 keys.
+
+    Scale: partial aggregation map-side (Catalyst HashAggregate
+    partial→final), one shuffle on the 2 grouping keys (tiny
+    cardinality ⇒ near-total map-side reduction); filter and the 7-col
+    projection push into the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_stats",
+    sql=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation + min/max/sum per group.
+
+    Scale: COUNT(DISTINCT) expands to a two-phase aggregate (dedup on
+    (event_type, user_id), then count) — two shuffles, both on low-
+    cardinality keys; Catalyst plans it automatically.
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@register("agg_approx_distinct", sql=None)  # sketch values are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path for
+    distinct counting (no dedup shuffle; sketches merge map-side).
+
+    Rows-only check: HLL estimates are engine-specific by design.
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "rollup_returnflag_status",
+    sql=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n_rows,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with GROUPING() disambiguation."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    sql=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status × priority."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_events",
+    sql=f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+""",
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by type / by day / grand total)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n_events,
+               {dsum_sql('value')} AS total_value
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_star_revenue_by_region",
+    sql=f"""
+SELECT r_name AS region,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def join_star_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact ⋈ three dims, all dims broadcast.
+
+    Scale: customer/nation/region are orders-of-magnitude smaller than
+    the fact table — broadcast hints eliminate all join shuffles; the
+    only shuffle left is the final tiny groupBy(region).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_customer_orders",
+    sql=f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE({dsum_sql('o_totalprice')}, 0.0) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (count 0, spend 0)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi_active_customers",
+    sql="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS: customers with ≥1 finished order.
+
+    Scale: semi join never duplicates the left side and Catalyst can
+    broadcast the (filtered, deduped) right side.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "join_anti_no_big_order",
+    sql="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+)
+def join_anti_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS: customers with no order > 100k."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+#: price bands for the range join (part.p_retailprice spans 900–1000).
+PRICE_BANDS = [
+    ("low", 900.0, 935.0),
+    ("mid", 935.0, 970.0),
+    ("high", 970.0, 1000.0),
+]
+_BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+
+
+@register(
+    "join_range_price_bands",
+    sql=f"""
+SELECT band, COUNT(*) AS n_parts, {dsum_sql('p_retailprice')} AS band_value
+FROM part
+JOIN (VALUES {_BANDS_VALUES}) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""",
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi/theta) join: facts against interval bands.
+
+    Scale: the band table is tiny ⇒ broadcast nested-loop join, which
+    is exactly the right physical plan for a small interval dim; for
+    two LARGE range sides the engine path is bucketize-the-range-key +
+    equi-join on bucket + residual filter.
+    """
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "band_value"),
+        )
+    )
+
+
+@register(
+    "join_asof_last_purchase",
+    sql="""
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+       p.value AS last_purchase_value,
+       p.event_id AS last_purchase_event_id
+FROM events e
+ASOF LEFT JOIN (
+    SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's latest purchase
+    at-or-before it (backward inclusive, pandas merge_asof semantics).
+
+    Spark has no native ASOF JOIN; this uses the engine's union-tag +
+    last-ignorenulls window composition (operators.asof) — one shuffle,
+    no Python.  DuckDB's native ASOF LEFT JOIN is the oracle.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        ev, purchases, on="ts", by="user_id", value_cols=["value", "event_id"]
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("value_right").alias("last_purchase_value"),
+        F.col("event_id_right").alias("last_purchase_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rank_orders",
+    sql="""
+SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk,
+       NTILE(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+""",
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions: row_number / rank / dense_rank / ntile.
+
+    row_number and ntile get a fully deterministic ordering (orderkey
+    tiebreak); rank/dense_rank are ordered by a tie-heavy column to
+    exercise true tie semantics.  One shuffle on o_custkey shared by
+    all four functions (same partitioning).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w_det = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_tie = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.row_number().over(w_det).alias("rn"),
+        F.rank().over(w_tie).alias("rnk"),
+        F.dense_rank().over(w_tie).alias("drnk"),
+        F.ntile(4).over(w_det).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead_events",
+    sql="""
+SELECT event_id, user_id, ts, value,
+       LAG(value)  OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       value - LAG(value) OVER w AS delta,
+       FIRST_VALUE(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS first_seen_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets per key: lag / lead / delta / first_value."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_first = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.first("value").over(w_first).alias("first_seen_value"),
+    )
+
+
+@register(
+    "window_running_totals",
+    sql="""
+SELECT event_id, user_id, ts, value,
+       CAST(SUM(CAST(value AS DECIMAL(27,7)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_sum,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running_n,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running_max
+FROM events
+""",
+)
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame aggregates (running sum/count/max per key).
+
+    The running sum goes through DECIMAL so the cumulative value at
+    every row is exact — engine- and order-independent.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from financial_data_stream_processing_engine_spark.functions.numeric import DECIMAL
+
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast(DECIMAL)).over(w).cast("double").alias("running_sum"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.max("value").over(w).alias("running_max"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    sql="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: the canonical row_number <= K pattern.
+
+    Scale: Spark pushes a per-partition top-K (WindowGroupLimit) below
+    the shuffle for rank<=K predicates, so the shuffle carries at most
+    K rows per key per map partition rather than the full table.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_range_frame",
+    sql="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+           AS n_similar_cheaper
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): how many orders of the
+    same status fall within 1000 below this order's price."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "topn_orders_global",
+    sql="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def topn_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N with deterministic tiebreak.
+
+    Scale: ORDER BY + LIMIT compiles to TakeOrderedAndProject — each
+    partition keeps its local top-20, the driver merges; no global
+    sort materialization.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "set_ops_customers",
+    sql="""
+SELECT 'both_F_and_O' AS tag, c FROM (
+  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT 'F_not_P' AS tag, c FROM (
+  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+""",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL (distinct set semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def keys(status: str) -> DataFrame:
+        return orders.filter(F.col("o_orderstatus") == status).select(
+            F.col("o_custkey").alias("c")
+        )
+
+    both = keys("F").intersect(keys("O")).select(F.lit("both_F_and_O").alias("tag"), "c")
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would only
+    # cancel per-occurrence and leave duplicate left rows behind.
+    f_not_p = keys("F").subtract(keys("P")).select(F.lit("F_not_P").alias("tag"), "c")
+    return both.unionAll(f_not_p)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (string / date / math / json / conditional / array)
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_functions",
+    sql="""
+SELECT c_custkey,
+       UPPER(c_name) AS name_upper,
+       LOWER(c_mktsegment) AS segment_lower,
+       LENGTH(c_name) AS name_len,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       c_name || '/' || c_mktsegment AS name_seg,
+       REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+       REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+       TRIM(LEADING '0' FROM REGEXP_EXTRACT(c_name, '([0-9]+)', 1)) AS name_num,
+       STARTS_WITH(c_name, 'Customer') AS is_customer
+FROM customer
+""",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: case, length, substring, concat,
+    replace, regexp_extract, trim, predicates."""
+    c = _t(spark, sf_dir, "customer")
+    digits = F.regexp_extract("c_name", "([0-9]+)", 1)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat("c_name", F.lit("/"), "c_mktsegment").alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        digits.alias("name_digits"),
+        F.expr("TRIM(LEADING '0' FROM REGEXP_EXTRACT(c_name, '([0-9]+)', 1))").alias("name_num"),
+        F.startswith(F.col("c_name"), F.lit("Customer")).alias("is_customer"),
+    )
+
+
+@register(
+    "date_functions",
+    sql="""
+SELECT o_orderkey, o_orderdate,
+       YEAR(o_orderdate) AS yr,
+       MONTH(o_orderdate) AS mo,
+       DAY(o_orderdate) AS dy,
+       QUARTER(o_orderdate) AS qtr,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       STRFTIME(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: extraction, truncation, arithmetic, format."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("days_to_2002"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "math_functions",
+    sql="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS price_round,
+       FLOOR(l_extendedprice) AS price_floor,
+       CEIL(l_extendedprice) AS price_ceil,
+       ABS(l_discount - 0.05) AS disc_dev,
+       SQRT(l_quantity) AS qty_sqrt,
+       l_extendedprice * l_extendedprice AS price_sq,
+       MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
+       SIGN(l_discount - 0.05) AS disc_sign,
+       GREATEST(l_tax, l_discount) AS max_rate,
+       LEAST(l_tax, l_discount) AS min_rate
+FROM lineitem
+""",
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface: rounding, sqrt (IEEE-exact), modular arithmetic,
+    sign, greatest/least.  (ln/exp excluded from the oracle set: libm
+    last-ulp differences across engines make them hash-unstable.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "json_extract_props",
+    sql=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {dsum_sql("CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)")} AS sum_k,
+       MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(k, "sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "conditional_tiers",
+    sql=f"""
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+            WHEN o_totalprice >= 150000 THEN 'gold'
+            WHEN o_totalprice >=  50000 THEN 'silver'
+            ELSE 'bronze' END AS tier,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS tier_revenue,
+       COALESCE(NULLIF(MIN(o_orderstatus), 'F'), 'finished-first') AS min_status_demo
+FROM orders
+GROUP BY 1
+""",
+)
+def conditional_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiering + COALESCE/NULLIF conditional surface."""
+    o = _t(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "platinum")
+        .when(F.col("o_totalprice") >= 150000, "gold")
+        .when(F.col("o_totalprice") >= 50000, "silver")
+        .otherwise("bronze")
+    )
+    return o.groupBy(tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "tier_revenue"),
+        F.coalesce(F.nullif(F.min("o_orderstatus"), F.lit("F")), F.lit("finished-first")).alias(
+            "min_status_demo"
+        ),
+    )
+
+
+@register(
+    "array_functions_documents",
+    sql="""
+SELECT doc_id,
+       LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+       LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_unique_tokens,
+       STRING_SPLIT(text, ' ')[1] AS first_token,
+       STRING_SPLIT(text, ' ')[-1] AS last_token,
+       LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark
+FROM documents
+""",
+)
+def array_functions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over tokenized text: size, distinct, indexing,
+    membership.  (split→array is also the substrate for the dedup
+    operators in the LLM-pipeline set.)"""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@register(
+    "pivot_qty_by_status",
+    sql=f"""
+SELECT l_returnflag,
+       {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+       {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per line status holding summed quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-operator TPC-H-style queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q3_like_shipping_priority",
+    sql=f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_like_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter, aggregate, top-N.
+
+    Scale: customer (filtered on segment) broadcasts into orders;
+    orders⋈lineitem is the one real shuffle (both sides big at 100 TB —
+    co-partitioning or bucketing on orderkey removes it); top-10 via
+    TakeOrderedAndProject, no global sort.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_like_regional_volume",
+    sql=f"""
+SELECT n_name AS nation,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def tpch_q5_like_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join with region filter.
+
+    (The fixture lacks supplier linkage on lineitem rows' nation, so
+    the supplier⋈ leg of real Q5 is represented in join_star; this one
+    exercises the 5-table chain.)
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(revenue, "revenue"))
+    )

@@ -50,7 +50,7 @@ def rows_key(rows, colnames):
     """Order-insensitive, column-name-sorted canonical form."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return sorted(
-        tuple(normalize_cell(r[i]) for i in order) for r in rows
+        (tuple(normalize_cell(r[i]) for i in order) for r in rows), key=repr
     )
 
 
