@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline catalog query once on local[$SPARK_GRAFT_CPUS]
+(default local[32]) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is forced through the noop sink (full materialization, no
+driver collect, no result-size bias).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+#: the headline set: one per operator family, weighted toward the
+#: shapes that dominate real workloads (scan-agg, star join, window,
+#: as-of, dedup/similarity once implemented).
+HEADLINE = [
+    "ma_alerts",
+    "tpch_q1_pricing_summary",
+    "join_star_revenue_by_region",
+    "join_asof_last_purchase",
+    "window_topk_per_group",
+    "tpch_q3_like_shipping_priority",
+    "agg_distinct_stats",
+    "json_extract_props",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from financial_data_stream_processing_engine_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # Warm the JVM/codegen path once on a trivial query so the first
+    # measured query doesn't absorb session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"headline_queries_total_sf{sf}",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
