@@ -1,0 +1,316 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine.
+
+Scale design (the whole point of having five of them):
+
+* ``dedup_exact``            — one hash-groupBy shuffle; the baseline.
+* ``ngram_jaccard_pairs``    — exact all-pairs; O(n²) compare, only for
+                               small candidate sets / validation.
+* ``minhash_lsh_pairs``      — the 100 TB path: per-doc signature (map
+                               only), band-bucket self-join (shuffle on
+                               band key, candidates only), exact verify
+                               on the candidates.  Everything built-in
+                               expressions — no Python in the plan.
+* ``simhash_pairs``          — bitwise fingerprint + hamming banding;
+                               Arrow-vectorized Pandas UDF for the bit
+                               packing (the one genuinely non-SQL step).
+* ``embedding_cosine_pairs`` — near-dup in embedding space; brute pairs
+                               here, LSH bucketing for scale (see
+                               similarity.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from financial_data_stream_processing_engine_spark.operators.text import shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic representative (min id) per exact key.
+
+    Equivalent to ``dropDuplicates`` but with a *defined* survivor, so
+    results are reproducible run-to-run (dropDuplicates keeps an
+    arbitrary row).  One shuffle on the key columns.
+    """
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, [*key_cols, id_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairs)
+# ---------------------------------------------------------------------------
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Exact but quadratic — the validation oracle for the LSH variants
+    and the right tool below ~10⁴ candidates.  Returns
+    (id_a, id_b, jaccard).
+    """
+    sh = df.select(F.col(id_col).alias("id_a"), shingles(text_col, n).alias("sh_a"))
+    sh2 = sh.select(F.col("id_a").alias("id_b"), F.col("sh_a").alias("sh_b"))
+    return (
+        sh.join(sh2, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — per-doc MinHash signature.
+
+    hash_i(s) = xxhash64(i || '|' || s); the signature slot i is the
+    minimum over the doc's shingles.  Computed as explode → groupBy(id)
+    with ``num_hashes`` MIN aggregates: one shuffle on id, all JVM.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, exact-verified.
+
+    shingle → minhash(num_hashes) → band into ``bands`` groups of
+    num_hashes/bands rows → bucket-join on (band_idx, band_key) →
+    exact-Jaccard verify candidates → filter >= threshold.
+
+    With (64, 16) and threshold 0.8 the per-pair miss probability is
+    (1-j⁴)¹⁶ ≤ 4e-8, so output equals the exact ``ngram_jaccard_pairs``
+    for all practical purposes while scaling linearly in corpus size
+    (candidates only; never all pairs).  Returns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+    band_entries = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    verified = (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+
+    Per token: xxhash64; each signature bit is the sign of the sum of
+    ±1 contributions across tokens.  The bit-packing loop is genuinely
+    non-relational, so it runs as an Arrow-vectorized Pandas UDF over
+    the token-hash arrays (numpy bit ops; no per-row Python).
+    """
+    @F.pandas_udf("bigint")
+    def _pack(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                out[i] = 0
+                continue
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # unpack 64 bits per hash → (n_tokens, 64) of {0,1}
+            bits = (arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            votes = bits.sum(axis=0) * 2 - len(arr)  # ±1 majority vote
+            fp = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(b)
+            out[i] = fp.astype(np.int64)
+        return pd.Series(out)
+
+    token_hashes = F.transform(
+        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
+    )
+    return df.select(F.col(id_col).alias("id"), _pack(token_hashes).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding: split the 64-bit fingerprint into 4 16-bit chunks — any
+    pair within hamming distance 3 must agree exactly on ≥1 chunk
+    (pigeonhole), so an equi-join per chunk finds all of them without
+    an all-pairs compare.  Verify with bit_count(xor).
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", "ck.chunk", "ck.key")
+
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — built-in fold, no UDF.
+
+    Left-to-right sequential summation: bit-reproducible across engines
+    and runs.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def sq(acc, v):
+        return acc + v.cast("double") * v.cast("double")
+
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), sq))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), sq))
+    return dot / (na * nb)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold.
+
+    Brute-force pairs — correct at validation scale.  At corpus scale,
+    bucket by sign-LSH (similarity.random_hyperplane_buckets) first and
+    run this within buckets only.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

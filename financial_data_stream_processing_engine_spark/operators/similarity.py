@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``   — brute-force exact top-k: one pass over the corpus
+                      (map + TakeOrderedAndProject); the baseline and
+                      the correctness oracle.
+* ``random_hyperplane_buckets`` — sign-LSH bucketing: the scale path
+                      for near-dup/similarity at corpus scale (restrict
+                      exact scoring to one bucket or multi-probe
+                      neighbors).
+* ``ivf_search``    — inverted-file ANN: coarse centroids partition the
+                      corpus; a query probes the nearest ``nprobe``
+                      cells only.  At 100 TB this is partition pruning
+                      for vectors: cluster id is a partition column and
+                      the scan touches nprobe/ncells of the data.
+
+Everything is built-in expressions (fold-based dot products); LSH plane
+components are derived from xxhash64 so bucketing is deterministic
+(no RNG, reproducible across runs/engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from financial_data_stream_processing_engine_spark.operators.dedup import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a single-row query DataFrame.
+
+    The query side is crossJoin-broadcast (1 row); ranking goes through
+    orderBy+limit ⇒ TakeOrderedAndProject (per-partition heap, no
+    global sort).  Ties broken by id for determinism.
+    """
+    q = query.select(F.col(vec_col).alias("__qvec"))
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .withColumn("cos", cosine(F.col(vec_col), F.col("__qvec")))
+        .select(id_col, "cos")
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-LSH bucket id in [0, 2^num_planes) per vector.
+
+    Plane p's component for dimension i is a deterministic ±1 derived
+    from xxhash64(p, i) — no RNG state, so the same vector always lands
+    in the same bucket (across runs AND across the train/query sides).
+
+    Cosine-similar vectors collide with probability 1 - θ/π per plane;
+    use multi-probe (flip low-confidence bits) for recall at scale.
+    """
+    vec = F.col(vec_col)
+    bits = []
+    for p in range(num_planes):
+        # dot(vec, plane_p) where plane_p[i] = ±1 from hash(p, i)
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda v, i: F.when(
+                    F.xxhash64(F.lit(p), i) % 2 == 0, v.cast("double")
+                ).otherwise(-v.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn(out_col, bucket.cast("int"))
+
+
+def train_centroids(
+    corpus: DataFrame,
+    by: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean vector per ``by`` group → (centroid_id, centroid).
+
+    Offline coarse-quantizer "training": any partitioning column works
+    (a label, an LSH bucket, a sampled k-means assignment).  Aggregates
+    element-wise with posexplode + groupBy — scales to any corpus.
+    """
+    exploded = corpus.select(
+        F.col(by).alias("centroid_id"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    means = exploded.groupBy("centroid_id", "pos").agg(F.avg("v").alias("m"))
+    return (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "centroid_id",
+            F.transform("pm", lambda s: s["m"].cast("float")).alias("centroid"),
+        )
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Attach the nearest-centroid id to every corpus vector.
+
+    Centroids broadcast (they are tiny by construction); argmin via
+    per-centroid cosine + struct-max trick, all built-in.
+    """
+    c = centroids.select(
+        F.col("centroid_id").alias("__cid"), F.col("centroid").alias("__cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("__cvec"))
+    )
+    w_cols = [x for x in corpus.columns]
+    best = (
+        scored.groupBy(*w_cols)
+        .agg(F.max(F.struct(F.col("__sim"), F.col("__cid"))).alias("__best"))
+        .withColumn(out_col, F.col("__best.__cid"))
+        .drop("__best")
+    )
+    return best
+
+
+def ivf_search(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """ANN: score only the ``nprobe`` cells nearest to the query.
+
+    At scale ``corpus_with_cells`` is written partitioned by
+    ``cell_col``; the filter below becomes partition pruning and the
+    scan reads nprobe/ncells of the corpus.  Recall < 1 by design —
+    validate against cosine_topk on a sample (see tests).
+    """
+    q = query.select(F.col(vec_col).alias("__qvec"))
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn("__sim", cosine(F.col("centroid"), F.col("__qvec")))
+        .orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select(F.col("centroid_id").alias(cell_col))
+    )
+    pruned = corpus_with_cells.join(F.broadcast(probe_cells), cell_col, "left_semi")
+    return cosine_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,162 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+All hot-path computation is built-in expressions (split/regexp/array
+functions) — JVM-side, whole-stage-codegen, no Python.  At 100 TB these
+are embarrassingly parallel per-row maps: no shuffle at all.
+
+Operators: tokenization + shingling, text statistics / quality score,
+marker-based language ID, rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (the fixture's documents are space-separated)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles ('w1 w2 w3' strings).
+
+    Documents shorter than ``n`` tokens contribute their whole text as
+    a single shingle.  Pure expression: sequence → slice → concat_ws.
+    """
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistics & quality
+# ---------------------------------------------------------------------------
+
+#: tiny English stopword list (public, standard head-of-Zipf words).
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "for on with as at by from".split()
+)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document statistics columns.
+
+    ``n_chars_actual``, ``n_tokens``, ``n_unique_tokens``,
+    ``avg_token_len``, ``punct_ratio``, ``digit_ratio``,
+    ``stopword_ratio``, ``quality_score``.
+
+    The quality score is a transparent heuristic in [0,1] (length band,
+    lexical diversity, stopword plausibility, low punctuation/digit
+    noise) of the kind used for pretraining-corpus filtering — each
+    component is exposed so downstream filters can recombine them.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))  # distinct-stopword hits
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    digits = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), 0))
+
+    df = (
+        df.withColumn("n_chars_actual", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_unique_tokens", F.size(F.array_distinct(toks)).cast("long"))
+        .withColumn(
+            "avg_token_len",
+            ((n_chars - (n_tokens - 1)).cast("double") / n_tokens),
+        )
+        .withColumn("punct_ratio", punct.cast("double") / n_chars)
+        .withColumn("digit_ratio", digits.cast("double") / n_chars)
+        .withColumn("stopword_ratio", n_stop.cast("double") / F.size(F.array_distinct(toks)))
+    )
+    # quality: each component clamped to [0,1], equal-weighted.
+    length_ok = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
+    diversity = F.col("n_unique_tokens") / F.col("n_tokens")
+    low_noise = F.greatest(
+        F.lit(0.0), F.lit(1.0) - 4.0 * (F.col("punct_ratio") + F.col("digit_ratio"))
+    )
+    return df.withColumn(
+        "quality_score",
+        ((length_ok + diversity + low_noise) / F.lit(3.0)).cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker heuristic)
+# ---------------------------------------------------------------------------
+
+#: distinct high-frequency marker words per language (public stopword
+#: heads); CJK is detected by charset before word markers apply.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is that for with was".split(),
+    "de": "der die das und ist nicht ein eine mit von".split(),
+    "es": "el la los las es de que en una para".split(),
+    "fr": "le la les est et une dans que pour des".split(),
+}
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: CJK charset test, then argmax of
+    marker-word hit counts (ties → 'en', then lexicographic).
+
+    A character-n-gram model is the heavier public alternative; the
+    marker method is O(row) with no state and catches the same
+    head-of-Zipf signal.  Returns 'und' when nothing matches.
+    """
+    text = F.col(text_col)
+    toks = tokens(F.lower(text))
+    cjk = F.size(F.regexp_extract_all(text, F.lit(r"[一-鿿]"), 0))
+
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append((lang, hits))
+
+    # argmax via chained comparisons (4 langs — fine as an expression)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores:
+        take = (score > best_score) | ((score == best_score) & (best == F.lit("und")) & (score > 0))
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(score > best_score, score).otherwise(best_score)
+    return df.withColumn(
+        out_col,
+        F.when(cjk * 2 > F.length(text), F.lit("zh")).otherwise(best),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprints: ``md5_full`` (exact-dup key over
+    whitespace-normalized text) and ``min_shingle_fp`` (winnowing-style
+    minimum shingle hash — stable under small local edits).
+
+    md5 is used (not xxhash64) so fingerprints are portable across
+    engines and runs — a practical property for dedup ledgers shared
+    between systems.
+    """
+    text = F.col(text_col)
+    normalized = F.regexp_replace(F.trim(text), r"\s+", " ")
+    sh = shingles(text, n)
+    return df.withColumn("md5_full", F.md5(normalized)).withColumn(
+        "min_shingle_fp", F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    )

@@ -1,0 +1,116 @@
+"""Behavior tests for the LLM-pipeline operators that the DuckDB oracle
+can't check: language-ID classification, SimHash recall, IVF recall,
+multimodal stub plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_stream_processing_engine_spark.io_utils import load_table
+from financial_data_stream_processing_engine_spark.operators import dedup, multimodal, similarity, text
+
+
+def test_language_id_on_real_samples(spark):
+    samples = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the forest", "en"),
+        (2, "der schnelle braune fuchs springt über den faulen hund und das ist gut", "de"),
+        (3, "el zorro marrón salta sobre el perro perezoso en la casa de una niña", "es"),
+        (4, "le renard brun saute par dessus le chien paresseux dans la maison des amis", "fr"),
+        (5, "敏捷的棕色狐狸跳过了懒狗然后跑进了森林里面去了", "zh"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string, expected string")
+    out = {r.doc_id: r.lang_pred for r in text.with_language_id(df).collect()}
+    expected = {d: e for d, _, e in samples}
+    assert out == expected
+
+
+def test_language_id_unknown(spark):
+    df = spark.createDataFrame([(1, "zzz qqq xxx www")], "doc_id long, text string")
+    assert text.with_language_id(df).collect()[0].lang_pred == "und"
+
+
+def test_simhash_banding_complete_within_radius(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # ground truth hamming distances from the raw signatures
+    sigs = {r.id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(sigs)
+    within3 = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hamming(sigs[a], sigs[b]) <= 3
+    }
+    # the 4×16-bit chunk banding is pigeonhole-complete for hamming<=3:
+    # the operator must find EXACTLY that set, no scan of all pairs
+    got = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == within3
+    # and those pairs overlap the planted jaccard near-dups
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    assert len(got & truth) >= 5
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.train_centroids(embs, by="label")
+    with_cells = similarity.assign_cells(embs, centroids)
+    hits = 0
+    total = 0
+    for qid in [0, 7, 42]:
+        query = embs.filter(F.col("vec_id") == qid)
+        exact = [r.vec_id for r in similarity.cosine_topk(embs, query, k=10).collect()]
+        approx = [
+            r.vec_id
+            for r in similarity.ivf_search(
+                with_cells, centroids, query, k=10, nprobe=3
+            ).collect()
+        ]
+        hits += len(set(exact) & set(approx))
+        total += len(exact)
+    assert hits / total >= 0.5, f"IVF recall@10 {hits}/{total}"
+
+
+def test_lsh_buckets_deterministic(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings").limit(50)
+    b1 = {r.vec_id: r.bucket for r in similarity.random_hyperplane_buckets(embs).collect()}
+    b2 = {r.vec_id: r.bucket for r in similarity.random_hyperplane_buckets(embs).collect()}
+    assert b1 == b2
+    assert 0 < len(set(b1.values())) <= 256
+
+
+def test_multimodal_stub_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.as_media(
+        docs, id_col="doc_id", payload=F.encode("text", "UTF-8"),
+        kind="image", mime="image/x-fixture",
+    )
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "payload", "meta"]
+
+    feats = multimodal.decode_image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(16 <= r.width < 80 and 16 <= r.height < 80 for r in rows)
+    # deterministic: same payload → same pseudo-features
+    again = multimodal.decode_image_features(media, fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # the real-decode path must fail loudly, not silently fake
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        multimodal.decode_image_features(media, fake=False).collect()
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other")],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_exact(df, key_cols=["text"], id_col="doc_id").collect()
+    assert sorted((r.doc_id, r.text) for r in out) == [(1, "same text"), (2, "other")]
