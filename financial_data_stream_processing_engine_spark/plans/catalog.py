@@ -57,4 +57,5 @@ def load_all() -> None:
         compat_queries,
         relational_queries,
         llm_queries,
+        streaming_queries,
     )

@@ -1,0 +1,110 @@
+"""Catalog entries that exercise the REAL Structured Streaming path.
+
+Each entry materializes the driver's events table as a tick-shaped
+parquet stream, runs an actual StreamingQuery (file source → stateful
+op / windowed agg → memory sink) to completion, and returns the result
+as a batch DataFrame — so the DuckDB oracle validates streaming output,
+not a batch stand-in.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from financial_data_stream_processing_engine_spark.io_utils import load_table
+from financial_data_stream_processing_engine_spark.plans.catalog import register
+from financial_data_stream_processing_engine_spark.streaming import stateful, windows
+
+TICK_SCHEMA = "id string, symbol string, price double, volume long, ts timestamp, source string"
+
+
+def _event_tick_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → tick-shaped parquet in a temp dir → file stream."""
+    ev = load_table(spark, sf_dir, "events")
+    ticks = ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("user_id").cast("string").alias("symbol"),
+        F.col("value").alias("price"),
+        F.lit(0).cast("long").alias("volume"),
+        F.col("ts"),
+        F.lit("EventsReplay").alias("source"),
+    )
+    d = tempfile.mkdtemp(prefix="stream_ticks_")
+    ticks.coalesce(1).write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(TICK_SCHEMA).parquet(d)
+
+
+def _run(df: DataFrame, spark: SparkSession, mode: str = "append") -> DataFrame:
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+_STREAM_MA_SQL = """
+SELECT event_id, user_id, ts, value,
+       (lag(value, 4) OVER w + lag(value, 3) OVER w + lag(value, 2) OVER w
+        + lag(value, 1) OVER w + value) / 5.0 AS moving_average
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("streaming_ma_rowcount", sql=_STREAM_MA_SQL)
+def streaming_ma_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count moving average computed by the ACTUAL streaming path
+    (file stream → applyInPandasWithState ring buffer → memory sink).
+
+    The oracle is the batch lag-chain with oldest→newest summation —
+    the same order the streaming deque sums in — so agreement is
+    bitwise, proving streaming/batch parity to the driver.
+    """
+    stream = _event_tick_stream(spark, sf_dir)
+    out = stateful.streaming_moving_average(stream, n=5, ttl_ms=None)
+    result = _run(out, spark)
+    return result.select(
+        F.col("id").cast("bigint").alias("event_id"),
+        F.col("symbol").cast("bigint").alias("user_id"),
+        F.col("ts"),
+        F.col("price").alias("value"),
+        F.col("moving_average"),
+    )
+
+
+_STREAM_TUMBLE_SQL = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS win_end,
+       user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,7))) AS DOUBLE) AS total,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("streaming_tumbling_stats", sql=_STREAM_TUMBLE_SQL)
+def streaming_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the event stream,
+    complete-mode memory sink; oracle = DuckDB time_bucket group-by.
+    Decimal-exact sums make streaming/batch/DuckDB agree bitwise.
+    """
+    stream = _event_tick_stream(spark, sf_dir)
+    agg = windows.tumbling_stats(
+        stream, key="symbol", value="price", window="10 minutes", watermark="1 hour"
+    )
+    result = _run(agg, spark, mode="complete")
+    return result.select(
+        "win_start",
+        "win_end",
+        F.col("symbol").cast("bigint").alias("user_id"),
+        "n",
+        "total",
+        "lo",
+        "hi",
+    )

@@ -1,0 +1,103 @@
+"""Stateful streaming: the row-count moving average (SURVEY.md §7 hard
+part #1).
+
+Spark's native streaming windows are time-based; the reference's
+flagship operator is a row-count window per key (deque(maxlen=N),
+financial_engine.py:305).  Streaming parity therefore needs custom
+keyed state: ``applyInPandasWithState`` with a per-key ring buffer.
+
+Differences from the reference, by design:
+* state carries a TTL (ProcessingTimeTimeout) — the reference leaks
+  state forever for unbounded key sets (:298), which cannot survive
+  100 TB key cardinalities;
+* arrival order is defined as (ts, id) within each micro-batch — the
+  reference's asyncio task ordering is nondeterministic anyway
+  (SURVEY.md §3.2), so we define a deterministic order instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "id string, symbol string, price double, volume bigint, ts timestamp, "
+    "source string, moving_average double"
+)
+STATE_SCHEMA = "prices array<double>"
+
+
+def streaming_moving_average(
+    ticks: DataFrame,
+    n: int = 5,
+    ttl_ms: int | None = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Per-symbol row-count moving average over a tick stream.
+
+    Semantics match operators.core.moving_average (and the reference,
+    financial_engine.py:293-312): NULL until exactly ``n`` prices have
+    been buffered for the key, then the sliding mean of the last ``n``.
+    Sum order is oldest→newest (matches the reference's ``sum(deque)``).
+
+    State: one double[<=n] ring buffer per key — O(n) bytes; expired
+    after ``ttl_ms`` without traffic.  Scale: state store shards by the
+    group key across executors; a hot symbol is one partition but state
+    is tiny and the per-batch work is O(batch rows).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (prices,) = state.get if state.exists else ([],)
+        prices = list(prices)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "id"])  # deterministic batch order
+            mas = []
+            for price in pdf["price"]:
+                ma = None
+                if price is not None and not pd.isna(price):
+                    prices.append(float(price))
+                    if len(prices) > n:
+                        del prices[: len(prices) - n]
+                    if len(prices) == n:
+                        ma = sum(prices) / n  # oldest→newest, like sum(deque)
+                mas.append(ma)
+            out = pdf.copy()
+            out["moving_average"] = pd.Series(mas, index=pdf.index, dtype="float64")
+            yield out
+        state.update((prices,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    # NULL-symbol rows never enter keyed state in the reference (:303);
+    # route them around the stateful op untouched (union back with NULL ma).
+    keyed = ticks.filter(ticks.symbol.isNotNull())
+    passthrough = ticks.filter(ticks.symbol.isNull()).withColumn(
+        "moving_average", F.lit(None).cast("double")
+    )
+    # NoTimeout when TTL is disabled: with ProcessingTimeTimeout the
+    # engine schedules continuous empty micro-batches purely to check
+    # timeouts, which also keeps processAllAvailable() from settling in
+    # synchronous tests.
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    out = keyed.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+    return out.unionByName(passthrough)

@@ -1,0 +1,192 @@
+"""Streaming-vs-batch parity tests (SURVEY.md §5.2 item 4).
+
+Every test drives a REAL StreamingQuery (file/rate source → memory or
+foreachBatch sink) and pins its output to the batch combinators on the
+same data — the unified-DataFrame guarantee the engine is built on.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_stream_processing_engine_spark.operators.core import alerts, moving_average
+from financial_data_stream_processing_engine_spark.streaming import sinks, sources, stateful, windows
+
+TICK_SCHEMA = "id string, symbol string, price double, volume long, ts timestamp, source string"
+
+
+@pytest.fixture(scope="module")
+def tick_dir(spark, tmp_path_factory):
+    """~240 deterministic ticks across 3 symbols, written as parquet."""
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(240):
+        sym = ["AAA", "BBB", "CCC"][i % 3] if i % 17 else None  # sprinkle NULL keys
+        rows.append(
+            (
+                f"t{i:04d}",
+                sym,
+                float(50 + (i * 7919) % 100) / 1.0,
+                int(i % 50),
+                base + dt.timedelta(seconds=13 * i),
+                "WebSocketMock",
+            )
+        )
+    df = spark.createDataFrame(rows, TICK_SCHEMA)
+    path = str(tmp_path_factory.mktemp("ticks"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stream(spark, tick_dir):
+    return spark.readStream.schema(TICK_SCHEMA).parquet(tick_dir)
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = sinks.memory_sink(df, name, output_mode=mode)
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stateful_row_count_ma_matches_batch(spark, tick_dir):
+    out = stateful.streaming_moving_average(_stream(spark, tick_dir), n=5, ttl_ms=None)
+    _run_to_memory(out, "ma_stream")
+    got = {r.id: r.moving_average for r in spark.table("ma_stream").collect()}
+
+    batch = spark.read.parquet(tick_dir)
+    # batch oracle: oldest→newest summation like the streaming deque
+    exp_rows = moving_average(batch, n=5, order_by=("ts", "id")).collect()
+    exp = {r.id: r.moving_average for r in exp_rows}
+
+    assert set(got) == set(exp)
+    for k in exp:
+        if exp[k] is None:
+            assert got[k] is None, k
+        else:
+            assert got[k] == pytest.approx(exp[k], rel=1e-12), k
+    # NULL-symbol rows passed through with NULL ma
+    null_ids = {r.id for r in batch.filter("symbol is null").collect()}
+    assert null_ids and all(got[i] is None for i in null_ids)
+
+
+def test_tumbling_window_matches_batch(spark, tick_dir):
+    stream_out = windows.tumbling_stats(
+        _stream(spark, tick_dir), key="symbol", value="price", window="10 minutes"
+    )
+    _run_to_memory(stream_out, "tumble_stream", mode="complete")
+    got = {
+        (r.win_start, r.symbol): (r.n, r.total, r.lo, r.hi)
+        for r in spark.table("tumble_stream").collect()
+    }
+    batch_out = windows.tumbling_stats(
+        spark.read.parquet(tick_dir), key="symbol", value="price", window="10 minutes"
+    )
+    exp = {
+        (r.win_start, r.symbol): (r.n, r.total, r.lo, r.hi)
+        for r in batch_out.collect()
+    }
+    assert got == exp  # decimal-exact sums → bitwise equality
+
+
+def test_session_window_matches_batch(spark, tick_dir):
+    # ticks are 13s apart per stream; per symbol ~39s apart → gap 60s
+    # merges everything, gap 20s splits sessions
+    stream_out = windows.session_stats(_stream(spark, tick_dir), gap="30 seconds")
+    _run_to_memory(stream_out, "session_stream", mode="complete")
+    got = sorted(
+        ((r.symbol, r.win_start, r.n) for r in spark.table("session_stream").collect()),
+        key=repr,
+    )
+    exp = sorted(
+        (
+            (r.symbol, r.win_start, r.n)
+            for r in windows.session_stats(
+                spark.read.parquet(tick_dir), gap="30 seconds"
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == exp
+
+
+def test_alert_sink_fires_like_batch_filter(spark, tick_dir):
+    collected = []
+    ma = stateful.streaming_moving_average(_stream(spark, tick_dir), n=5, ttl_ms=None)
+    q = sinks.alert_sink(ma, on_alert=lambda rows: collected.extend(rows), threshold=108.0)
+    q.processAllAvailable()
+    q.stop()
+
+    batch_ma = moving_average(spark.read.parquet(tick_dir), n=5, order_by=("ts", "id"))
+    expected = alerts(batch_ma, threshold=108.0).count()
+    assert len(collected) == expected
+    assert all(r.moving_average > 108.0 for r in collected)
+
+
+def test_rate_source_produces_normalized_ticks(spark):
+    ticks = sources.rate_ticks(spark, rows_per_second=50)
+    assert ticks.isStreaming
+    q = sinks.memory_sink(ticks, "rate_ticks_mem")
+    deadline = time.time() + 15
+    while time.time() < deadline and spark.table("rate_ticks_mem").count() < 5:
+        time.sleep(0.5)
+    q.stop()
+    rows = spark.table("rate_ticks_mem").collect()
+    assert len(rows) >= 5
+    assert {r.source for r in rows} == {"WebSocketMock"}
+    assert all(r.price > 0 and r.volume >= 0 for r in rows)
+
+
+def test_csv_replay_cycles_reference_rows(spark):
+    ticks = sources.csv_replay_ticks(spark, rows_per_second=20)
+    q = sinks.memory_sink(ticks, "csv_ticks_mem")
+    deadline = time.time() + 15
+    while time.time() < deadline and spark.table("csv_ticks_mem").count() < 6:
+        time.sleep(0.5)
+    q.stop()
+    rows = spark.table("csv_ticks_mem").collect()
+    assert len(rows) >= 6
+    # the reference's 3 embedded CSV rows, cycled (financial_engine.py:246,:259)
+    assert {r.symbol for r in rows} == {"MSFT_mock", "TSLA_mock", "NVDA_mock"}
+    assert {r.price for r in rows} == {205.50, 880.10, 550.25}
+
+
+def test_logging_sink_respects_log_level(spark, tick_dir):
+    from financial_data_stream_processing_engine_spark.config import EngineConfig
+
+    lines: list[str] = []
+    q = sinks.logging_sink(
+        _stream(spark, tick_dir), logger=lines.append, config=EngineConfig(log_level="INFO"),
+        name="log_on",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert lines and "rows=240" in lines[0]
+
+    lines2: list[str] = []
+    q = sinks.logging_sink(
+        _stream(spark, tick_dir), logger=lines2.append,
+        config=EngineConfig(log_level="ERROR"), name="log_off",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert lines2 == []
+
+
+def test_stateful_ma_with_ttl_processes_data(spark, tick_dir):
+    """The ProcessingTimeTimeout (TTL) path must process data without
+    crashing; it keeps scheduling timeout-check batches, so drive it by
+    wall-clock instead of processAllAvailable."""
+    out = stateful.streaming_moving_average(
+        _stream(spark, tick_dir), n=5, ttl_ms=60_000
+    )
+    q = sinks.memory_sink(out, "ma_ttl_stream")
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table("ma_ttl_stream").count() < 240:
+        time.sleep(1)
+    n = spark.table("ma_ttl_stream").count()
+    q.stop()
+    assert n == 240
