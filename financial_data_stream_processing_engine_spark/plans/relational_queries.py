@@ -922,3 +922,227 @@ def tpch_q5_like_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(revenue, "revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic extras, subqueries, reshaping (batch 3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_distribution_funcs",
+    sql="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS second_cheapest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / nth_value."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_frame).alias("second_cheapest_key"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    sql="""
+SELECT l_returnflag,
+       MEDIAN(l_extendedprice) AS median_price,
+       QUANTILE_CONT(l_extendedprice, 0.25) AS p25_price,
+       QUANTILE_CONT(l_extendedprice, 0.95) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p25 / p95) per group.
+
+    Scale note: exact percentiles need a per-group sort; at 100 TB use
+    approx_percentile (t-digest sketch, map-side mergeable) — exposed
+    as agg_approx_percentiles (rows-only).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
+    )
+
+
+@register("agg_approx_percentiles", sql=None)  # t-digest values are engine-specific
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the scale path for quantiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias("approx_quantiles")
+    )
+
+
+@register(
+    "agg_collect_ordered",
+    sql="""
+SELECT o_custkey,
+       LIST(o_totalprice ORDER BY o_totalprice DESC, o_orderkey)[1:3] AS top3_prices,
+       LIST(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation (collect_list with defined order).
+
+    Spark's collect_list is order-nondeterministic, so the order is
+    imposed structurally: sort_array over (key, tiebreak) structs, then
+    project — deterministic at any parallelism.
+    """
+    o = _t(spark, sf_dir, "orders")
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
+    )
+    top3 = F.slice(F.reverse(F.transform(pairs, lambda s: s["p"])), 1, 3)
+    return o.groupBy("o_custkey").agg(
+        top3.alias("top3_prices"),
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+    )
+
+
+@register(
+    "unpivot_rates",
+    sql="""
+SELECT l_orderkey, l_linenumber, 'discount' AS rate_kind, l_discount AS rate
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax' AS rate_kind, l_tax AS rate
+FROM lineitem
+""",
+)
+def unpivot_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long): one row per (line, rate kind)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_discount", "l_tax"],
+        variableColumnName="rate_kind",
+        valueColumnName="rate",
+    ).withColumn(
+        "rate_kind",
+        F.when(F.col("rate_kind") == "l_discount", "discount").otherwise("tax"),
+    )
+
+
+@register(
+    "explode_tokens",
+    sql="""
+SELECT doc_id, i - 1 AS pos, toks[i] AS token
+FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id < 50),
+     UNNEST(GENERATE_SERIES(1, LEN(toks))) AS t(i)
+""",
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL explode with position (posexplode ≡ UNNEST + index)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+@register(
+    "scalar_subquery_max_order",
+    sql="""
+SELECT c_custkey, c_name,
+       (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey)
+           AS max_order_price,
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+""",
+)
+def scalar_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (decorrelated by Catalyst into
+    aggregations + outer joins — same plan a hand-written join would
+    give, so the declarative form costs nothing)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__sq_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM __sq_orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order_price,
+               (SELECT COUNT(*) FROM __sq_orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM __sq_customer c
+        """
+    )
+
+
+@register(
+    "sessionization_gaps",
+    sql="""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '6 hours'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, event_id, ts,
+       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+FROM marked
+""",
+)
+def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gaps-and-islands via lag + running sum
+    (the batch mirror of streaming session_window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 6 * 3600)
+    ).cast("int")
+    return (
+        ev.select("user_id", "event_id", "ts", new_session.alias("new_session"))
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("new_session")
+    )
+
+
+@register(
+    "date_arithmetic",
+    sql="""
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS due_date,
+       CAST(CAST(o_orderdate AS DATE) - INTERVAL 90 DAY AS DATE) AS quote_date,
+       CAST(o_orderdate AS DATE) + 7 AS week_later
+FROM orders
+""",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: add_months (end-of-month clamping), day
+    offsets via interval and integer addition."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("due_date"),
+        F.date_sub(d, 90).alias("quote_date"),
+        F.date_add(d, 7).alias("week_later"),
+    )
