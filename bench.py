@@ -34,6 +34,11 @@ HEADLINE = [
     "tpch_q3_like_shipping_priority",
     "agg_distinct_stats",
     "json_extract_props",
+    "sessionization_gaps",
+    "agg_salted_skew",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "similarity_cosine_topk",
 ]
 
 

@@ -93,7 +93,14 @@ def minhash_signatures(
 
     hash_i(s) = xxhash64(i || '|' || s); the signature slot i is the
     minimum over the doc's shingles.  Computed as explode → groupBy(id)
-    with ``num_hashes`` MIN aggregates: one shuffle on id, all JVM.
+    with ``num_hashes`` MIN aggregates.
+
+    Why not a shuffle-free nested transform/array_min projection?
+    Measured 10× slower: higher-order array functions are interpreted
+    closures per element, outside whole-stage codegen, while the
+    explode+groupBy MIN aggregates are fully codegen'd — the small
+    shuffle on doc id is far cheaper than leaving codegen.  (Kept as a
+    benchmark note; see docs/ARCHITECTURE.md.)
     """
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")

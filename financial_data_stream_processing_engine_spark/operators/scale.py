@@ -1,0 +1,70 @@
+"""Scale-pattern operators: skew salting, deterministic sampling.
+
+These exist because at 100 TB the *pattern* is the operator:
+
+* ``salted_agg`` — two-phase aggregation for skewed keys.  A hot key
+  that would pin one reducer is split across ``salt`` sub-keys
+  (partial agg), then the partials merge in a second, tiny shuffle.
+  Results are identical to the direct groupBy (the catalog proves it
+  against the same oracle) — only the physical distribution changes.
+
+* ``hash_sample`` — deterministic, engine-portable sampling.  `md5`
+  of the key is uniform; keeping rows whose first hex nibble falls in
+  a prefix set yields an exact, reproducible p = k/16 sample — unlike
+  ``df.sample()``, the same rows are selected on every run, every
+  engine, every partitioning (so a sampled pipeline is debuggable and
+  its oracle is expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: list[tuple[str, str, str]],
+    salt: int = 8,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs``: list of (function, column, alias) with function in
+    {count, sum_decimal, min, max}.  sum_decimal applies the engine's
+    exact-decimal accumulation, so the two-phase result is bit-equal
+    to the one-phase result (double partials would not be).
+    """
+    from financial_data_stream_processing_engine_spark.functions.numeric import DECIMAL
+
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt))
+
+    partial_exprs: list[Column] = []
+    final_exprs: list[Column] = []
+    for fn, col, alias in aggs:
+        p = f"__p_{alias}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            final_exprs.append(F.sum(p).alias(alias))
+        elif fn == "sum_decimal":
+            partial_exprs.append(F.sum(F.col(col).cast(DECIMAL)).alias(p))
+            final_exprs.append(F.sum(p).cast("double").alias(alias))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(alias))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(alias))
+        else:
+            raise ValueError(f"unsupported agg {fn}")
+
+    partial = salted.groupBy(key, "__salt").agg(*partial_exprs)
+    return partial.groupBy(key).agg(*final_exprs)
+
+
+def hash_sample(
+    df: DataFrame, key: str, nibbles: tuple[str, ...] = ("0", "1")
+) -> DataFrame:
+    """Deterministic md5-based sample: keep rows whose md5(key) starts
+    with one of ``nibbles`` (p = len(nibbles)/16)."""
+    first = F.substring(F.md5(F.col(key).cast("string")), 1, 1)
+    return df.filter(first.isin(*nibbles))

@@ -1146,3 +1146,145 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(d, 90).alias("quote_date"),
         F.date_add(d, 7).alias("week_later"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale patterns, format round-trips, UDTF (batch 4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_salted_skew",
+    sql=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    Identical RESULT to the plain groupBy (same oracle as a direct
+    aggregation would use — the point), different physical plan: the
+    hot key's rows spread over 8 salt sub-keys in phase 1, so no single
+    reducer owns a hot key.  Decimal partials keep the two-phase sum
+    bit-equal to one-phase.
+    """
+    from financial_data_stream_processing_engine_spark.operators.scale import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        key="event_type",
+        aggs=[
+            ("count", "value", "n"),
+            ("sum_decimal", "value", "total_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+        ],
+        salt=8,
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    sql="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+""",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/8 hash sample — reproducible across runs,
+    engines, and partitionings (unlike df.sample), hence oracle-able.
+    """
+    from financial_data_stream_processing_engine_spark.operators.scale import hash_sample
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return hash_sample(o, key="o_orderkey", nibbles=("0", "1"))
+
+
+@register(
+    "roundtrip_csv",
+    sql="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip: write the events projection as
+    CSV, read it back with an explicit schema; oracle = the original
+    table (proves the format path is lossless for these types)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="roundtrip_csv_")
+    ev.write.mode("overwrite").option("header", "true").csv(d)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).option("header", "true").csv(d)
+
+
+@register(
+    "roundtrip_json",
+    sql="""
+SELECT event_id, user_id, ts, event_type, value FROM events
+""",
+)
+def roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink + source round-trip including µs timestamps."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="roundtrip_json_")
+    # default timestampFormat truncates to milliseconds; keep the full µs
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(d)
+    return (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("timestampFormat", ts_fmt)
+        .json(d)
+    )
+
+
+@register(
+    "udtf_ngrams",
+    sql="""
+SELECT doc_id, i - 1 AS pos, ARRAY_TO_STRING(toks[i:i+1], ' ') AS ngram
+FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id < 30),
+     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 1, 1))) AS t(i)
+""",
+)
+def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 3.5+): per-row table function emitting
+    (pos, 2-gram) rows via LATERAL join.
+
+    UDTFs are the engine's sanctioned extension point for row→rows
+    Python logic (the modern replacement for the reference's
+    DataProcessor ABC); the oracle is the equivalent pure-SQL lateral
+    expansion.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class NGrams:
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            m = max(len(toks) - n + 1, 1)
+            for i in range(m):
+                yield i, " ".join(toks[i : i + n])
+
+    spark.udtf.register("ngrams2", NGrams)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, ng.pos, ng.ngram
+        FROM __udtf_docs d, LATERAL ngrams2(d.text, 2) ng
+        """
+    )
