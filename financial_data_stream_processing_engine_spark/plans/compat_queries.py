@@ -82,3 +82,144 @@ def clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ticks = _event_ticks(spark, sf_dir).withColumn("volume", F.col("user_id"))
     return clean(ticks, price_col="value", volume_col="volume")
+
+
+# ---------------------------------------------------------------------------
+# The full reference pipeline as one oracle-checked query
+# ---------------------------------------------------------------------------
+
+# Deterministic raw feeds (shapes from financial_engine.py:186-194,
+# :220-223, :246).  MSFT_mock arrives via BOTH the WebSocket and CSV
+# feeds to exercise the shared-state gotcha (SURVEY §2.1 #2); invalid
+# rows exercise the cleaner (F1) and the adapters' cast-failure drops.
+_WS_RAW = [
+    # (instrument, value, vol, second-offset)
+    ("MSFT_mock", 205.0, 10, 0),
+    ("EURUSD", 1.10, 100, 1),
+    ("MSFT_mock", 207.0, 12, 2),
+    ("EURUSD", -5.0, 100, 3),      # non-positive price → cleaner drop
+    ("MSFT_mock", 209.0, -7, 4),   # negative volume → clamp to 0
+    ("EURUSD", 1.12, None, 5),     # NULL volume → clamp to 0
+    ("MSFT_mock", 211.0, 15, 6),
+    (None, 1.0, 1, 7),             # NULL symbol → passthrough, no state
+]
+_AV_RAW = [
+    # ("01. symbol", "05. price", "06. volume", second-offset)
+    ("IBM", "142.50", "1234", 0),
+    ("IBM", "143.00", "1300", 8),
+    ("IBM", "oops", "1300", 16),   # malformed price → NULL → cleaner drop
+    ("IBM", "144.00", "nope", 24), # malformed volume → adapter drop
+    ("IBM", "145.00", "1400", 32),
+]
+_CSV_RAW = [
+    # the reference's embedded CSV rows, two replay cycles (:246, :259)
+    ("MSFT_mock", "205.50", "30000", 0),
+    ("TSLA_mock", "880.10", "60000", 1),
+    ("NVDA_mock", "550.25", "45000", 2),
+    ("MSFT_mock", "205.50", "30000", 3),
+    ("TSLA_mock", "880.10", "60000", 4),
+    ("NVDA_mock", "550.25", "45000", 5),
+]
+
+_PIPE_N = 3
+_PIPE_THRESHOLD = 300.0
+_PIPE_MA = (
+    "(price + lag(price, 1) OVER w + lag(price, 2) OVER w) / 3.0"
+)
+
+# The oracle replays the POST-normalization union (what the adapters
+# emit) and applies the cleaner + MA + alert in SQL.  Rows the adapters
+# themselves drop (malformed volume; missing symbol+price quotes) are
+# simply absent, exactly as in Spark.
+_PIPE_ORACLE = f"""
+WITH unified(id, symbol, price, volume, ts, source) AS (VALUES
+  ('ws_0', 'MSFT_mock', 205.0, 10, TIMESTAMP '2024-06-01 09:00:00', 'WebSocketMock'),
+  ('ws_1', 'EURUSD', 1.10, 100, TIMESTAMP '2024-06-01 09:00:01', 'WebSocketMock'),
+  ('ws_2', 'MSFT_mock', 207.0, 12, TIMESTAMP '2024-06-01 09:00:02', 'WebSocketMock'),
+  ('ws_3', 'EURUSD', -5.0, 100, TIMESTAMP '2024-06-01 09:00:03', 'WebSocketMock'),
+  ('ws_4', 'MSFT_mock', 209.0, -7, TIMESTAMP '2024-06-01 09:00:04', 'WebSocketMock'),
+  ('ws_5', 'EURUSD', 1.12, NULL, TIMESTAMP '2024-06-01 09:00:05', 'WebSocketMock'),
+  ('ws_6', 'MSFT_mock', 211.0, 15, TIMESTAMP '2024-06-01 09:00:06', 'WebSocketMock'),
+  ('ws_7', NULL, 1.0, 1, TIMESTAMP '2024-06-01 09:00:07', 'WebSocketMock'),
+  ('av_0', 'IBM', 142.50, 1234, TIMESTAMP '2024-06-01 09:00:00', 'AlphaVantage'),
+  ('av_1', 'IBM', 143.00, 1300, TIMESTAMP '2024-06-01 09:00:08', 'AlphaVantage'),
+  ('av_2', 'IBM', NULL, 1300, TIMESTAMP '2024-06-01 09:00:16', 'AlphaVantage'),
+  ('av_4', 'IBM', 145.00, 1400, TIMESTAMP '2024-06-01 09:00:32', 'AlphaVantage'),
+  ('csv_0', 'MSFT_mock', 205.50, 30000, TIMESTAMP '2024-06-01 09:00:00', 'CSVMock'),
+  ('csv_1', 'TSLA_mock', 880.10, 60000, TIMESTAMP '2024-06-01 09:00:01', 'CSVMock'),
+  ('csv_2', 'NVDA_mock', 550.25, 45000, TIMESTAMP '2024-06-01 09:00:02', 'CSVMock'),
+  ('csv_3', 'MSFT_mock', 205.50, 30000, TIMESTAMP '2024-06-01 09:00:03', 'CSVMock'),
+  ('csv_4', 'TSLA_mock', 880.10, 60000, TIMESTAMP '2024-06-01 09:00:04', 'CSVMock'),
+  ('csv_5', 'NVDA_mock', 550.25, 45000, TIMESTAMP '2024-06-01 09:00:05', 'CSVMock')),
+cleaned AS (
+  SELECT id, symbol, CAST(price AS DOUBLE) AS price,
+         CAST(GREATEST(0, COALESCE(volume, 0)) AS BIGINT) AS volume, ts, source
+  FROM unified
+  WHERE price IS NOT NULL AND price > 0)
+SELECT id, symbol, price, volume, ts, source,
+       CASE WHEN symbol IS NOT NULL THEN {_PIPE_MA} END AS moving_average,
+       COALESCE((CASE WHEN symbol IS NOT NULL THEN {_PIPE_MA} END)
+                > {_PIPE_THRESHOLD}, FALSE) AS alert
+FROM cleaned
+WINDOW w AS (PARTITION BY symbol ORDER BY ts, id)
+"""
+
+
+@register("pipeline_multisource", sql=_PIPE_ORACLE)
+def pipeline_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's COMPLETE dataflow as one declarative plan:
+    three raw source shapes → per-source normalization (N1) → union
+    (U1) → clean (F1) → shared-state row-count MA (A1) → alert flag
+    (K3).
+
+    MSFT_mock flows in via two sources and windows over ONE shared
+    state (the factory-memoization gotcha); malformed rows drop at the
+    adapter or the cleaner exactly as in the reference; the NULL-symbol
+    row passes through untouched.  ``sf_dir`` is unused — the feeds are
+    the deterministic literals above (mirrored in the oracle VALUES).
+    """
+    import datetime as dt
+
+    from financial_data_stream_processing_engine_spark.sources.batch import (
+        normalize_alpha_vantage,
+        normalize_csv,
+        normalize_websocket,
+    )
+
+    base = dt.datetime(2024, 6, 1, 9, 0, 0)
+
+    def ts_lit(off: int):
+        return F.lit(base + dt.timedelta(seconds=off))
+
+    ws_raw = spark.createDataFrame(
+        [(i, s, v, vol, base + dt.timedelta(seconds=off)) for i, (s, v, vol, off) in enumerate(_WS_RAW)],
+        "idx int, instrument string, value double, vol long, ts timestamp",
+    )
+    ws = normalize_websocket(
+        ws_raw, id_expr=F.concat(F.lit("ws_"), F.col("idx").cast("string"))
+    )
+    av_raw = spark.createDataFrame(
+        [(i, s, p, v, base + dt.timedelta(seconds=off)) for i, (s, p, v, off) in enumerate(_AV_RAW)],
+        "idx int, `01. symbol` string, `05. price` string, `06. volume` string, arrival timestamp",
+    )
+    av = normalize_alpha_vantage(
+        av_raw,
+        id_expr=F.concat(F.lit("av_"), F.col("idx").cast("string")),
+        ts_expr=F.col("arrival"),
+    )
+    csv_raw = spark.createDataFrame(
+        [(i, s, p, v, base + dt.timedelta(seconds=off)) for i, (s, p, v, off) in enumerate(_CSV_RAW)],
+        "idx int, symbol string, price string, volume string, arrival timestamp",
+    )
+    csv = normalize_csv(
+        csv_raw,
+        id_expr=F.concat(F.lit("csv_"), F.col("idx").cast("string")),
+        ts_expr=F.col("arrival"),
+    )
+
+    from financial_data_stream_processing_engine_spark.operators.core import union_sources
+
+    unified = union_sources(ws, av, csv)
+    cleaned = clean(unified)
+    ma = moving_average(cleaned, n=_PIPE_N, order_by=("ts", "id"))
+    return with_alert_flag(ma, threshold=_PIPE_THRESHOLD)

@@ -1288,3 +1288,212 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL ngrams2(d.text, 2) ng
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate variants & join variants (batch 5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_argminmax_bool_bit",
+    sql="""
+SELECT o_orderstatus,
+       ARG_MAX(o_orderkey, o_totalprice) AS biggest_order_key,
+       ARG_MIN(o_orderkey, o_totalprice) AS smallest_order_key,
+       BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+       BOOL_OR(o_totalprice > 400000) AS any_over_400k,
+       BIT_AND(o_orderkey) AS key_bit_and,
+       BIT_OR(o_orderkey) AS key_bit_or,
+       BIT_XOR(o_orderkey) AS key_bit_xor
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_argminmax_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin), boolean and bitwise aggregates.
+
+    o_totalprice is unique per status partition in practice; ties would
+    make argmax nondeterministic — at scale pair the value with a
+    unique tiebreak as a struct.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order_key"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order_key"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.bit_and("o_orderkey").alias("key_bit_and"),
+        F.bit_or("o_orderkey").alias("key_bit_or"),
+        F.bit_xor("o_orderkey").alias("key_bit_xor"),
+    )
+
+
+@register(
+    "agg_variance_exact",
+    sql="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,7))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(27,7))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(27,7))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(27,7))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+           AS corr_qty_disc
+FROM s
+""",
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation via exact-decimal moment sums.
+
+    Built-in var_samp/corr use streaming update formulas whose float
+    rounding is engine- and order-dependent; accumulating the raw
+    moments exactly and applying the closed form in doubles gives
+    bit-reproducible statistics (same tactic as dsum/davg).
+    """
+    from financial_data_stream_processing_engine_spark.functions.numeric import DECIMAL
+
+    li = _t(spark, sf_dir, "lineitem")
+    q, d = F.col("l_quantity"), F.col("l_discount")
+
+    def ds(c):
+        return F.sum(c.cast(DECIMAL)).cast("double")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        ds(q).alias("sx"),
+        ds(q * q).alias("sxx"),
+        ds(d).alias("sy"),
+        ds(d * d).alias("syy"),
+        ds(q * d).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    return s.select(
+        "l_returnflag",
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_disc"),
+    )
+
+
+@register("agg_builtin_stats", sql=None)  # engine-specific float rounding
+def agg_builtin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in statistical aggregates (var_samp/stddev/corr/
+    skewness/kurtosis) — the convenient forms; rows-only because their
+    streaming update order differs across engines in the last ulps."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.stddev("l_quantity").alias("stddev_qty"),
+        F.corr("l_quantity", "l_discount").alias("corr_qty_disc"),
+        F.skewness("l_quantity").alias("skew_qty"),
+        F.kurtosis("l_quantity").alias("kurt_qty"),
+    )
+
+
+@register(
+    "agg_string_concat",
+    sql="""
+SELECT c_mktsegment,
+       STRING_AGG(DISTINCT c_name, ',' ORDER BY c_name) FILTER (WHERE c_custkey < 30)
+           AS first_names
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg) with FILTER."""
+    c = _t(spark, sf_dir, "customer")
+    names = F.array_sort(
+        F.collect_set(F.when(F.col("c_custkey") < 30, F.col("c_name")))
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.when(F.size(names) > 0, F.concat_ws(",", names)).alias("first_names")
+    )
+
+
+@register(
+    "set_intersect_all",
+    sql="""
+SELECT c FROM (
+  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics (min of multiplicities)."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c"))
+    return f.intersectAll(o)
+
+
+@register(
+    "join_asof_strict",
+    sql="""
+SELECT e.event_id, e.ts, e.user_id, e.value,
+       p.value AS prev_purchase_value
+FROM events e
+ASOF LEFT JOIN (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts > p.ts
+""",
+)
+def join_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict as-of join (right.ts < left.ts): a purchase event no
+    longer matches itself — the lookback excludes the current instant."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(ev, purchases, on="ts", by="user_id", value_cols=["value"], strict=True)
+    return joined.select(
+        "event_id", "ts", "user_id", "value",
+        F.col("value_right").alias("prev_purchase_value"),
+    )
+
+
+@register(
+    "join_interval_bursts",
+    sql="""
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       DATEDIFF('second', a.ts, b.ts) AS gap_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL '5 minutes'
+""",
+)
+def join_interval_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: pairs of same-user events within 5 minutes
+    (burst detection).  Equi-join on the key + band predicate — Catalyst
+    plans an equi-join with a residual range filter, so only same-user
+    rows meet, never a cartesian.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    a = ev.select(F.col("user_id"), F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("user_id"), F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    return (
+        a.join(
+            b,
+            ["user_id"],
+        )
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select(
+            "user_id",
+            "id_a",
+            "id_b",
+            (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_s"),
+        )
+    )

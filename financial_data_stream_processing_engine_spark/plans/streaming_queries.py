@@ -108,3 +108,72 @@ def streaming_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
     )
+
+
+_STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL '2 hours'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT MIN(ts) AS win_start,
+       MAX(ts) + INTERVAL '2 hours' AS win_end,
+       user_id,
+       COUNT(*) AS n
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register("streaming_session_windows", sql=_STREAM_SESSION_SQL)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (2h gap) over the event stream; the
+    oracle is the batch gaps-and-islands formulation — session_window
+    semantics ([first, last+gap)) reproduced in pure SQL."""
+    stream = _event_tick_stream(spark, sf_dir)
+    agg = windows.session_stats(stream, key="symbol", gap="2 hours", watermark="1 hour")
+    result = _run(agg, spark, mode="complete")
+    return result.select(
+        "win_start", "win_end", F.col("symbol").cast("bigint").alias("user_id"), "n"
+    )
+
+
+_STREAM_SLIDE_SQL = """
+WITH cand AS (
+  SELECT user_id, value, ts,
+         time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS win_start
+  FROM events, UNNEST([0, 1]) AS t(k))
+SELECT win_start,
+       win_start + INTERVAL '10 minutes' AS win_end,
+       user_id,
+       CAST(SUM(CAST(value AS DECIMAL(27,7))) AS DOUBLE) / COUNT(value) AS mean_value,
+       COUNT(*) AS n
+FROM cand
+WHERE ts >= win_start AND ts < win_start + INTERVAL '10 minutes'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("streaming_sliding_mean", sql=_STREAM_SLIDE_SQL)
+def streaming_sliding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (10 min window, 5 min slide): each
+    event lands in two overlapping windows; the oracle materializes the
+    overlap by unnesting the two candidate window starts."""
+    stream = _event_tick_stream(spark, sf_dir)
+    agg = windows.sliding_mean(
+        stream, key="symbol", value="price",
+        window="10 minutes", slide="5 minutes", watermark="1 hour",
+    )
+    result = _run(agg, spark, mode="complete")
+    return result.select(
+        "win_start", "win_end",
+        F.col("symbol").cast("bigint").alias("user_id"),
+        "mean_value", "n",
+    )
