@@ -109,12 +109,45 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_language_id", sql=None)  # heuristic classifier: rows-only
+def _marker_hits_sql(lang: str) -> str:
+    markers = "[" + ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang]) + "]"
+    return (
+        f"LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), "
+        f"t -> LIST_CONTAINS({markers}, t)))"
+    )
+
+
+# CASE-chain equivalent of the operator's scan-order argmax: the winner
+# is the FIRST language in (en, de, es, fr) whose hit count equals the
+# maximum (later languages replace only on strictly-greater scores).
+_LANG_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_marker_hits_sql('en')} AS h_en,
+         {_marker_hits_sql('de')} AS h_de,
+         {_marker_hits_sql('es')} AS h_es,
+         {_marker_hits_sql('fr')} AS h_fr,
+         LEN(REGEXP_EXTRACT_ALL(text, '[一-鿿]')) AS n_cjk,
+         LENGTH(text) AS n_chars
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN n_cjk * 2 > n_chars THEN 'zh'
+            WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM h
+"""
+
+
+@register("text_language_id", sql=_LANG_SQL)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker/charset language ID (see operators.text.with_language_id).
 
-    Rows-only in the oracle harness; classification *behavior* is
-    golden-tested in tests/test_llm_ops.py on multilingual samples.
+    Oracle: the same marker-count argmax expressed as a SQL CASE chain;
+    classification behavior on real multilingual samples is additionally
+    golden-tested in tests/test_llm_ops.py.
     """
     out = text.with_language_id(_docs(spark, sf_dir))
     return out.select("doc_id", "lang", "lang_pred")
