@@ -22,6 +22,11 @@ _NANOS_COLUMNS = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table from ``{sf_dir}/{name}.parquet``."""
+    # Pin the session timezone: parquet instants render through the
+    # session TZ at collect time, and the DuckDB oracle's timestamps
+    # are UTC-naive.  A caller-provided session (the driver harness)
+    # may carry the JVM default zone — runtime-set, like nanosAsLong.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANOS_COLUMNS:
         # Self-sufficient even on a caller-provided SparkSession (the
         # driver harness builds its own): without this runtime conf,
