@@ -1497,3 +1497,28 @@ def join_interval_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_s"),
         )
     )
+
+
+@register(
+    "json_to_map_explode",
+    sql="""
+SELECT event_id, 'k' AS prop_key,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS prop_value
+FROM events
+WHERE props IS NOT NULL
+""",
+)
+def json_to_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → MapType → explode map entries.
+
+    Parses the JSON props column into a real map<string,bigint> and
+    explodes it to (key, value) rows — the MapType surface (from_json,
+    explode of map entries).  The fixture's props always hold the
+    single key 'k', which the oracle states literally.
+    """
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+    )

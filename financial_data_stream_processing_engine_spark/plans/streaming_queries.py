@@ -177,3 +177,61 @@ def streaming_sliding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("symbol").cast("bigint").alias("user_id"),
         "mean_value", "n",
     )
+
+
+_STREAM_JOIN_SQL = """
+SELECT e.event_id, p.event_id AS purchase_event_id, e.user_id,
+       DATEDIFF('second', p.ts, e.ts) AS gap_s
+FROM events e
+JOIN events p
+  ON e.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >  e.ts - INTERVAL '30 minutes'
+ AND p.ts <= e.ts
+"""
+
+
+@register("streaming_stream_stream_join", sql=_STREAM_JOIN_SQL)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: each event joined to
+    the purchases of the same user in the preceding 30 minutes.
+
+    Both sides are REAL streams (two independent file sources over the
+    same replay directory); the time-range condition plus watermarks
+    bound the join state, so Spark can discard old rows — the only way
+    a stream-stream join survives unbounded input.  Oracle: the batch
+    interval self-join.
+    """
+    left = _event_tick_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    right = (
+        _event_tick_stream(spark, sf_dir)
+        .withColumnRenamed("id", "p_id")
+        .withColumnRenamed("symbol", "p_symbol")
+        .withColumnRenamed("ts", "p_ts")
+        .withColumnRenamed("price", "p_price")
+        .withColumnRenamed("volume", "p_volume")
+        .withColumnRenamed("source", "p_source")
+        .withWatermark("p_ts", "1 hour")
+    )
+    # the tick replay has no event_type; re-derive "purchase" rows from
+    # the original events table by id membership (broadcast the id set)
+    ev = load_table(spark, sf_dir, "events")
+    purchase_ids = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("string").alias("p_id")
+    )
+    right = right.join(F.broadcast(purchase_ids), "p_id", "left_semi")
+
+    joined = left.join(
+        right,
+        (F.col("symbol") == F.col("p_symbol"))
+        & (F.col("p_ts") > F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("p_ts") <= F.col("ts")),
+        "inner",
+    )
+    result = _run(joined, spark)
+    return result.select(
+        F.col("id").cast("bigint").alias("event_id"),
+        F.col("p_id").cast("bigint").alias("purchase_event_id"),
+        F.col("symbol").cast("bigint").alias("user_id"),
+        (F.col("ts").cast("long") - F.col("p_ts").cast("long")).alias("gap_s"),
+    )
