@@ -1522,3 +1522,182 @@ def json_to_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("props").isNotNull())
         .select("event_id", F.explode(m).alias("prop_key", "prop_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deeper TPC-H shapes: HAVING, IN-subquery, correlated EXISTS, full outer
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q4_like_priority_check",
+    sql="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_like_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (→ left-semi) under a date
+    filter, grouped count."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q6_like_forecast_revenue",
+    sql=f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_like_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate scan → single-row sum.
+
+    Scale: the whole query is one pushed-down scan + map-side partial
+    sum; no meaningful shuffle at any size.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_like_returned_items",
+    sql=f"""
+SELECT c_custkey, c_name, n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_like_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join on returned lineitems, top-20 by
+    lost revenue."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_like_large_orders",
+    sql=f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       {dsum_sql('l_quantity')} AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150)
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+""",
+)
+def tpch_q18_like_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate (large-
+    volume orders), re-joined for customer detail.
+
+    The HAVING sum feeds a semi join — Catalyst rewrites IN (subquery)
+    to exactly that; expressed directly here.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+    )
+
+
+@register(
+    "join_full_outer_nation_activity",
+    sql="""
+WITH s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+           FROM supplier GROUP BY s_nationkey),
+c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey)
+SELECT COALESCE(s.nk, c.nk) AS nationkey,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       COALESCE(n_customers, 0) AS n_customers
+FROM s FULL OUTER JOIN c ON s.nk = c.nk
+""",
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations with suppliers, rich customers, or
+    both — neither side's unmatched keys are lost."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        sup.join(cust, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
