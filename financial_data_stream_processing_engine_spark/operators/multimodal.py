@@ -130,3 +130,52 @@ def sample_frames(
         "media_id",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, kind string, sample_rate int, n_samples bigint, "
+    "duration_s double, rms double"
+)
+
+
+def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """audio payload → (sample_rate, n_samples, duration_s, rms).
+
+    Same Arrow-batch mapInPandas plumbing as the image path; the codec
+    is STUBBED (no audio libraries in this container): ``fake=True``
+    derives deterministic pseudo-features from the payload hash,
+    ``fake=False`` raises where a soundfile/librosa decode would run.
+    """
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires an audio library; "
+                    "run with fake=True for the deterministic stand-in"
+                )
+            rates, counts, durs, rms = [], [], [], []
+            for b in pdf["payload"]:
+                h = hashlib.sha256(bytes(b or b"")).digest()
+                rate = (8000, 16000, 44100, 48000)[h[0] % 4]
+                n = 1000 + int.from_bytes(h[1:4], "big") % 100000
+                rates.append(rate)
+                counts.append(n)
+                durs.append(n / rate)
+                rms.append(h[4] / 255.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "duration_s": durs,
+                    "rms": rms,
+                }
+            )
+
+    return df.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)

@@ -344,3 +344,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind="video", mime="video/x-fixture",
     )
     return multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
+
+
+@register("multimodal_audio_features", sql=None)  # decode step is stubbed
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas audio feature extraction (stubbed codec, real
+    Arrow plumbing) — the audio twin of the image path."""
+    docs = _docs(spark, sf_dir)
+    media = multimodal.as_media(
+        docs, id_col="doc_id", payload=F.encode("text", "UTF-8"),
+        kind="audio", mime="audio/x-fixture",
+    )
+    return multimodal.decode_audio_features(media, fake=True)
+
+
+@register("dedup_embedding_lsh", sql=None)  # recall<1 by design (scale path)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs restricted to sign-LSH buckets — the
+    corpus-scale variant of dedup_embedding_cosine (within-bucket
+    pairs only: candidate count scales with bucket size, not corpus²).
+    Recall vs the exact pairs is asserted in tests/test_llm_ops.py.
+    """
+    embs = similarity.random_hyperplane_buckets(
+        _embs(spark, sf_dir), vec_col="embedding", num_planes=4
+    )
+    a = embs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"), "bucket"
+    )
+    b = embs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dedup.cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", "cos")
+    )

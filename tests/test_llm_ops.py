@@ -114,3 +114,32 @@ def test_dedup_exact_keeps_min_id(spark):
     )
     out = dedup.dedup_exact(df, key_cols=["text"], id_col="doc_id").collect()
     assert sorted((r.doc_id, r.text) for r in out) == [(1, "same text"), (2, "other")]
+
+
+def test_embedding_lsh_bucketed_subset_of_exact(spark, sf_dir):
+    """The LSH-bucketed near-dup pairs must be a strict subset of the
+    exact pairs (precision 1.0); recall tracks the sign-LSH collision
+    probability (1-θ/π)^planes for the corpus' similarity level."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(embs, threshold=0.3).collect()
+    }
+    bucketed = similarity.random_hyperplane_buckets(embs, num_planes=4)
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"), "bucket"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dedup.cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got <= exact  # within-bucket verification never invents pairs
+    assert exact and len(got) / len(exact) > 0.05
