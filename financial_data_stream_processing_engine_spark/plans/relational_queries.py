@@ -1701,3 +1701,65 @@ def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (batch 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "histogram_value_buckets",
+    sql=f"""
+SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+       CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS bucket_lo,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS bucket_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor bucketing — the declarative
+    profiling histogram (map-side partial counts; one tiny shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0).cast("bigint")
+    return ev.groupBy(
+        bucket.alias("bucket"), (bucket * 25.0).alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "bucket_sum"),
+    )
+
+
+@register(
+    "profile_events_table",
+    sql=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(value) AS value_non_null,
+       COUNT(DISTINCT user_id) AS user_distinct,
+       COUNT(DISTINCT event_type) AS type_distinct,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max,
+       {davg_sql('value')} AS value_mean,
+       MIN(ts) AS ts_min,
+       MAX(ts) AS ts_max,
+       {davg_sql('LENGTH(props)')} AS props_len_mean
+FROM events
+""",
+)
+def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile: row/null/distinct counts, ranges, means —
+    the first query any 100 TB ingest runs against a new table."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("value_non_null"),
+        F.countDistinct("user_id").alias("user_distinct"),
+        F.countDistinct("event_type").alias("type_distinct"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        davg("value", "value_mean"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        davg(F.length("props"), "props_len_mean"),
+    )
