@@ -71,17 +71,23 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     digits = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), 0))
 
+    # try_divide everywhere: an empty document makes n_chars 0, and a
+    # plain `/` under ANSI mode would fail the whole job for one
+    # degenerate row (DIVIDE_BY_ZERO).  Ratios are NULL when undefined.
     df = (
         df.withColumn("n_chars_actual", n_chars.cast("long"))
         .withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn("n_unique_tokens", F.size(F.array_distinct(toks)).cast("long"))
         .withColumn(
             "avg_token_len",
-            ((n_chars - (n_tokens - 1)).cast("double") / n_tokens),
+            F.try_divide((n_chars - (n_tokens - 1)).cast("double"), n_tokens),
         )
-        .withColumn("punct_ratio", punct.cast("double") / n_chars)
-        .withColumn("digit_ratio", digits.cast("double") / n_chars)
-        .withColumn("stopword_ratio", n_stop.cast("double") / F.size(F.array_distinct(toks)))
+        .withColumn("punct_ratio", F.try_divide(punct.cast("double"), n_chars))
+        .withColumn("digit_ratio", F.try_divide(digits.cast("double"), n_chars))
+        .withColumn(
+            "stopword_ratio",
+            F.try_divide(n_stop.cast("double"), F.size(F.array_distinct(toks))),
+        )
     )
     # quality: each component clamped to [0,1], equal-weighted.
     length_ok = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))

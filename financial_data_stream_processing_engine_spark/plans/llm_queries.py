@@ -78,10 +78,10 @@ WITH t AS (
          LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')), {_STOP_SQL})) AS n_stop
   FROM documents)
 SELECT doc_id, n_chars_actual, n_tokens, n_unique_tokens,
-       CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
-       CAST(n_punct AS DOUBLE) / n_chars_actual AS punct_ratio,
-       CAST(n_digit AS DOUBLE) / n_chars_actual AS digit_ratio,
-       CAST(n_stop AS DOUBLE) / n_unique_tokens AS stopword_ratio,
+       CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / NULLIF(n_tokens, 0) AS avg_token_len,
+       CAST(n_punct AS DOUBLE) / NULLIF(n_chars_actual, 0) AS punct_ratio,
+       CAST(n_digit AS DOUBLE) / NULLIF(n_chars_actual, 0) AS digit_ratio,
+       CAST(n_stop AS DOUBLE) / NULLIF(n_unique_tokens, 0) AS stopword_ratio,
        (LEAST(n_tokens / 20.0, 1.0)
         + n_unique_tokens / n_tokens
         + GREATEST(0.0, 1.0 - 4 * (CAST(n_punct AS DOUBLE) / n_chars_actual

@@ -143,3 +143,15 @@ def test_embedding_lsh_bucketed_subset_of_exact(spark, sf_dir):
     }
     assert got <= exact  # within-bucket verification never invents pairs
     assert exact and len(got) / len(exact) > 0.05
+
+
+def test_text_stats_degenerate_docs_dont_crash(spark):
+    """Empty/whitespace/NULL text must yield NULL ratios, not a
+    DIVIDE_BY_ZERO job failure (ANSI mode)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in text.with_text_stats(df).collect()}
+    assert rows[1].punct_ratio is None          # 0-char doc: undefined ratio
+    assert rows[4].n_tokens is None             # NULL text propagates
+    assert rows[3].quality_score is not None    # normal doc unaffected
