@@ -34,9 +34,13 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent mean: exact sum / count → DOUBLE."""
+    """Order-independent mean: exact sum / count → DOUBLE.
+
+    try_divide: a group whose values are all NULL has count 0 — the
+    mean is NULL, not an ANSI DIVIDE_BY_ZERO job failure.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DECIMAL)).cast("double") / F.count(c)
+    out = F.try_divide(F.sum(c.cast(DECIMAL)).cast("double"), F.count(c))
     return out.alias(alias) if alias else out
 
 

@@ -298,7 +298,9 @@ def cosine(a: Column, b: Column) -> Column:
 
     na = F.sqrt(F.aggregate(a, F.lit(0.0), sq))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), sq))
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector makes cosine undefined — NULL, not
+    # an ANSI DIVIDE_BY_ZERO that fails the whole job for one row.
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_cosine_pairs(

@@ -34,8 +34,8 @@ _SH = (
 _COS = (
     "(list_reduce(list_transform(list_zip({a}, {b}),"
     " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x,y) -> x+y)"
-    " / (sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (x,y)->x+y))"
-    " * sqrt(list_reduce(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (x,y)->x+y))))"
+    " / NULLIF(sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (x,y)->x+y))"
+    " * sqrt(list_reduce(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (x,y)->x+y)), 0))"
 )
 
 _EXACT_PAIRS_SQL = f"""

@@ -73,7 +73,10 @@ def sliding_mean(
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, window, slide).alias("win"), F.col(key))
-        .agg((_dsum(value) / F.count(value)).alias("mean_value"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.try_divide(_dsum(value), F.count(value)).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
