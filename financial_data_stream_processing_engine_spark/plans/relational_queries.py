@@ -1763,3 +1763,122 @@ def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("ts_max"),
         davg(F.length("props"), "props_len_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource + SCD2 merge emulation (batch 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "python_datasource_ticks",
+    sql="""
+SELECT i AS id,
+       ['AAPL','MSFT','GOOG','AMZN','NVDA'][(i % 5) + 1] AS symbol,
+       CAST((i * 7919) % 100000 AS DOUBLE) / 100.0 AS price,
+       (i * 104729) % 10000 AS volume,
+       TIMESTAMP '2024-01-01' + i * INTERVAL '1 second' AS ts
+FROM GENERATE_SERIES(0, 1999) AS t(i)
+""",
+)
+def python_datasource_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 extension API): the registered
+    'ticks' format generates partitioned synthetic rows executor-side;
+    the oracle recomputes the same deterministic formula in SQL."""
+    from financial_data_stream_processing_engine_spark.sources import tick_datasource
+
+    tick_datasource.register(spark)
+    return (
+        spark.read.format("ticks")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+
+
+#: SCD2 change batch applied to the customer dimension: two balance
+#: updates and one brand-new customer, effective 2000-01-01.
+SCD2_CHANGES = [
+    (1, 5000.0, "BUILDING"),
+    (2, -10.0, "MACHINERY"),
+    (900001, 777.0, "AUTOMOBILE"),
+]
+_SCD2_EFF = "2000-01-01"
+_SCD2_CHANGES_VALUES = ", ".join(
+    f"({k}, {b}, '{s}')" for k, b, s in SCD2_CHANGES
+)
+
+
+@register(
+    "scd2_apply_changes",
+    sql=f"""
+WITH changes(c_custkey, new_acctbal, new_segment) AS (VALUES {_SCD2_CHANGES_VALUES}),
+base AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer),
+expired AS (
+  SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+         b.valid_from, DATE '{_SCD2_EFF}' AS valid_to
+  FROM base b JOIN changes c USING (c_custkey)),
+unchanged AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.c_custkey = b.c_custkey)),
+fresh AS (
+  SELECT c.c_custkey,
+         COALESCE(b.c_name, 'Customer#' || LPAD(CAST(c.c_custkey AS VARCHAR), 9, '0')) AS c_name,
+         CAST(c.new_acctbal AS DOUBLE) AS c_acctbal,
+         c.new_segment AS c_mktsegment,
+         DATE '{_SCD2_EFF}' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM changes c LEFT JOIN base b USING (c_custkey))
+SELECT * FROM unchanged
+UNION ALL SELECT * FROM expired
+UNION ALL SELECT * FROM fresh
+""",
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing dimension, type 2) without MERGE INTO:
+    anti-join keeps untouched rows, the change keys expire their
+    current rows (valid_to = effective date), and new versions open
+    with valid_to NULL.  The lakehouse MERGE emulation pattern for
+    engines without Delta/Iceberg on the classpath.
+
+    Scale: two broadcast joins against the (small) change batch + a
+    union — the dimension table is never shuffled.
+    """
+    eff = F.lit(_SCD2_EFF).cast("date")
+    base = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            F.lit("1995-01-01").cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    changes = spark.createDataFrame(
+        SCD2_CHANGES, "c_custkey long, new_acctbal double, new_segment string"
+    )
+    keys = changes.select("c_custkey")
+
+    unchanged = base.join(F.broadcast(keys), "c_custkey", "left_anti")
+    expired = (
+        base.join(F.broadcast(keys), "c_custkey", "left_semi")
+        .withColumn("valid_to", eff)
+    )
+    fresh = (
+        changes.join(F.broadcast(base.select("c_custkey", "c_name")), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(
+                "c_name",
+                F.concat(
+                    F.lit("Customer#"),
+                    F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+                ),
+            ).alias("c_name"),
+            F.col("new_acctbal").alias("c_acctbal"),
+            F.col("new_segment").alias("c_mktsegment"),
+            eff.alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    return unchanged.unionByName(expired).unionByName(fresh)
