@@ -1,7 +1,7 @@
 """Custom Python DataSource (Spark 4 DataSource API): synthetic ticks.
 
 The modern, fully-supported way to add a source to Spark from Python —
-``spark.dataSource.register(TickDataSource)`` then
+``spark.dataSource.register(...)`` then
 ``spark.read.format("ticks").option(...).load()``.  Demonstrates the
 extension surface the reference filled with its adapter ABC
 (financial_engine.py:113-122), Spark-4-native:
@@ -19,64 +19,75 @@ Formula per global index i:
     price  = ((i * 7919) mod 100000) / 100.0
     volume = (i * 104729) mod 10000
     ts     = 2024-01-01 00:00:00 + i seconds
+
+Deployment note: the classes are built inside a function scope ON
+PURPOSE.  cloudpickle serializes locally-defined classes BY VALUE, so
+Python workers never need this package importable on their sys.path —
+a module-level DataSource class is pickled by reference and fails with
+ModuleNotFoundError on any worker whose PYTHONPATH lacks the repo
+(verified: that is exactly what happens when the driver runs from a
+different working directory).
 """
 
 from __future__ import annotations
 
-import datetime as dt
-
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-
-SYMBOLS = ("AAPL", "MSFT", "GOOG", "AMZN", "NVDA")
-BASE_TS = dt.datetime(2024, 1, 1)
-
 TICK_DS_SCHEMA = "id bigint, symbol string, price double, volume bigint, ts timestamp"
 
 
-class RangePartition(InputPartition):
-    def __init__(self, start: int, end: int) -> None:
-        self.start = start
-        self.end = end
+def build_tick_datasource():
+    """Build the DataSource class (locally scoped → pickled by value)."""
+    import datetime as dt
 
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-class TickDataSourceReader(DataSourceReader):
-    def __init__(self, options: dict) -> None:
-        self.n_rows = int(options.get("rows", 1000))
-        self.n_partitions = int(options.get("partitions", 4))
+    symbols = ("AAPL", "MSFT", "GOOG", "AMZN", "NVDA")
+    base_ts = dt.datetime(2024, 1, 1)
+    schema = TICK_DS_SCHEMA
 
-    def partitions(self):
-        step = max(1, self.n_rows // self.n_partitions)
-        parts = []
-        start = 0
-        while start < self.n_rows:
-            parts.append(RangePartition(start, min(start + step, self.n_rows)))
-            start += step
-        return parts
+    class RangePartition(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start = start
+            self.end = end
 
-    def read(self, partition: RangePartition):
-        for i in range(partition.start, partition.end):
-            yield (
-                i,
-                SYMBOLS[i % len(SYMBOLS)],
-                ((i * 7919) % 100000) / 100.0,
-                (i * 104729) % 10000,
-                BASE_TS + dt.timedelta(seconds=i),
-            )
+    class TickDataSourceReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.n_rows = int(options.get("rows", 1000))
+            self.n_partitions = int(options.get("partitions", 4))
 
+        def partitions(self):
+            step = max(1, self.n_rows // self.n_partitions)
+            parts = []
+            start = 0
+            while start < self.n_rows:
+                parts.append(RangePartition(start, min(start + step, self.n_rows)))
+                start += step
+            return parts
 
-class TickDataSource(DataSource):
-    """``spark.read.format("ticks").option("rows", N).load()``"""
+        def read(self, partition: RangePartition):
+            for i in range(partition.start, partition.end):
+                yield (
+                    i,
+                    symbols[i % len(symbols)],
+                    ((i * 7919) % 100000) / 100.0,
+                    (i * 104729) % 10000,
+                    base_ts + dt.timedelta(seconds=i),
+                )
 
-    @classmethod
-    def name(cls) -> str:
-        return "ticks"
+    class TickDataSource(DataSource):
+        """``spark.read.format("ticks").option("rows", N).load()``"""
 
-    def schema(self) -> str:
-        return TICK_DS_SCHEMA
+        @classmethod
+        def name(cls) -> str:
+            return "ticks"
 
-    def reader(self, schema) -> TickDataSourceReader:
-        return TickDataSourceReader(self.options)
+        def schema(self) -> str:
+            return schema
+
+        def reader(self, schema) -> TickDataSourceReader:
+            return TickDataSourceReader(self.options)
+
+    return TickDataSource
 
 
 def register(spark) -> None:
-    spark.dataSource.register(TickDataSource)
+    spark.dataSource.register(build_tick_datasource())
