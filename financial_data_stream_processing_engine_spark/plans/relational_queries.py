@@ -1882,3 +1882,209 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return unchanged.unionByName(expired).unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H depth round 2: Q7/Q13/Q14/Q17/Q19/Q22 shapes (batch 8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q7_like_nation_volume",
+    sql=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       YEAR(l_shipdate) AS l_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+GROUP BY sn.n_name, cn.n_name, YEAR(l_shipdate)
+""",
+)
+def tpch_q7_like_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume — 6-way join with
+    the nation dim joined twice under different roles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+@register(
+    "tpch_q13_like_order_distribution",
+    sql="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+""",
+)
+def tpch_q13_like_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer (double
+    aggregation; the left join keeps zero-order customers in the 0 bin)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q14_like_promo_effect",
+    sql=f"""
+SELECT 100.0 * {dsum_sql("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) END")}
+       / {dsum_sql('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""",
+)
+def tpch_q14_like_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio ('promo' = the
+    ECONOMY part type in this fixture)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", revenue)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(revenue)).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q17_like_small_quantity",
+    sql=f"""
+SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def tpch_q17_like_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery per part — expressed as
+    a pre-aggregated per-part threshold joined back (exactly the
+    decorrelation Catalyst would apply).
+
+    Float note: AVG(l_quantity) is a sum of integral doubles / count —
+    order-independent, so the plain avg matches the oracle bitwise.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_like_disjunctive",
+    sql=f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+)
+def tpch_q19_like_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates
+    across both join sides (the classic pushdown/CNF-conversion test)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "tpch_q22_like_dormant_rich",
+    sql=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       {dsum_sql('c_acctbal')} AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+""",
+)
+def tpch_q22_like_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar AVG subquery + anti join —
+    above-average-balance customers with no recent orders.
+
+    AVG over doubles is order-dependent in general; here the scalar is
+    computed once via the exact-decimal mean so the comparison
+    threshold is bit-stable (mirrored by the oracle's plain AVG only
+    because DuckDB's single-threaded mean over this column matches —
+    the engine-side form is the safe one).
+    """
+    c = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    # the scalar stays IN the plan (1-row aggregate broadcast into a
+    # cross join) — no driver-side collect inside an operator.
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal", "avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_custs"), dsum("c_acctbal", "total_bal"))
+    )
