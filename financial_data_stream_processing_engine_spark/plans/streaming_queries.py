@@ -235,3 +235,32 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("symbol").cast("bigint").alias("user_id"),
         (F.col("ts").cast("long") - F.col("p_ts").cast("long")).alias("gap_s"),
     )
+
+
+@register(
+    "streaming_dedup_exact",
+    sql="""
+SELECT event_id, user_id, ts, value FROM events
+""",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication with bounded state:
+    dropDuplicatesWithinWatermark evicts seen-keys state once the
+    watermark passes (the streaming twin of dedup_exact — the
+    reference point for at-least-once sources).
+
+    The input is the event stream unioned with ITSELF (every row a
+    duplicate); the deduplicated output must equal the original table,
+    which is exactly what the oracle states.
+    """
+    left = _event_tick_stream(spark, sf_dir)
+    right = _event_tick_stream(spark, sf_dir)
+    doubled = left.unionByName(right).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["id"])
+    result = _run(deduped, spark)
+    return result.select(
+        F.col("id").cast("bigint").alias("event_id"),
+        F.col("symbol").cast("bigint").alias("user_id"),
+        "ts",
+        F.col("price").alias("value"),
+    )
