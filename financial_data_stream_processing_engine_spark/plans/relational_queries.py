@@ -415,10 +415,10 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         "o_orderpriority",
-        F.row_number().over(w_det).alias("rn"),
-        F.rank().over(w_tie).alias("rnk"),
-        F.dense_rank().over(w_tie).alias("drnk"),
-        F.ntile(4).over(w_det).alias("quartile"),
+        F.row_number().over(w_det).cast("long").alias("rn"),
+        F.rank().over(w_tie).cast("long").alias("rnk"),
+        F.dense_rank().over(w_tie).cast("long").alias("drnk"),
+        F.ntile(4).over(w_det).cast("long").alias("quartile"),
     )
 
 
@@ -524,7 +524,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -644,7 +644,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
         F.lower("c_mktsegment").alias("segment_lower"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.concat("c_name", F.lit("/"), "c_mktsegment").alias("name_seg"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
@@ -676,10 +676,10 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderdate",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dy"),
-        F.quarter("o_orderdate").alias("qtr"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.last_day(d).alias("month_end"),
         F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("days_to_2002"),
@@ -698,7 +698,7 @@ SELECT l_orderkey, l_linenumber,
        SQRT(l_quantity) AS qty_sqrt,
        l_extendedprice * l_extendedprice AS price_sq,
        MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
-       SIGN(l_discount - 0.05) AS disc_sign,
+       CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
        GREATEST(l_tax, l_discount) AS max_rate,
        LEAST(l_tax, l_discount) AS min_rate
 FROM lineitem
@@ -713,8 +713,8 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round("l_extendedprice", 1).alias("price_round"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
         (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
@@ -801,8 +801,8 @@ def array_functions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         F.element_at(toks, 1).alias("first_token"),
         F.element_at(toks, -1).alias("last_token"),
         F.array_contains(toks, "spark").alias("has_spark"),
@@ -1055,9 +1055,10 @@ FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id
 def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL explode with position (posexplode ≡ UNNEST + index)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return docs.select(
+    out = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+    return out.withColumn("pos", F.col("pos").cast("long"))
 
 
 @register(
@@ -1099,9 +1100,9 @@ WITH marked AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events)
 SELECT user_id, event_id, ts,
-       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
 FROM marked
 """,
 )
@@ -1270,7 +1271,7 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, ngram string")
+    @udtf(returnType="pos bigint, ngram string")
     class NGrams:
         def eval(self, text: str, n: int):
             toks = (text or "").split(" ")
@@ -1711,7 +1712,7 @@ def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFra
     "histogram_value_buckets",
     sql=f"""
 SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
-       CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS bucket_lo,
+       CAST(CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bucket_lo,
        COUNT(*) AS n,
        {dsum_sql('value')} AS bucket_sum
 FROM events
@@ -1930,7 +1931,7 @@ def tpch_q7_like_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(dsum(revenue, "revenue"))
     )
 

@@ -54,13 +54,42 @@ def rows_key(rows, colnames):
     )
 
 
-def compare(name, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+#: spark simpleString / duckdb type-name → common canonical dtype
+_CANON = {
+    "bigint": "i64", "long": "i64", "hugeint": "i128",
+    "int": "i32", "integer": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "real": "f32",
+    "string": "str", "varchar": "str",
+    "boolean": "bool", "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts", "timestamp with time zone": "ts",
+}
+
+
+def _canon_type(t: str) -> str:
+    t = str(t).lower()
+    if t.endswith("[]") or t.startswith(("array", "list")):
+        return "array"
+    if t.startswith(("decimal", "struct", "map")):
+        return t.split("(")[0]
+    return _CANON.get(t, t)
+
+
+def compare(
+    name, spark_rows, spark_cols, duck_rows, duck_cols,
+    spark_types=None, duck_types=None,
+) -> list[str]:
     problems = []
     if len(spark_rows) != len(duck_rows):
         problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
         return problems
+    if spark_types is not None and duck_types is not None:
+        st = {c: _canon_type(t) for c, t in zip(spark_cols, spark_types)}
+        dt = {c: _canon_type(t) for c, t in zip(duck_cols, duck_types)}
+        drift = {c: (st[c], dt[c]) for c in st if st[c] != dt.get(c)}
+        if drift:
+            problems.append(f"dtype drift {drift}")
     a = rows_key(spark_rows, spark_cols)
     b = rows_key(duck_rows, duck_cols)
     if a != b:
@@ -102,6 +131,7 @@ def main() -> int:
         t0 = time.time()
         df = fn(spark, sf_dir)
         spark_cols = df.columns
+        spark_types = [f.dataType.simpleString() for f in df.schema.fields]
         spark_rows = [tuple(r) for r in df.collect()]
         t_spark = time.time() - t0
         if name not in oracles:
@@ -111,11 +141,15 @@ def main() -> int:
                 failed.append(name)
             continue
         t0 = time.time()
-        res = con.execute(oracles[name])
-        duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        rel = con.sql(oracles[name])
+        duck_cols = list(rel.columns)
+        duck_types = [str(t) for t in rel.types]
+        duck_rows = rel.fetchall()
         t_duck = time.time() - t0
-        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        problems = compare(
+            name, spark_rows, spark_cols, duck_rows, duck_cols,
+            spark_types, duck_types,
+        )
         if problems:
             failed.append(name)
             print(f"✗ {name:32s} [{t_spark:5.1f}s/{t_duck:4.1f}s]")
