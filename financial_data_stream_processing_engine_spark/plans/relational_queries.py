@@ -2089,3 +2089,154 @@ def tpch_q22_like_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_custs"), dsum("c_acctbal", "total_bal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H depth round 3: Q8/Q9/Q15 shapes (batch 9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q8_like_market_share",
+    sql=f"""
+WITH all_nations AS (
+  SELECT YEAR(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region    ON cn.n_regionkey = r_regionkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01')
+SELECT o_year,
+       {dsum_sql("CASE WHEN supp_nation = 'BRAZIL' THEN volume END")}
+       / {dsum_sql('volume')} AS mkt_share
+FROM all_nations
+GROUP BY o_year
+""",
+)
+def tpch_q8_like_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the 8-table join — market share of one supplier
+    nation within a customer region, per year.
+
+    Scale: every dimension broadcasts; lineitem⋈orders is the only big
+    shuffle; the conditional-sum ratio is two decimal accumulators in
+    one aggregation pass.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume"))
+    return base.groupBy("o_year").agg(
+        (dsum(brazil) / dsum("volume")).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9_like_product_profit",
+    sql=f"""
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount) - l_quantity * 10.0')} AS profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%ring%'
+GROUP BY n_name, YEAR(o_orderdate)
+""",
+)
+def tpch_q9_like_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year for a
+    product family (LIKE filter on part name; unit cost fixed at 10.0
+    since the fixture lacks partsupp.ps_supplycost)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.lit(10.0)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit"))
+    )
+
+
+@register(
+    "tpch_q15_like_top_supplier",
+    sql=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_like_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — a reused
+    derived relation ('view') consumed twice: once for the max, once
+    for the detail row.  The decimal-exact revenue makes the equality
+    comparison against MAX safe across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
