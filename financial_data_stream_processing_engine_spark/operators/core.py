@@ -56,6 +56,7 @@ def moving_average(
     value: str = "price",
     order_by: tuple[str, ...] = ("ts", "id"),
     out_col: str = "moving_average",
+    assume_participating: bool = False,
 ) -> DataFrame:
     """Per-key row-count sliding mean over the last ``n`` rows.
 
@@ -65,22 +66,30 @@ def moving_average(
     1. Emits only at exactly-full windows — the first n-1 rows per key
        get NULL (reference: field absent, :308-310).
     2. Rows with NULL key or NULL value pass through untouched and do
-       NOT consume state (:303): the window frame counts only rows where
-       the value participates, which we express by windowing over a
-       null-key/null-value-excluded ordering.
+       NOT consume state (:303): they neither get a moving average nor
+       occupy a slot in the n-row window of later rows.
     3. The window is row-count over arrival order, per key — not time
        based.  Batch "arrival order" is ``order_by`` (deterministic
-       total order; pass the ingestion-ts plus a tiebreaker).
+       total order; ``(key, *order_by)`` must be row-unique — pass the
+       ingestion-ts plus a tiebreaker).
 
     Implementation note: the mean is computed as an explicit lag-chain
     sum ``(v + lag(v,1) + … + lag(v,n-1)) / n`` rather than
     ``avg().over(rowsBetween)``.  Semantically identical, but the
     left-to-right IEEE summation order is engine-independent, which
     makes results bit-reproducible against external oracles; it also
-    avoids per-row frame re-aggregation.  Scale: this is a single
-    window — one shuffle on ``key``, no Python, state bounded by the
-    frame.  NULL-value rows are excluded from the frame by windowing
-    the lag over value-bearing rows only.
+    avoids per-row frame re-aggregation.
+
+    To honor gotcha 2 exactly, the lag chain runs over the *filtered*
+    frame (participating rows only) and joins back on the row identity
+    ``(key, *order_by)`` — a NULL-value row can therefore never occupy
+    a lag slot.  That costs one extra shuffle; callers that have
+    already run :func:`clean` (every compat pipeline does) can pass
+    ``assume_participating=True`` for the single-shuffle direct chain,
+    which is identical when every row participates.
+
+    Scale: one window shuffle on ``key`` (+ one join-back shuffle in
+    the general path), no Python, state bounded by the frame.
     """
     w = (
         Window.partitionBy(key)
@@ -89,24 +98,36 @@ def moving_average(
     val = F.col(value)
     participates = F.col(key).isNotNull() & val.isNotNull()
 
-    # Sum the current value and the previous n-1 values among
-    # participating rows of the same key.  lag() over a filtered window
-    # isn't directly expressible, so window over a pre-marked frame:
-    # non-participating rows carry NULL contributions and are ordered
-    # out of the frame by conditioning each lag input.
-    masked = F.when(participates, val)
-    total: Column = masked
+    if assume_participating:
+        masked = F.when(participates, val)
+        total: Column = masked
+        for i in range(1, n):
+            total = total + F.lag(masked, i).over(w)
+        ma = (total / F.lit(float(n))).cast("double")
+        # total is NULL unless ALL n frame slots are non-NULL — the
+        # reference's "only when the deque is full" gate (:308); valid
+        # because the caller guarantees no NULL-value row interleaves.
+        return df.withColumn(out_col, F.when(participates, ma))
+
+    part = df.filter(participates)
+    total = val
     for i in range(1, n):
-        total = total + F.lag(masked, i).over(w)
-    ma = (total / F.lit(float(n))).cast("double")
-    # total is NULL unless ALL of the n frame slots are non-NULL — i.e.
-    # at least n participating rows seen — which is exactly the
-    # reference's "only when the deque is full" gate (:308) provided
-    # non-participating rows never interleave state.  When they can,
-    # callers should pre-filter; the compat pipeline runs clean() first
-    # so NULL prices are already gone, and NULL keys form their own
-    # partition where `participates` is false → ma stays NULL.
-    return df.withColumn(out_col, F.when(participates, ma))
+        total = total + F.lag(val, i).over(w)
+    # the scored side renames its identity columns (a self-derived join
+    # would otherwise resolve both sides to the same attribute), and
+    # the join-back is null-safe so a participating row with a NULL
+    # order_by column still finds its score.
+    idents = [key, *order_by]
+    scored = part.select(
+        *[F.col(c).alias(f"__ma_{i}") for i, c in enumerate(idents)],
+        (total / F.lit(float(n))).cast("double").alias(out_col),
+    )
+    cond = F.lit(True)
+    for i, c in enumerate(idents):
+        cond = cond & df[c].eqNullSafe(F.col(f"__ma_{i}"))
+    return df.join(scored, cond, "left").drop(
+        *[f"__ma_{i}" for i in range(len(idents))]
+    )
 
 
 def with_alert_flag(

@@ -38,9 +38,19 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     Equivalent to ``dropDuplicates`` but with a *defined* survivor, so
     results are reproducible run-to-run (dropDuplicates keeps an
     arbitrary row).  One shuffle on the key columns.
+
+    Key equality is null-safe (``<=>``), so rows with a NULL key column
+    form a dedup group like any other and keep their min-id survivor —
+    a plain equi-join would silently delete every NULL-keyed row
+    (NULL = NULL never matches).  ``min(id)`` ignores NULL ids, so a
+    group whose ids are all NULL keeps all its (indistinguishable)
+    rows.
     """
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, [*key_cols, id_col], "left_semi")
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias("__keep_id"))
+    cond = df[id_col].eqNullSafe(keep["__keep_id"])
+    for c in key_cols:
+        cond = cond & df[c].eqNullSafe(keep[c])
+    return df.join(keep, cond, "left_semi")
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from financial_data_stream_processing_engine_spark.functions.numeric import davg
 from financial_data_stream_processing_engine_spark.operators.dedup import cosine
 
 
@@ -85,6 +86,47 @@ def random_hyperplane_buckets(
     return df.withColumn(out_col, bucket.cast("int"))
 
 
+def bucketed_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    threshold: float = 0.95,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Near-dup pairs restricted to sign-LSH buckets — the corpus-scale
+    variant of ``dedup.embedding_cosine_pairs`` (candidate count scales
+    with bucket size, not corpus²).
+
+    With ``multiprobe`` the left side also probes every Hamming-1
+    neighbor bucket, so a pair is found iff its two bucket ids differ in
+    ≤1 bit: per-plane collision probability p = 1-θ/π turns into
+    p^n + n·(1-p)·p^(n-1) recall — e.g. 0.13 → 0.47 at θ≈72°, n=4 —
+    for (n+1)× candidate volume, still linear in corpus size.  Each
+    qualifying pair matches exactly one probe (the XOR mask is unique),
+    so no distinct is needed.
+    """
+    bucketed = random_hyperplane_buckets(df, vec_col=vec_col, num_planes=num_planes)
+    masks = [0] + ([1 << p for p in range(num_planes)] if multiprobe else [])
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     by: str,
@@ -99,7 +141,12 @@ def train_centroids(
     exploded = corpus.select(
         F.col(by).alias("centroid_id"), F.posexplode(vec_col).alias("pos", "v")
     )
-    means = exploded.groupBy("centroid_id", "pos").agg(F.avg("v").alias("m"))
+    # decimal-exact mean (functions.numeric.davg): order-independent, so
+    # centroids — and every downstream cell assignment — are
+    # bit-identical at any parallelism / cluster size.
+    means = exploded.groupBy("centroid_id", "pos").agg(
+        davg(F.col("v").cast("double"), "m")
+    )
     return (
         means.groupBy("centroid_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))

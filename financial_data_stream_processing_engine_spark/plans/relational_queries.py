@@ -106,17 +106,39 @@ def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", sql=None)  # sketch values are engine-specific
+@register(
+    "agg_approx_distinct",
+    sql="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       true AS approx_ok
+FROM events
+GROUP BY event_type
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path for
     distinct counting (no dedup shuffle; sketches merge map-side).
 
-    Rows-only check: HLL estimates are engine-specific by design.
+    Oracle strategy: HLL estimates are engine-specific, so the checked
+    output is the engine-independent *property* — the exact distinct
+    count plus a boolean asserting the sketch landed within its
+    configured relative error (rsd 0.01 → we allow 5%).  A broken
+    sketch (or a broken exact path) flips the boolean / the count and
+    the hash.
     """
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_ok"),
     )
 
 
@@ -983,40 +1005,109 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentiles", sql=None)  # t-digest values are engine-specific
+@register(
+    "agg_approx_percentiles",
+    sql="""
+SELECT l_returnflag, '0.25' AS q,
+       QUANTILE_CONT(l_extendedprice, 0.25) AS exact_value, true AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, '0.5' AS q,
+       QUANTILE_CONT(l_extendedprice, 0.5) AS exact_value, true AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, '0.95' AS q,
+       QUANTILE_CONT(l_extendedprice, 0.95) AS exact_value, true AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles — the scale path for quantiles."""
+    """Sketch-based percentiles — the scale path for quantiles.
+
+    Oracle strategy: the sketch value itself is engine-specific, so the
+    checked output is one row per (group, quantile) carrying the exact
+    interpolated percentile (bit-comparable: agg_percentiles proved
+    F.percentile == QUANTILE_CONT) and a boolean asserting the
+    approx_percentile sketch landed within 5% of it.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias("approx_quantiles")
+    qs = [0.25, 0.5, 0.95]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias("exact"),
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("approx"),
+    )
+    triples = F.array(
+        *[
+            F.struct(
+                F.lit(str(q)).alias("q"),
+                F.col("exact")[i].alias("exact_value"),
+                F.col("approx")[i].cast("double").alias("approx"),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return agg.select("l_returnflag", F.explode(triples).alias("t")).select(
+        "l_returnflag",
+        F.col("t.q").alias("q"),
+        F.col("t.exact_value").alias("exact_value"),
+        (
+            F.abs(F.col("t.approx") - F.col("t.exact_value"))
+            <= 0.05 * F.abs(F.col("t.exact_value"))
+        ).alias("approx_ok"),
     )
 
 
 @register(
     "agg_collect_ordered",
     sql="""
-SELECT o_custkey,
-       LIST(o_totalprice ORDER BY o_totalprice DESC, o_orderkey)[1:3] AS top3_prices,
-       LIST(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
-FROM orders
-GROUP BY o_custkey
+WITH ranked AS (
+  SELECT o_custkey, o_totalprice AS price,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rnk
+  FROM orders
+), st AS (
+  SELECT o_custkey,
+         STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+  FROM orders GROUP BY o_custkey
+)
+SELECT r.o_custkey, r.rnk, r.price, s.statuses
+FROM ranked r JOIN st s USING (o_custkey)
+WHERE r.rnk <= 3
 """,
 )
 def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation (collect_list with defined order).
 
     Spark's collect_list is order-nondeterministic, so the order is
-    imposed structurally: sort_array over (key, tiebreak) structs, then
-    project — deterministic at any parallelism.
+    imposed structurally: sort_array over (-price, tiebreak) structs,
+    then slice — deterministic at any parallelism.  The checked output
+    explodes the array to (custkey, rank, price) scalar rows because
+    the driver's canonicalizer cannot hash list-valued cells; the
+    distinct-status list is emitted as a comma-joined string for the
+    same reason.
     """
     o = _t(spark, sf_dir, "orders")
     pairs = F.array_sort(
-        F.collect_list(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
+        F.collect_list(
+            F.struct(
+                (-F.col("o_totalprice")).alias("np"),
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("p"),
+            )
+        )
     )
-    top3 = F.slice(F.reverse(F.transform(pairs, lambda s: s["p"])), 1, 3)
-    return o.groupBy("o_custkey").agg(
-        top3.alias("top3_prices"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+    agg = o.groupBy("o_custkey").agg(
+        F.slice(pairs, 1, 3).alias("top3"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+    )
+    return agg.select(
+        "o_custkey", "statuses", F.posexplode("top3").alias("pos0", "t")
+    ).select(
+        "o_custkey",
+        (F.col("pos0") + 1).cast("long").alias("rnk"),
+        F.col("t.p").alias("price"),
+        "statuses",
     )
 
 
@@ -1112,9 +1203,13 @@ def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # full-µs-precision gap comparison (timestamp minus timestamp is a
+    # day-time interval) — a cast('long') would truncate sub-second
+    # parts and disagree with the oracle's exact INTERVAL comparison
+    # for gaps inside (21600, 21601) s.
     new_session = (
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 6 * 3600)
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 6 HOURS"))
     ).cast("int")
     return (
         ev.select("user_id", "event_id", "ts", new_session.alias("new_session"))
@@ -1385,18 +1480,91 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_builtin_stats", sql=None)  # engine-specific float rounding
+@register(
+    "agg_builtin_stats",
+    sql=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(l_quantity) AS DOUBLE) AS n,
+         {dsum_sql('l_quantity')} AS sx,
+         {dsum_sql('l_quantity * l_quantity')} AS sxx,
+         {dsum_sql('l_discount')} AS sy,
+         {dsum_sql('l_discount * l_discount')} AS syy,
+         {dsum_sql('l_quantity * l_discount')} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (sxx - sx * sx / n) / (n - 1.0) AS var_exact,
+       SQRT((sxx - sx * sx / n) / (n - 1.0)) AS stddev_exact,
+       (sxy - sx * sy / n)
+         / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_exact,
+       true AS var_ok, true AS stddev_ok, true AS corr_ok,
+       true AS skew_ok, true AS kurt_ok
+FROM m
+""",
+)
 def agg_builtin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The built-in statistical aggregates (var_samp/stddev/corr/
-    skewness/kurtosis) — the convenient forms; rows-only because their
-    streaming update order differs across engines in the last ulps."""
+    """Built-in statistical aggregates (var_samp/stddev/corr/skewness/
+    kurtosis) checked against an exact recompute.
+
+    Oracle strategy: the builtins' streaming update order differs
+    across engines in the last ulps, so the checked doubles are
+    *derived from exact DECIMAL raw moments* with only IEEE-exact ops
+    (+ - * / sqrt, identical expression text both engines → identical
+    bits), and the builtins are asserted close to that recompute via
+    booleans the oracle states as ``true``.  A regression in either
+    the builtin or the decimal path flips a boolean or a derived bit.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.var_samp("l_quantity").alias("var_qty"),
-        F.stddev("l_quantity").alias("stddev_qty"),
-        F.corr("l_quantity", "l_discount").alias("corr_qty_disc"),
-        F.skewness("l_quantity").alias("skew_qty"),
-        F.kurtosis("l_quantity").alias("kurt_qty"),
+    x, y = F.col("l_quantity"), F.col("l_discount")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").cast("double").alias("n"),
+        dsum(x, "sx"),
+        dsum(x * x, "sxx"),
+        dsum(x * x * x, "sxxx"),
+        dsum(x * x * x * x, "sxxxx"),
+        dsum(y, "sy"),
+        dsum(y * y, "syy"),
+        dsum(x * y, "sxy"),
+        F.var_samp("l_quantity").alias("b_var"),
+        F.stddev("l_quantity").alias("b_std"),
+        F.corr("l_quantity", "l_discount").alias("b_corr"),
+        F.skewness("l_quantity").alias("b_skew"),
+        F.kurtosis("l_quantity").alias("b_kurt"),
+    )
+    n, sx, sxx, sxxx, sxxxx = (F.col(c) for c in ["n", "sx", "sxx", "sxxx", "sxxxx"])
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var_exact = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    stddev_exact = F.sqrt(var_exact)
+    corr_exact = F.try_divide(
+        sxy - sx * sy / n, F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    )
+    # central moments from exact raw moments (Spark-side only, feed booleans)
+    mu = sx / n
+    m2 = sxx / n - mu * mu
+    m3 = sxxx / n - F.lit(3.0) * mu * (sxx / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        sxxxx / n
+        - F.lit(4.0) * mu * (sxxx / n)
+        + F.lit(6.0) * mu * mu * (sxx / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew_exact = F.try_divide(m3, F.pow(m2, F.lit(1.5)))
+    kurt_exact = F.try_divide(m4, m2 * m2) - F.lit(3.0)
+
+    def ok(builtin, exact):
+        return F.abs(builtin - exact) <= F.lit(1e-6) * F.greatest(F.abs(exact), F.lit(1.0))
+
+    return g.select(
+        "l_returnflag",
+        var_exact.alias("var_exact"),
+        stddev_exact.alias("stddev_exact"),
+        corr_exact.alias("corr_exact"),
+        ok(F.col("b_var"), var_exact).alias("var_ok"),
+        ok(F.col("b_std"), stddev_exact).alias("stddev_ok"),
+        ok(F.col("b_corr"), corr_exact).alias("corr_ok"),
+        ok(F.col("b_skew"), skew_exact).alias("skew_ok"),
+        ok(F.col("b_kurt"), kurt_exact).alias("kurt_ok"),
     )
 
 

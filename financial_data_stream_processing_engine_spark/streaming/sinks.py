@@ -55,18 +55,28 @@ def alert_sink(
     ma_col: str = "moving_average",
     config: EngineConfig = DEFAULT_CONFIG,
     name: str = "alerts",
+    max_alerts_per_epoch: int = 10_000,
 ) -> StreamingQuery:
     """K3 AlertGenerator as a foreachBatch sink.
 
     Filters each epoch to rows whose moving average exceeds the
     threshold (strictly greater, financial_engine.py:104) and hands the
-    collected alerts to the callback.  The filter runs engine-side;
-    only actual alerts reach Python.
+    alerts to the callback.  The filter runs engine-side; only actual
+    alerts reach Python, and the per-epoch driver fetch is capped at
+    ``max_alerts_per_epoch`` — a mis-set threshold over a 100 TB stream
+    must not materialize the world on the driver.  When the cap trips,
+    the callback receives the capped batch plus the true count via the
+    trailing sentinel tuple ``("__overflow__", n_alerts)``.
     """
     t = config.price_alert_threshold if threshold is None else threshold
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
-        alerts = batch_df.filter(F.col(ma_col) > F.lit(t)).collect()
+        hits = batch_df.filter(F.col(ma_col) > F.lit(t))
+        alerts = hits.limit(max_alerts_per_epoch + 1).collect()
+        if len(alerts) > max_alerts_per_epoch:
+            alerts = alerts[:max_alerts_per_epoch] + [
+                ("__overflow__", hits.count())
+            ]
         if alerts:
             on_alert(alerts)
 

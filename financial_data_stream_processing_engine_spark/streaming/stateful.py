@@ -59,8 +59,20 @@ def streaming_moving_average(
             return
         (prices,) = state.get if state.exists else ([],)
         prices = list(prices)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "id"])  # deterministic batch order
+        # Buffer the ENTIRE group before sorting: the iterator yields
+        # Arrow chunks, and a per-chunk sort would only be deterministic
+        # within a chunk.  Ties on ts break by id numerically when id
+        # encodes a number (matching the batch operator's event_id
+        # order), falling back to the string itself.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            idnum = pd.to_numeric(pdf["id"], errors="coerce")
+            pdf = (
+                pdf.assign(__idnum=idnum)
+                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
+                .drop(columns="__idnum")
+            )
             mas = []
             for price in pdf["price"]:
                 ma = None
