@@ -101,9 +101,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — per-doc MinHash signature.
 
-    hash_i(s) = xxhash64(i || '|' || s); the signature slot i is the
-    minimum over the doc's shingles.  Computed as explode → groupBy(id)
-    with ``num_hashes`` MIN aggregates.
+    hash_i(s) = xxhash64(i, s) — ``num_hashes`` INDEPENDENT seeded
+    hashes per shingle (variadic xxhash64, no string concat); slot i is
+    the minimum over the doc's shingles.  Independence per slot is
+    load-bearing: a cheaper double-hashing family (h1 + i·h2) was
+    measured to correlate the slots so strongly that banded candidate
+    volume exploded 68× (two docs sharing one argmin shingle collide in
+    EVERY band) — the banding math needs P(band collision) = j^r, which
+    only holds for independent slots.  Computed as explode →
+    groupBy(id) with ``num_hashes`` MIN aggregates.
 
     Why not a shuffle-free nested transform/array_min projection?
     Measured 10× slower: higher-order array functions are interpreted
@@ -112,11 +118,19 @@ def minhash_signatures(
     shuffle on doc id is far cheaper than leaving codegen.  (Kept as a
     benchmark note; see docs/ARCHITECTURE.md.)
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    # Repartition on id BEFORE shingling: the groupBy below needs a
+    # hash distribution on id anyway, and exchanging the raw docs
+    # (text bytes) moves less data than exchanging the exploded shingle
+    # rows would — while spreading the expensive shingle+hash compute
+    # across the cluster even when the scan produced few partitions
+    # (one small parquet file = one task).
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .repartition(F.col("id"))
+        .select("id", F.explode(shingles("__t", n)).alias("s"))
     )
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = exploded.groupBy("id").agg(*aggs)
@@ -153,14 +167,13 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # hash the band's signature slots directly as
+                        # longs — xxhash64 is variadic, no string concat
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("key"),
                     )
                     for b in range(bands)
@@ -169,24 +182,43 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
 
-    left = band_entries.alias("l")
-    right = band_entries.alias("r")
+    # Candidate pairs via bucket-collect instead of a band_entries
+    # self-join: the self-join would compute the whole signature
+    # pipeline twice (Spark does not reuse the exchange across the two
+    # branches) and shuffle both copies.  Buckets hold docs agreeing on
+    # an entire band (4 signature slots), so they are tiny by
+    # construction — a pathological mega-bucket can only come from
+    # massive exact-duplicate clusters, which dedup_exact should remove
+    # first (documented contract).  ids are sorted so id_a < id_b is
+    # structural; distinct collapses pairs colliding in several bands.
     candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
+        band_entries.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    # Verify joins carry the RAW text through the (broadcast) candidate
+    # joins and shingle only afterwards: computing the shingle arrays
+    # before the join would evaluate them for every document, while
+    # only candidate rows (a vanishing fraction of the corpus) need
+    # them — Catalyst does not defer a projection below a join on its
+    # own, so the plan states it explicitly.
+    txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     verified = (
-        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        candidates.join(txt.withColumnsRenamed({"id": "id_a", "__t": "__ta"}), "id_a")
+        .join(txt.withColumnsRenamed({"id": "id_b", "__t": "__tb"}), "id_b")
+        .withColumn("jaccard", _jaccard(shingles("__ta", n), shingles("__tb", n)))
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
