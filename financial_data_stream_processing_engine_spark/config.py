@@ -48,7 +48,10 @@ class EngineConfig:
     # Scale knobs (not in the reference — 100 TB discipline, SURVEY.md §7):
     #: state TTL for streaming keyed state; the reference leaks state for
     #: unbounded key sets (financial_engine.py:298), we bound it.
-    state_ttl_ms: int = 24 * 3600 * 1000
+    #: ``None`` disables the timeout (synchronous tests: with a
+    #: processing-time timeout the engine schedules continuous empty
+    #: micro-batches and processAllAvailable never settles).
+    state_ttl_ms: int | None = 24 * 3600 * 1000
     #: shuffle partitions for local runs; on a real cluster leave to AQE.
     shuffle_partitions: int = 32
 
