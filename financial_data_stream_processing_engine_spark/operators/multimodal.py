@@ -2,12 +2,15 @@
 
 Images/audio/video travel as ``binary`` columns next to typed metadata
 (the lakehouse-native layout: content-addressed blobs or inline bytes,
-schema'd sidecar fields).  The Spark-side plumbing here is real and
-tested — schemas, Arrow batch shapes, mapInPandas signatures,
-partitioning — while the actual codec step is stubbed: the container
-has no image/audio libraries, so decoders raise NotImplementedError
-unless ``fake=True`` selects the deterministic stand-in (hash-derived
-pseudo-metadata), which keeps every seam exercisable end-to-end.
+schema'd sidecar fields).  The Spark-side plumbing — schemas, Arrow
+batch shapes, mapInPandas signatures, partitioning — is shared by two
+codec paths per modality: a REAL stdlib-only decoder (PNG via
+zlib+numpy scanline unfiltering; WAV via the ``wave`` module — the
+container has no imaging/audio libraries, so the formats with a
+stdlib decode path are the ones supported), and a deterministic
+sha-derived stand-in (``fake=True``) that external SQL oracles can
+recompute.  Undecodable payloads yield NULL features per row — the
+multimodal twin of the cleaner's drop-don't-raise contract.
 
 MEDIA_SCHEMA is the canonical layout:
     media_id BIGINT, kind STRING ('image'|'audio'|...), payload BINARY,
@@ -70,41 +73,134 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
     Runs as ``mapInPandas`` so the decoder sees Arrow record batches
     (bytes columns arrive as zero-copy buffers) and can stream
-    batch-by-batch without materializing a partition.  The decode step
-    itself is STUBBED: with ``fake=True`` it derives deterministic
-    pseudo-dimensions from the payload bytes (plumbing tests); with
-    ``fake=False`` it raises NotImplementedError where a PIL/libvips
-    call would decode for real.
+    batch-by-batch without materializing a partition.
+
+    Decoders:
+    * ``fake=False`` (default): a REAL stdlib-only PNG decoder — chunk
+      parse, zlib inflate, scanline unfiltering (all five PNG filter
+      types, numpy-vectorized where the filter allows), luma from the
+      usual BT.601 weights; supports 8-bit gray / gray+alpha / RGB /
+      RGBA / palette, non-interlaced.  Payloads that are not decodable
+      PNGs (other formats, 16-bit, interlaced, truncated) yield NULL
+      features rather than failing the job — per-row error isolation,
+      the multimodal twin of the cleaner's drop-don't-raise contract.
+    * ``fake=True``: the deterministic sha-derived stand-in (used by
+      the DuckDB value-level oracle, which can recompute sha bytes but
+      not run a PNG codec).
     """
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
+        import struct
+        import zlib
 
+        import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if not fake:
-                # Real implementation: PIL.Image.open(io.BytesIO(b)) per
-                # payload — image libs are not in this container.
-                raise NotImplementedError(
-                    "real image decode requires an imaging library; "
-                    "run with fake=True for the deterministic stand-in"
+        # function-scoped so cloudpickle ships it by value (the driver
+        # may run from a cwd where this package is not importable)
+        def decode_png(b: bytes):
+            if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            pos, ihdr, plte, idat = 8, None, None, []
+            try:
+                while pos + 8 <= len(b):
+                    ln, typ = struct.unpack(">I4s", b[pos : pos + 8])
+                    pos += 8
+                    data = b[pos : pos + ln]
+                    pos += ln + 4  # payload + CRC (CRC not verified)
+                    if typ == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", data)
+                    elif typ == b"PLTE":
+                        plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+                    elif typ == b"IDAT":
+                        idat.append(data)
+                    elif typ == b"IEND":
+                        break
+                if ihdr is None or not idat:
+                    return None
+                w, h, depth, ctype, comp, filt, interlace = ihdr
+                nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+                if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or nch is None:
+                    return None
+                raw = zlib.decompress(b"".join(idat))
+            except Exception:
+                return None
+            stride = w * nch
+            if w == 0 or h == 0 or len(raw) < h * (stride + 1):
+                return None
+            rows = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(
+                h, stride + 1
+            )
+            ftype, lines = rows[:, 0], rows[:, 1:]
+            out = np.zeros((h, stride), np.uint8)
+            prev = np.zeros(stride, np.int32)
+            for y in range(h):
+                f, line = ftype[y], lines[y].astype(np.int32)
+                if f == 0:
+                    rec = line
+                elif f == 2:  # Up — vectorized
+                    rec = line + prev
+                elif f == 1:  # Sub — per-channel-lane running sum
+                    rec = line.reshape(-1, nch).cumsum(axis=0).reshape(stride)
+                elif f in (3, 4):  # Average / Paeth — sequential by spec
+                    rec = np.empty(stride, np.int32)
+                    for x in range(stride):
+                        a = rec[x - nch] & 0xFF if x >= nch else 0
+                        up = prev[x]
+                        if f == 3:
+                            rec[x] = line[x] + ((a + up) >> 1)
+                        else:
+                            c = prev[x - nch] if x >= nch else 0
+                            p = a + up - c
+                            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                            pr = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                            rec[x] = line[x] + pr
+                else:
+                    return None
+                out[y] = rec & 0xFF  # mod-256 per spec
+                prev = out[y].astype(np.int32)
+            px = out.reshape(h, w, nch).astype(np.float64)
+            if ctype == 3:  # palette lookup
+                if plte is None:
+                    return None
+                idx = out.reshape(h, w).astype(np.int64)
+                if int(idx.max(initial=0)) >= len(plte):
+                    return None
+                px = plte[idx].astype(np.float64)
+                nch_eff = 3
+            else:
+                nch_eff = nch
+            if nch_eff >= 3:
+                luma = (
+                    0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
                 )
+            else:
+                luma = px[..., 0]
+            return int(w), int(h), int(nch), float(luma.mean() / 255.0)
+
+        for pdf in batches:
             widths, heights, chans, lumas = [], [], [], []
             for b in pdf["payload"]:
-                h = hashlib.sha256(bytes(b or b"")).digest()
-                widths.append(16 + h[0] % 64)
-                heights.append(16 + h[1] % 64)
-                chans.append(1 + h[2] % 4)
-                lumas.append(h[3] / 255.0)
+                if fake:
+                    h = hashlib.sha256(bytes(b or b"")).digest()
+                    dec = (16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 4, h[3] / 255.0)
+                else:
+                    dec = decode_png(bytes(b)) if b is not None else None
+                if dec is None:
+                    widths.append(None), heights.append(None)
+                    chans.append(None), lumas.append(None)
+                else:
+                    widths.append(dec[0]), heights.append(dec[1])
+                    chans.append(dec[2]), lumas.append(dec[3])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "width": widths,
-                    "height": heights,
-                    "n_channels": chans,
-                    "mean_luma": lumas,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "n_channels": pd.array(chans, dtype="Int32"),
+                    "mean_luma": pd.array(lumas, dtype="Float64"),
                 }
             )
 
@@ -141,40 +237,71 @@ AUDIO_FEATURES_SCHEMA = (
 def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """audio payload → (sample_rate, n_samples, duration_s, rms).
 
-    Same Arrow-batch mapInPandas plumbing as the image path; the codec
-    is STUBBED (no audio libraries in this container): ``fake=True``
-    derives deterministic pseudo-features from the payload hash,
-    ``fake=False`` raises where a soundfile/librosa decode would run.
+    Same Arrow-batch mapInPandas plumbing as the image path.
+
+    Decoders:
+    * ``fake=False`` (default): REAL stdlib WAV decode (``wave`` module
+      for the RIFF/fmt parsing, numpy for the PCM math) — 8-bit
+      unsigned and 16-bit signed PCM, any channel count (rms over all
+      interleaved samples, amplitudes normalized to [-1, 1]).
+      Non-WAV / compressed / other-width payloads yield NULL features
+      (per-row error isolation, never a failed job).
+    * ``fake=True``: the deterministic sha-derived stand-in backing the
+      DuckDB value-level oracle.
     """
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
+        import io
+        import wave
 
+        import numpy as np
         import pandas as pd
 
+        def decode_wav(b: bytes):
+            try:
+                with wave.open(io.BytesIO(b)) as wf:
+                    rate = wf.getframerate()
+                    n = wf.getnframes()
+                    sw = wf.getsampwidth()
+                    frames = wf.readframes(n)
+            except Exception:
+                return None
+            if rate <= 0:
+                return None
+            if sw == 2:
+                arr = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
+            elif sw == 1:
+                arr = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+            else:
+                return None
+            rms = float(np.sqrt(np.mean(arr * arr))) if arr.size else 0.0
+            return int(rate), int(n), n / rate, rms
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decode requires an audio library; "
-                    "run with fake=True for the deterministic stand-in"
-                )
             rates, counts, durs, rms = [], [], [], []
             for b in pdf["payload"]:
-                h = hashlib.sha256(bytes(b or b"")).digest()
-                rate = (8000, 16000, 44100, 48000)[h[0] % 4]
-                n = 1000 + int.from_bytes(h[1:4], "big") % 100000
-                rates.append(rate)
-                counts.append(n)
-                durs.append(n / rate)
-                rms.append(h[4] / 255.0)
+                if fake:
+                    h = hashlib.sha256(bytes(b or b"")).digest()
+                    rate = (8000, 16000, 44100, 48000)[h[0] % 4]
+                    n = 1000 + int.from_bytes(h[1:4], "big") % 100000
+                    dec = (rate, n, n / rate, h[4] / 255.0)
+                else:
+                    dec = decode_wav(bytes(b)) if b is not None else None
+                if dec is None:
+                    rates.append(None), counts.append(None)
+                    durs.append(None), rms.append(None)
+                else:
+                    rates.append(dec[0]), counts.append(dec[1])
+                    durs.append(dec[2]), rms.append(dec[3])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "sample_rate": rates,
-                    "n_samples": counts,
-                    "duration_s": durs,
-                    "rms": rms,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(counts, dtype="Int64"),
+                    "duration_s": pd.array(durs, dtype="Float64"),
+                    "rms": pd.array(rms, dtype="Float64"),
                 }
             )
 

@@ -80,6 +80,8 @@ _PRIORITY: list[str] = [
     "multimodal_image_features",
     "multimodal_frame_sample",
     "multimodal_audio_features",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
     # streaming (real StreamingQuery → memory sink)
     "streaming_ma_rowcount",
     "streaming_tumbling_stats",
@@ -107,8 +109,6 @@ _PRIORITY: list[str] = [
     "join_interval_bursts",
     "join_full_outer_nation_activity",
     "json_to_map_explode",
-    "histogram_value_buckets",
-    "profile_events_table",
     "python_datasource_ticks",
     "scd2_apply_changes",
     # agg entries whose oracles were reworked after round 1
@@ -117,6 +117,8 @@ _PRIORITY: list[str] = [
     "agg_collect_ordered",
     "agg_builtin_stats",
     # --- driver check window boundary (first 50 above) ---
+    "histogram_value_buckets",
+    "profile_events_table",
     "tpch_q3_like_shipping_priority",
     "tpch_q5_like_regional_volume",
 ]

@@ -541,3 +541,144 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="n_exact_pairs bigint, precision_ok boolean, recall_ge_25 boolean",
     )
+
+
+def _hex_byte(col: str, i: int) -> str:
+    """DuckDB expression: byte ``i`` (0-based) of a lowercase hex digest
+    held in column ``col`` — mirrors ``hashlib.*(...).digest()[i]``."""
+    return (
+        f"((STRPOS('0123456789abcdef', SUBSTR({col}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (STRPOS('0123456789abcdef', SUBSTR({col}, {2 * i + 2}, 1)) - 1))"
+    )
+
+
+#: sum over the 16 md5 digest bytes of f(byte_expr)
+def _md5_sum(f: str) -> str:
+    return " + ".join(f.format(b=_hex_byte("m", i)) for i in range(16))
+
+
+@register(
+    "multimodal_png_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       (CAST({_md5_sum("({b})")} AS DOUBLE) / 16.0) / 255.0 AS mean_luma
+FROM b
+""",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round trip: encode a 4×4 grayscale PNG per doc
+    whose 16 pixels are the md5(doc_id) digest bytes (one scanline per
+    PNG filter type 0/1/2/3), then decode with the stdlib PNG decoder
+    (fake=False) through the Arrow mapInPandas path.
+
+    Oracle strategy: the pixel recipe is recomputable in SQL — DuckDB
+    re-derives the md5 bytes and states the expected dimensions and
+    mean luma; the sums involved are dyadic-exact, so the hash match is
+    bitwise.  A corrupted chunk parse, inflate, unfilter pass, or luma
+    reduction all break the match.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import hashlib
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                px = np.frombuffer(
+                    hashlib.md5(str(did).encode()).digest(), np.uint8
+                ).reshape(4, 4)
+                scan, prev = b"", np.zeros(4, np.int32)
+                for y, f in enumerate((0, 1, 2, 3)):
+                    line = px[y].astype(np.int32)
+                    left = np.concatenate([[0], line[:-1]])
+                    if f == 0:
+                        out = line
+                    elif f == 1:
+                        out = line - left
+                    elif f == 2:
+                        out = line - prev
+                    else:
+                        out = line - ((left + prev) >> 1)
+                    scan += bytes([f]) + bytes((out & 0xFF).astype(np.uint8))
+                    prev = line
+                ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pngs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        pngs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/png",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'audio' AS kind,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(16 AS BIGINT) AS n_samples,
+       CAST(16 AS DOUBLE) / 8000.0 AS duration_s,
+       SQRT(CAST({_md5_sum("(({b}) - 128) * (({b}) - 128)")} AS DOUBLE)
+            / 262144.0) AS rms
+FROM b
+""",
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV codec round trip: encode a 16-sample 8-bit-PCM mono WAV
+    per doc (samples = md5(doc_id) digest bytes, 8 kHz), then decode
+    with the stdlib wave decoder (fake=False).
+
+    Oracle strategy: DuckDB recomputes the md5 sample bytes and states
+    rate / frame count / duration / RMS.  With 8-bit PCM every
+    intermediate ((b-128)/128)², and their 16-term sum, is dyadic-exact
+    in a double, so the single SQRT rounding matches bitwise across
+    engines — the hash check covers the whole RIFF parse + PCM math.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import hashlib
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(1)
+                    wf.setframerate(8000)
+                    wf.writeframes(hashlib.md5(str(did).encode()).digest())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        wavs, id_col="doc_id", payload=F.col("payload"),
+        kind="audio", mime="audio/wav",
+    )
+    return multimodal.decode_audio_features(media, fake=False)

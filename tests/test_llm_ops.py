@@ -102,9 +102,12 @@ def test_multimodal_stub_plumbing(spark, sf_dir):
     again = multimodal.decode_image_features(media, fake=True).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
-    # the real-decode path must fail loudly, not silently fake
-    with pytest.raises(Exception, match="NotImplementedError|imaging"):
-        multimodal.decode_image_features(media, fake=False).collect()
+    # the real-decode path must not silently fake: these payloads are
+    # UTF-8 text, not PNGs, so every feature comes back NULL (per-row
+    # isolation; the real PNG path is tested in test_multimodal_codecs)
+    real = multimodal.decode_image_features(media, fake=False).collect()
+    assert len(real) == 20
+    assert all(r.width is None and r.mean_luma is None for r in real)
 
 
 def test_dedup_exact_keeps_min_id(spark):

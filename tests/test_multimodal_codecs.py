@@ -1,0 +1,195 @@
+"""Real-codec tests: stdlib PNG and WAV decoders behind the multimodal
+seam, driven through the actual Spark mapInPandas path.
+
+The encoders here are test fixtures (we built them, so we know the
+ground truth); the decode under test is
+operators.multimodal.decode_image_features/decode_audio_features with
+fake=False.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_stream_processing_engine_spark.operators import multimodal
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+# ---------------------------------------------------------------------------
+# test-side PNG encoder (any filter per row, all color types)
+# ---------------------------------------------------------------------------
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(f: int, raw: np.ndarray, prev: np.ndarray, bpp: int) -> bytes:
+    line = raw.astype(np.int32)
+    if f == 0:
+        out = line
+    elif f == 1:
+        a = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]]) if len(line) > bpp else np.zeros_like(line)
+        out = line - a
+    elif f == 2:
+        out = line - prev
+    elif f == 3:
+        a = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]]) if len(line) > bpp else np.zeros_like(line)
+        out = line - ((a + prev) >> 1)
+    elif f == 4:
+        out = np.empty_like(line)
+        for x in range(len(line)):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[x] = line[x] - pr
+    else:
+        raise ValueError(f)
+    return bytes([f]) + bytes((out & 0xFF).astype(np.uint8))
+
+
+def make_png(
+    pixels: np.ndarray, ctype: int, filters: list[int], palette: np.ndarray | None = None
+) -> bytes:
+    """pixels: (h, w, nch) uint8 (nch matching ctype); one filter per row."""
+    h, w, nch = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw_rows = pixels.reshape(h, w * nch)
+    scan = b""
+    prev = np.zeros(w * nch, np.int32)
+    for y in range(h):
+        scan += _filter_row(filters[y % len(filters)], raw_rows[y], prev, nch)
+        prev = raw_rows[y].astype(np.int32)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+    return out
+
+
+def make_wav(samples: np.ndarray, rate: int, sampwidth: int, nch: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(rate)
+        if sampwidth == 2:
+            wf.writeframes(samples.astype("<i2").tobytes())
+        else:
+            wf.writeframes(samples.astype(np.uint8).tobytes())
+    return buf.getvalue()
+
+
+def _decode_images(spark, payloads: list[bytes]):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    media = df.select(
+        "media_id", F.lit("image").alias("kind"), "payload",
+        F.lit(None).cast(multimodal.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    rows = multimodal.decode_image_features(media, fake=False).collect()
+    return {r["media_id"]: r for r in rows}
+
+
+rng = np.random.default_rng(7)
+
+
+def test_png_all_filters_and_color_types(spark):
+    gray = rng.integers(0, 256, (6, 8, 1), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+    graya = rng.integers(0, 256, (3, 9, 2), dtype=np.uint8)
+    pal_idx = rng.integers(0, 16, (5, 5, 1), dtype=np.uint8)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+
+    payloads = [
+        make_png(gray, 0, [0, 1, 2, 3, 4]),
+        make_png(rgb, 2, [4, 3, 2, 1, 0]),
+        make_png(rgba, 6, [1, 4, 2, 3]),
+        make_png(graya, 4, [2, 4, 1]),
+        make_png(pal_idx, 3, [0, 1, 4], palette=palette),
+    ]
+    out = _decode_images(spark, payloads)
+
+    def luma(px):
+        px = px.astype(np.float64)
+        if px.shape[-1] >= 3:
+            return float(
+                (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).mean()
+                / 255.0
+            )
+        return float(px[..., 0].mean() / 255.0)
+
+    for mid, px, nch in [
+        (0, gray, 1), (1, rgb, 3), (2, rgba, 4), (3, graya, 2),
+        (4, palette[pal_idx.reshape(5, 5)], 1),
+    ]:
+        r = out[mid]
+        h, w = (px.shape[0], px.shape[1])
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, nch), mid
+        assert r["mean_luma"] == pytest.approx(luma(px), abs=1e-12), mid
+
+
+def test_png_malformed_payloads_yield_nulls(spark):
+    good = make_png(rng.integers(0, 256, (2, 2, 1), dtype=np.uint8), 0, [0])
+    payloads = [
+        b"\xff\xd8\xff\xe0 not a png",          # JPEG-ish magic
+        good[:20],                                # truncated mid-IHDR
+        good[:8] + good[8:].replace(b"IDAT", b"IDAX"),  # no IDAT
+        b"",
+        good,                                     # control: still decodes
+    ]
+    out = _decode_images(spark, payloads)
+    for mid in range(4):
+        r = out[mid]
+        assert r["width"] is None and r["mean_luma"] is None, mid
+    assert out[4]["width"] == 2
+
+
+def test_wav_decode_16bit_stereo_and_8bit_mono(spark):
+    s16 = rng.integers(-32768, 32768, 2000, dtype=np.int64)
+    s8 = rng.integers(0, 256, 333, dtype=np.int64)
+    payloads = [
+        make_wav(s16, rate=44100, sampwidth=2, nch=2),
+        make_wav(s8, rate=8000, sampwidth=1, nch=1),
+        b"RIFFnot-really-a-wav",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    media = df.select(
+        "media_id", F.lit("audio").alias("kind"), "payload",
+        F.lit(None).cast(multimodal.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    out = {r["media_id"]: r for r in multimodal.decode_audio_features(media, fake=False).collect()}
+
+    r = out[0]
+    # 2000 samples over 2 channels = 1000 frames
+    assert (r["sample_rate"], r["n_samples"]) == (44100, 1000)
+    assert r["duration_s"] == pytest.approx(1000 / 44100, abs=1e-12)
+    exp_rms = float(np.sqrt(np.mean((s16.astype(np.float64) / 32768.0) ** 2)))
+    assert r["rms"] == pytest.approx(exp_rms, abs=1e-12)
+
+    r = out[1]
+    assert (r["sample_rate"], r["n_samples"]) == (8000, 333)
+    exp_rms = float(np.sqrt(np.mean(((s8.astype(np.float64) - 128) / 128.0) ** 2)))
+    assert r["rms"] == pytest.approx(exp_rms, abs=1e-12)
+
+    assert out[2]["sample_rate"] is None and out[2]["rms"] is None
