@@ -127,6 +127,62 @@ def bucketed_cosine_pairs(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric max-abs int8 quantization + error audit —
+    the standard 4× vector-store compression for ANN at corpus scale.
+
+    q_i = floor(v_i / scale · 127 + 0.5) (round-half-up, stated
+    explicitly so external engines reproduce it bit-for-bit), with
+    scale = max|v_i|.  Output keeps the int8 codes plus the
+    reconstruction-error audit (max abs error, MSE) so a pipeline can
+    gate on quantization quality.  All-zero vectors quantize to zeros
+    with scale 0 (no division: the zero branch is explicit — ANSI mode
+    raises on x/0).
+
+    Pure per-row array expressions: no shuffle, no Python, linear scan.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    zero = F.lit(0.0)
+    q = F.when(
+        scale > zero,
+        F.transform(v, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    dq = F.when(
+        scale > zero,
+        F.transform(F.col("q"), lambda c: c.cast("double") * scale / 127.0),
+    ).otherwise(F.transform(F.col("q"), lambda c: zero))
+    err = F.zip_with(F.col("dq"), v, lambda d, x: F.abs(d - x))
+    return (
+        df.select(
+            F.col(id_col),
+            v.alias(vec_col),
+            F.size(F.col(vec_col)).alias("n_dims"),
+            scale.alias("scale"),
+            q.alias("q"),
+        )
+        .withColumn("dq", dq)
+        .withColumn("err", err)
+        .select(
+            id_col,
+            "n_dims",
+            "scale",
+            "q",
+            F.array_max(F.col("err")).alias("max_abs_err"),
+            (
+                F.aggregate(
+                    F.col("err"), F.lit(0.0), lambda acc, e: acc + e * e
+                )
+                / F.col("n_dims").cast("double")
+            ).alias("mse"),
+        )
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     by: str,

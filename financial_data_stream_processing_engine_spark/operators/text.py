@@ -102,6 +102,52 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish subword estimate)
+# ---------------------------------------------------------------------------
+
+#: BPE-style pre-tokenizer pattern (the GPT-2 pre-tokenizer family,
+#: restricted to constructs RE2 and Java regex agree on byte-for-byte):
+#: a piece is a letter run, a digit run, or a punctuation run.
+BPE_PIECE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+"
+
+#: average characters per BPE token in public tokenizer docs — the
+#: standard "~4 chars/token" estimator used for budget planning.
+CHARS_PER_BPE_TOKEN = 4.0
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-count estimators per document, all engine-side:
+
+    * ``n_ws_tokens``    — whitespace tokens (exact);
+    * ``n_bpe_pieces``   — pre-tokenizer pieces (letter / digit /
+      punctuation runs): the upper-bound shape a byte-pair tokenizer
+      starts from — every real BPE token boundary is inside one piece;
+    * ``n_tokens_est``   — the ceil(chars/4) budget estimator;
+    * ``chars_per_piece``— payload density, a cheap quality signal.
+
+    Pure per-row expressions (regexp + arithmetic): no shuffle, scales
+    linearly, and the pattern is deliberately RE2-compatible so
+    external engines reproduce it byte-for-byte.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_PATTERN), 0)
+    n_pieces = F.size(pieces)
+    return (
+        df.withColumn("n_ws_tokens", F.size(tokens(text)).cast("long"))
+        .withColumn("n_bpe_pieces", n_pieces.cast("long"))
+        .withColumn(
+            "n_tokens_est",
+            F.ceil(n_chars.cast("double") / F.lit(CHARS_PER_BPE_TOKEN)).cast("long"),
+        )
+        .withColumn(
+            "chars_per_piece",
+            F.try_divide(n_chars.cast("double"), n_pieces.cast("double")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # language identification (marker heuristic)
 # ---------------------------------------------------------------------------
 

@@ -682,3 +682,85 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind="audio", mime="audio/wav",
     )
     return multimodal.decode_audio_features(media, fake=False)
+
+
+@register(
+    "text_token_counts",
+    sql=f"""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{text.BPE_PIECE_PATTERN}')) AS BIGINT)
+           AS n_bpe_pieces,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_tokens_est,
+       CAST(LENGTH(text) AS DOUBLE)
+         / NULLIF(LEN(REGEXP_EXTRACT_ALL(text, '{text.BPE_PIECE_PATTERN}')), 0)
+           AS chars_per_piece
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for budget planning: whitespace tokens, BPE-style
+    pre-tokenizer pieces (letter/digit/punctuation runs), the chars/4
+    estimator, and payload density.  The piece pattern is restricted to
+    constructs RE2 and Java regex agree on, so the oracle reproduces it
+    byte-for-byte.  Pure per-row expressions — no shuffle at any scale.
+    """
+    out = text.with_token_counts(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_ws_tokens", "n_bpe_pieces", "n_tokens_est", "chars_per_piece"
+    )
+
+
+_Q_ERR = "LIST_TRANSFORM(LIST_ZIP(dq, v), s -> ABS(s[1] - s[2]))"
+
+@register(
+    "embedding_quantize_int8",
+    sql=f"""
+WITH base AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (
+  SELECT vec_id, v, LEN(v) AS n_dims,
+         LIST_AGGREGATE(LIST_TRANSFORM(v, x -> ABS(x)), 'max') AS scale
+  FROM base),
+qd AS (
+  SELECT vec_id, v, n_dims, scale,
+         CASE WHEN scale > 0
+              THEN LIST_TRANSFORM(v, x -> CAST(FLOOR(x / scale * 127.0 + 0.5) AS INTEGER))
+              ELSE LIST_TRANSFORM(v, x -> 0) END AS q
+  FROM s),
+d AS (
+  SELECT vec_id, v, n_dims, scale, q,
+         CASE WHEN scale > 0
+              THEN LIST_TRANSFORM(q, c -> CAST(c AS DOUBLE) * scale / 127.0)
+              ELSE LIST_TRANSFORM(q, c -> 0.0) END AS dq
+  FROM qd)
+SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, scale,
+       ARRAY_TO_STRING(q, ',') AS q_str,
+       LIST_AGGREGATE({_Q_ERR}, 'max') AS max_abs_err,
+       LIST_REDUCE(LIST_TRANSFORM({_Q_ERR}, e -> e * e), (a, b) -> a + b)
+         / CAST(n_dims AS DOUBLE) AS mse
+FROM d
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 vector quantization with reconstruction
+    audit (operators.similarity.quantize_int8) — the 4× vector-store
+    compression for corpus-scale ANN.
+
+    The int8 codes are emitted comma-joined (the driver canonicalizer
+    hashes scalars, not lists); the rounding rule is floor(x+0.5) on
+    both sides, and the error folds are identical sequential reduces,
+    so the hash comparison is bitwise.
+    """
+    out = similarity.quantize_int8(_embs(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        "n_dims",
+        "scale",
+        F.concat_ws(",", F.transform(F.col("q"), lambda c: c.cast("string"))).alias(
+            "q_str"
+        ),
+        "max_abs_err",
+        "mse",
+    )

@@ -158,3 +158,41 @@ def test_text_stats_degenerate_docs_dont_crash(spark):
     assert rows[1].punct_ratio is None          # 0-char doc: undefined ratio
     assert rows[4].n_tokens is None             # NULL text propagates
     assert rows[3].quality_score is not None    # normal doc unaffected
+
+
+def test_token_counts_shapes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world 42 times!"),
+            (2, "a"),
+            (3, "!!!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.with_token_counts(df).collect()}
+    # "hello world 42 times!" → pieces: hello, world, 42, times, !
+    assert out[1]["n_ws_tokens"] == 4
+    assert out[1]["n_bpe_pieces"] == 5
+    assert out[1]["n_tokens_est"] == 6  # ceil(21/4)
+    assert out[3]["n_bpe_pieces"] == 1  # one punctuation run
+    assert out[2]["chars_per_piece"] == 1.0
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: no division
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    r = out[1]
+    assert r["scale"] == 1.0
+    assert r["q"] == [127, -63, 32, 0]  # floor(x*127+0.5)
+    # max error bounded by half a quantization step
+    assert r["max_abs_err"] <= 0.5 * r["scale"] / 127 + 1e-12
+    assert r["mse"] <= (0.5 / 127) ** 2 + 1e-12
+    z = out[2]
+    assert z["scale"] == 0.0 and z["q"] == [0, 0, 0, 0]
+    assert z["max_abs_err"] == 0.0 and z["mse"] == 0.0
