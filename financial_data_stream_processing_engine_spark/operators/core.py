@@ -168,3 +168,55 @@ def union_sources(*dfs: DataFrame) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float = 0.2,
+    key: str = "symbol",
+    value: str = "price",
+    order_by: tuple[str, ...] = ("ts", "id"),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average,
+    s_i = α·v_i + (1-α)·s_{i-1} (s_1 = v_1), rows ordered by
+    ``order_by`` within each key.
+
+    A true sequential recurrence: unlike the row-count moving average
+    there is no fixed-frame window formulation (every row depends on
+    the entire prefix), so this is the canonical grouped-map case —
+    ``groupBy(key).applyInPandas`` folds each group in Arrow batches.
+    NULL values carry the previous state and emit NULL (they do not
+    decay the average).
+
+    Scale: one shuffle on ``key``; per-group memory is O(group) for
+    the sort — for very large single keys, pre-bucket by a coarse time
+    range and stitch (same pattern as operators/asof.py).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # a fresh StructType: StructType.add would mutate df's own schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    a, b = float(alpha), 1.0 - float(alpha)
+    cols = list(df.columns)
+    sort_cols = list(order_by)
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        state = None
+        out = []
+        for v in pdf[value]:
+            if v is None or pd.isna(v):
+                out.append(None)
+                continue
+            state = float(v) if state is None else a * float(v) + b * state
+            out.append(state)
+        pdf = pdf.copy()
+        pdf[out_col] = pd.Series(out, index=pdf.index, dtype="float64")
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(key).applyInPandas(fold, schema=out_schema)

@@ -2408,3 +2408,40 @@ def tpch_q15_like_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "window_ewma_per_user",
+    sql="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+g AS (
+  SELECT user_id, LIST(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id)
+SELECT o.user_id, o.event_id, o.ts, o.value,
+       LIST_REDUCE(g.vs[1:o.rn],
+                   (acc, x) -> CAST(0.2 AS DOUBLE) * x
+                             + CAST(0.8 AS DOUBLE) * acc) AS ewma
+FROM ordered o JOIN g USING (user_id)
+""",
+)
+def window_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over event values (α=0.2) — the grouped-map
+    ``applyInPandas`` showcase: a sequential recurrence no fixed-frame
+    window function expresses (operators.core.ewma).
+
+    Oracle strategy: DuckDB folds each row's value-prefix with the same
+    left-to-right recurrence expression, so every float op happens in
+    the same order in both engines and the hash match is bitwise (the
+    prefix re-fold is O(n²) per key — fine at oracle scale, while the
+    Spark side streams each group once).
+    """
+    from financial_data_stream_processing_engine_spark.operators.core import ewma
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return ewma(
+        ev, alpha=0.2, key="user_id", value="value",
+        order_by=("ts", "event_id"), out_col="ewma",
+    )

@@ -1,0 +1,90 @@
+"""Plan-regression tests: the physical plans behind the headline
+queries must keep their scale-shape.  A refactor that silently turns a
+broadcast join into a shuffle join, adds an exchange to the flagship
+window, un-prunes a scan, or drops a row-at-a-time Python UDF into a
+hot path would pass value-level tests — these assertions catch the
+plan itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from financial_data_stream_processing_engine_spark.plans import catalog
+
+
+@pytest.fixture(scope="module")
+def queries():
+    catalog.load_all()
+    return catalog.QUERIES
+
+
+def plan_of(queries, name, spark, sf_dir) -> str:
+    return (
+        queries[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_star_join_broadcasts_every_dimension(spark, sf_dir, queries):
+    plan = plan_of(queries, "join_star_revenue_by_region", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle-join
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_ma_plan_has_single_exchange(spark, sf_dir, queries):
+    plan = plan_of(queries, "ma_alerts", spark, sf_dir)
+    # one hash-partitioning exchange for the per-user window; anything
+    # more means the lag-chain fast path regressed
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_q1_scan_prunes_columns_and_partially_aggregates(spark, sf_dir, queries):
+    plan = plan_of(queries, "tpch_q1_pricing_summary", spark, sf_dir)
+    # column pruning reaches the parquet scan: the wide lineitem table
+    # must not be read whole (l_comment etc. absent from ReadSchema)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_comment" not in scan and "l_partkey" not in scan
+    assert "l_quantity" in scan
+    # partial (map-side) + final aggregation pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, queries):
+    plan = plan_of(queries, "tpch_q6_like_forecast_revenue", spark, sf_dir)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir, queries):
+    plan = plan_of(queries, "topn_orders_global", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_dir, queries):
+    plan = plan_of(queries, "window_topk_per_group", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_lsh_single_signature_pass(spark, sf_dir, queries):
+    plan = plan_of(queries, "dedup_minhash_lsh", spark, sf_dir)
+    # one scan computes signatures, two feed the deferred verify joins —
+    # a regression to the self-join doubles the signature pipeline
+    assert plan.count("Scan parquet") == 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_row_at_a_time_python_in_headline_paths(spark, sf_dir, queries):
+    import bench
+
+    for name in bench.HEADLINE:
+        plan = plan_of(queries, name, spark, sf_dir)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_asof_join_is_window_shaped_not_pandas(spark, sf_dir, queries):
+    plan = plan_of(queries, "join_asof_last_purchase", spark, sf_dir)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
