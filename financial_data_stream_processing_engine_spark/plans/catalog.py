@@ -109,8 +109,8 @@ _PRIORITY: list[str] = [
     # joins / sources / shapes first checked this round
     "join_asof_strict",
     "join_interval_bursts",
-    "join_full_outer_nation_activity",
-    "json_to_map_explode",
+    "window_ewma_per_user",
+    "lateral_top3_orders_per_customer",
     "python_datasource_ticks",
     "scd2_apply_changes",
     # agg entries whose oracles were reworked after round 1
@@ -119,6 +119,8 @@ _PRIORITY: list[str] = [
     "agg_collect_ordered",
     "agg_builtin_stats",
     # --- driver check window boundary (first 50 above) ---
+    "join_full_outer_nation_activity",
+    "json_to_map_explode",
     "clean_filter",
     "tpch_q1_pricing_summary",
     "histogram_value_buckets",

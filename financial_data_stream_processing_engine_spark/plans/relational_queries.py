@@ -2445,3 +2445,71 @@ def window_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, alpha=0.2, key="user_id", value="value",
         order_by=("ts", "event_id"), out_col="ewma",
     )
+
+
+@register(
+    "lateral_top3_orders_per_customer",
+    sql="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) o
+""",
+)
+def lateral_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — per-customer top-3 orders
+    expressed as SQL LATERAL on BOTH engines (the oracle is the same
+    query text modulo view names).  Catalyst rewrites the correlated
+    limit into a ranked window under the hood — asserting the SQL
+    surface exists, not hand-building the window.
+    """
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lv c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_lv
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) o
+        """
+    )
+
+
+@register(
+    "sort_null_ordering_topn",
+    sql="""
+SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_or_null, o_totalprice
+FROM orders
+ORDER BY status_or_null ASC NULLS LAST, o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def sort_null_ordering_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering under a LIMIT — the null-placement
+    rule is observable through which rows survive the truncation (the
+    value comparison itself is order-insensitive).  Engines default
+    differently (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so the
+    ordering must be stated, not assumed.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_last(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
