@@ -365,3 +365,93 @@ def embedding_cosine_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components → canonical survivor)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into clusters: (node, component)
+    where component = the minimum id reachable from the node — the last
+    step of every dedup pipeline (pick one canonical doc per cluster).
+
+    Algorithm: iterative min-label propagation (the DataFrame form of
+    the classic Spark/GraphX connected components): every node starts
+    labeled with itself; each round every node takes the min of its own
+    label and its neighbors' labels; stop when a round changes nothing.
+    Rounds needed = graph diameter, and near-dup graphs are
+    overwhelmingly tiny star/clique clusters (diameter ≤ 2-3), so the
+    loop converges in a handful of rounds; ``max_iter`` bounds
+    pathological chains.  Each round is two shuffles (join + groupBy) on
+    the edge list — linear in |E|, never materializing the transitive
+    closure.
+
+    The driver-side loop carries only a convergence COUNT per round —
+    no row data ever reaches the driver.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    # undirected: propagate both ways
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each edge (src, dst), dst's candidate
+        # label is src's current label
+        neighbor = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, canonical_id, is_survivor) for every row of ``df``: docs in
+    a near-dup cluster map to the cluster's min id; untouched docs map
+    to themselves.  Downstream keeps ``is_survivor`` rows."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    out = df.select(F.col(id_col).alias("id")).join(
+        comp.withColumnRenamed("node", "id"), "id", "left"
+    )
+    return out.select(
+        "id",
+        F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"),
+    ).withColumn("is_survivor", F.col("id") == F.col("canonical_id"))

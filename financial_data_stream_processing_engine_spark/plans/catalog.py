@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    "dedup_cluster_canonical",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "embedding_quantize_int8",
@@ -108,7 +109,6 @@ _PRIORITY: list[str] = [
     "tpch_q22_like_dormant_rich",
     # joins / sources / shapes first checked this round
     "join_asof_strict",
-    "join_interval_bursts",
     "window_ewma_per_user",
     "lateral_top3_orders_per_customer",
     "python_datasource_ticks",
@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     "agg_collect_ordered",
     "agg_builtin_stats",
     # --- driver check window boundary (first 50 above) ---
+    "join_interval_bursts",
     "join_full_outer_nation_activity",
     "json_to_map_explode",
     "clean_filter",

@@ -764,3 +764,46 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs_err",
         "mse",
     )
+
+
+@register(
+    "dedup_cluster_canonical",
+    sql=f"""
+WITH RECURSIVE
+raw AS (
+  SELECT id_a, id_b FROM ({_EXACT_PAIRS_SQL}) p
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM raw
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM raw
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT reach.node, s.dst FROM reach JOIN sym s ON s.src = reach.r
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id AS id,
+       COALESCE(c.component, d.doc_id) AS canonical_id,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_survivor
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the dedup pipeline: near-dup PAIRS (MinHash-LSH,
+    equal to the exact pairs at θ=0.8) collapse into clusters via
+    iterative min-label propagation (operators.dedup.connected_components)
+    and every document maps to its cluster's canonical (min-id) survivor.
+
+    Oracle strategy: DuckDB computes the same components by recursive
+    transitive closure over the exact pair set — tractable at oracle
+    scale, while the Spark side is the linear-per-round label
+    propagation that survives 100 TB (no transitive closure is ever
+    materialized).
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.8
+    )
+    return dedup.dedup_clusters(docs, pairs, id_col="doc_id")

@@ -196,3 +196,23 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
     z = out[2]
     assert z["scale"] == 0.0 and z["q"] == [0, 0, 0, 0]
     assert z["max_abs_err"] == 0.0 and z["mse"] == 0.0
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_survivors(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = {r["id"]: (r["canonical_id"], r["is_survivor"])
+           for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False),
+    }
