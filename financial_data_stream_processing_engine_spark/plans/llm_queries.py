@@ -807,3 +807,61 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", threshold=0.8
     )
     return dedup.dedup_clusters(docs, pairs, id_col="doc_id")
+
+
+@register(
+    "pipeline_pretraining_corpus",
+    sql=f"""
+WITH stats AS (
+  SELECT doc_id, text, lang,
+         LENGTH(text) AS n_chars,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_unique,
+         LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS n_punct,
+         LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS n_digit
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, lang, n_tokens,
+         (LEAST(n_tokens / 20.0, 1.0)
+          + n_unique / n_tokens
+          + GREATEST(0.0, 1.0 - 4 * (CAST(n_punct AS DOUBLE) / n_chars
+                                     + CAST(n_digit AS DOUBLE) / n_chars))) / 3.0
+             AS quality_score
+  FROM stats),
+kept AS (
+  SELECT s.* FROM scored s
+  JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text) k
+    ON s.text IS NOT DISTINCT FROM k.text AND s.doc_id = k.doc_id
+  WHERE s.quality_score >= 0.5)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM kept
+GROUP BY lang
+""",
+)
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: quality-score → threshold
+    filter → exact dedup (min-id survivor) → per-language token budget.
+
+    The composition showcase: every stage is an existing operator
+    (text.with_text_stats → filter → dedup.dedup_exact → groupBy), all
+    engine-side, stage boundaries at the natural shuffles only (dedup's
+    key groupBy and the final language rollup).
+    """
+    docs = _docs(spark, sf_dir)
+    scored = text.with_text_stats(docs)
+    deduped = dedup.dedup_exact(
+        scored.filter(F.col("quality_score") >= 0.5),
+        key_cols=["text"],
+        id_col="doc_id",
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+    )

@@ -279,3 +279,37 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("price").alias("value"),
     )
+
+
+_STREAM_EWMA_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+g AS (
+  SELECT user_id, LIST(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id)
+SELECT o.user_id, o.event_id, o.ts, o.value,
+       LIST_REDUCE(g.vs[1:o.rn],
+                   (acc, x) -> CAST(0.2 AS DOUBLE) * x
+                             + CAST(0.8 AS DOUBLE) * acc) AS ewma
+FROM ordered o JOIN g USING (user_id)
+"""
+
+
+@register("streaming_ewma", sql=_STREAM_EWMA_SQL)
+def streaming_ewma_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA computed by the ACTUAL streaming path (file stream →
+    applyInPandasWithState scalar state → memory sink); same
+    prefix-fold oracle as the batch window_ewma_per_user, proving
+    streaming/batch/oracle three-way parity bitwise."""
+    stream = _event_tick_stream(spark, sf_dir)
+    out = stateful.streaming_ewma(stream, alpha=0.2, ttl_ms=None)
+    result = _run(out, spark)
+    return result.select(
+        F.col("id").cast("bigint").alias("event_id"),
+        F.col("symbol").cast("bigint").alias("user_id"),
+        F.col("ts"),
+        F.col("price").alias("value"),
+        F.col("ewma"),
+    )

@@ -113,3 +113,77 @@ def streaming_moving_average(
         timeoutConf=timeout_conf,
     )
     return out.unionByName(passthrough)
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "id string, symbol string, price double, volume bigint, ts timestamp, "
+    "source string, ewma double"
+)
+EWMA_STATE_SCHEMA = "s double"
+
+
+def streaming_ewma(
+    ticks: DataFrame,
+    alpha: float = 0.2,
+    ttl_ms: int | None = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Per-symbol EWMA over a tick stream — the streaming twin of
+    operators.core.ewma: s_i = α·v_i + (1-α)·s_{i-1}, state = ONE
+    double per key (the smallest possible keyed state; compare the
+    ring buffer the row-count MA needs).
+
+    Batch order is defined like streaming_moving_average: whole group
+    buffered, sorted by (ts, numeric id).  NULL prices emit NULL and
+    carry state; NULL symbols bypass keyed state entirely.
+    """
+    a, b = float(alpha), 1.0 - float(alpha)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (s,) = state.get if state.exists else (None,)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            idnum = pd.to_numeric(pdf["id"], errors="coerce")
+            pdf = (
+                pdf.assign(__idnum=idnum)
+                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
+                .drop(columns="__idnum")
+            )
+            out = []
+            for price in pdf["price"]:
+                if price is None or pd.isna(price):
+                    out.append(None)
+                    continue
+                s = float(price) if s is None else a * float(price) + b * s
+                out.append(s)
+            res = pdf.copy()
+            res["ewma"] = pd.Series(out, index=pdf.index, dtype="float64")
+            yield res
+        state.update((s,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    keyed = ticks.filter(ticks.symbol.isNotNull())
+    passthrough = ticks.filter(ticks.symbol.isNull()).withColumn(
+        "ewma", F.lit(None).cast("double")
+    )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    out = keyed.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+    return out.unionByName(passthrough)
