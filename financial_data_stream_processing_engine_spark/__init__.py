@@ -22,9 +22,10 @@ strategy.  Python UDFs appear only where built-ins genuinely cannot
 express the semantics, and then always Arrow-vectorized.
 """
 
-from financial_data_stream_processing_engine_spark.config import EngineConfig
+from financial_data_stream_processing_engine_spark.config import DEFAULT_CONFIG, EngineConfig
+from financial_data_stream_processing_engine_spark.engine import LiveEngine, run_live
 from financial_data_stream_processing_engine_spark.session import get_spark
 
-__all__ = ["EngineConfig", "get_spark"]
+__all__ = ["DEFAULT_CONFIG", "EngineConfig", "LiveEngine", "get_spark", "run_live"]
 
 __version__ = "0.1.0"
