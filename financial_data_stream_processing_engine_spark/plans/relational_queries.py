@@ -2513,3 +2513,34 @@ def sort_null_ordering_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register(
+    "agg_filter_clause",
+    sql="""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,7))) FILTER (WHERE l_tax = 0)
+            AS DOUBLE) AS qty_untaxed,
+       CAST(MAX(l_extendedprice) FILTER (WHERE l_linestatus = 'F') AS DOUBLE)
+           AS max_price_f
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) modifiers — per-aggregate predicates
+    in one grouping pass (no self-joins, no CASE pyramids).  Decimal
+    accumulation keeps the filtered sum order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("l_discount") > 0.05, True)).alias("n_discounted"),
+        F.sum(
+            F.when(F.col("l_tax") == 0, F.col("l_quantity").cast("decimal(27,7)"))
+        ).cast("double").alias("qty_untaxed"),
+        F.max(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")))
+        .cast("double")
+        .alias("max_price_f"),
+    )
