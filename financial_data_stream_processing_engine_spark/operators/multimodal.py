@@ -68,6 +68,103 @@ def as_media(
     )
 
 
+def _png_pixel_decoder():
+    """Build the stdlib PNG→pixels decoder as a NESTED function so
+    cloudpickle ships it by value inside mapInPandas closures (the
+    driver may run from a cwd where this package is not importable).
+
+    Returns ``decode_pixels(b) -> (px, nch) | None`` where ``px`` is a
+    float64 array of shape (h, w, c_eff) — palette images come back
+    expanded to RGB — and ``nch`` is the declared channel count.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def decode_pixels(b: bytes):
+        if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, ihdr, plte, idat = 8, None, None, []
+        try:
+            while pos + 8 <= len(b):
+                ln, typ = struct.unpack(">I4s", b[pos : pos + 8])
+                pos += 8
+                data = b[pos : pos + ln]
+                pos += ln + 4  # payload + CRC (CRC not verified)
+                if typ == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif typ == b"PLTE":
+                    plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+                elif typ == b"IDAT":
+                    idat.append(data)
+                elif typ == b"IEND":
+                    break
+            if ihdr is None or not idat:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = ihdr
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or nch is None:
+                return None
+            raw = zlib.decompress(b"".join(idat))
+        except Exception:
+            return None
+        stride = w * nch
+        if w == 0 or h == 0 or len(raw) < h * (stride + 1):
+            return None
+        rows = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(h, stride + 1)
+        ftype, lines = rows[:, 0], rows[:, 1:]
+        out = np.zeros((h, stride), np.uint8)
+        prev = np.zeros(stride, np.int32)
+        for y in range(h):
+            f, line = ftype[y], lines[y].astype(np.int32)
+            if f == 0:
+                rec = line
+            elif f == 2:  # Up — vectorized
+                rec = line + prev
+            elif f == 1:  # Sub — per-channel-lane running sum
+                rec = line.reshape(-1, nch).cumsum(axis=0).reshape(stride)
+            elif f in (3, 4):  # Average / Paeth — sequential by spec
+                rec = np.empty(stride, np.int32)
+                for x in range(stride):
+                    a = rec[x - nch] & 0xFF if x >= nch else 0
+                    up = prev[x]
+                    if f == 3:
+                        rec[x] = line[x] + ((a + up) >> 1)
+                    else:
+                        c = prev[x - nch] if x >= nch else 0
+                        p = a + up - c
+                        pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                        pr = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                        rec[x] = line[x] + pr
+            else:
+                return None
+            out[y] = rec & 0xFF  # mod-256 per spec
+            prev = out[y].astype(np.int32)
+        px = out.reshape(h, w, nch).astype(np.float64)
+        if ctype == 3:  # palette lookup
+            if plte is None:
+                return None
+            idx = out.reshape(h, w).astype(np.int64)
+            if int(idx.max(initial=0)) >= len(plte):
+                return None
+            px = plte[idx].astype(np.float64)
+        return px, nch
+
+    return decode_pixels
+
+
+def _bt601_luma():
+    """Nested luma helper (shipped by value like the decoder)."""
+
+    def luma(px):
+        if px.shape[-1] >= 3:
+            return 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        return px[..., 0]
+
+    return luma
+
+
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """image payload → (width, height, n_channels, mean_luma).
 
@@ -89,95 +186,21 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
       not run a PNG codec).
     """
 
+    decode_pixels = _png_pixel_decoder()
+    luma_of = _bt601_luma()
+
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
-        import struct
-        import zlib
 
-        import numpy as np
         import pandas as pd
 
-        # function-scoped so cloudpickle ships it by value (the driver
-        # may run from a cwd where this package is not importable)
         def decode_png(b: bytes):
-            if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+            dec = decode_pixels(b)
+            if dec is None:
                 return None
-            pos, ihdr, plte, idat = 8, None, None, []
-            try:
-                while pos + 8 <= len(b):
-                    ln, typ = struct.unpack(">I4s", b[pos : pos + 8])
-                    pos += 8
-                    data = b[pos : pos + ln]
-                    pos += ln + 4  # payload + CRC (CRC not verified)
-                    if typ == b"IHDR":
-                        ihdr = struct.unpack(">IIBBBBB", data)
-                    elif typ == b"PLTE":
-                        plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-                    elif typ == b"IDAT":
-                        idat.append(data)
-                    elif typ == b"IEND":
-                        break
-                if ihdr is None or not idat:
-                    return None
-                w, h, depth, ctype, comp, filt, interlace = ihdr
-                nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-                if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or nch is None:
-                    return None
-                raw = zlib.decompress(b"".join(idat))
-            except Exception:
-                return None
-            stride = w * nch
-            if w == 0 or h == 0 or len(raw) < h * (stride + 1):
-                return None
-            rows = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(
-                h, stride + 1
-            )
-            ftype, lines = rows[:, 0], rows[:, 1:]
-            out = np.zeros((h, stride), np.uint8)
-            prev = np.zeros(stride, np.int32)
-            for y in range(h):
-                f, line = ftype[y], lines[y].astype(np.int32)
-                if f == 0:
-                    rec = line
-                elif f == 2:  # Up — vectorized
-                    rec = line + prev
-                elif f == 1:  # Sub — per-channel-lane running sum
-                    rec = line.reshape(-1, nch).cumsum(axis=0).reshape(stride)
-                elif f in (3, 4):  # Average / Paeth — sequential by spec
-                    rec = np.empty(stride, np.int32)
-                    for x in range(stride):
-                        a = rec[x - nch] & 0xFF if x >= nch else 0
-                        up = prev[x]
-                        if f == 3:
-                            rec[x] = line[x] + ((a + up) >> 1)
-                        else:
-                            c = prev[x - nch] if x >= nch else 0
-                            p = a + up - c
-                            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                            pr = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
-                            rec[x] = line[x] + pr
-                else:
-                    return None
-                out[y] = rec & 0xFF  # mod-256 per spec
-                prev = out[y].astype(np.int32)
-            px = out.reshape(h, w, nch).astype(np.float64)
-            if ctype == 3:  # palette lookup
-                if plte is None:
-                    return None
-                idx = out.reshape(h, w).astype(np.int64)
-                if int(idx.max(initial=0)) >= len(plte):
-                    return None
-                px = plte[idx].astype(np.float64)
-                nch_eff = 3
-            else:
-                nch_eff = nch
-            if nch_eff >= 3:
-                luma = (
-                    0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-                )
-            else:
-                luma = px[..., 0]
-            return int(w), int(h), int(nch), float(luma.mean() / 255.0)
+            px, nch = dec
+            h, w = px.shape[0], px.shape[1]
+            return int(w), int(h), int(nch), float(luma_of(px).mean() / 255.0)
 
         for pdf in batches:
             widths, heights, chans, lumas = [], [], [], []
@@ -205,6 +228,64 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_FEATURES_SCHEMA = (
+    "media_id bigint, kind string, src_width int, src_height int, "
+    "out_width int, out_height int, mean_luma double"
+)
+
+
+def decode_image_resized(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """image payload → nearest-neighbor resize to (out_w, out_h) →
+    (src dims, out dims, mean luma of the RESIZED image).
+
+    The resample rule is stated exactly so external engines can
+    reproduce it: output pixel (i, j) takes source pixel
+    (floor(i·src_h/out_h), floor(j·src_w/out_w)) — plain index
+    selection, no interpolation arithmetic, so results are bit-exact.
+    Runs on the same Arrow mapInPandas plumbing and per-row error
+    isolation as decode_image_features (non-PNG payloads → NULLs).
+    """
+    decode_pixels = _png_pixel_decoder()
+    luma_of = _bt601_luma()
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        def resize_features(b: bytes):
+            dec = decode_pixels(b)
+            if dec is None:
+                return None
+            px, _ = dec
+            h, w = px.shape[0], px.shape[1]
+            rows = (np.arange(out_h) * h) // out_h
+            cols = (np.arange(out_w) * w) // out_w
+            resized = px[rows][:, cols]
+            return int(w), int(h), float(luma_of(resized).mean() / 255.0)
+
+        for pdf in batches:
+            sw, sh, lum = [], [], []
+            for b in pdf["payload"]:
+                dec = resize_features(bytes(b)) if b is not None else None
+                if dec is None:
+                    sw.append(None), sh.append(None), lum.append(None)
+                else:
+                    sw.append(dec[0]), sh.append(dec[1]), lum.append(dec[2])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "src_width": pd.array(sw, dtype="Int32"),
+                    "src_height": pd.array(sh, dtype="Int32"),
+                    "out_width": pd.array([out_w] * len(pdf), dtype="Int32"),
+                    "out_height": pd.array([out_h] * len(pdf), dtype="Int32"),
+                    "mean_luma": pd.array(lum, dtype="Float64"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=RESIZED_FEATURES_SCHEMA)
 
 
 def sample_frames(

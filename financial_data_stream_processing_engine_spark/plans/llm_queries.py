@@ -557,30 +557,10 @@ def _md5_sum(f: str) -> str:
     return " + ".join(f.format(b=_hex_byte("m", i)) for i in range(16))
 
 
-@register(
-    "multimodal_png_roundtrip",
-    sql=f"""
-WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
-SELECT doc_id AS media_id, 'image' AS kind,
-       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
-       CAST(1 AS INTEGER) AS n_channels,
-       (CAST({_md5_sum("({b})")} AS DOUBLE) / 16.0) / 255.0 AS mean_luma
-FROM b
-""",
-)
-def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG codec round trip: encode a 4×4 grayscale PNG per doc
-    whose 16 pixels are the md5(doc_id) digest bytes (one scanline per
-    PNG filter type 0/1/2/3), then decode with the stdlib PNG decoder
-    (fake=False) through the Arrow mapInPandas path.
-
-    Oracle strategy: the pixel recipe is recomputable in SQL — DuckDB
-    re-derives the md5 bytes and states the expected dimensions and
-    mean luma; the sums involved are dyadic-exact, so the hash match is
-    bitwise.  A corrupted chunk parse, inflate, unfilter pass, or luma
-    reduction all break the match.
-    """
-    docs = _docs(spark, sf_dir).select("doc_id")
+def _md5_png_generator():
+    """mapInPandas generator: doc_id → 4×4 grayscale PNG whose 16 pixels
+    are the md5(doc_id) digest bytes, one scanline per PNG filter type
+    0/1/2/3.  Nested def so cloudpickle ships it by value."""
 
     def gen(batches):
         import hashlib
@@ -623,6 +603,34 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
+    return gen
+
+
+@register(
+    "multimodal_png_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       (CAST({_md5_sum("({b})")} AS DOUBLE) / 16.0) / 255.0 AS mean_luma
+FROM b
+""",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round trip: encode a 4×4 grayscale PNG per doc
+    whose 16 pixels are the md5(doc_id) digest bytes (one scanline per
+    PNG filter type 0/1/2/3), then decode with the stdlib PNG decoder
+    (fake=False) through the Arrow mapInPandas path.
+
+    Oracle strategy: the pixel recipe is recomputable in SQL — DuckDB
+    re-derives the md5 bytes and states the expected dimensions and
+    mean luma; the sums involved are dyadic-exact, so the hash match is
+    bitwise.  A corrupted chunk parse, inflate, unfilter pass, or luma
+    reduction all break the match.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_png_generator()
     pngs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
     media = multimodal.as_media(
         pngs, id_col="doc_id", payload=F.col("payload"),
@@ -865,3 +873,33 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         )
     )
+
+
+@register(
+    "multimodal_png_resize",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(4 AS INTEGER) AS src_width, CAST(4 AS INTEGER) AS src_height,
+       CAST(2 AS INTEGER) AS out_width, CAST(2 AS INTEGER) AS out_height,
+       (CAST({_hex_byte("m", 0)} + {_hex_byte("m", 2)}
+           + {_hex_byte("m", 8)} + {_hex_byte("m", 10)} AS DOUBLE)
+        / 4.0) / 255.0 AS mean_luma
+FROM b
+""",
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → nearest-neighbor resize: the md5-pixel 4×4 PNGs
+    shrink to 2×2, which by the stated resample rule (src index =
+    floor(i·src/out)) selects digest bytes 0, 2, 8, 10 — so DuckDB can
+    restate the resized mean luma exactly and the hash match covers
+    decode + resample end-to-end.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_png_generator()
+    pngs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        pngs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/png",
+    )
+    return multimodal.decode_image_resized(media, out_w=2, out_h=2)

@@ -193,3 +193,31 @@ def test_wav_decode_16bit_stereo_and_8bit_mono(spark):
     assert r["rms"] == pytest.approx(exp_rms, abs=1e-12)
 
     assert out[2]["sample_rate"] is None and out[2]["rms"] is None
+
+
+def test_png_nearest_neighbor_resize(spark):
+    rgb = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    payloads = [make_png(rgb, 2, [0, 1, 2, 3, 4]), b"not a png"]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    media = df.select(
+        "media_id", F.lit("image").alias("kind"), "payload",
+        F.lit(None).cast(multimodal.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.decode_image_resized(media, out_w=4, out_h=3).collect()
+    }
+    r = out[0]
+    assert (r["src_width"], r["src_height"]) == (8, 6)
+    assert (r["out_width"], r["out_height"]) == (4, 3)
+    rows = (np.arange(3) * 6) // 3
+    cols = (np.arange(4) * 8) // 4
+    resized = rgb[rows][:, cols].astype(np.float64)
+    exp = float(
+        (0.299 * resized[..., 0] + 0.587 * resized[..., 1] + 0.114 * resized[..., 2])
+        .mean() / 255.0
+    )
+    assert r["mean_luma"] == pytest.approx(exp, abs=1e-12)
+    assert out[1]["mean_luma"] is None  # per-row isolation intact
