@@ -68,3 +68,35 @@ def hash_sample(
     with one of ``nibbles`` (p = len(nibbles)/16)."""
     first = F.substring(F.md5(F.col(key).cast("string")), 1, 1)
     return df.filter(first.isin(*nibbles))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the BIG side's key deterministically
+    (pmod(xxhash64(row), salt)) and replicate the SMALL side once per
+    salt value, so a hot key spreads across ``salt`` reducers instead
+    of pinning one.  Results are identical to the direct join — only
+    the physical distribution changes (the catalog proves identity
+    against the plain-SQL oracle).
+
+    This is the explicit form of what AQE's skew-join split does at
+    runtime; stating it as an operator makes the pattern available when
+    AQE can't see the skew (e.g. the first shuffle of a stage) and
+    keeps it testable.  Replication factor = ``salt`` × |small|, so
+    keep the small side genuinely small (it is also the broadcast
+    candidate — salting matters when the small side is too big to
+    broadcast but the key histogram is spiked).
+    """
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    small_rep = small.withColumn("__salt", salts)
+    big_salted = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+    )
+    out = big_salted.join(small_rep, [key, "__salt"], how)
+    return out.drop("__salt")

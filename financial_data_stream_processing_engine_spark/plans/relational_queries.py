@@ -2544,3 +2544,28 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_price_f"),
     )
+
+
+@register(
+    "join_salted_skew",
+    sql="""
+SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators.scale.salted_join): the
+    events fact joins the customer dim on a salted key, spreading any
+    hot user across 8 reducers.  The oracle is the PLAIN join — salting
+    must be a physical-only transformation, bit-identical results.
+    """
+    from financial_data_stream_processing_engine_spark.operators.scale import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return salted_join(ev, cust, key="user_id", salt=8).select(
+        "event_id", "user_id", "value", "c_name", "c_mktsegment"
+    )
