@@ -116,10 +116,29 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    import __spark_entry__ as e
-    from financial_data_stream_processing_engine_spark.session import get_spark
+    import os
 
-    spark = get_spark("verify_local")
+    import __spark_entry__ as e
+
+    if os.environ.get("SPARK_GRAFT_PRISTINE"):
+        # driver-fidelity mode: the harness builds its own SparkSession
+        # with NONE of session.py's configs — replicate that (plus a
+        # hostile non-UTC timezone) so anything correctness-critical
+        # that leaked into session.py instead of the query path fails
+        # HERE, not in the driver.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("verify_pristine")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .getOrCreate()
+        )
+    else:
+        from financial_data_stream_processing_engine_spark.session import get_spark
+
+        spark = get_spark("verify_local")
     con = duck_connection(sf_dir)
 
     qs = e.queries()
