@@ -2569,3 +2569,39 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(ev, cust, key="user_id", salt=8).select(
         "event_id", "user_id", "value", "c_name", "c_mktsegment"
     )
+
+
+_MONTH_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT DATE_TRUNC('month', MIN(CAST(o_orderdate AS DATE))) AS lo,
+         DATE_TRUNC('month', MAX(CAST(o_orderdate AS DATE))) AS hi
+  FROM {orders}
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH FROM months, bounds WHERE m < hi
+)
+SELECT CAST(m AS DATE) AS month_start,
+       COUNT(o.o_orderkey) AS n_orders
+FROM months
+LEFT JOIN {orders} o
+  ON DATE_TRUNC('month', CAST(o.o_orderdate AS DATE)) = m
+GROUP BY m
+"""
+
+
+@register("recursive_cte_month_spine", sql=_MONTH_SPINE_SQL.format(orders="orders"))
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill via WITH RECURSIVE (new SQL surface in Spark
+    4): generate the month spine spanning the orders' date range, then
+    left-join so months with zero orders still appear — the same query
+    text runs on both engines.
+
+    Note: each recursion step is its own micro-job, so the spine costs
+    seconds of scheduling; for production gap-fill prefer the
+    equivalent ``sequence(min, max, interval 1 month)`` + explode,
+    which is one stage.  This entry pins the SQL *surface*.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
+    return spark.sql(_MONTH_SPINE_SQL.format(orders="orders_rc"))
