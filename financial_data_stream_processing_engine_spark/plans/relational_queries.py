@@ -2605,3 +2605,48 @@ def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
     return spark.sql(_MONTH_SPINE_SQL.format(orders="orders_rc"))
+
+
+@register(
+    "quality_expectations_orders",
+    sql="""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+             AS v_price_positive,
+         COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+                          OR o_orderstatus IS NULL) AS v_status_domain,
+         COUNT(*) FILTER (WHERE TRY_CAST(o_orderdate AS DATE) IS NULL)
+             AS v_orderdate_parses,
+         COUNT(DISTINCT o_orderkey) AS d_key,
+         COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS nn_key
+  FROM orders)
+SELECT 'price_positive' AS "check", CAST(v_price_positive AS BIGINT) AS n_violations,
+       v_price_positive = 0 AS passed FROM m
+UNION ALL
+SELECT 'status_domain', CAST(v_status_domain AS BIGINT), v_status_domain = 0 FROM m
+UNION ALL
+SELECT 'orderdate_parses', CAST(v_orderdate_parses AS BIGINT), v_orderdate_parses = 0 FROM m
+UNION ALL
+SELECT 'o_orderkey_unique', CAST((n - nn_key) - d_key + nn_key AS BIGINT),
+       (n - nn_key) - d_key + nn_key = 0 FROM m
+""",
+)
+def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders — four checks (value
+    range, categorical domain, parseability, key uniqueness) evaluated
+    in ONE aggregation pass (operators.quality.expectations); output is
+    the (check, n_violations, passed) report a pipeline gates on.
+    """
+    from financial_data_stream_processing_engine_spark.operators.quality import Check, expectations
+
+    o = _t(spark, sf_dir, "orders")
+    checks = [
+        Check("price_positive",
+              F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)),
+        Check("status_domain",
+              ~F.col("o_orderstatus").isin("O", "F", "P")
+              | F.col("o_orderstatus").isNull()),
+        Check("orderdate_parses", F.try_to_timestamp(F.col("o_orderdate")).isNull()),
+    ]
+    return expectations(o, checks, unique_keys=["o_orderkey"])
