@@ -88,3 +88,16 @@ def test_asof_join_is_window_shaped_not_pandas(spark, sf_dir, queries):
     plan = plan_of(queries, "join_asof_last_purchase", spark, sf_dir)
     assert "FlatMapGroupsInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_stays_hash_join(spark, sf_dir, queries):
+    plan = plan_of(queries, "join_salted_skew", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_and_token_counts_stay_jvm_side(spark, sf_dir, queries):
+    for name in ("embedding_quantize_int8", "text_token_counts"):
+        plan = plan_of(queries, name, spark, sf_dir)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name  # pure built-ins, no UDF at all
