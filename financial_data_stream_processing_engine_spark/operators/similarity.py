@@ -267,3 +267,38 @@ def ivf_search(
     )
     pruned = corpus_with_cells.join(F.broadcast(probe_cells), cell_col, "left_semi")
     return cosine_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF index lifecycle (build once, query many)
+# ---------------------------------------------------------------------------
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: centroids + the cell-assigned corpus,
+    PARTITIONED BY cell — so a later search with nprobe=p reads only p
+    partitions off storage (partition pruning does the cell filter
+    before any row is touched).  This is the "build once, query many"
+    lifecycle: assignment (the expensive scan) runs once; every query
+    session after that is a metadata read + p partition scans.
+    """
+    assigned = assign_cells(corpus, centroids, vec_col=vec_col)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus_with_cells, centroids) back from :func:`save_ivf_index`.
+
+    The corpus frame's ``cell`` is a physical partition column: an
+    ``ivf_search`` over it prunes to the probed cells at the source
+    (visible as ``PartitionFilters`` in the scan node).
+    """
+    corpus = spark.read.parquet(f"{path}/corpus")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return corpus, centroids

@@ -216,3 +216,23 @@ def test_dedup_clusters_survivors(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         4: (4, True), 5: (5, True), 6: (5, False),
     }
+
+
+def test_ivf_index_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
+    embs = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.train_centroids(embs, by="label")
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(embs, centroids, path)
+
+    corpus, cents = similarity.load_ivf_index(spark, path)
+    # search results from the loaded index equal the in-memory path
+    query = embs.filter(F.col("vec_id") == 0)
+    live = similarity.assign_cells(embs, centroids)
+    got = {r.vec_id for r in similarity.ivf_search(corpus, cents, query, k=10, nprobe=3).collect()}
+    exp = {r.vec_id for r in similarity.ivf_search(live, centroids, query, k=10, nprobe=3).collect()}
+    assert got == exp
+    # and the loaded corpus filter prunes at the source: filtering one
+    # cell shows a PartitionFilters entry in the scan
+    one_cell = corpus.filter(F.col("cell") == corpus.select("cell").first()["cell"])
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
