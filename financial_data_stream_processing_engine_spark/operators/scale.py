@@ -92,6 +92,11 @@ def salted_join(
     candidate — salting matters when the small side is too big to
     broadcast but the key histogram is spiked).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"):
+        # the small side is replicated once per salt value, so any join
+        # type that emits unmatched SMALL rows (right/full outer) would
+        # duplicate them `salt` times — refuse instead of corrupting
+        raise ValueError(f"salted_join does not support how={how!r}")
     salts = F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     small_rep = small.withColumn("__salt", salts)
     big_salted = big.withColumn(
