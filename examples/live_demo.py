@@ -37,7 +37,9 @@ def main() -> int:
     engine = LiveEngine(
         spark,
         av_source=av,
-        on_alert=lambda rows: print(f"[ALERT] {len(rows)} row(s), e.g. {rows[0]}"),
+        on_alert=lambda rows, n_suppressed: print(
+            f"[ALERT] {len(rows)} row(s) (+{n_suppressed} suppressed), e.g. {rows[0]}"
+        ),
         logger=lambda line: print(f"[LOG] {line}"),
         enable_console=False,
     )

@@ -62,6 +62,11 @@ class _AvPollerThread(threading.Thread):
         self.interval_s = interval_s
         self._halt = threading.Event()  # NB: Thread reserves `_stop`
         self._n = 0
+        # filenames must be unique across poller INSTANCES: the file
+        # source tracks seen paths in the checkpoint, so a restarted
+        # engine whose poller reused poll-00000000.parquet would both
+        # clobber a processed file and have the new data ignored
+        self._tag = os.urandom(6).hex()
 
     def run(self) -> None:
         import pyarrow as pa
@@ -79,11 +84,12 @@ class _AvPollerThread(threading.Thread):
             row = self.source.poll_once()
             if row is not None:
                 table = pa.Table.from_pylist([row], schema=schema)
-                final = os.path.join(self.spool_dir, f"poll-{self._n:08d}.parquet")
+                fname = f"poll-{self._tag}-{self._n:08d}.parquet"
+                final = os.path.join(self.spool_dir, fname)
                 # write to a dotfile first: the file stream lists the
                 # directory between the two steps and must never see a
                 # half-written parquet (dotfiles are ignored by Spark).
-                tmp = os.path.join(self.spool_dir, f".poll-{self._n:08d}.parquet")
+                tmp = os.path.join(self.spool_dir, f".{fname}")
                 pq.write_table(table, tmp)
                 os.rename(tmp, final)
                 self._n += 1
@@ -98,7 +104,8 @@ class LiveEngine:
     ``start()`` / ``stop()`` lifecycle (reference :379-433).
 
     Parameters mirror the reference's observer wiring: ``on_alert``
-    receives the alert rows of each epoch (AlertGenerator), ``logger``
+    receives ``(alert_rows, n_suppressed)`` each epoch (AlertGenerator;
+    see :meth:`_fanout` for the cap contract), ``logger``
     receives per-epoch log lines when ``config.log_level == "INFO"``
     (LoggingModule), ``enable_console`` prints each epoch
     (ConsoleNotifier).  ``keep_recent`` retains up to that many recent
@@ -110,13 +117,14 @@ class LiveEngine:
         spark: SparkSession,
         config: EngineConfig = DEFAULT_CONFIG,
         av_source: AlphaVantageSource | None = None,
-        on_alert: Callable[[list], None] | None = None,
+        on_alert: Callable[[list, int], None] | None = None,
         logger: Callable[[str], None] = print,
         enable_console: bool = False,
         ws_rows_per_second: int = 10,
         csv_rows_per_second: int = 2,
         keep_recent: int = 10_000,
         max_alerts_per_epoch: int = 10_000,
+        spool_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -131,50 +139,76 @@ class LiveEngine:
         self.recent: list = []  # bounded driver-side tap (tests/demo)
         self.query = None
         self._poller: _AvPollerThread | None = None
-        self._spool_dir: str | None = None
+        # a caller-supplied spool dir is what makes checkpoint restart
+        # work: the file-source offsets recorded in the checkpoint name
+        # this directory, so a restarted engine must reuse it
+        self._spool_dir: str | None = spool_dir
 
     # -- pipeline assembly -------------------------------------------------
 
     def _source_union(self) -> DataFrame:
-        ws = stream_sources.rate_ticks(
-            self.spark,
-            rows_per_second=self.ws_rows_per_second,
-            symbols=self.config.symbols,
-        )
-        csv = stream_sources.csv_replay_ticks(
-            self.spark, rows_per_second=self.csv_rows_per_second
-        )
-        streams = [ws, csv]
+        """Union the enabled sources. A rate source with
+        ``rows_per_second <= 0`` is omitted entirely (the reference
+        equivalently just doesn't register the adapter), which lets a
+        checkpointed engine run on the replayable file-spool source
+        alone."""
+        streams: list[DataFrame] = []
+        if self.ws_rows_per_second > 0:
+            streams.append(
+                stream_sources.rate_ticks(
+                    self.spark,
+                    rows_per_second=self.ws_rows_per_second,
+                    symbols=self.config.symbols,
+                )
+            )
+        if self.csv_rows_per_second > 0:
+            streams.append(
+                stream_sources.csv_replay_ticks(
+                    self.spark, rows_per_second=self.csv_rows_per_second
+                )
+            )
         if self.av_source is not None:
-            self._spool_dir = tempfile.mkdtemp(prefix="av_spool_")
+            if self._spool_dir is None:
+                self._spool_dir = tempfile.mkdtemp(prefix="av_spool_")
             raw = self.spark.readStream.schema(_AV_SPOOL_DDL).parquet(self._spool_dir)
             streams.append(
                 normalize_alpha_vantage(raw, ts_expr=F.col("arrival"))
             )
+        if not streams:
+            raise ValueError("LiveEngine: every source is disabled")
         out = streams[0]
         for s in streams[1:]:
             out = out.unionByName(s)
         return out
 
     def _fanout(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """One computation, three observers (reference :352-358)."""
+        """One computation, three observers (reference :352-358).
+
+        One aggregate action produces both the epoch row count and the
+        alert count, so a quiet epoch (no alerts, ``keep_recent`` full)
+        costs exactly one pass over the micro-batch (AQE materializes
+        the aggregate's shuffle stage as its own job, so the Spark UI
+        shows two jobs for the one action).  ``on_alert`` receives
+        ``(alerts, n_suppressed)``: ``alerts`` is a list of ``Row``
+        capped at ``max_alerts_per_epoch`` and ``n_suppressed`` is the
+        exact number of alert rows beyond the cap (0 normally) —
+        derived from the aggregate, never from a second count job.
+        """
         batch_df.persist()
         try:
-            n = batch_df.count()
+            cond = F.col("moving_average") > F.lit(self.config.price_alert_threshold)
+            n, n_hits = batch_df.agg(
+                F.count(F.lit(1)), F.count_if(cond)
+            ).collect()[0]
             if self.enable_console:
                 batch_df.show(20, truncate=False)
             if self.config.log_level == "INFO":
                 self.logger(f"epoch={epoch_id} rows={n}")
-            hits = batch_df.filter(
-                F.col("moving_average") > F.lit(self.config.price_alert_threshold)
-            )
-            alerts = hits.limit(self.max_alerts_per_epoch + 1).collect()
-            if len(alerts) > self.max_alerts_per_epoch:
-                alerts = alerts[: self.max_alerts_per_epoch] + [
-                    ("__overflow__", hits.count())
-                ]
-            if alerts and self.on_alert is not None:
-                self.on_alert(alerts)
+            if n_hits and self.on_alert is not None:
+                alerts = (
+                    batch_df.filter(cond).limit(self.max_alerts_per_epoch).collect()
+                )
+                self.on_alert(alerts, n_hits - len(alerts))
             if self.keep_recent > 0 and n > 0:
                 room = self.keep_recent - len(self.recent)
                 if room > 0:
@@ -217,6 +251,22 @@ class LiveEngine:
         (reference main_simulation, :435-448), then stop."""
         self.start()
         time.sleep(seconds)
+        self.stop()
+
+    def drain_and_stop(self) -> None:
+        """Stop pulling new data, synchronously process everything
+        already spooled, then stop.  Every epoch commits before
+        shutdown, so a restart from the same ``checkpoint_dir`` +
+        ``spool_dir`` resumes exactly after the last delivered row —
+        the reference, by contrast, drops in-flight rows on shutdown
+        (financial_engine.py:397-416).  Only meaningful when the
+        continuous rate sources are disabled (they never drain)."""
+        if self._poller is not None:
+            self._poller.stop()
+            self._poller.join(timeout=10)
+            self._poller = None
+        if self.query is not None:
+            self.query.processAllAvailable()
         self.stop()
 
     def stop(self) -> None:

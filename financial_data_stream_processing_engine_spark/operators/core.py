@@ -117,10 +117,27 @@ def moving_average(
     # would otherwise resolve both sides to the same attribute), and
     # the join-back is null-safe so a participating row with a NULL
     # order_by column still finds its score.
+    #
+    # Row-uniqueness of (key, *order_by) is REQUIRED (a duplicate
+    # identity would fan out the join-back and silently duplicate input
+    # rows), so it is enforced engine-side: within the same window pass
+    # a tie with the previous row's order_by tuple raises — no extra
+    # shuffle, no extra action.
+    ident_struct = F.struct(*[F.col(c) for c in order_by])
+    dup = F.lag(ident_struct, 1).over(w).eqNullSafe(ident_struct)
+    ma_expr = F.when(
+        dup,
+        F.raise_error(
+            F.lit(
+                f"moving_average: ({key}, {', '.join(order_by)}) must be "
+                "row-unique — pass a tiebreaker order_by column"
+            )
+        ).cast("double"),
+    ).otherwise((total / F.lit(float(n))).cast("double"))
     idents = [key, *order_by]
     scored = part.select(
         *[F.col(c).alias(f"__ma_{i}") for i, c in enumerate(idents)],
-        (total / F.lit(float(n))).cast("double").alias(out_col),
+        ma_expr.alias(out_col),
     )
     cond = F.lit(True)
     for i, c in enumerate(idents):

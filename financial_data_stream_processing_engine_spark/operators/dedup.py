@@ -395,6 +395,11 @@ def connected_components(
 
     The driver-side loop carries only a convergence COUNT per round —
     no row data ever reaches the driver.
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iter`` while
+    labels are still changing: truncated labels would silently keep
+    multiple survivors per cluster, and correctness-critical callers
+    (``dedup_clusters``) cannot detect that from the output.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -408,6 +413,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         # neighbor labels: for each edge (src, dst), dst's candidate
         # label is src's current label
@@ -433,7 +439,14 @@ def connected_components(
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: labels still changing after max_iter="
+            f"{max_iter} rounds (graph diameter exceeds the bound); raise "
+            "max_iter — truncated labels would split clusters"
+        )
     return labels
 
 

@@ -51,83 +51,78 @@ def register(name: str, sql: str | None = None):
 
 
 #: Catalog presentation order. The driver's correctness gate walks
-#: ``queries()`` in registration order with a bounded budget, so the
-#: highest-signal entries go first: the reference-compat flagship
-#: pipeline, then the LLM-data-pipeline family (dedup / similarity /
-#: text / multimodal), streaming, the TPC-H shapes, and the remaining
-#: relational inventory (each of which also holds a green
-#: CORRECTNESS_r01 row). Entries not named here keep registration
-#: order at the tail, so new operators are never silently dropped.
+#: ``queries()`` in registration order with a bounded budget (50), so
+#: the window rotates each round to keep every entry's newest green
+#: CORRECTNESS row fresh. Round-3 window: first the 13 entries that
+#: have never held a driver row, plus ``sessionization_gaps`` (its code
+#: changed after its r1 row — an entry whose implementation changes
+#: must re-enter the window before its old row counts); then new
+#: operators added this round; then the round-1-era entries whose rows
+#: are oldest. Entries not named here keep registration order at the
+#: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
-    # reference-compat flagship (clean_filter / tpch_q1 hold green
-    # CORRECTNESS_r01 rows and are unchanged since, so they yield their
-    # window slots to this round's new operators)
-    "ma_alerts",
-    "pipeline_multisource",
-    # LLM data-pipeline family
-    "text_stats",
-    "text_language_id",
-    "text_fingerprints",
-    "text_token_counts",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_cluster_canonical",
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    "embedding_quantize_int8",
-    "multimodal_metadata",
-    "multimodal_image_features",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    # streaming (real StreamingQuery → memory sink)
-    "streaming_ma_rowcount",
-    "streaming_tumbling_stats",
-    "streaming_session_windows",
-    "streaming_sliding_mean",
-    "streaming_stream_stream_join",
-    "streaming_dedup_exact",
-    # TPC-H shapes (q1/q3/q5 hold green CORRECTNESS_r01 rows already
-    # and yield their window slots; they follow the boundary below)
-    "tpch_q4_like_priority_check",
-    "tpch_q6_like_forecast_revenue",
-    "tpch_q7_like_nation_volume",
-    "tpch_q8_like_market_share",
-    "tpch_q9_like_product_profit",
-    "tpch_q10_like_returned_items",
-    "tpch_q13_like_order_distribution",
-    "tpch_q14_like_promo_effect",
-    "tpch_q15_like_top_supplier",
-    "tpch_q17_like_small_quantity",
-    "tpch_q18_like_large_orders",
-    "tpch_q19_like_disjunctive",
-    "tpch_q22_like_dormant_rich",
-    # joins / sources / shapes first checked this round
-    "join_asof_strict",
-    "window_ewma_per_user",
-    "lateral_top3_orders_per_customer",
-    "python_datasource_ticks",
-    "scd2_apply_changes",
-    # agg entries whose oracles were reworked after round 1
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
-    "agg_collect_ordered",
-    "agg_builtin_stats",
-    # --- driver check window boundary (first 50 above) ---
-    "join_interval_bursts",
-    "join_full_outer_nation_activity",
-    "json_to_map_explode",
-    "clean_filter",
-    "tpch_q1_pricing_summary",
+    # never driver-checked before this round (local-oracle-green only)
+    "agg_filter_clause",
     "histogram_value_buckets",
+    "join_full_outer_nation_activity",
+    "join_interval_bursts",
+    "join_salted_skew",
+    "json_to_map_explode",
+    "multimodal_png_resize",
+    "pipeline_pretraining_corpus",
     "profile_events_table",
+    "quality_expectations_orders",
+    "recursive_cte_month_spine",
+    "sort_null_ordering_topn",
+    "streaming_ewma",
+    # changed after its r1 green row (µs-interval fix) — must re-earn
+    "sessionization_gaps",
+    # round-1-era entries, unchanged since r1, refreshing their rows
+    "agg_argminmax_bool_bit",
+    "agg_distinct_stats",
+    "agg_percentiles",
+    "agg_salted_skew",
+    "agg_string_concat",
+    "agg_variance_exact",
+    "array_functions_documents",
+    "clean_filter",
+    "cube_status_priority",
+    "explode_tokens",
+    "grouping_sets_events",
+    "join_anti_no_big_order",
+    "join_asof_last_purchase",
+    "join_left_customer_orders",
+    "join_range_price_bands",
+    "join_semi_active_customers",
+    "join_star_revenue_by_region",
+    "json_extract_props",
+    "pivot_qty_by_status",
+    "rollup_returnflag_status",
+    "sample_hash_deterministic",
+    "scalar_subquery_max_order",
+    "set_intersect_all",
+    "set_ops_customers",
+    "topn_orders_global",
+    "tpch_q1_pricing_summary",
     "tpch_q3_like_shipping_priority",
     "tpch_q5_like_regional_volume",
+    "udtf_ngrams",
+    "unpivot_rates",
+    "window_distribution_funcs",
+    "window_lag_lead_events",
+    "window_range_frame",
+    "window_rank_orders",
+    "window_running_totals",
+    "window_topk_per_group",
+    # --- driver check window boundary (first 50 above) ---
+    # r1-green scalar-function entries yielding their slots this round
+    "math_functions",
+    "string_functions",
+    "date_functions",
+    "date_arithmetic",
+    "conditional_tiers",
+    "roundtrip_csv",
+    "roundtrip_json",
 ]
 
 

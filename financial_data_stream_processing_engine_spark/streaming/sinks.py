@@ -50,7 +50,7 @@ def logging_sink(
 
 def alert_sink(
     df: DataFrame,
-    on_alert: Callable[[list], None],
+    on_alert: Callable[[list, int], None],
     threshold: float | None = None,
     ma_col: str = "moving_average",
     config: EngineConfig = DEFAULT_CONFIG,
@@ -61,23 +61,28 @@ def alert_sink(
 
     Filters each epoch to rows whose moving average exceeds the
     threshold (strictly greater, financial_engine.py:104) and hands the
-    alerts to the callback.  The filter runs engine-side; only actual
-    alerts reach Python, and the per-epoch driver fetch is capped at
-    ``max_alerts_per_epoch`` — a mis-set threshold over a 100 TB stream
-    must not materialize the world on the driver.  When the cap trips,
-    the callback receives the capped batch plus the true count via the
-    trailing sentinel tuple ``("__overflow__", n_alerts)``.
+    alerts to the callback as ``on_alert(alerts, n_suppressed)``.  The
+    filter runs engine-side; only actual alerts reach Python, and the
+    per-epoch driver fetch is capped at ``max_alerts_per_epoch`` — a
+    mis-set threshold over a 100 TB stream must not materialize the
+    world on the driver.  ``alerts`` is always a list of ``Row`` and
+    ``n_suppressed`` the exact number of alert rows beyond the cap
+    (0 normally), computed from one ``count_if`` aggregate over the
+    persisted micro-batch — a quiet epoch costs exactly one job and
+    the cap never changes the payload's type.
     """
     t = config.price_alert_threshold if threshold is None else threshold
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
-        hits = batch_df.filter(F.col(ma_col) > F.lit(t))
-        alerts = hits.limit(max_alerts_per_epoch + 1).collect()
-        if len(alerts) > max_alerts_per_epoch:
-            alerts = alerts[:max_alerts_per_epoch] + [
-                ("__overflow__", hits.count())
-            ]
-        if alerts:
-            on_alert(alerts)
+        batch_df.persist()
+        try:
+            cond = F.col(ma_col) > F.lit(t)
+            n_hits = batch_df.agg(F.count_if(cond)).collect()[0][0]
+            if not n_hits:
+                return
+            alerts = batch_df.filter(cond).limit(max_alerts_per_epoch).collect()
+            on_alert(alerts, n_hits - len(alerts))
+        finally:
+            batch_df.unpersist()
 
     return df.writeStream.foreachBatch(emit).queryName(name).start()

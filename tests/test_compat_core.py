@@ -122,6 +122,22 @@ def test_cross_source_shared_state(spark):
     assert got[2]["moving_average"] == pytest.approx(102.0)
 
 
+def test_ma_duplicate_identity_raises(spark):
+    # the general path joins scores back on (key, *order_by); a
+    # duplicate identity would fan the join out, so it must raise
+    # engine-side instead of silently duplicating rows
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("t0", "A", 100.0, 1, base, "CSVMock"),
+            ("t0", "A", 101.0, 1, base, "CSVMock"),  # same (symbol, ts, id)
+        ],
+        TICK_FIELDS,
+    )
+    with pytest.raises(Exception, match="row-unique"):
+        moving_average(df, n=2, order_by=("ts", "id")).collect()
+
+
 def test_alert_threshold_strict(spark):
     rows = [("A", 108.0, 1), ("A", 108.0, 1)]
     got, exp = run_compat(spark, rows, n=2)

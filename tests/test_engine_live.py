@@ -15,6 +15,8 @@ behaves.
 from __future__ import annotations
 
 import dataclasses
+import itertools
+import os
 import time
 
 import pytest
@@ -60,7 +62,7 @@ def test_live_engine_end_to_end(spark, tmp_path):
         spark,
         config=cfg,
         av_source=AlphaVantageSource(api_key="test", fetch=_canned_fetch),
-        on_alert=alerts.extend,
+        on_alert=lambda rows, n_suppressed: alerts.extend(rows),
         logger=logs.append,
         ws_rows_per_second=50,
         csv_rows_per_second=50,
@@ -89,6 +91,131 @@ def test_live_engine_end_to_end(spark, tmp_path):
     # lifecycle: stop() is idempotent and the query is gone
     engine.stop()
     assert engine.query is None
+
+
+def test_checkpoint_recovery_resumes_ma_state(spark, tmp_path):
+    """Kill the engine mid-stream, restart from the same checkpoint +
+    spool dir, and prove (a) exactly-once delivery across the restart —
+    no row lost, none duplicated — and (b) the keyed MA ring buffer
+    survived: the first windows after restart average over prices
+    delivered BEFORE the restart.  The reference drops in-flight rows
+    on shutdown (financial_engine.py:397-416); this is the stronger
+    semantics SURVEY §3.3 claims."""
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        state_ttl_ms=None,
+        sources=(SourceConfig("AlphaVantage", 0.02),),
+    )
+    counter = itertools.count()
+
+    def fetch(url: str, timeout_s: float) -> dict:
+        i = next(counter)
+        return {
+            "Global Quote": {
+                "01. symbol": "IBM",
+                "05. price": f"{100 + i}.00",
+                "06. volume": "10",
+            }
+        }
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    ckpt = str(tmp_path / "ckpt")
+    n = cfg.moving_average_window
+
+    def run_phase(min_rows: int) -> list:
+        engine = LiveEngine(
+            spark,
+            config=cfg,
+            av_source=AlphaVantageSource(api_key="test", fetch=fetch, symbols=("IBM",)),
+            ws_rows_per_second=0,
+            csv_rows_per_second=0,
+            spool_dir=spool,
+        )
+        engine.start(checkpoint_dir=ckpt)
+        deadline = time.time() + 120
+        while time.time() < deadline and len(engine.recent) < min_rows:
+            time.sleep(0.25)
+        engine.drain_and_stop()
+        return engine.recent
+
+    phase1 = run_phase(n + 3)
+    phase2 = run_phase(3)
+    assert len(phase1) >= n + 3, f"phase 1 produced {len(phase1)} rows"
+    assert len(phase2) >= 3, f"phase 2 produced {len(phase2)} rows"
+
+    rows = phase1 + phase2
+    prices = [r["price"] for r in rows]
+    # exactly-once across the restart: nothing duplicated, nothing lost
+    assert len(set(prices)) == len(prices), "row delivered twice across restart"
+    ordered = sorted(rows, key=lambda r: r["price"])
+    assert [r["price"] for r in ordered] == [float(100 + i) for i in range(len(rows))]
+    # the MA ring buffer crossed the restart: every full window is the
+    # mean of the n consecutive prices ending at the row — including
+    # the windows that span the shutdown boundary
+    for i, r in enumerate(ordered):
+        if i < n - 1:
+            assert r["moving_average"] is None
+        else:
+            exp = sum(float(100 + j) for j in range(i - n + 1, i + 1)) / n
+            assert r["moving_average"] == pytest.approx(exp, rel=1e-12)
+    # the boundary was actually exercised: phase 2 started deep enough
+    # that its first full window reaches back into phase-1 prices
+    assert min(r["price"] for r in phase2) > 100.0 + (n - 1)
+
+
+def test_fanout_quiet_epoch_is_one_action(spark):
+    """A quiet epoch (no alerts, recent tap full) costs exactly one
+    action — the combined count/count_if aggregate.  AQE is pinned off
+    here so one action maps to exactly one tracked job; a second job
+    would mean an extra count/collect sneaked back in."""
+    logs: list[str] = []
+    engine = LiveEngine(
+        spark,
+        config=dataclasses.replace(DEFAULT_CONFIG, log_level="INFO"),
+        on_alert=lambda rows, n_suppressed: pytest.fail("no alerts expected"),
+        logger=logs.append,
+        keep_recent=0,
+    )
+    batch = spark.createDataFrame(
+        [("EURUSD", 1.0), ("GBPUSD", 2.0)], "symbol string, moving_average double"
+    )
+    sc = spark.sparkContext
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("fanout_quiet", "quiet epoch")
+    try:
+        engine._fanout(batch, epoch_id=0)
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    jobs = sc.statusTracker().getJobIdsForGroup("fanout_quiet")
+    assert len(jobs) == 1, f"expected 1 job (one action) for a quiet epoch, saw {len(jobs)}"
+    assert logs == ["epoch=0 rows=2"]
+
+
+def test_fanout_alert_cap_keeps_payload_typed(spark):
+    """When the per-epoch cap trips, every delivered element is still a
+    Row and the exact suppressed count arrives out-of-band."""
+    calls: list[tuple[list, int]] = []
+    engine = LiveEngine(
+        spark,
+        config=dataclasses.replace(DEFAULT_CONFIG, state_ttl_ms=None),
+        on_alert=lambda rows, n_suppressed: calls.append((rows, n_suppressed)),
+        keep_recent=0,
+        max_alerts_per_epoch=3,
+    )
+    above = DEFAULT_CONFIG.price_alert_threshold + 1.0
+    batch = spark.createDataFrame(
+        [(f"SYM{i}", above) for i in range(10)],
+        "symbol string, moving_average double",
+    )
+    engine._fanout(batch, epoch_id=7)
+    assert len(calls) == 1
+    rows, n_suppressed = calls[0]
+    assert len(rows) == 3 and n_suppressed == 7
+    assert all(hasattr(r, "moving_average") for r in rows)
+    assert all(r["moving_average"] > DEFAULT_CONFIG.price_alert_threshold for r in rows)
 
 
 def test_live_engine_log_level_gates_logging(spark):

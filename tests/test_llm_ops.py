@@ -207,6 +207,16 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_raises_on_truncation(spark):
+    # a 5-node chain has diameter 4; max_iter=1 cannot converge and
+    # must raise rather than return split clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
 def test_dedup_clusters_survivors(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
     pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")

@@ -116,7 +116,9 @@ def test_session_window_matches_batch(spark, tick_dir):
 def test_alert_sink_fires_like_batch_filter(spark, tick_dir):
     collected = []
     ma = stateful.streaming_moving_average(_stream(spark, tick_dir), n=5, ttl_ms=None)
-    q = sinks.alert_sink(ma, on_alert=lambda rows: collected.extend(rows), threshold=108.0)
+    q = sinks.alert_sink(
+        ma, on_alert=lambda rows, n_suppressed: collected.extend(rows), threshold=108.0
+    )
     q.processAllAvailable()
     q.stop()
 
