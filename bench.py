@@ -39,6 +39,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_stats",
     "similarity_cosine_topk",
+    # round-3 additions: longitudinal perf tracking for the streaming,
+    # multimodal, clustering and SCD2 families (r2 numbers are the base)
+    "streaming_ma_rowcount",
+    "multimodal_png_roundtrip",
+    "dedup_cluster_canonical",
+    "scd2_apply_changes",
 ]
 
 

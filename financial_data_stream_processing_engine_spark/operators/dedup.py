@@ -101,15 +101,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — per-doc MinHash signature.
 
-    hash_i(s) = xxhash64(i, s) — ``num_hashes`` INDEPENDENT seeded
-    hashes per shingle (variadic xxhash64, no string concat); slot i is
-    the minimum over the doc's shingles.  Independence per slot is
-    load-bearing: a cheaper double-hashing family (h1 + i·h2) was
-    measured to correlate the slots so strongly that banded candidate
-    volume exploded 68× (two docs sharing one argmin shingle collide in
-    EVERY band) — the banding math needs P(band collision) = j^r, which
-    only holds for independent slots.  Computed as explode →
-    groupBy(id) with ``num_hashes`` MIN aggregates.
+    hash_i(s) = xxhash64(i, xxhash64(s)) — the shingle STRING is hashed
+    once to a 64-bit value and each of the ``num_hashes`` INDEPENDENT
+    slots re-hashes that fixed-width long with its seed.  Hashing the
+    string ``num_hashes`` times was the dominant cost of the whole LSH
+    pipeline (measured ~2s of 3.1s at sf0.1: 64 × 260k variable-length
+    string hashes); the long re-hash is a constant 16-byte input, and a
+    2⁻⁶⁴ string-collision folds two shingles together corpus-wide —
+    far below the banding miss probability already accepted.
+    Independence per slot is load-bearing: a cheaper double-hashing
+    family (h1 + i·h2) was measured to correlate the slots so strongly
+    that banded candidate volume exploded 68× (two docs sharing one
+    argmin shingle collide in EVERY band) — the banding math needs
+    P(band collision) = j^r, which only holds for independent slots;
+    seeded re-hash of the shingle's hash keeps full independence per
+    slot.  Computed as explode → groupBy(id) with ``num_hashes`` MIN
+    aggregates.
 
     Why not a shuffle-free nested transform/array_min projection?
     Measured 10× slower: higher-order array functions are interpreted
@@ -128,9 +135,10 @@ def minhash_signatures(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .repartition(F.col("id"))
         .select("id", F.explode(shingles("__t", n)).alias("s"))
+        .select("id", F.xxhash64(F.col("s")).alias("s64"))
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("s64"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = exploded.groupBy("id").agg(*aggs)

@@ -141,9 +141,21 @@ def main() -> int:
         spark = get_spark("verify_local")
     con = duck_connection(sf_dir)
 
+    from tools.freshness import entry_hash, update_ledger
+
     qs = e.queries()
     oracles = e.oracle_sql()
     failed = []
+    green: dict[str, dict] = {}
+
+    def record(name: str, fn, check: str) -> None:
+        green[name] = {
+            "hash": entry_hash(fn, oracles.get(name)),
+            "check": check,
+            "sf_dir": sf_dir,
+            "mode": "pristine" if os.environ.get("SPARK_GRAFT_PRISTINE") else "session",
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -158,6 +170,8 @@ def main() -> int:
             print(f"  {name:32s} [{t_spark:5.1f}s] {status}")
             if len(spark_rows) == 0:
                 failed.append(name)
+            else:
+                record(name, fn, "rows_only")
             continue
         t0 = time.time()
         rel = con.sql(oracles[name])
@@ -176,6 +190,10 @@ def main() -> int:
                 print(f"    {p}")
         else:
             print(f"✓ {name:32s} [{t_spark:5.1f}s/{t_duck:4.1f}s] {len(spark_rows)} rows")
+            record(name, fn, "oracle")
+    if green:
+        update_ledger(green)
+        print(f"\nledger: recorded {len(green)} green entries at current code hashes")
     print()
     if failed:
         print(f"FAILED: {failed}")
