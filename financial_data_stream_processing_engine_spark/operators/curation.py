@@ -1,0 +1,270 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+chunking, sequence packing, benchmark-contamination checks, mixture
+sampling, and per-group quotas.
+
+These extend the reference's data-processing surface (the reference has
+no corpus tooling at all — financial_engine.py is tick-only) with the
+operations a 100 TB pretraining pipeline runs between raw documents and
+tokenized batches.  Design rules match the rest of the engine: pure
+DataFrame expressions wherever the semantics allow (chunking, sampling,
+quotas, contamination are all expression/join-shaped); ``applyInPandas``
+only where the semantics are genuinely a per-group sequential
+recurrence (greedy packing); determinism everywhere — every operator is
+reproducible across runs, partitionings, and engines, which is what
+makes the DuckDB oracles possible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from financial_data_stream_processing_engine_spark.operators.text import shingles, tokens
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into token-window chunks with overlap:
+    chunk ``i`` covers tokens ``[i*stride, i*stride + window)``; the
+    last chunk may be short; every doc yields at least one chunk.
+
+    Pure expressions (split → sequence → explode → slice), so the work
+    is embarrassingly parallel and stays in whole-stage codegen — at
+    100 TB this is a map-only stage with no shuffle.  Returns
+    (doc_id, chunk_idx, chunk_tokens, chunk_text).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of stride steps needed so the last window reaches the end
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    out = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                F.col("__toks"), F.col("chunk_idx") * F.lit(stride) + F.lit(1), window
+            ).alias("__chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("__chunk").alias("chunk_tokens"),
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_SCHEMA = (
+    "source string, shard string, doc_id bigint, n_tokens bigint, pack_idx bigint"
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    budget: int = 256,
+) -> DataFrame:
+    """Greedy sequence packing: walk each group's documents in id order
+    and append to the current pack while the token budget holds,
+    otherwise start a new pack.  A document larger than the budget gets
+    a pack of its own.  Returns (source, shard, doc_id, n_tokens,
+    pack_idx) — pack identity is (source, shard, pack_idx).
+
+    Greedy packing is a prefix recurrence (pack of row i depends on the
+    accumulator after row i-1), which no window function expresses, so
+    the per-group walk runs in ``applyInPandas`` — one Arrow batch per
+    group, a single vectorizable pass.
+
+    Scale: the group key is (group, shard) where shard = first md5
+    nibble of the id — 16 deterministic sub-shards per source, so one
+    giant source fans out across the cluster instead of serializing on
+    one task, and the shard assignment is engine-independent (the
+    DuckDB oracle computes the identical partitioning).  At 100 TB you
+    raise the nibble count; packing quality is unaffected because packs
+    never cross shards by construction.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("source"),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        acc = 0
+        idx = -1
+        packs = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if idx < 0 or acc + n > budget:
+                idx += 1
+                acc = n
+            else:
+                acc += n
+            packs.append(idx)
+        pdf["pack_idx"] = pd.Series(packs, dtype="int64")
+        return pdf
+
+    return base.groupBy("source", "shard").applyInPandas(pack, _PACK_SCHEMA)
+
+
+def pack_sequences_sql(budget: int = 256) -> str:
+    """DuckDB oracle for :func:`pack_sequences`: the same greedy walk
+    as a linear recursive CTE — each iteration advances every
+    (source, shard) group by one document."""
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(source AS VARCHAR) AS source,
+         SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+           ORDER BY doc_id) AS rn
+  FROM documents),
+p AS (
+  SELECT source, shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_idx, n_tokens AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.shard, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN p.acc + d.n_tokens <= {budget}
+              THEN p.pack_idx ELSE p.pack_idx + 1 END,
+         CASE WHEN p.acc + d.n_tokens <= {budget}
+              THEN p.acc + d.n_tokens ELSE d.n_tokens END
+  FROM p JOIN d ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1)
+SELECT source, shard, doc_id, n_tokens, pack_idx FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    df: DataFrame,
+    probe_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    flag_ratio: float = 0.2,
+) -> DataFrame:
+    """Benchmark-contamination check: how much of each corpus document's
+    n-gram set also appears in the probe (benchmark) documents selected
+    by ``probe_pred``.  Returns (doc_id, n_shingles, n_overlap,
+    overlap_ratio, contaminated) for every NON-probe document.
+
+    Plan shape for 100 TB: the probe side is a benchmark — tiny by
+    definition — so its distinct shingle set is broadcast; the corpus
+    side explodes its shingles once, left-semi-ish joins against the
+    broadcast, and re-aggregates on the already-hash-distributed doc
+    id.  One shuffle (the per-doc count), no cartesian anything.
+    """
+    ids = F.col(id_col).alias("doc_id")
+    probe_sh = (
+        df.filter(probe_pred)
+        .select(F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    corpus = df.filter(~probe_pred).select(
+        ids, F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    hits = (
+        corpus.join(F.broadcast(probe_sh).withColumn("__hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        (F.col("n_overlap") / F.col("n_shingles")).cast("double").alias("overlap_ratio"),
+        (F.col("n_overlap") / F.col("n_shingles") >= F.lit(flag_ratio)).alias(
+            "contaminated"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling + quotas
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic source-weighted downsampling: keep a row when the
+    first md5 nibble of its id falls inside its source's quota —
+    ``weights`` maps source → nibble count (rate = k/16).  Unlisted
+    sources are dropped (weight 0).
+
+    This is how mixture weights are applied at 100 TB: a pure per-row
+    filter, reproducible across engines and runs (unlike
+    ``df.sample``), no shuffle, fully pushed into the scan stage.
+    """
+    nib = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10).cast(
+        "int"
+    )
+    quota = None
+    for src, k in sorted(weights.items()):
+        cond = F.col(group_col) == F.lit(src)
+        quota = F.when(cond, F.lit(k)) if quota is None else quota.when(cond, F.lit(k))
+    quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)
+    return df.filter(nib < quota)
+
+
+def quota_cap(
+    df: DataFrame,
+    per_group: int,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Cap each group at ``per_group`` rows, selected deterministically
+    by md5(id) order (a reproducible uniform subsample, not "first K by
+    storage order").  One window shuffle on the group key; the md5
+    order makes the kept set independent of physical layout — the same
+    rows survive on any cluster."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_group)
+        .drop("__rk")
+    )

@@ -77,17 +77,27 @@ _PRIORITY: list[str] = [
     "streaming_ewma",
     # changed after its r1 green row (µs-interval fix) — must re-earn
     "sessionization_gaps",
+    # new this round: corpus-curation family
+    "chunk_documents",
+    "pack_sequences",
+    "contamination_ngram_overlap",
+    "mixture_sample_sources",
+    "quota_per_lang",
+    # behavior-relevant code changed this round (moving_average
+    # uniqueness guard; MinHash hash family; connected_components
+    # convergence guard) — old rows no longer count, re-earn now
+    "ma_alerts",
+    "pipeline_multisource",
+    "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
     # round-1-era entries, unchanged since r1, refreshing their rows
     "agg_argminmax_bool_bit",
     "agg_distinct_stats",
     "agg_percentiles",
     "agg_salted_skew",
-    "agg_string_concat",
     "agg_variance_exact",
     "array_functions_documents",
     "clean_filter",
-    "cube_status_priority",
-    "explode_tokens",
     "grouping_sets_events",
     "join_anti_no_big_order",
     "join_asof_last_purchase",
@@ -96,18 +106,12 @@ _PRIORITY: list[str] = [
     "join_semi_active_customers",
     "join_star_revenue_by_region",
     "json_extract_props",
-    "pivot_qty_by_status",
-    "rollup_returnflag_status",
     "sample_hash_deterministic",
     "scalar_subquery_max_order",
-    "set_intersect_all",
-    "set_ops_customers",
-    "topn_orders_global",
     "tpch_q1_pricing_summary",
     "tpch_q3_like_shipping_priority",
     "tpch_q5_like_regional_volume",
     "udtf_ngrams",
-    "unpivot_rates",
     "window_distribution_funcs",
     "window_lag_lead_events",
     "window_range_frame",
@@ -115,7 +119,9 @@ _PRIORITY: list[str] = [
     "window_running_totals",
     "window_topk_per_group",
     # --- driver check window boundary (first 50 above) ---
-    # r1-green scalar-function entries yielding their slots this round
+    # r1-green entries yielding their slots this round: simple scalar /
+    # set / reshape shapes whose code is unchanged since r1 and whose
+    # current-code verification lives in tools/freshness_ledger.json
     "math_functions",
     "string_functions",
     "date_functions",
@@ -123,6 +129,15 @@ _PRIORITY: list[str] = [
     "conditional_tiers",
     "roundtrip_csv",
     "roundtrip_json",
+    "agg_string_concat",
+    "cube_status_priority",
+    "explode_tokens",
+    "pivot_qty_by_status",
+    "rollup_returnflag_status",
+    "set_intersect_all",
+    "set_ops_customers",
+    "topn_orders_global",
+    "unpivot_rates",
 ]
 
 
@@ -135,6 +150,7 @@ def load_all() -> None:
         relational_queries,
         llm_queries,
         streaming_queries,
+        curation_queries,
     )
 
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

@@ -1,0 +1,131 @@
+"""Catalog entries: corpus-curation operators (chunking, sequence
+packing, contamination, mixture sampling, quotas) over the documents
+table.
+
+Every operator here is deterministic by construction (md5-nibble
+sharding/sampling, id-ordered greedy walks), which is what lets each
+one carry a full value-level DuckDB oracle — including the greedy
+packer, whose oracle is a linear recursive CTE performing the identical
+walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from financial_data_stream_processing_engine_spark.io_utils import load_table
+from financial_data_stream_processing_engine_spark.operators import curation
+from financial_data_stream_processing_engine_spark.operators.curation import pack_sequences_sql
+from financial_data_stream_processing_engine_spark.plans.catalog import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "chunk_documents",
+    sql="""
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+         1 + CAST(CEIL(GREATEST(LEN(STRING_SPLIT(text, ' ')) - 64, 0) / 48.0) AS INT)
+           AS n_chunks
+  FROM documents),
+c AS (
+  SELECT doc_id, UNNEST(GENERATE_SERIES(0, n_chunks - 1)) AS chunk_idx, toks
+  FROM t)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(LEN(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INT) AS chunk_tokens,
+       ARRAY_TO_STRING(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+FROM c
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 64, stride 48) — the
+    step that turns documents into trainable sequences.  Map-only, no
+    shuffle (operators/curation.py::chunk_documents)."""
+    return curation.chunk_documents(_docs(spark, sf_dir), window=64, stride=48)
+
+
+@register("pack_sequences", sql=pack_sequences_sql(budget=256))
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token pack budgets per
+    (source, md5-nibble shard).  The only curation op whose semantics
+    are a true prefix recurrence → per-group applyInPandas; the oracle
+    replays the identical walk as a recursive CTE."""
+    return curation.pack_sequences(_docs(spark, sf_dir), budget=256)
+
+
+@register(
+    "contamination_ngram_overlap",
+    sql="""
+WITH probe AS (
+  SELECT DISTINCT UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1)),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
+  FROM documents WHERE doc_id % 97 = 0),
+corpus AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1)),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS s
+  FROM documents WHERE doc_id % 97 <> 0),
+agg AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(p.s) AS n_overlap
+  FROM corpus c LEFT JOIN probe p ON c.s = p.s
+  GROUP BY c.doc_id)
+SELECT doc_id, n_shingles, n_overlap,
+       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_ratio,
+       CAST(n_overlap AS DOUBLE) / n_shingles >= 0.2 AS contaminated
+FROM agg
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 3-gram overlap of every corpus doc
+    against the probe set (docs with id % 97 == 0 stand in for a
+    benchmark).  Probe shingles broadcast; one count shuffle
+    (operators/curation.py::contamination_overlap)."""
+    docs = _docs(spark, sf_dir)
+    return curation.contamination_overlap(
+        docs, probe_pred=F.col("doc_id") % 97 == 0, n=3, flag_ratio=0.2
+    )
+
+
+@register(
+    "mixture_sample_sources",
+    sql="""
+SELECT doc_id, source, lang
+FROM documents
+WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT) <
+      CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4 WHEN 'src2' THEN 1 ELSE 0 END
+""",
+)
+def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-weight sampling: src0 at 8/16, src1 at
+    4/16, src2 at 1/16, everything else dropped.  Pure per-row filter —
+    reproducible across engines, no shuffle, pushed to the scan
+    (operators/curation.py::mixture_sample)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return curation.mixture_sample(docs, {"src0": 8, "src1": 4, "src2": 1})
+
+
+@register(
+    "quota_per_lang",
+    sql="""
+WITH r AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS __rk
+  FROM documents)
+SELECT doc_id, lang, source FROM r WHERE __rk <= 40
+""",
+)
+def quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cap at 40 docs, selected by md5(id) order — a
+    layout-independent uniform subsample per group.  One window shuffle
+    (operators/curation.py::quota_cap)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return curation.quota_cap(docs, per_group=40, group_col="lang")
