@@ -21,6 +21,8 @@ Scale design (the whole point of having five of them):
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -237,16 +239,36 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+def md5_token_hash60(t: Column) -> Column:
+    """Engine-portable 60-bit token hash: the first 15 hex chars of
+    md5, as a signed bigint (< 2⁶⁰, so no sign issues in either
+    engine).  DuckDB spelling:
+    ``CAST(('0x' || SUBSTR(MD5(t), 1, 15)) AS BIGINT)`` — this is what
+    makes a FULLY engine-independent SimHash oracle possible."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
-    Per token: xxhash64; each signature bit is the sign of the sum of
-    ±1 contributions across tokens.  The bit-packing loop is genuinely
-    non-relational, so it runs as an Arrow-vectorized Pandas UDF over
-    the token-hash arrays (numpy bit ops; no per-row Python).
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: Callable[[Column], Column] | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash: bigint) — ``bits``-wide SimHash over whitespace
+    tokens.
+
+    Per token: ``token_hash`` (default xxhash64 — fastest); each
+    signature bit is the sign of the sum of ±1 contributions across
+    tokens.  Pass :func:`md5_token_hash60` with ``bits=60`` for the
+    engine-portable family the catalog oracle recomputes in DuckDB.
+    The bit-packing loop is genuinely non-relational, so it runs as an
+    Arrow-vectorized Pandas UDF over the token-hash arrays (numpy bit
+    ops; no per-row Python).
     """
+    if not 0 < bits <= 64:
+        raise ValueError("bits must be in 1..64")
+
     @F.pandas_udf("bigint")
     def _pack(hashes: pd.Series) -> pd.Series:
         out = np.empty(len(hashes), dtype=np.int64)
@@ -255,18 +277,23 @@ def simhash_signatures(
                 out[i] = 0
                 continue
             arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            # unpack 64 bits per hash → (n_tokens, 64) of {0,1}
-            bits = (arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-            votes = bits.sum(axis=0) * 2 - len(arr)  # ±1 majority vote
+            # unpack `bits` bits per hash → (n_tokens, bits) of {0,1}
+            bmat = (arr[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1
+            # signed BEFORE the subtraction: the bit matrix is uint64
+            # and `sum*2 - n` would underflow to 2⁶⁴-ish for negative
+            # votes, setting every bit (caught by the engine-independent
+            # DuckDB simhash oracle; the earlier banded-vs-brute
+            # invariant was blind to it because both sides consumed the
+            # same wrong signatures)
+            votes = bmat.sum(axis=0).astype(np.int64) * 2 - len(arr)
             fp = np.uint64(0)
             for b in np.nonzero(votes > 0)[0]:
                 fp |= np.uint64(1) << np.uint64(b)
             out[i] = fp.astype(np.int64)
         return pd.Series(out)
 
-    token_hashes = F.transform(
-        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
-    )
+    th = token_hash if token_hash is not None else F.xxhash64
+    token_hashes = F.transform(F.split(F.col(text_col), " "), lambda t: th(t))
     return df.select(F.col(id_col).alias("id"), _pack(token_hashes).alias("simhash"))
 
 
@@ -275,15 +302,26 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    token_hash: Callable[[Column], Column] | None = None,
+    bits: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Banding: split the 64-bit fingerprint into 4 16-bit chunks — any
-    pair within hamming distance 3 must agree exactly on ≥1 chunk
-    (pigeonhole), so an equi-join per chunk finds all of them without
-    an all-pairs compare.  Verify with bit_count(xor).
+    Banding: split the ``bits``-wide fingerprint into ``max_hamming+1``
+    chunks — any pair within the hamming budget must agree exactly on
+    ≥1 chunk (pigeonhole), so an equi-join per chunk finds all of them
+    without an all-pairs compare.  Verify with bit_count(xor).
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    n_chunks = max_hamming + 1
+    width = bits // n_chunks  # last chunk takes the remainder bits
+    sig = simhash_signatures(df, id_col, text_col, token_hash=token_hash, bits=bits)
+
+    def chunk_key(c: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("simhash"), width * c)
+        if c < n_chunks - 1:
+            return shifted.bitwiseAND(F.lit((1 << width) - 1))
+        return shifted  # top chunk: all remaining bits
+
     chunks = sig.select(
         "id",
         "simhash",
@@ -291,12 +329,9 @@ def simhash_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
+                        F.lit(c).alias("chunk"), chunk_key(c).alias("key")
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),

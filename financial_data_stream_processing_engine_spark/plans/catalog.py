@@ -19,6 +19,16 @@ Parity rules (SURVEY.md §7 hard part #2):
   explicit lag-chain so the IEEE summation order is identical in both
   engines.
 * Timestamps: parquet ns → cast to µs TIMESTAMP on both sides.
+
+Execution contract: a catalog function normally BUILDS a plan and
+returns it unexecuted (the driver collects).  A few entries execute
+eagerly inside the function by necessity — streaming entries run a
+real StreamingQuery to a memory sink, round-trip entries write fixture
+files, and invariant-report entries (e.g. ``dedup_embedding_lsh``)
+run counts to build their report row.  Those entries return a small
+materialized result; callers embedding catalog functions into larger
+lazy pipelines should use the underlying ``operators.*`` functions
+instead.
 """
 
 from __future__ import annotations
@@ -90,6 +100,8 @@ _PRIORITY: list[str] = [
     "pipeline_multisource",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",
+    "dedup_simhash",
+    "similarity_ivf_topk",
     # round-1-era entries, unchanged since r1, refreshing their rows
     "agg_argminmax_bool_bit",
     "agg_distinct_stats",
@@ -106,8 +118,6 @@ _PRIORITY: list[str] = [
     "join_semi_active_customers",
     "join_star_revenue_by_region",
     "json_extract_props",
-    "sample_hash_deterministic",
-    "scalar_subquery_max_order",
     "tpch_q1_pricing_summary",
     "tpch_q3_like_shipping_priority",
     "tpch_q5_like_regional_volume",
@@ -138,6 +148,8 @@ _PRIORITY: list[str] = [
     "set_ops_customers",
     "topn_orders_global",
     "unpivot_rates",
+    "sample_hash_deterministic",
+    "scalar_subquery_max_order",
 ]
 
 

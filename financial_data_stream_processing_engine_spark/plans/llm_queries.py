@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from financial_data_stream_processing_engine_spark.functions.numeric import davg_sql
 from financial_data_stream_processing_engine_spark.io_utils import load_table
 from financial_data_stream_processing_engine_spark.operators import dedup, multimodal, similarity, text
 from financial_data_stream_processing_engine_spark.plans.catalog import register
@@ -220,59 +221,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    sql="""
-SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-       true AS banding_complete,
-       true AS all_within_hamming,
-       true AS canonical_ordering
-""",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup candidate pairs within hamming ≤ 3,
-    found by 16-bit chunk banding (pigeonhole-complete).
+def _simhash_portable_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB oracle that recomputes the ENTIRE portable-SimHash pair
+    set from scratch: md5-derived 60-bit token hashes → per-bit ±1
+    majority votes → fingerprints → all-pairs hamming filter.  A bug
+    anywhere in the engine's signature or banding path changes the
+    Spark pair rows and mismatches this independent reconstruction."""
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+th AS (
+  SELECT doc_id, CAST(('0x' || SUBSTR(MD5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp}) AS f FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(BIT_COUNT(XOR(a.f, b.f)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.f, b.f)) <= {max_hamming}
+"""
 
-    Oracle strategy: the fingerprints derive from xxhash64, so the pair
-    *set* is engine-specific — the checked output is the invariant the
-    banding must satisfy: the chunk-join found EXACTLY the pairs a
-    brute-force all-pairs hamming scan over the same fingerprints finds
-    (pigeonhole completeness), every emitted pair is within the hamming
-    budget, and pair ids are canonically ordered.  The raw pair
-    DataFrame stays available as operators.dedup.simhash_pairs; recall
-    vs the Jaccard ground truth is asserted in tests/test_llm_ops.py.
+
+@register("dedup_simhash", sql=_simhash_portable_sql(bits=60, max_hamming=3))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs within hamming ≤ 3, found by
+    chunk banding (pigeonhole-complete), over the engine-PORTABLE
+    60-bit md5 token-hash family — so the oracle rebuilds the entire
+    pipeline (token hashes → bit votes → fingerprints → all-pairs
+    hamming) independently in DuckDB and the driver value-hashes the
+    actual pair rows.  No self-certification anywhere: a signature bug,
+    a vote-sign bug, or a banding gap each changes the rows.
+
+    Production default stays xxhash64/64-bit (operators.dedup.
+    simhash_pairs) — same machinery, cheaper hash; its banding
+    completeness is pinned by tests/test_llm_ops.py against a brute
+    scan and by the shared code path with this entry.
     """
     docs = _docs(spark, sf_dir)
-    pairs = dedup.simhash_pairs(
-        docs, id_col="doc_id", text_col="text", max_hamming=3
-    ).cache()
-    sig = dedup.simhash_signatures(docs, id_col="doc_id", text_col="text")
-    l = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    r = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    brute = (
-        l.join(r, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= 3)
-    )
-    n_docs = docs.count()
-    n_pairs = pairs.count()
-    n_brute = brute.count()
-    missed = brute.join(pairs, ["id_a", "id_b"], "left_anti").count()
-    bad_hamming = pairs.filter(F.col("hamming") > 3).count()
-    bad_order = pairs.filter(~(F.col("id_a") < F.col("id_b"))).count()
-    pairs.unpersist()
-    return spark.createDataFrame(
-        [
-            (
-                n_docs,
-                bool(missed == 0 and n_pairs == n_brute),
-                bool(bad_hamming == 0),
-                bool(bad_order == 0),
-            )
-        ],
-        schema="n_docs bigint, banding_complete boolean, "
-        "all_within_hamming boolean, canonical_ordering boolean",
-    )
+    return dedup.simhash_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        max_hamming=3,
+        token_hash=dedup.md5_token_hash60,
+        bits=60,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @register(
@@ -318,48 +321,64 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(embs, query, k=10, id_col="vec_id", vec_col="embedding")
 
 
-@register(
-    "similarity_ivf_topk",
-    sql="""
-SELECT LEAST(10, (SELECT COUNT(*) FROM embeddings)) AS n_results,
-       true AS recall_ge_50,
-       true AS cos_correct
-""",
-)
+#: Full engine-independent IVF reconstruction: DuckDB retrains the
+#: label-mean centroids (decimal-exact means, REAL cast), reassigns
+#: every vector to its argmax-(cos, id) cell, probes the 5 cells
+#: nearest the query, and takes the top-10 — the identical pipeline to
+#: operators.similarity.{train_centroids, assign_cells, ivf_search},
+#: so the driver value-hashes the ACTUAL ANN rows.  Determinism comes
+#: from the decimal-exact centroid means: every downstream comparison
+#: is bit-identical across engines and partitionings.
+_IVF_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+dim AS (
+  SELECT label, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings),
+cm AS (
+  SELECT label AS centroid_id, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM dim GROUP BY label, pos),
+cent AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM cm GROUP BY centroid_id),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent c),
+best AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM assign) WHERE rk = 1),
+probe AS (
+  SELECT centroid_id AS cell
+  FROM cent CROSS JOIN q
+  ORDER BY {_COS.format(a='centroid', b='qvec')} DESC, centroid_id
+  LIMIT 5)
+SELECT b.vec_id, {_COS.format(a='b.embedding', b='qvec')} AS cos
+FROM best b JOIN probe p ON b.cell = p.cell CROSS JOIN q
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_ivf_topk", sql=_IVF_SQL)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 for the vec_id=0 query (label-mean centroids,
-    nprobe=5 of 10 cells).
-
-    Oracle strategy: ANN recall < 1 by design, so the checked output is
-    the engine-independent contract — the search returns a full top-k,
-    its recall@10 vs the exact scan is ≥ 0.5 (measured 0.6–0.8 on the
-    fixtures; deterministic because centroids use decimal-exact means),
-    and every returned score equals an independent re-score of that
-    vector (catches broken pruned-path math).  The raw top-k DataFrame
-    stays available as operators.similarity.ivf_search.
+    nprobe=5 of 10 cells) — the actual search rows, value-checked
+    against a full independent reconstruction of the IVF pipeline in
+    DuckDB (``_IVF_SQL``): centroid training, cell assignment, probe
+    selection, and final top-k are all recomputed oracle-side, so no
+    part of the engine certifies itself.  Recall-vs-exact invariants
+    live in tests/test_llm_ops.py::test_ivf_recall_vs_brute_force.
     """
     embs = _embs(spark, sf_dir)
     query = embs.filter(F.col("vec_id") == 0)
     centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
     with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
-    ann = similarity.ivf_search(
+    return similarity.ivf_search(
         with_cells, centroids, query, k=10, nprobe=5, id_col="vec_id", vec_col="embedding"
-    ).cache()
-    exact = similarity.cosine_topk(embs, query, k=10, id_col="vec_id", vec_col="embedding")
-    n_results = ann.count()
-    hits = ann.join(exact.select("vec_id"), "vec_id", "left_semi").count()
-    qv = query.select(F.col("embedding").alias("__qvec"))
-    bad_cos = (
-        embs.join(ann.select("vec_id", "cos"), "vec_id")
-        .crossJoin(F.broadcast(qv))
-        .withColumn("cos2", dedup.cosine(F.col("embedding"), F.col("__qvec")))
-        .filter(F.abs(F.col("cos") - F.col("cos2")) > 1e-12)
-        .count()
-    )
-    ann.unpersist()
-    return spark.createDataFrame(
-        [(n_results, bool(hits * 2 >= n_results), bool(bad_cos == 0))],
-        schema="n_results bigint, recall_ge_50 boolean, cos_correct boolean",
     )
 
 

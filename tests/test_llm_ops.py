@@ -58,6 +58,43 @@ def test_simhash_banding_complete_within_radius(spark, sf_dir):
     assert len(got & truth) >= 5
 
 
+def test_simhash_fingerprints_match_pure_python(spark):
+    """Pin the signature math to an independent reimplementation —
+    the regression here is the uint64 vote underflow that once set
+    every bit (caught by the cross-engine DuckDB oracle)."""
+    import hashlib
+
+    texts = ["alpha beta gamma", "alpha beta delta", "x", "a b a b a"]
+
+    def py_simhash(text: str, bits: int) -> int:
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for t in text.split(" ")
+        ]
+        fp = 0
+        for b in range(bits):
+            v = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if v > 0:
+                fp |= 1 << b
+        return fp
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.id: r.simhash
+        for r in dedup.simhash_signatures(
+            df, token_hash=dedup.md5_token_hash60, bits=60
+        ).collect()
+    }
+    exp = {i: py_simhash(t, 60) for i, t in enumerate(texts)}
+    assert got == exp
+    # sanity on the default (xxhash64/64-bit) family: fingerprints of
+    # distinct docs must not all collapse to the same value
+    default = [
+        r.simhash for r in dedup.simhash_signatures(df).collect()
+    ]
+    assert len(set(default)) > 1
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
     centroids = similarity.train_centroids(embs, by="label")
