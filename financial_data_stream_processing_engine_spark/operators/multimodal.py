@@ -154,6 +154,202 @@ def _png_pixel_decoder():
     return decode_pixels
 
 
+def _jpeg_pixel_decoder():
+    """Build a stdlib+numpy baseline-JPEG decoder as a NESTED function
+    (shipped by value, like the PNG decoder).
+
+    Scope: baseline sequential DCT (SOF0), 8-bit, single-component
+    (grayscale), no subsampling, one scan — the common denominator a
+    training pipeline's luma/size probe needs.  The entropy decode is
+    the full baseline algorithm (canonical Huffman tables from DHT, DC
+    prediction, AC run/size with EOB and ZRL, byte unstuffing), followed
+    by dezigzag, dequantization, float IDCT and level shift.  Anything
+    out of scope (progressive, subsampled color, 12-bit, arithmetic
+    coding) returns None → NULL features, per-row error isolation.
+
+    Returns ``decode_pixels(b) -> (px, nch) | None`` with ``px`` of
+    shape (h, w, 1) float64 in 0..255.
+    """
+    import struct
+
+    import numpy as np
+
+    ZIGZAG = np.array(
+        [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ],
+        dtype=np.int64,
+    )
+    # orthonormal 8-point DCT basis: px_block = C.T @ coeff @ C
+    k = np.arange(8, dtype=np.float64)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.where(
+        k[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8)
+    )
+
+    def build_huff(bits, vals):
+        """canonical-code table: {(length, code): symbol}"""
+        table, code, vi = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(ln, code)] = vals[vi]
+                code += 1
+                vi += 1
+            code <<= 1
+        return table
+
+    class BitReader:
+        def __init__(self, data: bytes):
+            self.data = data
+            self.pos = 0
+            self.bit = 0
+
+        def read_bit(self) -> int:
+            if self.pos >= len(self.data):
+                raise EOFError
+            b = (self.data[self.pos] >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            return b
+
+        def read_bits(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+
+        def read_symbol(self, table) -> int:
+            ln, code = 0, 0
+            while ln < 16:
+                code = (code << 1) | self.read_bit()
+                ln += 1
+                sym = table.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad huffman code")
+
+    def extend(v: int, size: int) -> int:
+        # JPEG F.2.2.1: ones'-complement negative representation
+        return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    def decode_pixels(b: bytes):
+        if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+            return None
+        try:
+            pos = 2
+            qt: dict[int, np.ndarray] = {}
+            huff_dc: dict[int, dict] = {}
+            huff_ac: dict[int, dict] = {}
+            w = h = None
+            comp = None  # (id, tq)
+            scan = None
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    return None
+                marker = b[pos + 1]
+                pos += 2
+                if marker == 0xD9:  # EOI
+                    break
+                ln = struct.unpack(">H", b[pos : pos + 2])[0]
+                seg = b[pos + 2 : pos + ln]
+                if marker == 0xDB:  # DQT
+                    s = 0
+                    while s < len(seg):
+                        pq, tq = seg[s] >> 4, seg[s] & 0xF
+                        if pq != 0:
+                            return None
+                        qt[tq] = np.frombuffer(
+                            seg[s + 1 : s + 65], np.uint8
+                        ).astype(np.float64)
+                        s += 65
+                elif marker == 0xC0:  # SOF0 baseline
+                    prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+                    if prec != 8 or nf != 1:
+                        return None
+                    cid, hv, tq = seg[6], seg[7], seg[8]
+                    if hv != 0x11:
+                        return None
+                    comp = (cid, tq)
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                    return None  # non-baseline frame
+                elif marker == 0xC4:  # DHT
+                    s = 0
+                    while s < len(seg):
+                        tc, th = seg[s] >> 4, seg[s] & 0xF
+                        bits = list(seg[s + 1 : s + 17])
+                        nv = sum(bits)
+                        vals = list(seg[s + 17 : s + 17 + nv])
+                        (huff_dc if tc == 0 else huff_ac)[th] = build_huff(bits, vals)
+                        s += 17 + nv
+                elif marker == 0xDA:  # SOS
+                    ns = seg[0]
+                    if ns != 1:
+                        return None
+                    td, ta = seg[2] >> 4, seg[2] & 0xF
+                    # entropy data follows until the next marker
+                    data = bytearray()
+                    p = pos + ln
+                    while p < len(b) - 1:
+                        if b[p] == 0xFF:
+                            if b[p + 1] == 0x00:
+                                data.append(0xFF)
+                                p += 2
+                                continue
+                            break  # a real marker ends the scan
+                        data.append(b[p])
+                        p += 1
+                    scan = (bytes(data), td, ta)
+                    pos = p
+                    continue
+                pos += ln
+            if w is None or comp is None or scan is None:
+                return None
+            data, td, ta = scan
+            q = qt.get(comp[1])
+            dc_t, ac_t = huff_dc.get(td), huff_ac.get(ta)
+            if q is None or dc_t is None or ac_t is None:
+                return None
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            img = np.zeros((bh * 8, bw * 8), np.float64)
+            rd = BitReader(data)
+            pred = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = np.zeros(64, np.float64)
+                    size = rd.read_symbol(dc_t)
+                    diff = extend(rd.read_bits(size), size)
+                    pred += diff
+                    zz[0] = pred
+                    ki = 1
+                    while ki < 64:
+                        rs = rd.read_symbol(ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            ki += 16
+                            continue
+                        ki += r
+                        if ki > 63:
+                            return None
+                        zz[ki] = extend(rd.read_bits(s), s)
+                        ki += 1
+                    coeff = np.zeros(64, np.float64)
+                    coeff[ZIGZAG] = zz * q
+                    blk = C.T @ coeff.reshape(8, 8) @ C + 128.0
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            px = np.clip(np.rint(img[:h, :w]), 0, 255)[:, :, None]
+            return px, 1
+        except Exception:
+            return None
+
+    return decode_pixels
+
+
 def _bt601_luma():
     """Nested luma helper (shipped by value like the decoder)."""
 
@@ -173,20 +369,23 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     batch-by-batch without materializing a partition.
 
     Decoders:
-    * ``fake=False`` (default): a REAL stdlib-only PNG decoder — chunk
-      parse, zlib inflate, scanline unfiltering (all five PNG filter
-      types, numpy-vectorized where the filter allows), luma from the
-      usual BT.601 weights; supports 8-bit gray / gray+alpha / RGB /
-      RGBA / palette, non-interlaced.  Payloads that are not decodable
-      PNGs (other formats, 16-bit, interlaced, truncated) yield NULL
-      features rather than failing the job — per-row error isolation,
-      the multimodal twin of the cleaner's drop-don't-raise contract.
+    * ``fake=False`` (default): REAL stdlib-only codecs, dispatched on
+      the payload magic — PNG (chunk parse, zlib inflate, scanline
+      unfiltering, all five filter types, 8-bit gray / gray+alpha /
+      RGB / RGBA / palette, non-interlaced) and baseline JPEG (SOF0
+      grayscale: Huffman entropy decode, dezigzag, dequantize, float
+      IDCT).  Luma from the usual BT.601 weights.  Payloads that are
+      not decodable (other formats, 16-bit PNG, progressive JPEG,
+      truncated bytes) yield NULL features rather than failing the
+      job — per-row error isolation, the multimodal twin of the
+      cleaner's drop-don't-raise contract.
     * ``fake=True``: the deterministic sha-derived stand-in (used by
       the DuckDB value-level oracle, which can recompute sha bytes but
-      not run a PNG codec).
+      not run an image codec).
     """
 
-    decode_pixels = _png_pixel_decoder()
+    decode_png_pixels = _png_pixel_decoder()
+    decode_jpeg_pixels = _jpeg_pixel_decoder()
     luma_of = _bt601_luma()
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -195,7 +394,10 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
         import pandas as pd
 
         def decode_png(b: bytes):
-            dec = decode_pixels(b)
+            if len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
+                dec = decode_jpeg_pixels(b)
+            else:
+                dec = decode_png_pixels(b)
             if dec is None:
                 return None
             px, nch = dec

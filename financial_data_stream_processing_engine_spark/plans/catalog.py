@@ -102,6 +102,8 @@ _PRIORITY: list[str] = [
     "dedup_cluster_canonical",
     "dedup_simhash",
     "similarity_ivf_topk",
+    # new this round: baseline-JPEG codec roundtrip
+    "multimodal_jpeg_roundtrip",
     # round-1-era entries, unchanged since r1, refreshing their rows
     "agg_argminmax_bool_bit",
     "agg_distinct_stats",
@@ -117,7 +119,6 @@ _PRIORITY: list[str] = [
     "join_range_price_bands",
     "join_semi_active_customers",
     "join_star_revenue_by_region",
-    "json_extract_props",
     "tpch_q1_pricing_summary",
     "tpch_q3_like_shipping_priority",
     "tpch_q5_like_regional_volume",
@@ -150,6 +151,7 @@ _PRIORITY: list[str] = [
     "unpivot_rates",
     "sample_hash_deterministic",
     "scalar_subquery_max_order",
+    "json_extract_props",
 ]
 
 

@@ -658,6 +658,135 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(media, fake=False)
 
 
+def _md5_jpeg_generator():
+    """mapInPandas generator: doc_id → 16×16 baseline grayscale JPEG of
+    four 8×8 blocks whose constant values are md5(doc_id) bytes 0-3.
+    All-ones quantization + constant (DC-only) blocks make the decode
+    EXACT: DCT of a constant block has a single integer DC coefficient,
+    so dequantize+IDCT reproduces the constants bit-for-bit after
+    rounding — which is what lets DuckDB state the expected mean luma
+    from the md5 bytes alone.  The AC path is exercised through its
+    Huffman table + EOB codes.  Nested def: cloudpickle by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        # canonical Huffman: standard Annex-K luminance DC table
+        dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = list(range(12))
+        dc_code = {}
+        code = 0
+        vi = 0
+        for ln in range(1, 17):
+            for _ in range(dc_bits[ln - 1]):
+                dc_code[dc_vals[vi]] = (ln, code)
+                code += 1
+                vi += 1
+            code <<= 1
+        # minimal AC table: the single symbol EOB(0x00) with code '0'
+        ac_bits = [1] + [0] * 15
+        ac_vals = [0x00]
+        eob = (1, 0)
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, val: int, ln: int) -> None:
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((val >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)  # byte stuffing
+                        self.acc, self.n = 0, 0
+
+            def flush(self) -> bytes:
+                if self.n:
+                    self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                return bytes(self.out)
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        head = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                digest = hashlib.md5(str(did).encode()).digest()
+                bw = BitWriter()
+                pred = 0
+                for c in digest[:4]:  # MCU raster order (0,0)(0,1)(1,0)(1,1)
+                    dc = 8 * (int(c) - 128)
+                    diff = dc - pred
+                    pred = dc
+                    size = diff.bit_length() if diff != 0 else 0
+                    ln, cd = dc_code[size]
+                    bw.put(cd, ln)
+                    if size:
+                        bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+                    bw.put(eob[1], eob[0])
+                payloads.append(head + bw.flush() + b"\xff\xd9")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return gen
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       (CAST({_hex_byte('m', 0)} + {_hex_byte('m', 1)}
+             + {_hex_byte('m', 2)} + {_hex_byte('m', 3)} AS DOUBLE) / 4.0) / 255.0
+         AS mean_luma
+FROM b
+""",
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec round trip: encode a 16×16 grayscale
+    JPEG per doc (four DC-only blocks whose constants are md5(doc_id)
+    bytes 0-3, all-ones quant tables, Annex-K DC Huffman), then decode
+    with the stdlib+numpy baseline decoder (marker parse, canonical
+    Huffman entropy decode, DC prediction, dezigzag, dequantize, float
+    IDCT) through the Arrow mapInPandas path (fake=False).
+
+    Oracle strategy: DC-only constant blocks survive quantize/IDCT
+    exactly (see _md5_jpeg_generator), so DuckDB restates dimensions
+    and the exact mean luma from the md5 bytes — any corruption in the
+    marker walk, Huffman tables, bit reader, predictor, or IDCT breaks
+    the value hash.  The AC run/size path beyond EOB is covered by
+    tests/test_multimodal_codecs.py against synthetic coefficients.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_jpeg_generator()
+    jpegs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        jpegs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/jpeg",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
 @register(
     "multimodal_wav_roundtrip",
     sql=f"""

@@ -163,6 +163,153 @@ def test_png_malformed_payloads_yield_nulls(spark):
     assert out[4]["width"] == 2
 
 
+def _make_baseline_jpeg(dc: int, ac_zigzag: dict[int, int], quant: int = 1) -> bytes:
+    """Hand-assembled 8×8 single-block baseline grayscale JPEG with the
+    given quantized DC value and {zigzag_index: value} AC coefficients —
+    exercises run/size coding, ZRL, and EOB in the decoder."""
+    import struct
+
+    # symbols actually emitted, canonical-coded
+    sym_lengths: list[tuple[int, int]] = []  # (symbol, length)
+    used: list[int] = [0x00]  # EOB
+    ki = 1
+    runs: list[tuple[int, int, int]] = []  # (symbol, size, value)
+    idx = sorted(ac_zigzag)
+    pos = 1
+    for k in idx:
+        run = k - pos
+        while run > 15:
+            runs.append((0xF0, 0, 0))
+            if 0xF0 not in used:
+                used.append(0xF0)
+            run -= 16
+        v = ac_zigzag[k]
+        size = abs(v).bit_length()
+        sym = (run << 4) | size
+        runs.append((sym, size, v))
+        if sym not in used:
+            used.append(sym)
+        pos = k + 1
+    # canonical table: give every used symbol the same length L with
+    # 2^L >= n_symbols + 1 (keep the all-ones code unused per JPEG)
+    L = max(2, (len(used) + 1).bit_length())
+    ac_bits = [0] * 16
+    ac_bits[L - 1] = len(used)
+    ac_vals = list(used)
+    codes = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(ac_bits[ln - 1]):
+            codes[ac_vals[vi]] = (ln, code)
+            code += 1
+            vi += 1
+        code <<= 1
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    dc_codes = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(dc_bits[ln - 1]):
+            dc_codes[dc_vals[vi]] = (ln, code)
+            code += 1
+            vi += 1
+        code <<= 1
+
+    out = bytearray()
+    acc = [0, 0]
+
+    def put(val: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0x00)
+                acc[0], acc[1] = 0, 0
+
+    size = abs(dc).bit_length() if dc else 0
+    ln_, cd = dc_codes[size]
+    put(cd, ln_)
+    if size:
+        put(dc if dc > 0 else dc + (1 << size) - 1, size)
+    for sym, size, v in runs:
+        ln_, cd = codes[sym]
+        put(cd, ln_)
+        if size:
+            put(v if v > 0 else v + (1 << size) - 1, size)
+    ln_, cd = codes[0x00]
+    put(cd, ln_)  # EOB
+    if acc[1]:
+        out.append((acc[0] << (8 - acc[1])) | ((1 << (8 - acc[1])) - 1))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _reference_idct_block(dc: int, ac_zigzag: dict[int, int], quant: int) -> np.ndarray:
+    """Independent direct-form IDCT (per-pixel cosine sum, not the
+    operator's matrix factorization)."""
+    coeff = np.zeros(64)
+    coeff[_JPEG_ZIGZAG[0]] = dc * quant
+    for k, v in ac_zigzag.items():
+        coeff[_JPEG_ZIGZAG[k]] = v * quant
+    co = coeff.reshape(8, 8)
+    px = np.zeros((8, 8))
+    c = lambda u: (1 / np.sqrt(2) if u == 0 else 1.0)  # noqa: E731
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        c(u) * c(v) / 4.0 * co[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            px[x, y] = s
+    return np.clip(np.rint(px + 128.0), 0, 255)
+
+
+def test_jpeg_ac_run_size_zrl_and_quant(spark):
+    """Decode JPEGs whose AC coefficients exercise run/size coding,
+    a ZRL (16-zero run), and a non-trivial quant table; expected pixels
+    from an independent direct-form IDCT."""
+    cases = [
+        (100, {1: 5, 5: -3, 24: 1}, 1),    # runs of 0 and 3, plus ZRL-ish gap
+        (-50, {2: 7, 40: -2}, 1),          # long gap -> ZRL + remainder run
+        (30, {1: 3, 3: -1}, 4),            # quant scaling applied to DC and AC
+    ]
+    payloads = [_make_baseline_jpeg(dc, ac, q) for dc, ac, q in cases]
+    out = _decode_images(spark, payloads)
+    for mid, (dc, ac, q) in enumerate(cases):
+        r = out[mid]
+        assert (r["width"], r["height"], r["n_channels"]) == (8, 8, 1), mid
+        exp = _reference_idct_block(dc, ac, q).mean() / 255.0
+        assert r["mean_luma"] == pytest.approx(exp, abs=1e-9), mid
+
+
 def test_wav_decode_16bit_stereo_and_8bit_mono(spark):
     s16 = rng.integers(-32768, 32768, 2000, dtype=np.int64)
     s8 = rng.integers(0, 256, 333, dtype=np.int64)
