@@ -39,6 +39,78 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def ngrams_with_repeats(text: Column | str, n: int = 3) -> Column:
+    """ALL n-token shingles, duplicates preserved — the multiset the
+    repetition detector counts over (unlike :func:`shingles`, which is
+    the dedup/similarity set form)."""
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+#: PII patterns — written to the common Java-regex / RE2 subset so the
+#: identical pattern string runs in Spark and the DuckDB oracle.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace email / phone / IPv4 literals with typed placeholder
+    tokens and count the hits per category — the scrubbing pass every
+    pretraining pipeline runs before anything else sees the bytes.
+
+    Pure per-row ``regexp_replace`` / ``regexp_count`` expressions: no
+    shuffle, no Python, linear scan; the patterns live in
+    :data:`PII_PATTERNS` in the Java∩RE2 regex subset so the DuckDB
+    oracle applies the very same strings.
+    """
+    out = df
+    redacted = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return out.withColumn(out_col, redacted)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    flag_ratio: float = 0.1,
+) -> DataFrame:
+    """Boilerplate/looping detector: the share of a document's n-gram
+    multiset taken by its single most frequent n-gram.  Returns
+    (doc_id, n_ngrams, top_ngram_count, repetition_ratio, repetitive).
+
+    explode → two-level aggregate, both stages map-side combinable; one
+    shuffle on the doc id (already the natural distribution).
+    """
+    ng = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams_with_repeats(F.col(text_col), n)).alias("g"),
+    )
+    per_gram = ng.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"), F.max("c").alias("top_ngram_count")
+    )
+    ratio = F.col("top_ngram_count") / F.col("n_ngrams")
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        "top_ngram_count",
+        ratio.cast("double").alias("repetition_ratio"),
+        (ratio >= F.lit(flag_ratio)).alias("repetitive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # statistics & quality
 # ---------------------------------------------------------------------------

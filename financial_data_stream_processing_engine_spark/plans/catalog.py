@@ -93,6 +93,8 @@ _PRIORITY: list[str] = [
     "contamination_ngram_overlap",
     "mixture_sample_sources",
     "quota_per_lang",
+    "pii_redact_documents",
+    "text_repetition_stats",
     # behavior-relevant code changed this round (moving_average
     # uniqueness guard; MinHash hash family; connected_components
     # convergence guard) — old rows no longer count, re-earn now
@@ -105,9 +107,7 @@ _PRIORITY: list[str] = [
     # new this round: baseline-JPEG codec roundtrip
     "multimodal_jpeg_roundtrip",
     # round-1-era entries, unchanged since r1, refreshing their rows
-    "agg_argminmax_bool_bit",
     "agg_distinct_stats",
-    "agg_percentiles",
     "agg_salted_skew",
     "agg_variance_exact",
     "array_functions_documents",
@@ -152,6 +152,8 @@ _PRIORITY: list[str] = [
     "sample_hash_deterministic",
     "scalar_subquery_max_order",
     "json_extract_props",
+    "agg_argminmax_bool_bit",
+    "agg_percentiles",
 ]
 
 

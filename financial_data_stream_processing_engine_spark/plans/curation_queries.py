@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from financial_data_stream_processing_engine_spark.io_utils import load_table
-from financial_data_stream_processing_engine_spark.operators import curation
+from financial_data_stream_processing_engine_spark.operators import curation, text
 from financial_data_stream_processing_engine_spark.operators.curation import pack_sequences_sql
 from financial_data_stream_processing_engine_spark.plans.catalog import register
 
@@ -109,6 +109,90 @@ def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py::mixture_sample)."""
     docs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
     return curation.mixture_sample(docs, {"src0": 8, "src1": 4, "src2": 1})
+
+
+#: deterministic PII synthesis shared by the Spark entry and the oracle
+#: (the fixture corpus is PII-free word salad, so the entry plants
+#: known literals in-plan — the redactor itself never special-cases)
+_PII_SUFFIX_SQL = """CASE
+  WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com via 10.0.0.7'
+  WHEN doc_id % 5 = 1 THEN ' call +1-555-123-4567'
+  ELSE '' END"""
+
+
+def _pii_redact_sql() -> str:
+    x = f"(text || {_PII_SUFFIX_SQL})"
+    counts = ",\n       ".join(
+        f"CAST(LEN(REGEXP_EXTRACT_ALL({x}, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    red = x
+    for _, pat, repl in text.PII_PATTERNS:
+        red = f"REGEXP_REPLACE({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       {counts},
+       {red} AS text_redacted
+FROM documents
+"""
+
+
+@register("pii_redact_documents", sql=_pii_redact_sql())
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: plant deterministic email/phone/IP literals on a
+    slice of the corpus in-plan, then redact with the shared
+    Java∩RE2 patterns and count hits per category.  Pure regexp
+    expressions, no shuffle (operators/text.py::redact_pii)."""
+    docs = _docs(spark, sf_dir)
+    suffix = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via 10.0.0.7"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.lit(" call +1-555-123-4567"))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    out = text.redact_pii(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        "text_redacted",
+    )
+
+
+@register(
+    "text_repetition_stats",
+    sql="""
+WITH ng AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1)),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))) AS g
+  FROM documents),
+pg AS (SELECT doc_id, g, COUNT(*) AS c FROM ng GROUP BY doc_id, g),
+pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+              CAST(MAX(c) AS BIGINT) AS top_ngram_count
+       FROM pg GROUP BY doc_id)
+SELECT doc_id, n_ngrams, top_ngram_count,
+       CAST(top_ngram_count AS DOUBLE) / n_ngrams AS repetition_ratio,
+       CAST(top_ngram_count AS DOUBLE) / n_ngrams >= 0.1 AS repetitive
+FROM pd
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/looping detector: share of each doc's 3-gram
+    multiset taken by its most frequent 3-gram
+    (operators/text.py::repetition_stats)."""
+    return text.repetition_stats(_docs(spark, sf_dir), n=3, flag_ratio=0.1)
 
 
 @register(

@@ -107,6 +107,42 @@ def test_mixture_sample_rates_and_unlisted_drop(spark):
     assert none_kept.count() == 0
 
 
+def test_redact_pii_counts_and_placeholders(spark):
+    from financial_data_stream_processing_engine_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or 10.0.0.1 thanks"),
+            (2, "call +44-123-4567 and 555-123-4567"),
+            (3, "nothing to see"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_ipv4) == (1, 1)
+    assert "<EMAIL>" in out[1].text_redacted and "<IP>" in out[1].text_redacted
+    assert "a.b+c@test.org" not in out[1].text_redacted
+    assert out[2].n_phone == 2 and out[2].text_redacted.count("<PHONE>") == 2
+    assert out[3].text_redacted == "nothing to see"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    from financial_data_stream_processing_engine_spark.operators.text import (
+        repetition_stats,
+    )
+
+    looping = " ".join(["spam ham"] * 10)         # 'ham spam ham' repeats
+    varied = " ".join(f"w{i}" for i in range(20))  # all 3-grams unique
+    df = spark.createDataFrame(
+        [(1, looping), (2, varied)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, flag_ratio=0.3).collect()}
+    assert out[1].repetitive and out[1].top_ngram_count >= 9
+    assert not out[2].repetitive and out[2].top_ngram_count == 1
+    assert out[2].n_ngrams == 18
+
+
 def test_quota_cap_deterministic(spark):
     rows = [(i, "x", "s", "en" if i < 30 else "de") for i in range(50)]
     df = _docs(spark, rows)
