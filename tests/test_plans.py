@@ -101,3 +101,36 @@ def test_quantize_and_token_counts_stay_jvm_side(spark, sf_dir, queries):
         plan = plan_of(queries, name, spark, sf_dir)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name  # pure built-ins, no UDF at all
+
+
+def test_curation_map_only_ops_have_no_exchange(spark, sf_dir, queries):
+    # chunking, mixture sampling and PII redaction are per-row — any
+    # Exchange in these plans is a regression to a shuffle
+    for name in ("chunk_documents", "mixture_sample_sources", "pii_redact_documents"):
+        plan = plan_of(queries, name, spark, sf_dir)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_contamination_probe_set_broadcasts(spark, sf_dir, queries):
+    plan = plan_of(queries, "contamination_ngram_overlap", spark, sf_dir)
+    # the benchmark probe side must broadcast; the corpus side must
+    # never shuffle-join against it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_packing_shuffles_once_on_the_group_key(spark, sf_dir, queries):
+    plan = plan_of(queries, "pack_sequences", spark, sf_dir)
+    # one hash exchange feeding the grouped-map packer, nothing more
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan  # the greedy walk itself
+
+
+def test_ivf_topk_prunes_to_probed_cells(spark, sf_dir, queries):
+    plan = plan_of(queries, "similarity_ivf_topk", spark, sf_dir)
+    # final ranking must stay top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
