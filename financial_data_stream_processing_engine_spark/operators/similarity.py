@@ -269,6 +269,59 @@ def ivf_search(
     return cosine_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def multiquery_ivf_topk(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Batched ANN: top-``k`` per query for a whole query BATCH in one
+    plan — the retrieval-eval shape (N queries × corpus), not N driver
+    loops.
+
+    Plan: rank centroids per query (tiny: Q×cells, broadcast
+    centroids), keep ``nprobe`` cells per query, then join the corpus
+    to the probed (query, cell) pairs ON THE CELL KEY with the probe
+    side broadcast — the corpus is touched once and only rows in
+    probed cells are scored; a query batch never replicates the
+    corpus.  Final per-query top-k via one window.  Over a persisted
+    IVF index (``save_ivf_index``) the cell join becomes partition
+    pruning.  Returns (query_id, id, cos, rank).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(F.col("centroid"), F.col("__qvec"))
+    )
+    wp = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        scored.withColumn("__rk", F.row_number().over(wp))
+        .filter(F.col("__rk") <= nprobe)
+        .select("__qid", "__qvec", F.col("centroid_id").alias(cell_col))
+    )
+    cand = corpus_with_cells.join(F.broadcast(probes), cell_col).withColumn(
+        "cos", cosine(F.col(vec_col), F.col("__qvec"))
+    )
+    wk = Window.partitionBy("__qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col), id_col, "cos", "rank"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF index lifecycle (build once, query many)
 # ---------------------------------------------------------------------------

@@ -104,13 +104,13 @@ _PRIORITY: list[str] = [
     "dedup_cluster_canonical",
     "dedup_simhash",
     "similarity_ivf_topk",
-    # new this round: baseline-JPEG codec roundtrip
+    # new this round: baseline-JPEG codec roundtrip + batched ANN
     "multimodal_jpeg_roundtrip",
+    "similarity_multiquery_ivf_topk",
     # round-1-era entries, unchanged since r1, refreshing their rows
     "agg_distinct_stats",
     "agg_salted_skew",
     "agg_variance_exact",
-    "array_functions_documents",
     "clean_filter",
     "grouping_sets_events",
     "join_anti_no_big_order",
@@ -154,6 +154,7 @@ _PRIORITY: list[str] = [
     "json_extract_props",
     "agg_argminmax_bool_bit",
     "agg_percentiles",
+    "array_functions_documents",
 ]
 
 

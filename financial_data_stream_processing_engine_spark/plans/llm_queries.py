@@ -382,6 +382,71 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: batched-ANN twin of _IVF_SQL: same centroid/assignment pipeline, ten
+#: query vectors (vec_id < 10), nprobe=2 cells per query, top-5 each.
+_MULTIQUERY_IVF_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+dim AS (
+  SELECT label, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings),
+cm AS (
+  SELECT label AS centroid_id, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM dim GROUP BY label, pos),
+cent AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM cm GROUP BY centroid_id),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent c),
+best AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM assign) WHERE rk = 1),
+probe AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.query_id, q.qvec, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='c.centroid', b='q.qvec')} DESC,
+                      c.centroid_id) AS rk
+    FROM q CROSS JOIN cent c) WHERE rk <= 2),
+cand AS (
+  SELECT p.query_id, b.vec_id,
+         {_COS.format(a='b.embedding', b='p.qvec')} AS cos
+  FROM best b JOIN probe p ON b.cell = p.cell)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM cand) WHERE rank <= 5
+"""
+
+
+@register("similarity_multiquery_ivf_topk", sql=_MULTIQUERY_IVF_SQL)
+def similarity_multiquery_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN retrieval: top-5 per query for a 10-query batch in
+    ONE plan (probe cells per query, corpus joined once on the cell
+    key with the tiny probe side broadcast).  Oracle: the full pipeline
+    rebuilt in DuckDB, bit-exact on the actual result rows — the
+    retrieval-eval shape a training pipeline runs nightly
+    (operators/similarity.py::multiquery_ivf_topk)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    return similarity.multiquery_ivf_topk(
+        with_cells, centroids, queries, k=5, nprobe=2,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 # ---------------------------------------------------------------------------

@@ -134,3 +134,15 @@ def test_ivf_topk_prunes_to_probed_cells(spark, sf_dir, queries):
     # final ranking must stay top-k, never a global sort
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multiquery_ann_broadcasts_probes_not_corpus(spark, sf_dir, queries):
+    plan = plan_of(queries, "similarity_multiquery_ivf_topk", spark, sf_dir)
+    # the corpus joins the tiny (query, cell) probe side as a broadcast
+    # hash join on the cell key — a sort-merge join here means the
+    # corpus got shuffled per query batch
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # per-query top-k is a WindowGroupLimit, not a full sort + filter
+    assert "WindowGroupLimit" in plan
