@@ -247,6 +247,52 @@ def mixture_sample(
     return df.filter(nib < quota)
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str = "quality_score",
+    token_col: str = "n_tokens",
+    buckets: int = 100,
+) -> DataFrame:
+    """Budget-bounded corpus selection: keep the highest-quality
+    documents whose total tokens fit ``budget``, by quality-histogram
+    threshold rather than a global sort.
+
+    The naive form — order the whole corpus by quality and cut at the
+    running-token-sum boundary — needs a cumulative window over one
+    global ordering: a single reducer at 100 TB.  The scale form here:
+    (1) histogram pass: sum tokens per quality bucket (``buckets``
+    cells — map-side combinable, tiny result); (2) walk the histogram
+    from the top and keep every whole bucket that still fits (the
+    cumulative window runs over ≤``buckets`` rows, not the corpus);
+    (3) semi-join the corpus against the broadcast keep-set.  The
+    selection under-fills by at most one bucket's tokens (granularity
+    1/``buckets`` of the quality range) — the documented trade for
+    never serializing the corpus through one task.
+
+    Returns the kept rows with their ``bucket`` attached.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.greatest(
+        F.least(
+            F.floor(F.col(quality_col) * buckets).cast("int"), F.lit(buckets - 1)
+        ),
+        F.lit(0),
+    )
+    with_b = df.withColumn("bucket", bucket)
+    hist = with_b.groupBy("bucket").agg(F.sum(token_col).alias("__toks"))
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    keep = (
+        hist.withColumn("__cum", F.sum("__toks").over(w))
+        .filter(F.col("__cum") <= budget)
+        .select("bucket")
+    )
+    return with_b.join(F.broadcast(keep), "bucket", "left_semi")
+
+
 def quota_cap(
     df: DataFrame,
     per_group: int,

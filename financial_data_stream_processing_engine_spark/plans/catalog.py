@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "quota_per_lang",
     "pii_redact_documents",
     "text_repetition_stats",
+    "corpus_select_token_budget",
     # behavior-relevant code changed this round (moving_average
     # uniqueness guard; MinHash hash family; connected_components
     # convergence guard) — old rows no longer count, re-earn now
@@ -112,7 +113,6 @@ _PRIORITY: list[str] = [
     "agg_salted_skew",
     "agg_variance_exact",
     "clean_filter",
-    "grouping_sets_events",
     "join_anti_no_big_order",
     "join_asof_last_purchase",
     "join_left_customer_orders",
@@ -155,6 +155,7 @@ _PRIORITY: list[str] = [
     "agg_argminmax_bool_bit",
     "agg_percentiles",
     "array_functions_documents",
+    "grouping_sets_events",
 ]
 
 

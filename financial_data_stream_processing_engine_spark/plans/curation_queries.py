@@ -196,6 +196,53 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_select_token_budget",
+    sql=r"""
+WITH t AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_unique,
+         LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS n_punct,
+         LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS n_digit
+  FROM documents),
+qq AS (
+  SELECT doc_id, n_tokens,
+         (LEAST(n_tokens / 20.0, 1.0)
+          + n_unique / n_tokens
+          + GREATEST(0.0, 1.0 - 4 * (CAST(n_punct AS DOUBLE) / n_chars
+                                     + CAST(n_digit AS DOUBLE) / n_chars))) / 3.0
+           AS qs
+  FROM t),
+b AS (
+  SELECT doc_id, n_tokens,
+         GREATEST(LEAST(CAST(FLOOR(qs * 100) AS INT), 99), 0) AS bucket
+  FROM qq),
+h AS (SELECT bucket, SUM(n_tokens) AS toks FROM b GROUP BY bucket),
+c AS (
+  SELECT bucket,
+         SUM(toks) OVER (
+           ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h)
+SELECT CAST(b.bucket AS INT) AS bucket, b.doc_id, b.n_tokens
+FROM b JOIN c ON b.bucket = c.bucket
+WHERE c.cum <= 8000
+""",
+)
+def corpus_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-bounded selection: highest-quality docs whose tokens fit
+    an 8000-token budget, by quality-histogram threshold — two
+    map-side-combinable passes + a broadcast keep-set, never a global
+    sort (operators/curation.py::select_token_budget)."""
+    docs = text.with_text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    kept = curation.select_token_budget(docs, budget=8000)
+    return kept.select("bucket", "doc_id", "n_tokens")
+
+
+@register(
     "quota_per_lang",
     sql="""
 WITH r AS (

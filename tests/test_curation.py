@@ -143,6 +143,23 @@ def test_repetition_stats_flags_looping_text(spark):
     assert out[2].n_ngrams == 18
 
 
+def test_select_token_budget_keeps_whole_top_buckets(spark):
+    # quality 0.95 bucket: 3000 tokens; 0.85: 4000; 0.75: 3000
+    rows = (
+        [(i, 1000, 0.95) for i in range(3)]
+        + [(10 + i, 1000, 0.85) for i in range(4)]
+        + [(20 + i, 1000, 0.75) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality_score double")
+    kept = curation.select_token_budget(df, budget=7500).collect()
+    # 95-bucket (3000) + 85-bucket (4000) fit; adding the 75-bucket
+    # (3000 more) would blow the budget -> whole-bucket under-fill
+    assert sorted(r.doc_id for r in kept) == [0, 1, 2, 10, 11, 12, 13]
+    assert {r.bucket for r in kept} == {95, 85}
+    # a budget below the top bucket keeps nothing (never partial buckets)
+    assert curation.select_token_budget(df, budget=2000).count() == 0
+
+
 def test_quota_cap_deterministic(spark):
     rows = [(i, "x", "s", "en" if i < 30 else "de") for i in range(50)]
     df = _docs(spark, rows)
