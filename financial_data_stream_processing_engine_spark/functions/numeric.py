@@ -49,6 +49,46 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,7))) AS DOUBLE)"
 
 
+#: Quantized-integer accumulation for FULL-PRECISION doubles (ratios,
+#: returns, means produced by division).  The DECIMAL route above is
+#: only cross-engine exact when the doubles carry few significant
+#: decimal digits: rounding an arbitrary 17-digit double at a decimal
+#: scale is engine-dependent at the last ulp (Spark converts via the
+#: shortest decimal representation, DuckDB via a double multiply by
+#: 10^scale).  The deterministic alternative: quantize each addend to
+#: an integer grid with ``FLOOR(x * 10^q)`` — the multiply and floor
+#: are single IEEE operations, identical everywhere — then sum the
+#: resulting integers EXACTLY (decimal(38,0) ≡ int128 underneath) and
+#: rescale by ``10^-q`` in double at the very end (integer→double
+#: conversion is correctly rounded in both engines).  The statistic is
+#: thereby *defined* on the 10^-q grid: documented, deterministic at
+#: any parallelism, and engine-independent.
+QSCALE = 9  # 1e-9 grid: far below any financially meaningful digit
+
+
+def qint(col: Column | str, q: int = QSCALE) -> Column:
+    """``floor(x·10^q)`` as an exact decimal(38,0) integer addend."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(float(10**q))).cast("decimal(38,0)")
+
+
+def qint_sql(expr: str, q: int = QSCALE) -> str:
+    """DuckDB spelling of :func:`qint` (HUGEINT ≡ the exact-int role)."""
+    return f"CAST(FLOOR(({expr}) * {float(10 ** q)!r}) AS HUGEINT)"
+
+
+def qcast_sql(sum_expr: str) -> str:
+    """Correctly-rounded HUGEINT→DOUBLE for oracle SQL.
+
+    DuckDB's direct int128→double cast computes ``upper·2⁶⁴ + lower``
+    in double arithmetic — two roundings, so sums above 2⁵³ can land
+    one ulp away from Spark's correctly-rounded decimal→double.  The
+    VARCHAR bridge forces a correctly-rounded string→double parse
+    (fast_float), matching Spark bit-for-bit at any magnitude.
+    """
+    return f"CAST(CAST(({sum_expr}) AS VARCHAR) AS DOUBLE)"
+
+
 def davg_sql(expr: str) -> str:
     """DuckDB spelling of :func:`davg`."""
     return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(27,7))) AS DOUBLE) / COUNT({expr}))"

@@ -1,0 +1,383 @@
+"""Financial time-series analytics operators.
+
+The reference engine's whole domain is financial tick streams
+(financial_engine.py:1-30: AlphaVantage quotes, tick dicts with
+symbol/price/volume/timestamp), yet its only analytic is the row-count
+moving average (financial_engine.py:285-311).  This module supplies the
+analytics a user of a "Financial Data Stream Processing Engine"
+actually runs over that tick schema — OHLC candles, VWAP, volatility,
+Bollinger bands, RSI, drawdown, cross-symbol correlation — each
+expressed as declarative DataFrame plans (window frames + one
+aggregation shuffle) so Catalyst keeps them in whole-stage codegen.
+
+Determinism contract (what makes these DuckDB-oracle-comparable and
+bit-reproducible at any parallelism):
+
+* Sums of "nice-decimal" doubles (prices, price deltas) go through
+  exact DECIMAL accumulation (``functions.numeric.dsum``); sums of
+  full-precision doubles (returns, bucketed means) go through
+  quantized-integer accumulation (``functions.numeric.qint``) — both
+  order-independent AND engine-independent.
+* Everything after the sums is straight-line IEEE double arithmetic
+  (divide, multiply, sqrt are correctly rounded and deterministic).
+* Row-order-sensitive picks (bar open/close, drawdown trough) order by
+  the event timestamp; ``ts`` must be unique per key — true for tick
+  feeds with exchange sequence time, asserted by the fixture.
+
+Scale notes per operator are in each docstring; the common shape is
+"one partial+final aggregation keyed by (symbol[, bucket])" — the
+same shuffle profile as TPC-H Q1, linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from financial_data_stream_processing_engine_spark.functions.numeric import (
+    DECIMAL,
+    dsum,
+    qint,
+)
+
+#: descale factors for quantized-integer sums (see numeric.QSCALE):
+#: first moments carry one 1e-9 grid factor, second moments two.
+_Q1 = 1e-09
+_Q2 = 1e-18
+
+
+def ticks_from_events(events: DataFrame) -> DataFrame:
+    """Project the driver's ``events`` table onto the reference tick
+    schema: ``user_id`` → symbol, ``value`` → price, ``props.$.k`` →
+    volume (the one numeric payload field the fixture carries).
+
+    Pure projection — column-pruned and pushed into the parquet scan.
+    """
+    return events.select(
+        F.col("event_id"),
+        F.col("user_id").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("volume"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    bucket: str = "1 day",
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+    volume: str | None = "volume",
+) -> DataFrame:
+    """Tumbling OHLC(V) candles per key: open/close are the prices at
+    the min/max timestamp inside the bar (``min_by``/``max_by`` —
+    declarative, codegen'd, no window shuffle), high/low are plain
+    extrema, volume an exact integer sum.
+
+    One aggregation keyed by (symbol, bar) — partial aggregation
+    combines map-side, so the shuffle carries one row per (symbol,
+    bar) per task regardless of tick count.  Linear at 100 TB.
+    """
+    aggs = [
+        F.min_by(price, ts_col).alias("open"),
+        F.max(price).alias("high"),
+        F.min(price).alias("low"),
+        F.max_by(price, ts_col).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+    ]
+    if volume is not None:
+        aggs.append(F.sum(volume).alias("volume"))
+    return (
+        df.groupBy(F.col(key), F.window(ts_col, bucket).alias("win"))
+        .agg(*aggs)
+        .select(
+            key,
+            F.col("win.start").alias("bar_start"),
+            *[c for c in ("open", "high", "low", "close", "n_trades")],
+            *([F.col("volume")] if volume is not None else []),
+        )
+    )
+
+
+def vwap(
+    df: DataFrame,
+    bucket: str = "1 day",
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+    volume: str = "volume",
+) -> DataFrame:
+    """Volume-weighted average price per (key, bucket):
+    ``Σ(price·volume) / Σ(volume)`` with a decimal-exact numerator.
+
+    Same single-aggregation shuffle profile as :func:`ohlc_bars`.
+    """
+    pv = F.col(price) * F.col(volume)
+    return (
+        df.groupBy(F.col(key), F.window(ts_col, bucket).alias("win"))
+        .agg(
+            F.try_divide(dsum(pv), F.sum(volume)).alias("vwap"),
+            F.sum(volume).alias("total_volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            key,
+            F.col("win.start").alias("bar_start"),
+            "vwap",
+            "total_volume",
+            "n_trades",
+        )
+    )
+
+
+def _returns(df: DataFrame, key: str, ts_col: str, price: str) -> DataFrame:
+    """Per-key arithmetic returns ``(p_t - p_{t-1}) / p_{t-1}`` between
+    consecutive ticks.  Arithmetic (not log) returns on purpose: the
+    division of two doubles is IEEE-deterministic in every engine,
+    whereas ``ln`` may differ in the last ulp between libm builds —
+    which would break cross-engine bitwise comparison.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    prev = F.lag(price).over(w)
+    return df.select(
+        key,
+        ts_col,
+        F.col(price),
+        ((F.col(price) - prev) / prev).alias("r"),
+    ).where(F.col("r").isNotNull())
+
+
+def volatility(
+    df: DataFrame,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Per-key tick-to-tick return volatility (sample stddev of
+    arithmetic returns) via the sufficient-statistics identity
+    ``var = (Σr² − (Σr)²/n) / (n−1)``.
+
+    Returns are full-precision doubles (they come from a division), so
+    the moments use quantized-integer accumulation (numeric.qint): each
+    return lands on the 1e-9 grid, Σ and Σ² are exact int128-backed
+    decimals, and the descale back to double happens once at the end —
+    bit-reproducible at any parallelism AND across engines.
+
+    Two shuffles total: the lag window (keyed by symbol) and the final
+    aggregation (same key — Catalyst reuses the partitioning, so the
+    agg is shuffle-free after the window).  At 100 TB this is the
+    canonical "sessionize then aggregate" shape.
+    """
+    r = _returns(df, key, ts_col, price).select(key, qint("r").alias("q"))
+    n = F.count("q")
+    sx = F.sum("q").cast("double") * F.lit(_Q1)
+    sxx = F.sum(F.col("q") * F.col("q")).cast("double") * F.lit(_Q2)
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    return (
+        r.groupBy(key)
+        .agg(
+            n.alias("n_returns"),
+            (sx / n).alias("mean_return"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("volatility"),
+        )
+        .where(F.col("n_returns") >= 2)
+    )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    n: int = 20,
+    k: float = 2.0,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Bollinger bands: trailing ``n``-tick moving average ± ``k``·σ,
+    emitted only once the frame is full (no partial-window rows).
+
+    One window shuffle keyed by symbol; the three frame aggregates
+    (count, Σx, Σx²) share a single window frame so Spark evaluates
+    them in one pass.  Prices (and hence their squares) carry few
+    significant decimal digits, so plain DECIMAL(27,7) accumulation is
+    cross-engine exact here — no quantization needed.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    cnt = F.count(price).over(w)
+    sx = F.sum(F.col(price).cast(DECIMAL)).over(w).cast("double")
+    sxx = (
+        F.sum((F.col(price) * F.col(price)).cast(DECIMAL)).over(w).cast("double")
+    )
+    ma = sx / F.lit(float(n))
+    var = (sxx - sx * sx / F.lit(float(n))) / F.lit(float(n - 1))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        df.select(
+            "event_id",
+            key,
+            ts_col,
+            F.col(price),
+            cnt.alias("_cnt"),
+            ma.alias("ma"),
+            sd.alias("sd"),
+        )
+        .where(F.col("_cnt") == n)
+        .select(
+            "event_id",
+            key,
+            ts_col,
+            price,
+            "ma",
+            "sd",
+            (F.col("ma") + F.lit(float(k)) * F.col("sd")).alias("upper_band"),
+            (F.col("ma") - F.lit(float(k)) * F.col("sd")).alias("lower_band"),
+        )
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Per-key maximum drawdown ``max((peak − p) / peak)`` where peak is
+    the running maximum, plus the timestamp of the (earliest) trough
+    that realizes it.
+
+    Running max is order-independent-safe (max of doubles is exact);
+    the trough pick uses ``min_by(ts, ...)`` over rows at the maximal
+    drawdown — ties on the drawdown value resolve to the earliest
+    trough, deterministically, in both engines.  One window shuffle +
+    one same-key aggregation.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    peak = F.max(price).over(w)
+    dd = (peak - F.col(price)) / peak
+    per_row = df.select(key, ts_col, dd.alias("dd"))
+    wk = Window.partitionBy(key)
+    mx = F.max("dd").over(wk)
+    return (
+        per_row.withColumn("_mx", mx)
+        .where(F.col("dd") == F.col("_mx"))
+        .groupBy(key)
+        .agg(
+            F.max("dd").alias("max_drawdown"),
+            F.min(ts_col).alias("trough_ts"),
+        )
+    )
+
+
+def rsi(
+    df: DataFrame,
+    n: int = 14,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Cutler's RSI: 100 − 100/(1 + SMA(gains,n)/SMA(losses,n)) over
+    the trailing ``n`` price deltas, emitted once the frame is full.
+
+    Cutler's (simple-MA) variant on purpose: Wilder's smoothing is a
+    recurrence (use ``operators.core.ewma`` for that family); the SMA
+    form stays a pure window frame — SQL-expressible, so the oracle
+    can recompute it exactly.  All-loss frames define RSI = 0,
+    all-gain frames RSI = 100 (the conventional limits).
+    """
+    wlag = Window.partitionBy(key).orderBy(ts_col)
+    delta = F.col(price) - F.lag(price).over(wlag)
+    deltas = df.select(
+        "event_id", key, ts_col, delta.alias("delta")
+    ).where(F.col("delta").isNotNull())
+    wf = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    gain = F.greatest(F.col("delta"), F.lit(0.0))
+    loss = F.greatest(-F.col("delta"), F.lit(0.0))
+    cnt = F.count("delta").over(wf)
+    ag = F.sum(gain.cast(DECIMAL)).over(wf).cast("double") / F.lit(float(n))
+    al = F.sum(loss.cast(DECIMAL)).over(wf).cast("double") / F.lit(float(n))
+    rsi_col = (
+        F.when((F.col("_ag") == 0.0) & (F.col("_al") == 0.0), F.lit(50.0))
+        .when(F.col("_al") == 0.0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("_ag") / F.col("_al"))
+        )
+    )
+    return (
+        deltas.select(
+            "event_id",
+            key,
+            ts_col,
+            cnt.alias("_cnt"),
+            ag.alias("_ag"),
+            al.alias("_al"),
+        )
+        .where(F.col("_cnt") == n)
+        .select(
+            "event_id",
+            key,
+            ts_col,
+            F.col("_ag").alias("avg_gain"),
+            F.col("_al").alias("avg_loss"),
+            rsi_col.alias("rsi"),
+        )
+    )
+
+
+def pairwise_correlation(
+    df: DataFrame,
+    bucket: str = "1 day",
+    min_periods: int = 20,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Pearson correlation of bucketed mean prices for every symbol
+    pair sharing ≥ ``min_periods`` buckets.
+
+    Plan: (1) aggregate to one row per (symbol, bucket) — this is the
+    scale squeeze: 100 TB of ticks become |symbols|×|buckets| rows;
+    (2) self-join on bucket with ``s1 < s2``; (3) aggregate the five
+    sufficient statistics (Σx Σy Σxy Σx² Σy²) per pair over the
+    1e-9-quantized means (numeric.qint — bucketed means are
+    full-precision doubles) and finish with straight-line double
+    arithmetic.
+
+    The join is keyed on the bucket (≤ a few thousand distinct values)
+    — fine after step 1's reduction; the pair matrix is O(S²·B), so at
+    very large symbol universes you'd block the matrix (pivot to
+    per-bucket vectors + a blocked outer product).  Documented bound,
+    not a silent cap.
+    """
+    daily = (
+        df.groupBy(F.col(key), F.window(ts_col, bucket).alias("win"))
+        .agg(F.try_divide(dsum(price), F.count(price)).alias("px"))
+        .select(key, F.col("win.start").alias("bucket"), "px")
+    )
+    a = daily.select(
+        F.col(key).alias("s1"), F.col("bucket"), qint("px").alias("qx")
+    )
+    b = daily.select(
+        F.col(key).alias("s2"), F.col("bucket"), qint("px").alias("qy")
+    )
+    joined = a.join(b, on="bucket").where(F.col("s1") < F.col("s2"))
+    n = F.count(F.lit(1))
+    sx = F.sum("qx").cast("double") * F.lit(_Q1)
+    sy = F.sum("qy").cast("double") * F.lit(_Q1)
+    sxy = F.sum(F.col("qx") * F.col("qy")).cast("double") * F.lit(_Q2)
+    sxx = F.sum(F.col("qx") * F.col("qx")).cast("double") * F.lit(_Q2)
+    syy = F.sum(F.col("qy") * F.col("qy")).cast("double") * F.lit(_Q2)
+    cov = sxy - sx * sy / n
+    denom = F.sqrt(
+        F.greatest(sxx - sx * sx / n, F.lit(0.0))
+        * F.greatest(syy - sy * sy / n, F.lit(0.0))
+    )
+    return (
+        joined.groupBy("s1", "s2")
+        .agg(
+            n.alias("n_buckets"),
+            F.try_divide(cov, F.nullif(denom, F.lit(0.0))).alias("corr"),
+        )
+        .where(F.col("n_buckets") >= min_periods)
+    )

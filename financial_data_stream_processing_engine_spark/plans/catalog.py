@@ -108,6 +108,17 @@ _PRIORITY: list[str] = [
     # new this round: baseline-JPEG codec roundtrip + batched ANN
     "multimodal_jpeg_roundtrip",
     "similarity_multiquery_ivf_topk",
+    # new this round: financial-analytics family (the reference's
+    # domain — candles, VWAP, volatility, bands, RSI, drawdown,
+    # cross-symbol correlation, streaming candles)
+    "fin_ohlc_daily",
+    "fin_vwap_daily",
+    "fin_volatility",
+    "fin_bollinger_bands",
+    "fin_max_drawdown",
+    "fin_rsi_cutler",
+    "fin_pairwise_correlation",
+    "streaming_fin_ohlc",
     # round-1-era entries, unchanged since r1, refreshing their rows
     "agg_distinct_stats",
     "agg_salted_skew",
@@ -121,6 +132,10 @@ _PRIORITY: list[str] = [
     "join_star_revenue_by_region",
     "tpch_q1_pricing_summary",
     "tpch_q3_like_shipping_priority",
+    # --- driver check window boundary (first 50 above) ---
+    # r1-green entries displaced by the finance family this round;
+    # their r1 rows stand (code unchanged since r1) and current-code
+    # verification lives in tools/freshness_ledger.json
     "tpch_q5_like_regional_volume",
     "udtf_ngrams",
     "window_distribution_funcs",
@@ -129,7 +144,6 @@ _PRIORITY: list[str] = [
     "window_rank_orders",
     "window_running_totals",
     "window_topk_per_group",
-    # --- driver check window boundary (first 50 above) ---
     # r1-green entries yielding their slots this round: simple scalar /
     # set / reshape shapes whose code is unchanged since r1 and whose
     # current-code verification lives in tools/freshness_ledger.json
@@ -169,6 +183,7 @@ def load_all() -> None:
         llm_queries,
         streaming_queries,
         curation_queries,
+        finance_queries,
     )
 
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

@@ -1,0 +1,252 @@
+"""Catalog entries: financial time-series analytics over the events
+table viewed as a tick stream (user_id → symbol, value → price,
+props.$.k → volume) — the analytics family the reference's domain
+implies but never implements beyond one moving average
+(financial_engine.py:285-311).
+
+Every oracle recomputes the full formula in DuckDB; cross-engine
+bitwise agreement comes from the decimal-exact accumulation strategy
+(functions/numeric.py) plus straight-line IEEE double arithmetic for
+everything after the sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from financial_data_stream_processing_engine_spark.functions.numeric import (
+    dsum_sql,
+    qcast_sql,
+    qint_sql,
+)
+from financial_data_stream_processing_engine_spark.io_utils import load_table
+from financial_data_stream_processing_engine_spark.operators import finance
+from financial_data_stream_processing_engine_spark.plans.catalog import register
+
+#: the tick-view projection of events, spelled once for the oracles
+_TICKS_SQL = """
+  SELECT event_id,
+         user_id AS symbol,
+         ts,
+         value AS price,
+         CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS volume
+  FROM events
+"""
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return finance.ticks_from_events(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "fin_ohlc_daily",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL})
+SELECT symbol,
+       time_bucket(INTERVAL '1 day', ts) AS bar_start,
+       arg_min(price, ts) AS "open",
+       MAX(price) AS high,
+       MIN(price) AS low,
+       arg_max(price, ts) AS "close",
+       COUNT(*) AS n_trades,
+       CAST(SUM(volume) AS BIGINT) AS volume
+FROM ticks
+GROUP BY 1, 2
+""",
+)
+def fin_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLCV candles per symbol — one partial+final aggregation,
+    open/close via declarative min_by/max_by on the (unique) tick
+    timestamp (operators/finance.py::ohlc_bars)."""
+    return finance.ohlc_bars(_ticks(spark, sf_dir), bucket="1 day")
+
+
+@register(
+    "fin_vwap_daily",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL})
+SELECT symbol,
+       time_bucket(INTERVAL '1 day', ts) AS bar_start,
+       {dsum_sql('price * volume')} / SUM(volume) AS vwap,
+       CAST(SUM(volume) AS BIGINT) AS total_volume,
+       COUNT(*) AS n_trades
+FROM ticks
+GROUP BY 1, 2
+""",
+)
+def fin_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average price per symbol; decimal-exact
+    numerator over price·volume (operators/finance.py::vwap)."""
+    return finance.vwap(_ticks(spark, sf_dir), bucket="1 day")
+
+
+@register(
+    "fin_volatility",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+r AS (
+  SELECT symbol,
+         (price - LAG(price) OVER w) / LAG(price) OVER w AS r
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)),
+q AS (
+  SELECT symbol, {qint_sql('r')} AS q
+  FROM r WHERE r IS NOT NULL),
+agg AS (
+  SELECT symbol,
+         COUNT(*) AS n,
+         {qcast_sql('SUM(q)')} * {1e-09!r} AS sx,
+         {qcast_sql('SUM(q * q)')} * {1e-18!r} AS sxx
+  FROM q
+  GROUP BY symbol)
+SELECT symbol,
+       n AS n_returns,
+       sx / n AS mean_return,
+       SQRT(GREATEST((sxx - sx * sx / n) / (n - 1), 0.0)) AS volatility
+FROM agg
+WHERE n >= 2
+""",
+)
+def fin_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol tick-return volatility from quantized-integer
+    sufficient statistics (operators/finance.py::volatility).
+    Arithmetic — not log — returns, so every step is
+    IEEE-deterministic cross-engine."""
+    return finance.volatility(_ticks(spark, sf_dir))
+
+
+@register(
+    "fin_bollinger_bands",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+f AS (
+  SELECT event_id, symbol, ts, price,
+         COUNT(price) OVER w AS cnt,
+         CAST(SUM(CAST(price AS DECIMAL(27,7))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(price * price AS DECIMAL(27,7))) OVER w AS DOUBLE) AS sxx
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT event_id, symbol, ts, price,
+       sx / 20.0 AS ma,
+       SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0)) AS sd,
+       sx / 20.0 + 2.0 * SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0))
+         AS upper_band,
+       sx / 20.0 - 2.0 * SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0))
+         AS lower_band
+FROM f
+WHERE cnt = 20
+""",
+)
+def fin_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-tick Bollinger bands (MA ± 2σ) per symbol, full frames only
+    (operators/finance.py::bollinger_bands)."""
+    return finance.bollinger_bands(_ticks(spark, sf_dir), n=20, k=2.0)
+
+
+@register(
+    "fin_max_drawdown",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+p AS (
+  SELECT symbol, ts,
+         (MAX(price) OVER w - price) / MAX(price) OVER w AS dd
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT symbol, ts, dd, MAX(dd) OVER (PARTITION BY symbol) AS mx
+  FROM p)
+SELECT symbol,
+       MAX(dd) AS max_drawdown,
+       MIN(ts) AS trough_ts
+FROM m
+WHERE dd = mx
+GROUP BY symbol
+""",
+)
+def fin_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol maximum peak-to-trough drawdown with the earliest
+    realizing trough timestamp (operators/finance.py::max_drawdown)."""
+    return finance.max_drawdown(_ticks(spark, sf_dir))
+
+
+@register(
+    "fin_rsi_cutler",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+d AS (
+  SELECT event_id, symbol, ts,
+         price - LAG(price) OVER (PARTITION BY symbol ORDER BY ts) AS delta
+  FROM ticks),
+f AS (
+  SELECT event_id, symbol, ts,
+         COUNT(delta) OVER w AS cnt,
+         CAST(SUM(CAST(GREATEST(delta, 0.0) AS DECIMAL(27,7))) OVER w AS DOUBLE)
+           / 14.0 AS ag,
+         CAST(SUM(CAST(GREATEST(-delta, 0.0) AS DECIMAL(27,7))) OVER w AS DOUBLE)
+           / 14.0 AS al
+  FROM d
+  WHERE delta IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT event_id, symbol, ts,
+       ag AS avg_gain,
+       al AS avg_loss,
+       CASE WHEN ag = 0.0 AND al = 0.0 THEN 50.0
+            WHEN al = 0.0 THEN 100.0
+            ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+FROM f
+WHERE cnt = 14
+""",
+)
+def fin_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI(14) per symbol — SMA of gains/losses over a window
+    frame, the SQL-expressible RSI variant (operators/finance.py::rsi;
+    Wilder's recursive smoothing lives in the EWMA operator family)."""
+    return finance.rsi(_ticks(spark, sf_dir), n=14)
+
+
+@register(
+    "fin_pairwise_correlation",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+daily AS (
+  SELECT symbol,
+         time_bucket(INTERVAL '1 day', ts) AS bucket,
+         {dsum_sql('price')} / COUNT(price) AS px
+  FROM ticks
+  GROUP BY 1, 2),
+j AS (
+  SELECT a.symbol AS s1, b.symbol AS s2, a.qx AS qx, b.qx AS qy
+  FROM (SELECT symbol, bucket, {qint_sql('px')} AS qx FROM daily) a
+  JOIN (SELECT symbol, bucket, {qint_sql('px')} AS qx FROM daily) b
+    ON a.bucket = b.bucket AND a.symbol < b.symbol),
+agg AS (
+  SELECT s1, s2,
+         COUNT(*) AS n,
+         {qcast_sql('SUM(qx)')} * {1e-09!r} AS sx,
+         {qcast_sql('SUM(qy)')} * {1e-09!r} AS sy,
+         {qcast_sql('SUM(qx * qy)')} * {1e-18!r} AS sxy,
+         {qcast_sql('SUM(qx * qx)')} * {1e-18!r} AS sxx,
+         {qcast_sql('SUM(qy * qy)')} * {1e-18!r} AS syy
+  FROM j
+  GROUP BY 1, 2)
+SELECT s1, s2, n AS n_buckets,
+       (sxy - sx * sy / n)
+         / NULLIF(SQRT(GREATEST(sxx - sx * sx / n, 0.0)
+                       * GREATEST(syy - sy * sy / n, 0.0)), 0.0) AS corr
+FROM agg
+WHERE n >= 20
+""",
+)
+def fin_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of daily mean prices for every symbol pair
+    sharing ≥20 trading days (operators/finance.py::
+    pairwise_correlation).  Ticks collapse to (symbol, day) rows
+    BEFORE the pair join — the squeeze that keeps the O(S²·B) pair
+    matrix tractable; at very large symbol universes the documented
+    path is blocking the matrix, not this direct join."""
+    return finance.pairwise_correlation(
+        _ticks(spark, sf_dir), bucket="1 day", min_periods=20
+    )

@@ -313,3 +313,41 @@ def streaming_ewma_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").alias("value"),
         F.col("ewma"),
     )
+
+
+_STREAM_OHLC_SQL = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+       time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS win_end,
+       user_id AS symbol,
+       arg_min(value, ts) AS "open",
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ts) AS "close",
+       COUNT(*) AS n_trades
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("streaming_fin_ohlc", sql=_STREAM_OHLC_SQL)
+def streaming_fin_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles computed by the ACTUAL streaming path
+    (file stream → watermarked tumbling window with min_by/max_by
+    candle state → memory sink) — the streaming twin of the batch
+    ``fin_ohlc_daily`` entry, proving candle streaming/batch parity
+    bitwise against the DuckDB arg_min/arg_max oracle."""
+    stream = _event_tick_stream(spark, sf_dir)
+    agg = windows.ohlc_candles(
+        stream, key="symbol", price="price", window="1 day", watermark="1 hour"
+    )
+    result = _run(agg, spark, mode="complete")
+    return result.select(
+        "win_start",
+        "win_end",
+        F.col("symbol").cast("bigint").alias("symbol"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_trades",
+    )

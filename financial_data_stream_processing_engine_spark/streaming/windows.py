@@ -87,6 +87,47 @@ def sliding_mean(
     )
 
 
+def ohlc_candles(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "symbol",
+    price: str = "price",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key tumbling OHLC candles — the streaming twin of
+    ``operators.finance.ohlc_bars``.
+
+    ``min_by``/``max_by`` are declarative aggregates, so the candle
+    state Spark keeps per open window is four scalars — not the ticks
+    themselves; the watermark bounds how many windows stay open.  The
+    reference's domain (candlesticks from a live quote feed) with the
+    state-eviction semantics its unbounded dicts lack.
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("win"), F.col(key))
+        .agg(
+            F.min_by(price, ts_col).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, ts_col).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+        )
+    )
+
+
 def session_stats(
     df: DataFrame,
     ts_col: str = "ts",
