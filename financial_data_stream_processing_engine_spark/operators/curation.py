@@ -314,3 +314,89 @@ def quota_cap(
         .filter(F.col("__rk") <= per_group)
         .drop("__rk")
     )
+
+
+def train_split(
+    df: DataFrame,
+    valid_16ths: int = 1,
+    test_16ths: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment from the first md5
+    nibble of the id: nibbles ``[0, 16-valid-test)`` → train, the next
+    ``valid_16ths`` → valid, the top ``test_16ths`` → test.
+
+    Content-addressed (id-hash) splitting is what keeps the holdout
+    stable when the corpus is re-sharded, re-ordered, or incrementally
+    extended — exactly the property storage-order splits lose.  Pure
+    per-row projection: no shuffle, no RNG, reproducible everywhere.
+    """
+    nib = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    train_lim = 16 - valid_16ths - test_16ths
+    return df.withColumn(
+        "split",
+        F.when(nib < train_lim, F.lit("train"))
+        .when(nib < train_lim + valid_16ths, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def dedup_segments(
+    df: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment-level exact dedup (the CCNet/line-dedup shape): cut each
+    document into consecutive ``window``-token segments, drop every
+    repeated segment corpus-wide (survivor = smallest (doc, position)),
+    and reassemble the surviving text in original order.
+
+    Plan: explode to segments (map-only), one window shuffle keyed by
+    the segment TEXT for the survivor pick, then a groupBy(doc) with an
+    order-preserving ``array_agg`` to rebuild — linear, no self-join.
+    At 100 TB the segment-key shuffle dominates; hashing the segment to
+    a 128-bit md5 key (collision-safe) instead of shuffling raw text
+    would halve the shuffle bytes — kept as raw text here so the oracle
+    compares the semantics, not the hash.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    segs = (
+        df.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * window + 1, window), " "
+                    ),
+                )
+            ).alias("seg_idx", "seg_text"),
+        )
+    )
+    w = Window.partitionBy("seg_text").orderBy(id_col, "seg_idx")
+    kept = segs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("seg_idx", "seg_text"))
+            ).seg_text.alias("parts"),
+            " ",
+        ).alias("dedup_text"),
+    )
+    base = df.select(id_col, n_seg.alias("n_segments"))
+    return (
+        base.join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

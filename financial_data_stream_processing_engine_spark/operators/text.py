@@ -284,3 +284,53 @@ def with_fingerprints(df: DataFrame, text_col: str = "text", n: int = 3) -> Data
     return df.withColumn("md5_full", F.md5(normalized)).withColumn(
         "min_shingle_fp", F.array_min(F.transform(sh, lambda s: F.md5(s)))
     )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf term ranking
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf with a
+    RATIONAL idf: ``score = tf · (N / df)``.
+
+    The rational form (not ``tf·ln(N/df)``) on purpose: ``ln`` differs
+    in the last ulp between libm builds, breaking cross-engine bitwise
+    comparison, while ``N/df`` is one IEEE division.  Ranking order is
+    NOT identical to log-idf order when tf varies (the weighting is
+    steeper), which is acceptable for the keyword-extraction role and
+    is the documented semantic; ties break on the term text.
+
+    Plan: explode → tf groupBy (shuffle on (doc, term)) → df groupBy
+    (shuffle on term) → tf ⋈ broadcast(df) — document-frequency tables
+    are vocabulary-sized, so the join adds no shuffle — → per-doc
+    window top-k.  At 100 TB the vocabulary may outgrow a broadcast;
+    the fallback is a shuffle join on term, still linear.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        "doc_id", F.explode(tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -119,6 +119,10 @@ _PRIORITY: list[str] = [
     "fin_rsi_cutler",
     "fin_pairwise_correlation",
     "streaming_fin_ohlc",
+    # new this round: split/tf-idf/segment-dedup curation ops
+    "split_train_holdout",
+    "tfidf_top_terms",
+    "dedup_paragraph_exact",
     # round-1-era entries, unchanged since r1, refreshing their rows
     "agg_distinct_stats",
     "agg_salted_skew",
@@ -129,13 +133,13 @@ _PRIORITY: list[str] = [
     "join_left_customer_orders",
     "join_range_price_bands",
     "join_semi_active_customers",
+    # --- driver check window boundary (first 50 above) ---
+    # r1-green entries displaced by the finance + curation additions
+    # this round; their r1 rows stand (code unchanged since r1) and
+    # current-code verification lives in tools/freshness_ledger.json
     "join_star_revenue_by_region",
     "tpch_q1_pricing_summary",
     "tpch_q3_like_shipping_priority",
-    # --- driver check window boundary (first 50 above) ---
-    # r1-green entries displaced by the finance family this round;
-    # their r1 rows stand (code unchanged since r1) and current-code
-    # verification lives in tools/freshness_ledger.json
     "tpch_q5_like_regional_volume",
     "udtf_ngrams",
     "window_distribution_funcs",

@@ -260,3 +260,91 @@ def quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py::quota_cap)."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
     return curation.quota_cap(docs, per_group=40, group_col="lang")
+
+
+@register(
+    "split_train_holdout",
+    sql="""
+SELECT doc_id, lang, source,
+       CASE WHEN nib < 13 THEN 'train'
+            WHEN nib < 14 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, lang, source,
+             CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT) AS nib
+      FROM documents) t
+""",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/valid/test split (13/1/2
+    sixteenths by md5 nibble of doc_id) — holdout membership survives
+    re-sharding and incremental corpus growth.  Pure projection, no
+    shuffle (operators/curation.py::train_split)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return curation.train_split(docs, valid_16ths=1, test_16ths=2)
+
+
+@register(
+    "tfidf_top_terms",
+    sql="""
+WITH words AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM words WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * (n.n_docs / dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rank
+FROM ranked
+WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by rational-idf tf·idf
+    (score = tf·(N/df) — one IEEE division, engine-exact, unlike
+    ln-idf).  Document frequencies broadcast
+    (operators/text.py::tfidf_top_terms)."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@register(
+    "dedup_paragraph_exact",
+    sql="""
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+         CAST(CEIL(LEN(STRING_SPLIT(text, ' ')) / 10.0) AS INT) AS n_seg
+  FROM documents),
+segs AS (
+  SELECT doc_id, UNNEST(GENERATE_SERIES(0, n_seg - 1)) AS seg_idx, toks
+  FROM t),
+seg2 AS (
+  SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+         ARRAY_TO_STRING(toks[seg_idx * 10 + 1 : seg_idx * 10 + 10], ' ') AS seg_text
+  FROM segs),
+kept AS (
+  SELECT doc_id, seg_idx, seg_text,
+         ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+  FROM seg2),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         ARRAY_TO_STRING(LIST(seg_text ORDER BY seg_idx), ' ') AS dedup_text
+  FROM kept WHERE rn = 1 GROUP BY doc_id)
+SELECT t.doc_id,
+       t.n_seg AS n_segments,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.dedup_text, '') AS dedup_text
+FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+""",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (10-token) corpus-wide exact dedup with in-order
+    document reassembly — the CCNet line-dedup shape
+    (operators/curation.py::dedup_segments)."""
+    return curation.dedup_segments(_docs(spark, sf_dir), window=10)

@@ -172,3 +172,60 @@ def test_quota_cap_deterministic(spark):
     for lang, _ in got1:
         per[lang] = per.get(lang, 0) + 1
     assert per == {"en": 10, "de": 10}
+
+
+def test_train_split_partitions_and_stability(spark):
+    df = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+    out = curation.train_split(df, valid_16ths=1, test_16ths=2)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    # total function: every doc gets exactly one of the three labels
+    assert set(rows.values()) <= {"train", "valid", "test"}
+    assert len(rows) == 200
+    counts = {s: list(rows.values()).count(s) for s in ("train", "valid", "test")}
+    # 13/1/2 sixteenths with md5 uniformity — loose bounds, no flake
+    assert counts["train"] > counts["test"] > 0
+    # content-addressed: a permuted, re-partitioned corpus splits identically
+    again = {
+        r.doc_id: r.split
+        for r in curation.train_split(df.orderBy(F.rand(7)).repartition(7)).collect()
+    }
+    assert again == rows
+
+
+def test_dedup_segments_drops_repeats_keeps_order(spark):
+    seg = " ".join(f"s{i}" for i in range(10))  # one exact 10-token segment
+    uniq = " ".join(f"u{i}" for i in range(10))
+    tail = " ".join(f"t{i}" for i in range(10))
+    df = _docs(spark, [(1, seg + " " + uniq), (2, seg + " " + tail)])
+    out = {r.doc_id: r for r in curation.dedup_segments(df, window=10).collect()}
+    # doc 1 (smaller id) keeps both segments, in original order
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[1].dedup_text == seg + " " + uniq
+    # doc 2 loses the shared segment but keeps its own tail
+    assert out[2].n_segments == 2 and out[2].n_kept == 1
+    assert out[2].dedup_text == tail
+
+
+def test_dedup_segments_doc_fully_duplicated(spark):
+    seg = " ".join(f"x{i}" for i in range(10))
+    df = _docs(spark, [(1, seg), (2, seg)])
+    out = {r.doc_id: r for r in curation.dedup_segments(df, window=10).collect()}
+    assert out[1].n_kept == 1 and out[1].dedup_text == seg
+    # the later doc loses everything yet still appears, empty
+    assert out[2].n_kept == 0 and out[2].dedup_text == ""
+
+
+def test_tfidf_surfaces_planted_rare_term(spark):
+    from financial_data_stream_processing_engine_spark.operators import text as T
+
+    common = "alpha beta gamma"
+    df = _docs(
+        spark,
+        [(1, common + " zzyzx zzyzx"), (2, common), (3, common), (4, common)],
+    )
+    out = T.tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: (r.term, r.tf, r.df) for r in out}
+    # the planted rare term dominates doc 1 (tf=2, df=1, N=4 -> score 8)
+    assert top[1] == ("zzyzx", 2, 1)
+    # ubiquitous terms tie at score 1 -> alphabetical winner
+    assert top[2][0] == "alpha"
