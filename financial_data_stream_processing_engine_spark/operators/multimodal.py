@@ -158,17 +158,19 @@ def _jpeg_pixel_decoder():
     """Build a stdlib+numpy baseline-JPEG decoder as a NESTED function
     (shipped by value, like the PNG decoder).
 
-    Scope: baseline sequential DCT (SOF0), 8-bit, single-component
-    (grayscale), no subsampling, one scan — the common denominator a
-    training pipeline's luma/size probe needs.  The entropy decode is
-    the full baseline algorithm (canonical Huffman tables from DHT, DC
-    prediction, AC run/size with EOB and ZRL, byte unstuffing), followed
-    by dezigzag, dequantization, float IDCT and level shift.  Anything
-    out of scope (progressive, subsampled color, 12-bit, arithmetic
-    coding) returns None → NULL features, per-row error isolation.
+    Scope: baseline sequential DCT (SOF0), 8-bit, grayscale OR
+    3-component 4:4:4 YCbCr (all sampling factors 1×1), one interleaved
+    scan — the common denominators a training pipeline's luma/size
+    probe needs.  The entropy decode is the full baseline algorithm
+    (canonical Huffman tables from DHT, per-component DC prediction,
+    AC run/size with EOB and ZRL, byte unstuffing), followed by
+    dezigzag, dequantization, float IDCT, level shift and — for color —
+    the JFIF BT.601 YCbCr→RGB conversion.  Anything out of scope
+    (progressive, subsampled color, 12-bit, arithmetic coding) returns
+    None → NULL features, per-row error isolation.
 
     Returns ``decode_pixels(b) -> (px, nch) | None`` with ``px`` of
-    shape (h, w, 1) float64 in 0..255.
+    shape (h, w, 1) grayscale or (h, w, 3) RGB, float64 in 0..255.
     """
     import struct
 
@@ -245,7 +247,7 @@ def _jpeg_pixel_decoder():
             huff_dc: dict[int, dict] = {}
             huff_ac: dict[int, dict] = {}
             w = h = None
-            comp = None  # (id, tq)
+            comps = None  # [(id, tq), ...] in frame order
             scan = None
             while pos + 4 <= len(b):
                 if b[pos] != 0xFF:
@@ -268,12 +270,14 @@ def _jpeg_pixel_decoder():
                         s += 65
                 elif marker == 0xC0:  # SOF0 baseline
                     prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-                    if prec != 8 or nf != 1:
+                    if prec != 8 or nf not in (1, 3):
                         return None
-                    cid, hv, tq = seg[6], seg[7], seg[8]
-                    if hv != 0x11:
-                        return None
-                    comp = (cid, tq)
+                    comps = []
+                    for ci in range(nf):
+                        cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                        if hv != 0x11:  # 4:4:4 only — no subsampling
+                            return None
+                        comps.append((cid, tq))
                 elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
                     return None  # non-baseline frame
                 elif marker == 0xC4:  # DHT
@@ -287,9 +291,12 @@ def _jpeg_pixel_decoder():
                         s += 17 + nv
                 elif marker == 0xDA:  # SOS
                     ns = seg[0]
-                    if ns != 1:
+                    if ns not in (1, 3):
                         return None
-                    td, ta = seg[2] >> 4, seg[2] & 0xF
+                    sel = []
+                    for ci in range(ns):
+                        cs, tdta = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                        sel.append((cs, tdta >> 4, tdta & 0xF))
                     # entropy data follows until the next marker
                     data = bytearray()
                     p = pos + ln
@@ -302,48 +309,71 @@ def _jpeg_pixel_decoder():
                             break  # a real marker ends the scan
                         data.append(b[p])
                         p += 1
-                    scan = (bytes(data), td, ta)
+                    scan = (bytes(data), sel)
                     pos = p
                     continue
                 pos += ln
-            if w is None or comp is None or scan is None:
+            if w is None or comps is None or scan is None:
                 return None
-            data, td, ta = scan
-            q = qt.get(comp[1])
-            dc_t, ac_t = huff_dc.get(td), huff_ac.get(ta)
-            if q is None or dc_t is None or ac_t is None:
+            data, sel = scan
+            if len(sel) != len(comps):
                 return None
+            tq_of = {cid: tq for cid, tq in comps}
+            parts = []
+            for cs, td, ta in sel:
+                q = qt.get(tq_of.get(cs, -1))
+                dc_t, ac_t = huff_dc.get(td), huff_ac.get(ta)
+                if q is None or dc_t is None or ac_t is None:
+                    return None
+                parts.append((q, dc_t, ac_t))
             bw, bh = (w + 7) // 8, (h + 7) // 8
-            img = np.zeros((bh * 8, bw * 8), np.float64)
+            planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in parts]
             rd = BitReader(data)
-            pred = 0
+            preds = [0] * len(parts)
+            # interleaved MCUs: at 1×1 sampling each MCU is one 8×8
+            # block per component, in scan-component order
             for by in range(bh):
                 for bx in range(bw):
-                    zz = np.zeros(64, np.float64)
-                    size = rd.read_symbol(dc_t)
-                    diff = extend(rd.read_bits(size), size)
-                    pred += diff
-                    zz[0] = pred
-                    ki = 1
-                    while ki < 64:
-                        rs = rd.read_symbol(ac_t)
-                        r, s = rs >> 4, rs & 0xF
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            ki += 16
-                            continue
-                        ki += r
-                        if ki > 63:
-                            return None
-                        zz[ki] = extend(rd.read_bits(s), s)
-                        ki += 1
-                    coeff = np.zeros(64, np.float64)
-                    coeff[ZIGZAG] = zz * q
-                    blk = C.T @ coeff.reshape(8, 8) @ C + 128.0
-                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-            px = np.clip(np.rint(img[:h, :w]), 0, 255)[:, :, None]
-            return px, 1
+                    for ci, (q, dc_t, ac_t) in enumerate(parts):
+                        zz = np.zeros(64, np.float64)
+                        size = rd.read_symbol(dc_t)
+                        diff = extend(rd.read_bits(size), size)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        ki = 1
+                        while ki < 64:
+                            rs = rd.read_symbol(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                ki += 16
+                                continue
+                            ki += r
+                            if ki > 63:
+                                return None
+                            zz[ki] = extend(rd.read_bits(s), s)
+                            ki += 1
+                        coeff = np.zeros(64, np.float64)
+                        coeff[ZIGZAG] = zz * q
+                        blk = C.T @ coeff.reshape(8, 8) @ C + 128.0
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            if len(parts) == 1:
+                px = np.clip(np.rint(planes[0][:h, :w]), 0, 255)[:, :, None]
+                return px, 1
+            # JFIF BT.601 full-range YCbCr → RGB
+            y = planes[0][:h, :w]
+            cb = planes[1][:h, :w] - 128.0
+            cr = planes[2][:h, :w] - 128.0
+            rgb = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )
+            return np.clip(np.rint(rgb), 0, 255), 3
         except Exception:
             return None
 

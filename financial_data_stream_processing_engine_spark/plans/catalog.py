@@ -123,6 +123,8 @@ _PRIORITY: list[str] = [
     "split_train_holdout",
     "tfidf_top_terms",
     "dedup_paragraph_exact",
+    # new this round: 4:4:4 color JPEG decode path
+    "multimodal_jpeg_color_roundtrip",
     # round-1-era entries, unchanged since r1, refreshing their rows
     "agg_distinct_stats",
     "agg_salted_skew",
@@ -132,8 +134,8 @@ _PRIORITY: list[str] = [
     "join_asof_last_purchase",
     "join_left_customer_orders",
     "join_range_price_bands",
-    "join_semi_active_customers",
     # --- driver check window boundary (first 50 above) ---
+    "join_semi_active_customers",
     # r1-green entries displaced by the finance + curation additions
     # this round; their r1 rows stand (code unchanged since r1) and
     # current-code verification lives in tools/freshness_ledger.json

@@ -1116,3 +1116,136 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind="image", mime="image/png",
     )
     return multimodal.decode_image_resized(media, out_w=2, out_h=2)
+
+
+def _md5_jpeg_color_generator():
+    """mapInPandas generator: doc_id → 1×1 baseline 4:4:4 COLOR JPEG
+    whose single interleaved MCU carries three DC-only blocks with
+    constants Y/Cb/Cr = md5(doc_id) bytes 0/1/2.  All-ones quant makes
+    the component planes exact (same argument as the grayscale
+    fixture), so the decoded RGB pixel is the JFIF BT.601 conversion of
+    the md5 bytes — restatable in SQL.  The 1×1 frame keeps the luma
+    mean a single-value mean (no float summation tree to replicate).
+    Nested def: cloudpickle by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = list(range(12))
+        dc_code = {}
+        code = 0
+        vi = 0
+        for ln in range(1, 17):
+            for _ in range(dc_bits[ln - 1]):
+                dc_code[dc_vals[vi]] = (ln, code)
+                code += 1
+                vi += 1
+            code <<= 1
+        ac_bits = [1] + [0] * 15
+        ac_vals = [0x00]
+        eob = (1, 0)
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, val: int, ln: int) -> None:
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((val >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc, self.n = 0, 0
+
+            def flush(self) -> bytes:
+                if self.n:
+                    self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                return bytes(self.out)
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        head = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(
+                0xC0,
+                struct.pack(">BHHB", 8, 1, 1, 3)
+                + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+            )
+            + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+            + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                digest = hashlib.md5(str(did).encode()).digest()
+                bw = BitWriter()
+                for c in digest[:3]:  # one MCU: Y, Cb, Cr blocks
+                    dc = 8 * (int(c) - 128)  # per-component pred starts at 0
+                    size = dc.bit_length() if dc != 0 else 0
+                    ln, cd = dc_code[size]
+                    bw.put(cd, ln)
+                    if size:
+                        bw.put(dc if dc > 0 else dc + (1 << size) - 1, size)
+                    bw.put(eob[1], eob[0])
+                payloads.append(head + bw.flush() + b"\xff\xd9")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return gen
+
+
+@register(
+    "multimodal_jpeg_color_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST({_hex_byte('m', 0)} AS DOUBLE) AS y,
+         CAST({_hex_byte('m', 1)} AS DOUBLE) - 128.0 AS cb,
+         CAST({_hex_byte('m', 2)} AS DOUBLE) - 128.0 AS cr
+  FROM b),
+rgb AS (
+  SELECT doc_id,
+         LEAST(GREATEST(ROUND(y + 1.402 * cr), 0.0), 255.0) AS r,
+         LEAST(GREATEST(ROUND(y - 0.344136 * cb - 0.714136 * cr), 0.0), 255.0) AS g,
+         LEAST(GREATEST(ROUND(y + 1.772 * cb), 0.0), 255.0) AS bch
+  FROM c)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(1 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       (0.299 * r + 0.587 * g + 0.114 * bch) / 255.0 AS mean_luma
+FROM rgb
+""",
+)
+def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline COLOR JPEG round trip: encode a 1×1 4:4:4 YCbCr
+    JPEG per doc (one interleaved MCU, three DC-only blocks from
+    md5(doc_id) bytes 0-2), decode through the full baseline path —
+    interleaved MCU walk, per-component DC predictors and tables,
+    dezigzag/dequantize/IDCT per plane, JFIF BT.601 YCbCr→RGB — then
+    BT.601 luma.  The oracle restates the exact conversion from the
+    md5 bytes (round-then-clip, matching the decoder), so the value
+    hash covers the color pipeline end-to-end bit-for-bit.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_jpeg_color_generator()
+    jpegs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        jpegs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/jpeg",
+    )
+    return multimodal.decode_image_features(media, fake=False)

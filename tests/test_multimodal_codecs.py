@@ -368,3 +368,91 @@ def test_png_nearest_neighbor_resize(spark):
     )
     assert r["mean_luma"] == pytest.approx(exp, abs=1e-12)
     assert out[1]["mean_luma"] is None  # per-row isolation intact
+
+
+def _make_color_jpeg(y_px: list[int], cb_px: list[int], cr_px: list[int],
+                     hv: int = 0x11) -> bytes:
+    """Hand-assembled multi-MCU baseline 4:4:4 color JPEG (16×8 for two
+    MCUs), DC-only blocks per component — exercises the interleaved MCU
+    walk and the per-component DC predictors."""
+    import struct
+
+    n_mcu = len(y_px)
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    dc_codes = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(dc_bits[ln - 1]):
+            dc_codes[dc_vals[vi]] = (ln, code)
+            code += 1
+            vi += 1
+        code <<= 1
+
+    out = bytearray()
+    acc = [0, 0]
+
+    def put(val: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0x00)
+                acc[0], acc[1] = 0, 0
+
+    preds = [0, 0, 0]
+    for m in range(n_mcu):
+        for ci, plane in enumerate((y_px, cb_px, cr_px)):
+            dc = 8 * (plane[m] - 128)
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            size = abs(diff).bit_length() if diff else 0
+            ln_, cd = dc_codes[size]
+            put(cd, ln_)
+            if size:
+                put(diff if diff > 0 else diff + (1 << size) - 1, size)
+            put(0, 1)  # EOB (code '0' in the 1-entry AC table)
+    if acc[1]:
+        out.append((acc[0] << (8 - acc[1])) | ((1 << (8 - acc[1])) - 1))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8 * n_mcu, 3)
+              + bytes([1, hv, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_color_interleaved_mcus_and_bt601(spark):
+    """Two-MCU 4:4:4 color JPEG: per-component DC prediction across
+    MCUs and the JFIF YCbCr→RGB conversion, against an independent
+    numpy restatement."""
+    y, cb, cr = [100, 200], [30, 140], [200, 90]
+    out = _decode_images(spark, [_make_color_jpeg(y, cb, cr)])
+    r = out[0]
+    assert (r["width"], r["height"], r["n_channels"]) == (16, 8, 3)
+    lumas = []
+    for yv, cbv, crv in zip(y, cb, cr):
+        rr = np.clip(np.rint(yv + 1.402 * (crv - 128)), 0, 255)
+        gg = np.clip(np.rint(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)), 0, 255)
+        bb = np.clip(np.rint(yv + 1.772 * (cbv - 128)), 0, 255)
+        lumas.append(0.299 * rr + 0.587 * gg + 0.114 * bb)
+    assert r["mean_luma"] == pytest.approx(np.mean(lumas) / 255.0, abs=1e-9)
+
+
+def test_jpeg_subsampled_color_yields_null(spark):
+    """4:2:0 (2×2 luma sampling) is out of scope — must NULL out, not
+    mis-decode."""
+    out = _decode_images(spark, [_make_color_jpeg([100], [30], [200], hv=0x22)])
+    assert out[0]["width"] is None and out[0]["mean_luma"] is None
