@@ -45,6 +45,12 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "dedup_cluster_canonical",
     "scd2_apply_changes",
+    # round-3 additions (late): the financial-analytics family's two
+    # plan shapes (groupBy candles; bucketed self-join correlation) and
+    # the segment-dedup shuffle
+    "fin_ohlc_daily",
+    "fin_pairwise_correlation",
+    "dedup_paragraph_exact",
 ]
 
 

@@ -437,7 +437,9 @@ def connected_components(
     closure.
 
     The driver-side loop carries only a convergence COUNT per round —
-    no row data ever reaches the driver.
+    no row data ever reaches the driver — and that count rides the
+    round's one materialization job as an ``Observation`` metric (no
+    second count job per round).
 
     Raises ``RuntimeError`` if the loop exhausts ``max_iter`` while
     labels are still changing: truncated labels would silently keep
@@ -451,13 +453,19 @@ def connected_components(
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # materialize the edge list ONCE: `sym` feeds every round's join,
+    # and without this the whole upstream pair pipeline (e.g. MinHash
+    # signatures → buckets → verify) re-executes per round
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    from pyspark.sql import Observation
+
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor labels: for each edge (src, dst), dst's candidate
         # label is src's current label
         neighbor = (
@@ -478,8 +486,15 @@ def connected_components(
                 ).alias("changed"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
-        n_changed = updated.filter(F.col("changed")).count()
+        obs = Observation(f"cc_round_{it}")
+        updated = updated.observe(
+            obs, F.sum(F.col("changed").cast("long")).alias("n_changed")
+        )
+        # one job per round: the eager checkpoint materializes the new
+        # labels (truncating lineage) AND delivers the convergence
+        # metric through the observation
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = obs.get["n_changed"] or 0
         labels = updated.drop("changed")
         if n_changed == 0:
             converged = True

