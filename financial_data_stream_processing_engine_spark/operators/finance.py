@@ -398,3 +398,57 @@ def pairwise_correlation(
         )
         .where(F.col("n_buckets") >= min_periods)
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    bucket: str = "1 day",
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Gap-filled per-key resampling with last-observation-carried-
+    forward — the hypertable/timescale "time_bucket_gapfill + locf"
+    operation: every (key, bucket) slot on the corpus-wide calendar
+    spine gets the bucket's closing price, or the previous bucket's
+    when the key traded nothing in it.
+
+    Plan: (1) one aggregation to per-(key, bucket) closes; (2) the
+    spine is |keys| × |buckets| rows built from a broadcast 1-row
+    bounds aggregate + ``sequence``/``explode`` — generated, never
+    shuffled at tick scale; (3) left join closes onto the spine (keyed
+    by (key, bucket) — co-partitioned with (1)'s output) and one
+    ``last(ignorenulls)`` window for the carry-forward.  Leading slots
+    before a key's first trade stay NULL (nothing to carry).
+    """
+    win = F.window(ts_col, bucket).alias("win")
+    closes = (
+        df.groupBy(F.col(key), win)
+        .agg(F.max_by(price, ts_col).alias("close"))
+        .select(key, F.col("win.start").alias("bucket"), "close")
+    )
+    bounds = df.select(F.window(ts_col, bucket).alias("win")).agg(
+        F.min("win.start").alias("d0"), F.max("win.start").alias("d1")
+    )
+    spine = (
+        df.select(key).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(
+                F.sequence("d0", "d1", F.expr(f"INTERVAL {bucket}"))
+            ).alias("bucket"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(closes, on=[key, "bucket"], how="left")
+        .select(
+            key,
+            "bucket",
+            F.last("close", ignorenulls=True).over(w).alias("close_ffill"),
+            F.col("close").isNull().alias("is_gap"),
+        )
+    )

@@ -125,16 +125,20 @@ _PRIORITY: list[str] = [
     "dedup_paragraph_exact",
     # new this round: 4:4:4 color JPEG decode path
     "multimodal_jpeg_color_roundtrip",
+    # new this round: gap-fill resample + product analytics
+    "fin_resample_ffill",
+    "cohort_retention",
+    "funnel_conversion",
     # round-1-era entries, unchanged since r1, refreshing their rows
     "agg_distinct_stats",
     "agg_salted_skew",
     "agg_variance_exact",
     "clean_filter",
     "join_anti_no_big_order",
+    # --- driver check window boundary (first 50 above) ---
     "join_asof_last_purchase",
     "join_left_customer_orders",
     "join_range_price_bands",
-    # --- driver check window boundary (first 50 above) ---
     "join_semi_active_customers",
     # r1-green entries displaced by the finance + curation additions
     # this round; their r1 rows stand (code unchanged since r1) and

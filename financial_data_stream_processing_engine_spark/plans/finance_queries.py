@@ -256,3 +256,36 @@ def fin_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finance.pairwise_correlation(
         _ticks(spark, sf_dir), bucket="1 day", min_periods=20, top_symbols=100
     )
+
+
+@register(
+    "fin_resample_ffill",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+closes AS (
+  SELECT symbol, time_bucket(INTERVAL '1 day', ts) AS bucket,
+         arg_max(price, ts) AS close
+  FROM ticks GROUP BY 1, 2),
+bounds AS (
+  SELECT MIN(time_bucket(INTERVAL '1 day', ts)) AS d0,
+         MAX(time_bucket(INTERVAL '1 day', ts)) AS d1
+  FROM ticks),
+spine AS (
+  SELECT s.symbol, UNNEST(GENERATE_SERIES(b.d0, b.d1, INTERVAL '1 day')) AS bucket
+  FROM (SELECT DISTINCT symbol FROM ticks) s CROSS JOIN bounds b)
+SELECT sp.symbol, sp.bucket,
+       LAST_VALUE(c.close IGNORE NULLS) OVER (
+         PARTITION BY sp.symbol ORDER BY sp.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+       c.close IS NULL AS is_gap
+FROM spine sp
+LEFT JOIN closes c ON sp.symbol = c.symbol AND sp.bucket = c.bucket
+""",
+)
+def fin_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + last-observation-carried-forward on daily
+    closes — the hypertable `time_bucket_gapfill + locf` op
+    (operators/finance.py::resample_ffill).  Spine generated from a
+    broadcast bounds row, one (symbol, day) left join, one
+    last(ignorenulls) window."""
+    return finance.resample_ffill(_ticks(spark, sf_dir), bucket="1 day")

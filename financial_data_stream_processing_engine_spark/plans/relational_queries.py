@@ -2650,3 +2650,92 @@ def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         Check("orderdate_parses", F.try_to_timestamp(F.col("o_orderdate")).isNull()),
     ]
     return expectations(o, checks, unique_keys=["o_orderkey"])
+
+
+@register(
+    "cohort_retention",
+    sql="""
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+SELECT f.cohort_day,
+       CAST(DATE_DIFF('day', f.cohort_day, d.day) AS INT) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    distinct-user counts per (cohort, day-offset).  Two aggregations
+    on the user key (the second reuses the first's partitioning via the
+    join) + one distinct-count shuffle — the standard product-analytics
+    rollup, linear in events."""
+    d = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    f = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(f, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    sql="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS stage_order, 'view' AS stage,
+         (SELECT COUNT(*) FROM v) AS n_users
+  UNION ALL
+  SELECT CAST(2 AS INT), 'click', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM p)) t
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → later click → later
+    purchase): per-user earliest qualifying timestamp per stage, then
+    stage cardinalities.  Each stage is one user-keyed aggregation
+    joined to the previous stage's (small) survivor set — AQE
+    broadcasts the survivors; linear in events at any scale."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(df_prev, etype, t_prev, t_out):
+        e = ev.where(F.col("event_type") == etype)
+        if df_prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(t_out))
+        return (
+            e.join(df_prev, "user_id")
+            .where(F.col("ts") > F.col(t_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(t_out))
+        )
+
+    v = stage(None, "view", None, "t1")
+    c = stage(v, "click", "t1", "t2")
+    p = stage(c, "purchase", "t2", "t3")
+
+    def stage_count(df, order, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(order).cast("int").alias("stage_order"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+
+    return (
+        stage_count(v, 1, "view")
+        .unionByName(stage_count(c, 2, "click"))
+        .unionByName(stage_count(p, 3, "purchase"))
+    )

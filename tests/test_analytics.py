@@ -1,0 +1,93 @@
+"""Event-analytics entries (gap-fill resample, cohort retention,
+funnel): edge-case semantics the fixture oracle can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from financial_data_stream_processing_engine_spark.operators import finance
+
+BASE = dt.datetime(2024, 3, 1)
+TICK_SCHEMA = "event_id long, symbol long, ts timestamp, price double, volume long"
+
+
+def test_resample_ffill_fills_gaps_and_leading_nulls(spark):
+    rows = [
+        # symbol 1: trades day 0 and day 2 — day 1 is a gap
+        (0, 1, BASE, 10.0, 1),
+        (1, 1, BASE + dt.timedelta(days=2), 30.0, 1),
+        # symbol 2: first trade on day 2 — days 0-1 have nothing to carry
+        (2, 2, BASE + dt.timedelta(days=2), 99.0, 1),
+    ]
+    df = spark.createDataFrame(rows, TICK_SCHEMA)
+    out = {
+        (r["symbol"], r["bucket"].day): (r["close_ffill"], r["is_gap"])
+        for r in finance.resample_ffill(df, bucket="1 day").collect()
+    }
+    assert len(out) == 6  # 2 symbols x 3-day corpus spine
+    assert out[(1, 1)] == (10.0, False)
+    assert out[(1, 2)] == (10.0, True)  # gap carries the previous close
+    assert out[(1, 3)] == (30.0, False)
+    assert out[(2, 1)] == (None, True)  # nothing to carry before first trade
+    assert out[(2, 2)] == (None, True)
+    assert out[(2, 3)] == (99.0, False)
+
+
+def test_funnel_requires_stage_order(spark, sf_dir):
+    """A purchase BEFORE the user's first qualifying click must not
+    count: rebuild the funnel on a two-user corpus where one user does
+    view→click→purchase in order and the other purchases first."""
+    from financial_data_stream_processing_engine_spark.plans import catalog
+
+    catalog.load_all()
+    rows = [
+        (0, BASE + dt.timedelta(minutes=0), 1, "view", 1.0, "{}"),
+        (1, BASE + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (2, BASE + dt.timedelta(minutes=2), 1, "purchase", 1.0, "{}"),
+        (3, BASE + dt.timedelta(minutes=0), 2, "purchase", 1.0, "{}"),
+        (4, BASE + dt.timedelta(minutes=1), 2, "view", 1.0, "{}"),
+        (5, BASE + dt.timedelta(minutes=2), 2, "click", 1.0, "{}"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ev = spark.createDataFrame(rows, schema)
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="funnel_fixture_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r["stage"]: r["n_users"]
+        for r in catalog.QUERIES["funnel_conversion"].fn(spark, d).collect()
+    }
+    assert out == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from financial_data_stream_processing_engine_spark.plans import catalog
+
+    catalog.load_all()
+    rows = [
+        (0, BASE, 1, "view", 1.0, "{}"),
+        (1, BASE + dt.timedelta(days=1), 1, "view", 1.0, "{}"),
+        (2, BASE + dt.timedelta(days=1), 2, "view", 1.0, "{}"),
+        (3, BASE + dt.timedelta(days=3), 2, "view", 1.0, "{}"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ev = spark.createDataFrame(rows, schema)
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cohort_fixture_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in catalog.QUERIES["cohort_retention"].fn(spark, d).collect()
+    }
+    assert out == {
+        ("2024-03-01", 0): 1,
+        ("2024-03-01", 1): 1,
+        ("2024-03-02", 0): 1,
+        ("2024-03-02", 2): 1,
+    }
