@@ -146,3 +146,36 @@ def test_multiquery_ann_broadcasts_probes_not_corpus(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     # per-query top-k is a WindowGroupLimit, not a full sort + filter
     assert "WindowGroupLimit" in plan
+
+
+def test_correlation_universe_bound_broadcasts(spark, sf_dir, queries):
+    plan = plan_of(queries, "fin_pairwise_correlation", spark, sf_dir)
+    # the top-N-active symbol list joins as a broadcast; the pair join
+    # itself is keyed on the bucket — never a cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_resample_spine_is_generated_not_shuffled(spark, sf_dir, queries):
+    plan = plan_of(queries, "fin_resample_ffill", spark, sf_dir)
+    # the 1-row bounds aggregate reaches the spine as a broadcast
+    # nested-loop (1-row cross join), not an exchange of the tick table
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_streaming_ohlc_uses_declarative_candle_state(spark, sf_dir, queries):
+    from financial_data_stream_processing_engine_spark.operators import finance
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+
+    # batch twin of the streaming candle agg: min_by/max_by must stay
+    # declarative hash aggregates (no sort, no Python)
+    ticks = finance.ticks_from_events(load_table(spark, sf_dir, "events"))
+    plan = (
+        finance.ohlc_bars(ticks, bucket="1 day")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Sort" not in plan.split("Exchange")[0]  # no pre-agg sort
+    assert "BatchEvalPython" not in plan
