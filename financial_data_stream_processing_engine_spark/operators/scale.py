@@ -105,3 +105,19 @@ def salted_join(
     )
     out = big_salted.join(small_rep, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def merge_upsert(base: DataFrame, changes: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE-INTO semantics without a lake format: matched base rows are
+    REPLACED by their change row, unmatched change rows are INSERTED,
+    everything else passes through — the upsert a Delta/Iceberg MERGE
+    performs, expressed as anti-join + union (the merge-on-read shape).
+
+    ``changes`` must be key-unique (one change per key — the same
+    precondition MERGE itself enforces with its cardinality check).
+    One shuffle keyed by ``keys`` for the anti join; the union is
+    partition-local.  At 100 TB this is exactly how merge-on-read
+    tables compact: the change set is typically small → AQE broadcasts
+    the anti-join side.
+    """
+    return base.join(changes, on=keys, how="left_anti").unionByName(changes)

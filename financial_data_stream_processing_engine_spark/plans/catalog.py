@@ -125,17 +125,18 @@ _PRIORITY: list[str] = [
     "dedup_paragraph_exact",
     # new this round: 4:4:4 color JPEG decode path
     "multimodal_jpeg_color_roundtrip",
-    # new this round: gap-fill resample + product analytics
+    # new this round: gap-fill resample + product analytics + upsert
     "fin_resample_ffill",
     "cohort_retention",
     "funnel_conversion",
+    "merge_upsert_orders",
     # round-1-era entries, unchanged since r1, refreshing their rows
     "agg_distinct_stats",
     "agg_salted_skew",
     "agg_variance_exact",
     "clean_filter",
-    "join_anti_no_big_order",
     # --- driver check window boundary (first 50 above) ---
+    "join_anti_no_big_order",
     "join_asof_last_purchase",
     "join_left_customer_orders",
     "join_range_price_bands",

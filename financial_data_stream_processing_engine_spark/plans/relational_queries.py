@@ -2739,3 +2739,48 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_count(c, 2, "click"))
         .unionByName(stage_count(p, 3, "purchase"))
     )
+
+
+@register(
+    "merge_upsert_orders",
+    sql="""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM changes
+""",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (operators/scale.py::merge_upsert): a
+    deterministic change set (keys %10==3 updated with repriced rows,
+    %97==0 re-keyed as inserts) upserted into orders — matched rows
+    replaced, unmatched inserted, rest untouched.  The merge-on-read
+    shape Delta/Iceberg MERGE executes, without the (absent) lake
+    jars."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    changes = updates.unionByName(inserts)
+    from financial_data_stream_processing_engine_spark.operators.scale import merge_upsert
+
+    return merge_upsert(o, changes, keys=["o_orderkey"])

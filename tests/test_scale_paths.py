@@ -83,3 +83,17 @@ def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
     # and the ring buffer carried across the restart: t0006's window is
     # (t0004, t0005, t0006) — prices 104,105,106
     assert final["t0006"] == (104 + 105 + 106) / 3
+
+
+def test_merge_upsert_replaces_and_inserts(spark):
+    from financial_data_stream_processing_engine_spark.operators.scale import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    out = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, changes, ["k"]).collect()}
+    # matched row fully replaced, unmatched inserted, others untouched
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
