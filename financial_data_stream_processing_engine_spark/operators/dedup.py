@@ -78,11 +78,31 @@ def ngram_jaccard_pairs(
     Exact but quadratic — the validation oracle for the LSH variants
     and the right tool below ~10⁴ candidates.  Returns
     (id_a, id_b, jaccard).
+
+    The join carries the LENGTH FILTER from the set-similarity-join
+    literature (PPJoin family): ``J(A,B) >= θ`` implies
+    ``θ·|B| <= |A|`` for ``|A| <= |B|`` (the intersection is at most
+    the smaller set, the union at least the larger), so pairs whose
+    distinct-shingle counts are off by more than the ratio θ are pruned
+    BEFORE the expensive intersection — provably output-identical,
+    and it cuts the evaluated pair count by ~the square of the size
+    spread.  Still O(n²) pair candidates in the worst case: the scale
+    path remains MinHash-LSH.
     """
-    sh = df.select(F.col(id_col).alias("id_a"), shingles(text_col, n).alias("sh_a"))
-    sh2 = sh.select(F.col("id_a").alias("id_b"), F.col("sh_a").alias("sh_b"))
+    sh = df.select(
+        F.col(id_col).alias("id_a"), shingles(text_col, n).alias("sh_a")
+    ).withColumn("sz_a", F.size("sh_a"))
+    sh2 = sh.select(
+        F.col("id_a").alias("id_b"),
+        F.col("sh_a").alias("sh_b"),
+        F.col("sz_a").alias("sz_b"),
+    )
+    thr = F.lit(float(threshold))
+    length_ok = (F.col("sz_a") >= thr * F.col("sz_b")) & (
+        F.col("sz_b") >= thr * F.col("sz_a")
+    )
     return (
-        sh.join(sh2, F.col("id_a") < F.col("id_b"))
+        sh.join(sh2, (F.col("id_a") < F.col("id_b")) & length_ok)
         .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -388,6 +408,48 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot, na * nb)
 
 
+def vector_norm(col: Column) -> Column:
+    """‖v‖ with the same left-to-right fold summation as :func:`cosine`
+    (bitwise-compatible wherever either is used)."""
+
+    def sq(acc, v):
+        return acc + v.cast("double") * v.cast("double")
+
+    return F.sqrt(F.aggregate(col, F.lit(0.0), sq))
+
+
+def pair_dot_udf():
+    """Arrow-vectorized pairwise dot product, bitwise-equal to the
+    ``F.aggregate`` fold.
+
+    Per-pair higher-order expressions run as INTERPRETED closures on
+    the JVM — at millions of candidate pairs × 64 dims that dominates
+    the runtime (measured 51-60 s at sf0.1).  numpy does the same
+    arithmetic vectorized; ``np.cumsum`` over ``[0, x0·y0, x1·y1, …]``
+    reproduces the fold's ``((0+x0y0)+x1y1)+…`` summation order
+    EXACTLY (including the +0.0 initial term that normalizes -0.0), so
+    results stay bit-identical to the expression form and to the
+    DuckDB oracle's identical fold.  Fixed-dimension vectors assumed
+    (same precondition ``zip_with`` has).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        z = np.zeros((A.shape[0], 1))
+        d = np.cumsum(np.concatenate([z, A * B], axis=1), axis=1)[:, -1]
+        return pd.Series(d)
+
+    return dot
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -399,12 +461,29 @@ def embedding_cosine_pairs(
     Brute-force pairs — correct at validation scale.  At corpus scale,
     bucket by sign-LSH (similarity.random_hyperplane_buckets) first and
     run this within buckets only.
+
+    Norms are computed ONCE per vector (JVM fold, n rows) before the
+    pair join; only the dot product is per-pair, through the
+    Arrow-vectorized :func:`pair_dot_udf` — same values, ~10× less
+    per-pair work than folding dot+norms per candidate.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        vector_norm(F.col(vec_col)).alias("na"),
+    )
+    b = a.select(
+        F.col("id_a").alias("id_b"),
+        F.col("v_a").alias("v_b"),
+        F.col("na").alias("nb"),
+    )
+    dot = pair_dot_udf()
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

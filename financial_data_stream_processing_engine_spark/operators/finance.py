@@ -137,6 +137,11 @@ def _returns(df: DataFrame, key: str, ts_col: str, price: str) -> DataFrame:
     division of two doubles is IEEE-deterministic in every engine,
     whereas ``ln`` may differ in the last ulp between libm builds —
     which would break cross-engine bitwise comparison.
+
+    ``try_divide``: a return off a zero price is undefined — NULL (then
+    dropped), never an ANSI DIVIDE_BY_ZERO that fails the whole job for
+    one bad tick (zero prices DO occur in real feeds and in the sf0.1
+    fixture).
     """
     w = Window.partitionBy(key).orderBy(ts_col)
     prev = F.lag(price).over(w)
@@ -144,7 +149,7 @@ def _returns(df: DataFrame, key: str, ts_col: str, price: str) -> DataFrame:
         key,
         ts_col,
         F.col(price),
-        ((F.col(price) - prev) / prev).alias("r"),
+        F.try_divide(F.col(price) - prev, prev).alias("r"),
     ).where(F.col("r").isNotNull())
 
 
@@ -173,7 +178,8 @@ def volatility(
     n = F.count("q")
     sx = F.sum("q").cast("double") * F.lit(_Q1)
     sxx = F.sum(F.col("q") * F.col("q")).cast("double") * F.lit(_Q2)
-    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    # try_divide: n=1 groups exist transiently before the n>=2 filter
+    var = F.try_divide(sxx - sx * sx / n, (n - F.lit(1)).cast("double"))
     return (
         r.groupBy(key)
         .agg(
@@ -255,7 +261,9 @@ def max_drawdown(
         Window.unboundedPreceding, 0
     )
     peak = F.max(price).over(w)
-    dd = (peak - F.col(price)) / peak
+    # try_divide: drawdown off a zero peak (leading zero prices) is
+    # undefined — NULL, never an ANSI job failure
+    dd = F.try_divide(peak - F.col(price), peak)
     per_row = df.select(key, ts_col, dd.alias("dd"))
     wk = Window.partitionBy(key)
     mx = F.max("dd").over(wk)

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from financial_data_stream_processing_engine_spark.functions.numeric import davg
-from financial_data_stream_processing_engine_spark.operators.dedup import cosine
+from financial_data_stream_processing_engine_spark.operators.dedup import (
+    cosine,
+    pair_dot_udf,
+    vector_norm,
+)
 
 
 def cosine_topk(
@@ -106,22 +110,32 @@ def bucketed_cosine_pairs(
     qualifying pair matches exactly one probe (the XOR mask is unique),
     so no distinct is needed.
     """
-    bucketed = random_hyperplane_buckets(df, vec_col=vec_col, num_planes=num_planes)
+    bucketed = random_hyperplane_buckets(
+        df, vec_col=vec_col, num_planes=num_planes
+    ).withColumn("__nrm", vector_norm(F.col(vec_col)))
     masks = [0] + ([1 << p for p in range(num_planes)] if multiprobe else [])
     a = bucketed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
+        F.col("__nrm").alias("na"),
         F.explode(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("__nrm").alias("nb"),
+        "bucket",
     )
+    dot = pair_dot_udf()
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

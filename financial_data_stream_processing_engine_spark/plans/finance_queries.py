@@ -86,7 +86,8 @@ def fin_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ticks AS ({_TICKS_SQL}),
 r AS (
   SELECT symbol,
-         (price - LAG(price) OVER w) / LAG(price) OVER w AS r
+         CASE WHEN LAG(price) OVER w = 0 THEN NULL
+              ELSE (price - LAG(price) OVER w) / LAG(price) OVER w END AS r
   FROM ticks
   WINDOW w AS (PARTITION BY symbol ORDER BY ts)),
 q AS (
@@ -150,7 +151,8 @@ def fin_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ticks AS ({_TICKS_SQL}),
 p AS (
   SELECT symbol, ts,
-         (MAX(price) OVER w - price) / MAX(price) OVER w AS dd
+         CASE WHEN MAX(price) OVER w = 0 THEN NULL
+              ELSE (MAX(price) OVER w - price) / MAX(price) OVER w END AS dd
   FROM ticks
   WINDOW w AS (PARTITION BY symbol ORDER BY ts
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),

@@ -218,3 +218,21 @@ def test_bollinger_single_window_pass(fixture_ticks):
     plan = _plan(finance.bollinger_bands(fixture_ticks))
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_zero_prices_never_fail_the_job(spark):
+    """Zero prices occur in real feeds (and the sf0.1 fixture): every
+    ratio-based operator must drop the undefined row, not raise ANSI
+    DIVIDE_BY_ZERO."""
+    prices = [0.0, 0.0, 10.0, 12.0, 0.0, 8.0, 9.0]
+    df = ticks_df(spark, prices)
+    vol = finance.volatility(df).collect()
+    # returns off a zero PREVIOUS price are dropped: (0→0), (0→10),
+    # (0→8) gone; 10→12, 12→0 (a valid −100% return), 8→9 kept
+    assert vol[0]["n_returns"] == 3
+    dd = finance.max_drawdown(df).collect()[0]
+    # leading zero-peak rows are undefined; peak 12 -> trough 0 is... the
+    # zero tick after 12 realizes dd = 1.0
+    assert dd["max_drawdown"] == 1.0
+    corr = finance.pairwise_correlation(df, bucket="1 minute", min_periods=1)
+    corr.collect()  # single symbol: no pairs, but must not raise
