@@ -195,6 +195,7 @@ def load_all() -> None:
         streaming_queries,
         curation_queries,
         finance_queries,
+        tpch_derived,
     )
 
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

@@ -1,0 +1,431 @@
+"""TPC-H shapes Q2/Q11/Q16/Q20/Q21 over DERIVED fixture columns.
+
+The driver fixtures lack ``partsupp`` and ``l_commitdate`` /
+``l_receiptdate``, which blocked five TPC-H shapes in earlier rounds.
+This module unblocks them by *deriving* those relations
+deterministically from the columns that do exist — pure integer
+arithmetic on the keys, spelled identically in Spark and in the DuckDB
+oracle, so both engines materialize the exact same rows:
+
+* ``partsupp``: four suppliers per part (the TPC-H fan-out),
+  ``ps_suppkey = (p_partkey + i·⌊S/4⌋) mod S`` for i ∈ 0..3 with S the
+  supplier count — distinct for all i because ``3·⌊S/4⌋ < S``;
+  ``ps_availqty``/``ps_supplycost`` are key-derived modular values.
+* ``l_commitdate``/``l_receiptdate``: ``l_shipdate`` plus key-derived
+  day offsets, so roughly half the lineitems are "late"
+  (receipt > commit) — the property Q21 needs.
+
+Everything downstream is the *real* TPC-H plan shape: Q2's
+min-cost-per-part correlated lookup, Q11's group-vs-total threshold
+scan, Q16's distinct-count with an anti-joined exclusion list, Q20's
+half-of-shipped-quantity availability check, Q21's
+EXISTS/NOT-EXISTS multi-supplier wait chain.
+
+Scale notes: ``partsupp`` is 4·|part| rows built by a broadcast cross
+join against a 4-row range — map-side only, no shuffle; the supplier
+count rides in as a broadcast 1-row aggregate, so the derivation adds
+ZERO extra shuffles at any scale.  Each query then keeps the canonical
+TPC-H join strategy (dimensions broadcast, facts shuffle on join keys).
+
+Reference contrast: the reference engine has no relational layer at all
+(financial_engine.py:283-312 is its entire operator set); these close
+the last five gaps in the driver-mandated TPC-H inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from financial_data_stream_processing_engine_spark.functions.numeric import dsum, dsum_sql
+from financial_data_stream_processing_engine_spark.io_utils import load_table
+from financial_data_stream_processing_engine_spark.plans.catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Derived relations — one spelling per engine, value-identical
+# ---------------------------------------------------------------------------
+
+#: DuckDB spelling of the derived partsupp (CTE body).
+PARTSUPP_SQL = """
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 37 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+         CAST((ps_partkey * 13 + ps_suppkey * 29) % 90000 + 10000 AS DOUBLE) / 100.0
+           AS ps_supplycost
+  FROM (
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey + i.i * GREATEST(1, CAST(FLOOR(sc.s / 4) AS BIGINT))) % sc.s
+             AS ps_suppkey
+    FROM part
+    CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+    CROSS JOIN (SELECT COUNT(*) AS s FROM supplier) sc)
+"""
+
+
+def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: 4 rows per part, deterministic from keys.
+
+    Plan: part scan × broadcast(4-row range) × broadcast(1-row supplier
+    count) — no shuffle; the arithmetic is whole-stage-codegen
+    expressions.
+    """
+    part = _t(spark, sf_dir, "part")
+    scnt = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s"))
+    fan = spark.range(4).select(F.col("id").alias("i"))
+    q = F.greatest(F.lit(1).cast("long"), F.floor(F.col("s") / F.lit(4)).cast("long"))
+    keyed = (
+        part.crossJoin(F.broadcast(fan))
+        .crossJoin(F.broadcast(scnt))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("i") * q) % F.col("s")).alias("ps_suppkey"),
+        )
+    )
+    return keyed.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 11) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 29) % 90000 + 10000)
+            .cast("double")
+            / 100.0
+        ).alias("ps_supplycost"),
+    )
+
+
+#: DuckDB spelling of lineitem with derived commit/receipt dates.
+DATED_LINEITEM_SQL = """
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_shipdate,
+         CAST(CAST(l_shipdate AS DATE)
+              + to_days(CAST((l_orderkey * 5 + l_linenumber * 11) % 30 AS INT))
+              AS TIMESTAMP) AS l_commitdate,
+         CAST(CAST(l_shipdate AS DATE)
+              + to_days(CAST((l_orderkey * 7 + l_linenumber * 3) % 30 + 1 AS INT))
+              AS TIMESTAMP) AS l_receiptdate
+  FROM lineitem
+"""
+
+
+def dated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem + derived l_commitdate / l_receiptdate (map-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ship_date = F.col("l_shipdate").cast("date")
+    commit_off = ((F.col("l_orderkey") * 5 + F.col("l_linenumber") * 11) % 30).cast(
+        "int"
+    )
+    receipt_off = ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 3) % 30 + 1).cast(
+        "int"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_shipdate",
+        F.date_add(ship_date, commit_off).cast("timestamp").alias("l_commitdate"),
+        F.date_add(ship_date, receipt_off).cast("timestamp").alias("l_receiptdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part in a region
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q2_like_min_cost_supplier",
+    sql=f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+eligible AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+  FROM partsupp
+  JOIN part     ON p_partkey = ps_partkey
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20 AND p_type = 'ECONOMY')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM eligible
+WHERE ps_supplycost = (
+  SELECT MIN(e2.ps_supplycost) FROM eligible e2 WHERE e2.p_partkey = eligible.p_partkey)
+""",
+)
+def tpch_q2_like_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in a
+    region offering the minimum supply cost — the correlated-MIN lookup.
+
+    Spark plan: the correlated subquery is a per-part window MIN over
+    the already-filtered eligible set (one shuffle on p_partkey)
+    instead of a second scan+self-join — same rows, half the reads.
+    All dimension joins broadcast.  ps_supplycost is key-derived with
+    2 exact decimal digits, so the equality against MIN is safe.
+    """
+    ps = partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "ECONOMY")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .drop("min_cost")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (group value vs fraction of total)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q11_like_important_stock",
+    sql=f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+scoped AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')),
+val AS (
+  SELECT ps_partkey, {dsum_sql('v')} AS stock_value
+  FROM scoped GROUP BY ps_partkey)
+SELECT ps_partkey, stock_value
+FROM val
+WHERE stock_value > (SELECT {dsum_sql('v')} * 0.001 FROM scoped)
+""",
+)
+def tpch_q11_like_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value in a nation group, kept if
+    above a fraction of the total — a grouped aggregate compared against
+    a broadcast global scalar.
+
+    Spark plan: one shuffle for the per-part aggregate; the global total
+    re-aggregates the SAME grouped result (not a second scan) and rides
+    in as a broadcast 1-row cross join.  Exact decimal accumulation on
+    both levels keeps the > threshold comparison engine-independent
+    (summing the per-group decimal sums is still exact).
+    """
+    ps = partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    scoped = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    # exact per-part decimal sums, kept in decimal for the re-aggregate
+    per_part = scoped.groupBy("ps_partkey").agg(
+        F.sum(F.col("v").cast("decimal(27,7)")).alias("_dec_value")
+    )
+    total = per_part.agg(
+        (F.sum("_dec_value").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.select(
+            "ps_partkey", F.col("_dec_value").cast("double").alias("stock_value")
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("threshold"))
+        .select("ps_partkey", "stock_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count per part attribute, with an exclusion list
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q16_like_part_supplier_counts",
+    sql=f"""
+WITH partsupp AS ({PARTSUPP_SQL})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 15, 22, 30, 44, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_like_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    after anti-joining an exclusion list (suppliers with complaints ≙
+    negative account balance in this fixture).
+
+    Spark plan: the exclusion list is a broadcast LEFT ANTI join (NOT
+    IN with a guaranteed-non-null key column); COUNT(DISTINCT) expands
+    to the standard two-phase aggregate — both shuffles on the small
+    (brand, type, size) grouping key.
+    """
+    ps = partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 15, 22, 30, 44, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with surplus stock of a promoted part family
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q20_like_surplus_suppliers",
+    sql=f"""
+WITH partsupp AS ({PARTSUPP_SQL}),
+shipped AS (
+  SELECT l_partkey, l_suppkey, {dsum_sql('l_quantity')} AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey),
+surplus AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON p_partkey = ps_partkey AND p_name LIKE '%red%'
+  LEFT JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE ps_availqty > 0.5 * COALESCE(qty, 0.0))
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN surplus ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_9', 'NATION_14')
+""",
+)
+def tpch_q20_like_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in given nations holding more than
+    half the year's shipped quantity of a promoted part family — the
+    correlated availability check as a left join against a pre-grouped
+    shipped-quantity relation.
+
+    Spark plan: lineitem aggregates once on (l_partkey, l_suppkey)
+    (the only big shuffle); partsupp×part broadcasts the filtered part
+    side; the final supplier/nation joins broadcast.  COALESCE keeps
+    never-shipped parts eligible, matching the oracle exactly.
+    """
+    ps = partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity", "qty"))
+    surplus = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty")
+            > F.lit(0.5) * F.coalesce(F.col("qty"), F.lit(0.0))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_5", "NATION_9", "NATION_14")
+    )
+    return (
+        sup.join(surplus, sup.s_suppkey == surplus.ps_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept multi-supplier orders waiting
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q21_like_waiting_suppliers",
+    sql=f"""
+WITH l AS ({DATED_LINEITEM_SQL}),
+late AS (SELECT * FROM l WHERE l_receiptdate > l_commitdate)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_13', 'NATION_21')
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+""",
+)
+def tpch_q21_like_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per supplier, how many 'F' orders it alone
+    delivered late, among orders involving at least one other supplier
+    — the classic EXISTS / NOT-EXISTS pair over the same fact table.
+
+    Spark plan: EXISTS → LEFT SEMI join, NOT EXISTS → LEFT ANTI join,
+    both shuffling on l_orderkey (same key ⇒ AQE coalesces the
+    exchanges); orders filter pushes to the scan; supplier/nation
+    broadcast.  Derived dates are map-only expressions.
+    """
+    l = dated_lineitem(spark, sf_dir)
+    late = l.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
+    l1 = late.select("l_orderkey", "l_suppkey")
+    other = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_6", "NATION_13", "NATION_21")
+    )
+    waiting = (
+        l1.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return waiting.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
