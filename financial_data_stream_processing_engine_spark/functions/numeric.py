@@ -92,3 +92,16 @@ def qcast_sql(sum_expr: str) -> str:
 def davg_sql(expr: str) -> str:
     """DuckDB spelling of :func:`davg`."""
     return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(27,7))) AS DOUBLE) / COUNT({expr}))"
+
+
+def dlit_sql(x: float) -> str:
+    """A Python float as a DuckDB DOUBLE literal, bit-exact.
+
+    DuckDB parses long plain-decimal literals as DECIMAL and its
+    decimal→double conversion can land one ulp away from the
+    correctly-rounded value (e.g. ``0.15384615384615385`` →
+    ``…83``).  Routing through a VARCHAR cast forces the fast_float
+    string→double parse, which round-trips ``repr(x)`` exactly —
+    matching the Python/Spark constant bit-for-bit.
+    """
+    return f"CAST('{x!r}' AS DOUBLE)"

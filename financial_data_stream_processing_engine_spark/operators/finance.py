@@ -460,3 +460,256 @@ def resample_ffill(
             F.col("close").isNull().alias("is_gap"),
         )
     )
+
+
+def macd(
+    df: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+    order_by: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """MACD(fast, slow, signal): EMA_fast − EMA_slow of the price, plus
+    the signal line (EMA of the MACD series) and histogram.
+
+    Three coupled sequential recurrences (EMA convention s₁ = v₁,
+    sᵢ = α·vᵢ + (1−α)·sᵢ₋₁ with α = 2/(n+1)) — like
+    :func:`~financial_data_stream_processing_engine_spark.operators.core.ewma` there is no
+    fixed-frame window form, so this is a grouped-map fold.  All three
+    states advance in ONE ``applyInPandas`` pass (one shuffle on the
+    key, each group streamed once) instead of three chained EWMA calls
+    (three shuffles).
+
+    Determinism: per row the op order is fixed — advance fast EMA,
+    advance slow EMA, subtract (macd), advance signal EMA on the macd
+    value, subtract (histogram) — each a single IEEE double op, so the
+    DuckDB oracle's identical left-to-right prefix folds are bitwise
+    equal.  NULL prices must be filtered upstream (the catalog entry
+    and oracle both drop them).
+
+    Scale: one shuffle; per-group memory is the Arrow batch + sort,
+    same bound as ewma.  At 100 TB, keys (symbols) are numerous and
+    small — the fold parallelizes across keys.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("macd", DoubleType()),
+            StructField("macd_signal", DoubleType()),
+            StructField("macd_histogram", DoubleType()),
+        ]
+    )
+    af, bf = 2.0 / (fast + 1.0), 1.0 - 2.0 / (fast + 1.0)
+    as_, bs = 2.0 / (slow + 1.0), 1.0 - 2.0 / (slow + 1.0)
+    ag, bg = 2.0 / (signal + 1.0), 1.0 - 2.0 / (signal + 1.0)
+    cols = list(df.columns)
+    sort_cols = list(order_by)
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        ef = es = sig = None
+        m_out, s_out, h_out = [], [], []
+        for v in pdf[price]:
+            v = float(v)
+            ef = v if ef is None else af * v + bf * ef
+            es = v if es is None else as_ * v + bs * es
+            m = ef - es
+            sig = m if sig is None else ag * m + bg * sig
+            m_out.append(m)
+            s_out.append(sig)
+            h_out.append(m - sig)
+        pdf = pdf.copy()
+        pdf["macd"] = pd.Series(m_out, index=pdf.index, dtype="float64")
+        pdf["macd_signal"] = pd.Series(s_out, index=pdf.index, dtype="float64")
+        pdf["macd_histogram"] = pd.Series(h_out, index=pdf.index, dtype="float64")
+        return pdf[cols + ["macd", "macd_signal", "macd_histogram"]]
+
+    return df.groupBy(key).applyInPandas(fold, schema=out_schema)
+
+
+def atr(
+    df: DataFrame,
+    n: int = 14,
+    bucket: str = "1 day",
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Average True Range over tumbling OHLC bars: TR = max(high−low,
+    |high−prev_close|, |low−prev_close|) per bar, ATR = the trailing
+    ``n``-bar simple mean of TR, emitted only at full frames
+    (Cutler-style SMA, not Wilder's recurrence, so the whole pipeline
+    stays declarative window algebra — same choice as :func:`rsi`).
+
+    The first bar of each key (no previous close) uses TR = high−low,
+    the standard convention.  Bar deltas are nice-decimal doubles, so
+    DECIMAL accumulation is cross-engine exact.
+
+    Scale: one aggregation to bars (the 100 TB → |symbols|×|days|
+    squeeze), then one window shuffle over the tiny bar relation.
+    """
+    bars = ohlc_bars(df, bucket=bucket, key=key, ts_col=ts_col, price=price,
+                     volume=None)
+    w = Window.partitionBy(key).orderBy("bar_start")
+    pc = F.lag("close").over(w)
+    tr = F.when(pc.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        )
+    )
+    wf = Window.partitionBy(key).orderBy("bar_start").rowsBetween(-(n - 1), 0)
+    with_tr = bars.select(key, "bar_start", "high", "low", "close", tr.alias("tr"))
+    cnt = F.count("tr").over(wf)
+    atr_col = F.sum(F.col("tr").cast(DECIMAL)).over(wf).cast("double") / F.lit(
+        float(n)
+    )
+    return (
+        with_tr.select(
+            key, "bar_start", "tr", cnt.alias("_cnt"), atr_col.alias("atr")
+        )
+        .where(F.col("_cnt") == n)
+        .drop("_cnt")
+    )
+
+
+def stochastic_oscillator(
+    df: DataFrame,
+    n: int = 14,
+    d: int = 3,
+    bucket: str = "1 day",
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Stochastic oscillator over tumbling OHLC bars:
+    %K = 100·(close − min(low, n)) / (max(high, n) − min(low, n)) on
+    the trailing ``n``-bar frame (emitted at full frames only), and
+    %D = the ``d``-bar mean of %K as an explicit lag-chain.
+
+    A flat n-bar range (high == low throughout) makes %K undefined —
+    NULL via try_divide, never a job failure; the NULL then propagates
+    through any %D window containing it, identically in the oracle.
+    The lag-chain fixes the IEEE summation order of %D so full-
+    precision %K values still compare bitwise cross-engine.
+
+    Scale: same two-stage profile as :func:`atr` — bar squeeze, then
+    windows over the bar relation.
+    """
+    if d != 3:
+        raise ValueError("the bitwise %D lag-chain is built for d=3")
+    bars = ohlc_bars(df, bucket=bucket, key=key, ts_col=ts_col, price=price,
+                     volume=None)
+    wf = Window.partitionBy(key).orderBy("bar_start").rowsBetween(-(n - 1), 0)
+    lo = F.min("low").over(wf)
+    hi = F.max("high").over(wf)
+    cnt = F.count("close").over(wf)
+    k = F.lit(100.0) * F.try_divide(F.col("close") - lo, hi - lo)
+    with_k = bars.select(
+        key, "bar_start", "close", cnt.alias("_cnt"), k.alias("pct_k")
+    ).where(F.col("_cnt") == n)
+    wl = Window.partitionBy(key).orderBy("bar_start")
+    k1 = F.lag("pct_k", 1).over(wl)
+    k2 = F.lag("pct_k", 2).over(wl)
+    pct_d = ((F.col("pct_k") + k1) + k2) / F.lit(3.0)
+    return with_k.select(key, "bar_start", "pct_k", pct_d.alias("pct_d"))
+
+
+def rolling_sharpe(
+    df: DataFrame,
+    n: int = 20,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Rolling (non-annualized) Sharpe ratio: mean/σ of the trailing
+    ``n`` tick returns per key, emitted at full frames only.
+
+    Returns are full-precision doubles, so the frame sums run on
+    1e-9-quantized integers (``numeric.qint`` — exact, order- and
+    engine-independent) with straight-line double arithmetic after.
+    Zero-σ frames (constant returns) are NULL via try_divide.
+
+    Scale: one window shuffle on the key; the frame carries two
+    integer accumulators regardless of n.
+    """
+    r = _returns(df, key, ts_col, price)
+    wf = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    q = qint("r")
+    cnt = F.count("r").over(wf)
+    nn = F.lit(float(n))
+    sx = F.sum(q).over(wf).cast("double") * F.lit(_Q1)
+    sxx = F.sum(q * q).over(wf).cast("double") * F.lit(_Q2)
+    mean = sx / nn
+    var = (sxx - sx * sx / nn) / F.lit(float(n - 1))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    sharpe = F.try_divide(mean, F.nullif(sd, F.lit(0.0)))
+    return (
+        r.select(
+            key,
+            ts_col,
+            cnt.alias("_cnt"),
+            mean.alias("mean_return"),
+            sd.alias("sd_return"),
+            sharpe.alias("sharpe"),
+        )
+        .where(F.col("_cnt") == n)
+        .drop("_cnt")
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    n: int = 20,
+    z_threshold: float = 3.0,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Causal z-score anomaly detection: flag ticks whose price is more
+    than ``z_threshold`` standard deviations from the mean of the
+    PREVIOUS ``n`` ticks (frame −n..−1 — the current tick never
+    contaminates its own baseline, so a genuine spike can't mask
+    itself).  Emitted only where the baseline frame is full; flat
+    baselines (σ = 0) are undefined → NULL z → not anomalous.
+
+    Prices are nice-decimal doubles → DECIMAL frame sums are exact.
+    This is the batch twin of the reference's threshold alert
+    (financial_engine.py:101-106) upgraded from a fixed constant to a
+    self-calibrating per-symbol baseline.
+
+    Scale: one window shuffle keyed by symbol, two accumulators per
+    frame; output is the (tiny) anomaly set.
+    """
+    wf = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-n, -1)
+    cnt = F.count(price).over(wf)
+    nn = F.lit(float(n))
+    sx = F.sum(F.col(price).cast(DECIMAL)).over(wf).cast("double")
+    sxx = F.sum((F.col(price) * F.col(price)).cast(DECIMAL)).over(wf).cast("double")
+    mu = sx / nn
+    var = (sxx - sx * sx / nn) / F.lit(float(n - 1))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    zscore = F.try_divide(F.col(price) - mu, F.nullif(sd, F.lit(0.0)))
+    return (
+        df.select(
+            id_col,
+            key,
+            ts_col,
+            F.col(price),
+            cnt.alias("_cnt"),
+            mu.alias("baseline_mean"),
+            sd.alias("baseline_sd"),
+            zscore.alias("zscore"),
+        )
+        .where((F.col("_cnt") == n) & (F.abs(F.col("zscore")) >= z_threshold))
+        .drop("_cnt")
+    )

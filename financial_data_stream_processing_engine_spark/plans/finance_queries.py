@@ -12,9 +12,10 @@ everything after the sums.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from financial_data_stream_processing_engine_spark.functions.numeric import (
+    dlit_sql,
     dsum_sql,
     qcast_sql,
     qint_sql,
@@ -291,3 +292,193 @@ def fin_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast bounds row, one (symbol, day) left join, one
     last(ignorenulls) window."""
     return finance.resample_ffill(_ticks(spark, sf_dir), bucket="1 day")
+
+
+_MACD_AF, _MACD_BF = 2.0 / 13.0, 1.0 - 2.0 / 13.0   # fast EMA(12)
+_MACD_AS, _MACD_BS = 2.0 / 27.0, 1.0 - 2.0 / 27.0   # slow EMA(26)
+_MACD_AG, _MACD_BG = 2.0 / 10.0, 1.0 - 2.0 / 10.0   # signal EMA(9)
+
+
+@register(
+    "fin_macd",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+t AS (SELECT event_id, symbol, ts, price FROM ticks WHERE price IS NOT NULL),
+ordered AS (
+  SELECT symbol, event_id, ts, price,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY ts, event_id) AS rn
+  FROM t),
+g AS (SELECT symbol, LIST(price ORDER BY ts, event_id) AS vs FROM t GROUP BY symbol),
+m AS (
+  SELECT o.symbol, o.event_id, o.ts, o.price, o.rn,
+         LIST_REDUCE(g.vs[1:o.rn], (acc, x) -> {dlit_sql(_MACD_AF)} * x + {dlit_sql(_MACD_BF)} * acc)
+       - LIST_REDUCE(g.vs[1:o.rn], (acc, x) -> {dlit_sql(_MACD_AS)} * x + {dlit_sql(_MACD_BS)} * acc)
+           AS macd
+  FROM ordered o JOIN g USING (symbol)),
+gm AS (SELECT symbol, LIST(macd ORDER BY ts, event_id) AS ms FROM m GROUP BY symbol)
+SELECT m.event_id, m.symbol, m.ts, m.price, m.macd,
+       LIST_REDUCE(gm.ms[1:m.rn], (acc, x) -> {dlit_sql(_MACD_AG)} * x + {dlit_sql(_MACD_BG)} * acc)
+         AS macd_signal,
+       m.macd
+       - LIST_REDUCE(gm.ms[1:m.rn], (acc, x) -> {dlit_sql(_MACD_AG)} * x + {dlit_sql(_MACD_BG)} * acc)
+         AS macd_histogram
+FROM m JOIN gm USING (symbol)
+""",
+)
+def fin_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) per symbol — three coupled EMA recurrences in one
+    grouped-map pass (operators/finance.py::macd).
+
+    Oracle strategy: DuckDB re-folds each row's price prefix with the
+    identical left-to-right recurrences (same trick as
+    window_ewma_per_user), so every float op happens in the same order
+    and the hash match is bitwise.  The O(n²) prefix re-fold is the
+    oracle's cost, not the engine's — the Spark side streams each
+    group once.
+    """
+    t = (
+        _ticks(spark, sf_dir)
+        .select("event_id", "symbol", "ts", "price")
+        .where(F.col("price").isNotNull())
+    )
+    return finance.macd(t)
+
+
+@register(
+    "fin_atr",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+bars AS (
+  SELECT symbol,
+         time_bucket(INTERVAL '1 day', ts) AS bar_start,
+         MAX(price) AS high,
+         MIN(price) AS low,
+         arg_max(price, ts) AS "close"
+  FROM ticks GROUP BY 1, 2),
+tr AS (
+  SELECT symbol, bar_start,
+         CASE WHEN LAG("close") OVER w IS NULL THEN high - low
+              ELSE GREATEST(high - low,
+                            ABS(high - LAG("close") OVER w),
+                            ABS(low  - LAG("close") OVER w)) END AS tr
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start))
+SELECT symbol, bar_start, tr,
+       CAST(SUM(CAST(tr AS DECIMAL(27,7))) OVER wf AS DOUBLE) / 14.0 AS atr
+FROM tr
+WINDOW wf AS (PARTITION BY symbol ORDER BY bar_start
+              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+QUALIFY COUNT(tr) OVER wf = 14
+""",
+)
+def fin_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR(14) over daily candles (operators/finance.py::atr): true
+    range per bar with the first-bar high−low convention, then a
+    full-frame-gated 14-bar decimal-exact SMA."""
+    return finance.atr(_ticks(spark, sf_dir), n=14, bucket="1 day")
+
+
+@register(
+    "fin_stochastic",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+bars AS (
+  SELECT symbol,
+         time_bucket(INTERVAL '1 day', ts) AS bar_start,
+         MAX(price) AS high,
+         MIN(price) AS low,
+         arg_max(price, ts) AS "close"
+  FROM ticks GROUP BY 1, 2),
+k AS (
+  SELECT symbol, bar_start,
+         100.0 * (CASE WHEN MAX(high) OVER wf - MIN(low) OVER wf = 0 THEN NULL
+                       ELSE ("close" - MIN(low) OVER wf)
+                            / (MAX(high) OVER wf - MIN(low) OVER wf) END) AS pct_k
+  FROM bars
+  WINDOW wf AS (PARTITION BY symbol ORDER BY bar_start
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+  QUALIFY COUNT("close") OVER wf = 14)
+SELECT symbol, bar_start, pct_k,
+       ((pct_k + LAG(pct_k, 1) OVER wl) + LAG(pct_k, 2) OVER wl) / 3.0 AS pct_d
+FROM k
+WINDOW wl AS (PARTITION BY symbol ORDER BY bar_start)
+""",
+)
+def fin_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K(14)/%D(3) over daily candles
+    (operators/finance.py::stochastic_oscillator); flat ranges yield
+    NULL %K via try_divide, and %D is an explicit lag-chain so the
+    summation order is fixed cross-engine."""
+    return finance.stochastic_oscillator(_ticks(spark, sf_dir), n=14, d=3)
+
+
+@register(
+    "fin_rolling_sharpe",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+r AS (
+  SELECT symbol, ts,
+         CASE WHEN LAG(price) OVER w = 0 THEN NULL
+              ELSE (price - LAG(price) OVER w) / LAG(price) OVER w END AS r
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)),
+q AS (SELECT symbol, ts, {qint_sql('r')} AS q FROM r WHERE r IS NOT NULL),
+f AS (
+  SELECT symbol, ts,
+         COUNT(q) OVER wf AS cnt,
+         {qcast_sql('SUM(q) OVER wf')} * {1e-09!r} AS sx,
+         {qcast_sql('SUM(q * q) OVER wf')} * {1e-18!r} AS sxx
+  FROM q
+  WINDOW wf AS (PARTITION BY symbol ORDER BY ts
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT symbol, ts,
+       sx / 20.0 AS mean_return,
+       SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0)) AS sd_return,
+       CASE WHEN SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0)) = 0 THEN NULL
+            ELSE (sx / 20.0) / SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0))
+       END AS sharpe
+FROM f
+WHERE cnt = 20
+""",
+)
+def fin_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-return Sharpe ratio per symbol
+    (operators/finance.py::rolling_sharpe) — frame sums over
+    1e-9-quantized returns keep the full-precision doubles
+    engine-independent."""
+    return finance.rolling_sharpe(_ticks(spark, sf_dir), n=20)
+
+
+@register(
+    "fin_zscore_anomalies",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+f AS (
+  SELECT event_id, symbol, ts, price,
+         COUNT(price) OVER wf AS cnt,
+         CAST(SUM(CAST(price AS DECIMAL(27,7))) OVER wf AS DOUBLE) AS sx,
+         CAST(SUM(CAST(price * price AS DECIMAL(27,7))) OVER wf AS DOUBLE) AS sxx
+  FROM ticks
+  WINDOW wf AS (PARTITION BY symbol ORDER BY ts
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT event_id, symbol, ts, price, cnt,
+         sx / 20.0 AS baseline_mean,
+         SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0)) AS baseline_sd,
+         CASE WHEN SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0)) = 0 THEN NULL
+              ELSE (price - sx / 20.0)
+                   / SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0))
+         END AS zscore
+  FROM f)
+SELECT event_id, symbol, ts, price, baseline_mean, baseline_sd, zscore
+FROM z
+WHERE cnt = 20 AND ABS(zscore) >= 3.0
+""",
+)
+def fin_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal z-score anomaly scan (operators/finance.py::
+    zscore_anomalies): ticks ≥3σ from the mean of the previous 20
+    ticks — the reference's fixed-constant alert
+    (financial_engine.py:101-106) upgraded to a self-calibrating
+    per-symbol baseline."""
+    return finance.zscore_anomalies(_ticks(spark, sf_dir), n=20, z_threshold=3.0)

@@ -236,3 +236,140 @@ def test_zero_prices_never_fail_the_job(spark):
     assert dd["max_drawdown"] == 1.0
     corr = finance.pairwise_correlation(df, bucket="1 minute", min_periods=1)
     corr.collect()  # single symbol: no pairs, but must not raise
+
+
+# --- MACD / ATR / stochastic / sharpe / z-score (round 4) -------------
+
+
+def test_macd_matches_pandas_ewm(spark):
+    import pandas as pd
+
+    prices = [10.0, 10.5, 10.2, 11.0, 11.4, 11.1, 12.0, 12.5, 12.2, 13.0]
+    out = (
+        finance.macd(ticks_df(spark, prices))
+        .orderBy("ts")
+        .select("macd", "macd_signal", "macd_histogram")
+        .collect()
+    )
+    s = pd.Series(prices)
+    # pandas adjust=False ewm is the same recurrence s_i = a·v + (1-a)·s
+    ema_f = s.ewm(span=12, adjust=False).mean()
+    ema_s = s.ewm(span=26, adjust=False).mean()
+    m = ema_f - ema_s
+    sig = m.ewm(span=9, adjust=False).mean()
+    for i, row in enumerate(out):
+        assert row["macd"] == pytest.approx(m[i], abs=1e-12)
+        assert row["macd_signal"] == pytest.approx(sig[i], abs=1e-12)
+        assert row["macd_histogram"] == pytest.approx(m[i] - sig[i], abs=1e-12)
+
+
+def test_macd_state_is_per_symbol(spark):
+    a = ticks_df(spark, [10.0, 20.0, 30.0], symbol=1)
+    b = ticks_df(spark, [100.0, 100.0, 100.0], symbol=2, start_id=100)
+    out = finance.macd(a.unionByName(b)).collect()
+    by_sym = {}
+    for r in out:
+        by_sym.setdefault(r["symbol"], []).append(r)
+    # a constant series has MACD identically 0 — no bleed from symbol 1
+    assert all(r["macd"] == 0.0 for r in by_sym[2])
+    assert any(r["macd"] != 0.0 for r in by_sym[1])
+
+
+def _daily_ticks(spark, day_prices, symbol=1):
+    """One tick per day so each price becomes its own daily bar."""
+    rows = [
+        (i, symbol, BASE + dt.timedelta(days=i), float(p), 1)
+        for i, p in enumerate(day_prices)
+    ]
+    return spark.createDataFrame(rows, TICK_SCHEMA)
+
+
+def test_atr_constant_series_is_zero_and_gated(spark):
+    out = finance.atr(_daily_ticks(spark, [50.0] * 20), n=14).orderBy("bar_start").collect()
+    # 20 bars, frame fills at bar 14 → 7 emitted rows, all ATR 0
+    assert len(out) == 7
+    assert all(r["atr"] == 0.0 and r["tr"] == 0.0 for r in out)
+
+
+def test_atr_single_tick_bars_use_close_gaps(spark):
+    # one tick per bar ⇒ high=low=close ⇒ TR = |close - prev_close|
+    prices = [10.0, 12.0, 9.0, 9.0] + [9.0] * 12
+    out = finance.atr(_daily_ticks(spark, prices), n=14).orderBy("bar_start").collect()
+    assert len(out) == 3
+    # frame 0..13: TRs = [0(first), 2, 3, 0, 0...] → ATR = 5/14
+    assert out[0]["atr"] == pytest.approx(5.0 / 14.0)
+
+
+def test_stochastic_limits(spark):
+    # monotonically rising one-tick bars: close == 14-bar high ⇒ %K = 100
+    out = (
+        finance.stochastic_oscillator(
+            _daily_ticks(spark, [float(i) for i in range(1, 21)]), n=14
+        )
+        .orderBy("bar_start")
+        .collect()
+    )
+    assert len(out) == 7
+    assert all(r["pct_k"] == 100.0 for r in out)
+    # %D needs 3 gated %K rows; first two are NULL
+    assert out[0]["pct_d"] is None and out[1]["pct_d"] is None
+    assert all(r["pct_d"] == 100.0 for r in out[2:])
+
+
+def test_stochastic_flat_range_is_null(spark):
+    out = finance.stochastic_oscillator(
+        _daily_ticks(spark, [5.0] * 16), n=14
+    ).collect()
+    assert len(out) == 3
+    assert all(r["pct_k"] is None and r["pct_d"] is None for r in out)
+
+
+def test_rolling_sharpe_constant_returns_null_sd(spark):
+    # geometric series: identical +10% returns → σ=0 → sharpe NULL
+    prices = [100.0 * (1.1 ** i) for i in range(22)]
+    out = finance.rolling_sharpe(ticks_df(spark, prices), n=20).collect()
+    assert len(out) == 2  # 21 returns → frames full at returns 20 and 21
+    for r in out:
+        assert r["sd_return"] == pytest.approx(0.0, abs=1e-9)
+        assert r["sharpe"] is None
+
+
+def test_rolling_sharpe_matches_numpy(spark):
+    import numpy as np
+
+    rng = [100.0]
+    for i in range(25):
+        rng.append(rng[-1] * (1.0 + ((-1) ** i) * 0.01 * (1 + i % 3)))
+    out = (
+        finance.rolling_sharpe(ticks_df(spark, rng), n=20).orderBy("ts").collect()
+    )
+    r = np.diff(rng) / np.array(rng[:-1])
+    # quantize like the operator: floor(x·1e9)/1e9 grid
+    q = np.floor(r * 1e9)
+    for j, row in enumerate(out):
+        win = q[j : j + 20]
+        sx, sxx, n = win.sum() * 1e-9, (win * win).sum() * 1e-18, 20.0
+        mean = sx / n
+        sd = math.sqrt(max((sxx - sx * sx / n) / (n - 1), 0.0))
+        assert row["mean_return"] == pytest.approx(mean, rel=1e-9)
+        assert row["sharpe"] == pytest.approx(mean / sd, rel=1e-6)
+
+
+def test_zscore_flags_planted_spike(spark):
+    prices = [100.0 + 0.1 * (i % 5) for i in range(30)]
+    prices[25] = 150.0  # a >3σ spike against the previous-20 baseline
+    out = finance.zscore_anomalies(ticks_df(spark, prices), n=20).collect()
+    assert [r["event_id"] for r in out] == [25]
+    assert out[0]["zscore"] > 3.0
+
+
+def test_zscore_baseline_excludes_current_tick(spark):
+    # the spike must not dilute its own baseline: baseline_mean is the
+    # mean of the PREVIOUS 20 ticks only
+    prices = [100.0 + 0.1 * (i % 5) for i in range(21)]
+    prices.append(200.0)
+    out = finance.zscore_anomalies(ticks_df(spark, prices), n=20).collect()
+    spike = [r for r in out if r["event_id"] == 21]
+    assert len(spike) == 1
+    expected_mean = sum(prices[1:21]) / 20.0
+    assert spike[0]["baseline_mean"] == pytest.approx(expected_mean)
