@@ -605,3 +605,141 @@ def dedup_clusters(
         "id",
         F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"),
     ).withColumn("is_survivor", F.col("id") == F.col("canonical_id"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (probabilistic reference-set dedup)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16   #: filter size m (bits)
+BLOOM_WORD = 32        #: bits per packed word (int32 range: sign-safe in
+                       #: both engines' BIGINT shifts)
+
+
+def _bloom_positions(key: Column, k: int) -> list[Column]:
+    """k deterministic bit positions: md5(key∥salt) → first 8 hex
+    digits → int mod m.  Same arithmetic is re-spelled in the oracle,
+    so both engines build the *identical* filter — including identical
+    false positives (the filter is a pure function of the data)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(f"#b{i}"))), 1, 8), 16, 10
+        ).cast("long")
+        % BLOOM_BITS
+        for i in range(k)
+    ]
+
+
+def bloom_build(df: DataFrame, key_col: str, k: int = 3) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a (word, bits) relation
+    — ``m/32`` rows of OR-ed 32-bit words (stored in BIGINT).
+
+    One explode (k rows per key, map-side) + one tiny groupBy on the
+    word index: the shuffle carries at most m/32 = 2048 rows TOTAL at
+    any corpus size — this is the aggregate-to-a-sketch pattern, the
+    cheapest possible dedup precheck at 100 TB.  The result broadcasts.
+    """
+    pos = df.select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col), k))).alias("pos")
+    )
+    word = (F.col("pos") / BLOOM_WORD).cast("long").alias("word")
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))")
+    return (
+        pos.select(word, bit.alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    words: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 3,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe every row's key against a built filter: ``out_col`` is
+    TRUE iff all k bit positions are set (definitely-absent keys are
+    FALSE — the Bloom guarantee; TRUE may include false positives at
+    the documented (set_bits/m)^k rate).
+
+    The word relation broadcasts (≤2048 rows); the probe is a map-side
+    join + one groupBy on the row id.  No full shuffle of the corpus.
+    """
+    probes = df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*_bloom_positions(F.col(key_col), k))).alias(
+            "__i", "pos"
+        ),
+    ).select(
+        id_col,
+        (F.col("pos") / BLOOM_WORD).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+        ).alias("bit"),
+    )
+    hit = F.coalesce(
+        (F.col("bits").bitwiseAND(F.col("bit")) == F.col("bit")), F.lit(False)
+    )
+    return (
+        probes.join(F.broadcast(words), "word", "left")
+        .select(id_col, hit.alias("__hit"))
+        .groupBy(id_col)
+        .agg(F.min("__hit").alias(out_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. "Deduplicating Training Data
+# Makes Language Models Better" — the span-level duplication signal)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document exact-substring duplication: the share of a doc's
+    ``n``-token spans (multiset, all positions) that also occur in at
+    least one OTHER document.
+
+    This is the scalable projection of suffix-array substring dedup:
+    fixed-length span fingerprints replace the suffix array, one
+    explode + one groupBy(span) + one semi join replace the O(corpus)
+    suffix sort.  Spans shuffle by span string — at 100 TB, hash the
+    span to a 64-bit key first (same plan, 8-byte keys); kept as
+    strings here so the oracle is trivially identical.
+
+    Returns (id, n_spans, n_dup_spans, dup_ratio).
+    """
+    from financial_data_stream_processing_engine_spark.operators.text import ngrams_with_repeats
+
+    spans = ngrams_with_repeats(F.col(text_col), n)
+    ex = df.select(F.col(id_col), F.explode(spans).alias("span"))
+    dup = (
+        ex.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("span")
+    )
+    per_doc = (
+        ex.join(dup, "span", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_dup"))
+    )
+    totals = df.select(F.col(id_col), F.size(spans).cast("long").alias("n_spans"))
+    return (
+        totals.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("__n_dup"), F.lit(0).cast("long")).alias("n_dup_spans"),
+            (
+                F.coalesce(F.col("__n_dup"), F.lit(0).cast("long")).cast("double")
+                / F.col("n_spans")
+            ).alias("dup_ratio"),
+        )
+    )

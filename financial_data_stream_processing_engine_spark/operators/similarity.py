@@ -369,3 +369,65 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     corpus = spark.read.parquet(f"{path}/corpus")
     centroids = spark.read.parquet(f"{path}/centroids")
     return corpus, centroids
+
+
+def semantic_dedup(
+    corpus_with_cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each coarse
+    cluster cell, a vector is DROPPED if some smaller-id vector in the
+    same cell is within ``threshold`` cosine similarity — i.e. each
+    near-duplicate chain keeps its min-id member.
+
+    The greedy smaller-id rule (vs full connected components) is the
+    published SemDeDup procedure's determinism fix: it needs only the
+    pair list, never materializes clusters, and gives a unique,
+    order-independent survivor set.  Pairs are confined to cells, so
+    the quadratic term is bounded by the largest cell, not the corpus —
+    at 100 TB, cells come from a k-means/LSH coarse quantizer sized so
+    cells fit comfortably in a task (same contract as IVF search).
+
+    Norms are computed once per vector; the per-pair dot product runs
+    through the Arrow-vectorized ``pair_dot_udf`` (bitwise-equal to the
+    expression fold, ~10× faster at pair counts).
+
+    Returns (id, cell, is_dropped) for every corpus vector.
+    """
+    nrm = vector_norm(F.col(vec_col))
+    a = corpus_with_cells.select(
+        F.col(cell_col).alias("__cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        nrm.alias("na"),
+    )
+    b = a.select(
+        F.col("__cell"),
+        F.col("id_a").alias("id_b"),
+        F.col("v_a").alias("v_b"),
+        F.col("na").alias("nb"),
+    )
+    dot = pair_dot_udf()
+    dropped = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        corpus_with_cells.select(id_col, cell_col)
+        .join(dropped, F.col(id_col) == F.col("__dup_id"), "left")
+        .select(
+            id_col,
+            cell_col,
+            F.col("__dup_id").isNotNull().alias("is_dropped"),
+        )
+    )

@@ -1249,3 +1249,140 @@ def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         kind="image", mime="image/jpeg",
     )
     return multimodal.decode_image_features(media, fake=False)
+
+
+# ---------------------------------------------------------------------------
+# round 4: SemDeDup / Bloom probe / substring-span dedup
+# ---------------------------------------------------------------------------
+
+#: SemDeDup oracle: retrain label-mean centroids, reassign cells (the
+#: same cent/assign/best pipeline as _IVF_SQL), enumerate within-cell
+#: pairs, and apply the smaller-id drop rule — fully engine-independent.
+_SEMANTIC_SQL = f"""
+WITH dim AS (
+  SELECT label, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings),
+cm AS (
+  SELECT label AS centroid_id, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM dim GROUP BY label, pos),
+cent AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM cm GROUP BY centroid_id),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent c),
+best AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM assign) WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS.format(a='a.embedding', b='b.embedding')} AS cos
+  FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= 0.4)
+SELECT b.vec_id, b.cell, (d.id_b IS NOT NULL) AS is_dropped
+FROM best b LEFT JOIN dropped d ON b.vec_id = d.id_b
+"""
+
+
+@register("dedup_semantic", sql=_SEMANTIC_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse k-means-like cells
+    (label-mean centroids — the same coarse quantizer the IVF family
+    trains), then within-cell cosine pairs at ≥0.4, dropping each
+    pair's larger id (operators/similarity.py::semantic_dedup).
+    Oracle: the full pipeline — centroids, assignment, pairs, drop
+    rule — reconstructed in DuckDB, bit-exact."""
+    embs = _embs(spark, sf_dir)
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    return similarity.semantic_dedup(
+        with_cells, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+
+
+#: Bloom oracle: rebuild the identical filter (same md5-derived bit
+#: positions, same 32-bit word packing) and probe it — both engines
+#: compute the same bitmap, so even false positives agree.
+_BLOOM_REF = "('src0','src2','src4','src6','src8')"
+_BLOOM_SQL = f"""
+WITH ref AS (SELECT text FROM documents WHERE source IN {_BLOOM_REF}),
+pos AS (
+  SELECT CAST(('0x' || SUBSTR(MD5(text || '#b0'), 1, 8)) AS BIGINT) % 65536 AS pos FROM ref
+  UNION ALL
+  SELECT CAST(('0x' || SUBSTR(MD5(text || '#b1'), 1, 8)) AS BIGINT) % 65536 FROM ref
+  UNION ALL
+  SELECT CAST(('0x' || SUBSTR(MD5(text || '#b2'), 1, 8)) AS BIGINT) % 65536 FROM ref),
+words AS (
+  SELECT pos // 32 AS word,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1),
+ppos AS (
+  SELECT doc_id, CAST(('0x' || SUBSTR(MD5(text || '#b0'), 1, 8)) AS BIGINT) % 65536 AS pos FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(('0x' || SUBSTR(MD5(text || '#b1'), 1, 8)) AS BIGINT) % 65536 FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(('0x' || SUBSTR(MD5(text || '#b2'), 1, 8)) AS BIGINT) % 65536 FROM documents),
+hit AS (
+  SELECT doc_id,
+         BOOL_AND(COALESCE(
+           (w.bits & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)))
+             = (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)), FALSE)) AS bloom_hit
+  FROM ppos LEFT JOIN words w ON pos // 32 = w.word
+  GROUP BY doc_id)
+SELECT doc_id, bloom_hit FROM hit
+"""
+
+
+@register("dedup_bloom_probe", sql=_BLOOM_SQL)
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership precheck: build a 2¹⁶-bit, 3-hash filter
+    over a reference corpus (even-numbered sources), then probe every
+    document's text (operators/dedup.py::bloom_build/bloom_probe).
+    The filter is a pure function of the data — both engines build the
+    identical bitmap, so the driver hash-checks exact agreement,
+    false positives included.  At 100 TB the build shuffles ≤2048
+    rows total and the probe is a broadcast join: the cheapest
+    possible "seen before?" gate in front of exact dedup."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(
+        F.col("source").isin("src0", "src2", "src4", "src6", "src8")
+    )
+    words = dedup.bloom_build(ref, key_col="text", k=3)
+    return dedup.bloom_probe(
+        docs, words, key_col="text", id_col="doc_id", k=3
+    )
+
+
+_SPAN_SQL = """
+WITH ng AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 7, 1)),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+7], ' '))) AS span
+  FROM documents),
+dup AS (SELECT span FROM ng GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+per AS (SELECT doc_id, COUNT(*) AS n_dup FROM ng JOIN dup USING (span) GROUP BY doc_id),
+tot AS (SELECT doc_id,
+               CAST(GREATEST(LEN(STRING_SPLIT(text, ' ')) - 7, 1) AS BIGINT) AS n_spans
+        FROM documents)
+SELECT t.doc_id, t.n_spans,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / t.n_spans AS dup_ratio
+FROM tot t LEFT JOIN per p ON t.doc_id = p.doc_id
+"""
+
+
+@register("dedup_substring_spans", sql=_SPAN_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span duplication per document: the share of each
+    doc's 8-token spans (all positions, repeats kept) that occur in at
+    least one other document — the span-level signal suffix-array
+    dedup pipelines compute, here as explode + groupBy + semi join
+    (operators/dedup.py::duplicated_span_stats)."""
+    return dedup.duplicated_span_stats(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=8
+    )

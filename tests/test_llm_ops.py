@@ -283,3 +283,92 @@ def test_ivf_index_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
     one_cell = corpus.filter(F.col("cell") == corpus.select("cell").first()["cell"])
     plan = one_cell._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+
+# --- SemDeDup / Bloom / substring spans (round 4) ---------------------
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, cell string")
+
+
+def test_semantic_dedup_drops_larger_id_within_cell(spark):
+    df = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0], "a"),
+            (2, [0.99, 0.01, 0.0], "a"),   # near-dup of 1 → dropped
+            (3, [0.0, 1.0, 0.0], "a"),     # orthogonal → kept
+            (4, [1.0, 0.0, 0.0], "b"),     # identical to 1 but other cell → kept
+        ],
+    )
+    out = {r["vec_id"]: r["is_dropped"] for r in similarity.semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", cell_col="cell", threshold=0.9
+    ).collect()}
+    assert out == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_semantic_dedup_chain_keeps_only_min(spark):
+    # a chain 1~2, 2~3 (1 !~ 3): greedy smaller-id rule drops 2 AND 3
+    df = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.95, 0.3122499], "a"),
+            (3, [0.8, 0.6], "a"),
+        ],
+    )
+    out = {r["vec_id"]: r["is_dropped"] for r in similarity.semantic_dedup(
+        df, threshold=0.94, cell_col="cell"
+    ).collect()}
+    assert out[1] is False and out[2] is True and out[3] is True
+
+
+def test_bloom_no_false_negatives_and_absent_miss(spark):
+    ref = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(200)], "id long, k string"
+    )
+    words = dedup.bloom_build(ref, key_col="k", k=3)
+    probe = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(200)]
+        + [(1000 + i, f"absent-{i}") for i in range(200)],
+        "id long, k string",
+    )
+    out = {r["id"]: r["bloom_hit"] for r in dedup.bloom_probe(
+        probe, words, key_col="k", id_col="id", k=3
+    ).collect()}
+    # Bloom guarantee: every inserted key hits
+    assert all(out[i] for i in range(200))
+    # absent keys: overwhelmingly miss (600 bits of 65536 set → FP ~1e-7)
+    fps = sum(1 for i in range(200) if out[1000 + i])
+    assert fps == 0
+
+
+def test_duplicated_span_stats_planted(spark):
+    shared = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one two three"),
+            (2, "lead in words here " + shared),
+            (3, "completely different text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicated_span_stats(docs, n=8).collect()}
+    # doc 3 shares nothing
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_ratio"] == 0.0
+    # docs 1 and 2 each contain the shared span at least once
+    assert out[1]["n_dup_spans"] >= 1 and out[2]["n_dup_spans"] >= 1
+    assert 0 < out[1]["dup_ratio"] <= 1.0
+
+
+def test_duplicated_span_stats_short_doc_whole_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "another doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicated_span_stats(docs, n=8).collect()}
+    # sub-n docs contribute their whole text as one span
+    assert out[1]["n_spans"] == 1 and out[1]["dup_ratio"] == 1.0
+    assert out[2]["dup_ratio"] == 1.0
+    assert out[3]["dup_ratio"] == 0.0
