@@ -51,6 +51,20 @@ HEADLINE = [
     "fin_ohlc_daily",
     "fin_pairwise_correlation",
     "dedup_paragraph_exact",
+    # round-4 additions: derived-partsupp TPC-H (broadcast-fanout
+    # build + correlated-min / EXISTS chains), the grouped-map MACD
+    # recurrence, bar-window ATR, and the three new dedup strategies
+    "tpch_q2_like_min_cost_supplier",
+    "tpch_q21_like_waiting_suppliers",
+    "fin_macd",
+    "fin_atr",
+    "dedup_semantic",
+    "dedup_bloom_probe",
+    "dedup_substring_spans",
+    "cdc_orders_diff",
+    "layout_morton_zorder",
+    "ivm_orders_status_agg",
+    "fin_twap_daily",
 ]
 
 
@@ -71,7 +85,11 @@ def main() -> int:
     # measured query doesn't absorb session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # 3 reps: measured rep-by-rep, rep 1 carries plan+codegen setup and
+    # rep 2 still pays residual JIT warmup (e.g. ma_alerts 3.18/0.77/
+    # 0.59 s); the min of 3 is the steady state a long-running cluster
+    # job actually sees.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         # best-of-N: the first run pays one-time codegen/planning cost;

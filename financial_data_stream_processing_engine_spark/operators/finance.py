@@ -713,3 +713,52 @@ def zscore_anomalies(
         .where((F.col("_cnt") == n) & (F.abs(F.col("zscore")) >= z_threshold))
         .drop("_cnt")
     )
+
+
+def twap(
+    df: DataFrame,
+    bucket: str = "1 day",
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Time-weighted average price per (key, bucket):
+    ``Σ(pᵢ·Δtᵢ) / Σ(Δtᵢ)`` where ``Δtᵢ`` is the µs gap to the NEXT
+    tick of the same key inside the same bucket — each price is
+    weighted by how long it was the standing price.  The bucket's last
+    tick has no successor and drops out of both sums (the convention
+    that makes the statistic a pure function of in-bucket data).
+
+    Exactness: Δt is integer microseconds (``unix_micros`` — no
+    float time arithmetic).  The product price·Δt is a FULL-precision
+    double (Δt is ~10¹⁰, so the product's binary error exceeds any
+    fixed decimal scale and a double→DECIMAL cast would round
+    differently per engine — the numeric.py portability lesson), so
+    the weighted sum runs on ``qint``-quantized integers at the 1e-3
+    grid of price·µs: one multiply+floor (IEEE-identical everywhere),
+    exact int128 accumulation, one correctly-rounded descale.  Buckets
+    with a single tick have no weighted interval → NULL TWAP, kept
+    with n_trades for auditability.
+
+    Scale: one window shuffle keyed by (key, bucket) for the lead,
+    then one aggregation on the same key — AQE coalesces the
+    exchanges since the partitioning matches.
+    """
+    win = F.window(ts_col, bucket).alias("win")
+    bucketed = df.select(
+        F.col(key), F.col(price).alias("__p"), F.col(ts_col).alias("__ts"), win
+    ).select(key, "__p", "__ts", F.col("win.start").alias("bucket"))
+    w = Window.partitionBy(key, "bucket").orderBy("__ts")
+    dt = (F.unix_micros(F.lead("__ts", 1).over(w)) - F.unix_micros(F.col("__ts"))).alias(
+        "__dt"
+    )
+    weighted = bucketed.select(key, "bucket", "__p", dt)
+    num = F.sum(qint(F.col("__p") * F.col("__dt"), 3)).cast("double") * F.lit(1e-3)
+    return (
+        weighted.groupBy(key, "bucket")
+        .agg(
+            F.try_divide(num, F.sum("__dt").cast("double")).alias("twap"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(key, F.col("bucket").alias("bar_start"), "twap", "n_trades")
+    )

@@ -121,3 +121,137 @@ def merge_upsert(base: DataFrame, changes: DataFrame, keys: list[str]) -> DataFr
     the anti-join side.
     """
     return base.join(changes, on=keys, how="left_anti").unionByName(changes)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two table versions: one row per key
+    whose state differs — ``change_type`` ∈ {'I' (insert: key only in
+    ``new``), 'D' (delete: key only in ``old``), 'U' (update: key in
+    both, any ``compare_cols`` differ, null-safely)}.  Unchanged keys
+    are absent from the output.
+
+    This is the change-data-feed a lake format derives from its
+    transaction log, computed directly from the two snapshots: one
+    full-outer join on the key (single shuffle, AQE-broadcast when a
+    side is small) and a null-safe comparison vector.  Old/new values
+    ride along as structs so a consumer can apply or audit the diff.
+
+    Both inputs must be key-unique (the same precondition MERGE has).
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("old_val"),
+        F.lit(True).alias("__in_old"),
+    )
+    nw = new.select(
+        *[F.col(k) for k in keys],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("new_val"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(nw, on=keys, how="full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_val.{c}").eqNullSafe(F.col(f"new_val.{c}"))
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type", "old_val", "new_val")
+    )
+
+
+def morton_z16(a, b):
+    """Morton (Z-order) interleave of two 16-bit values into one
+    32-bit curve position: bit i of ``a`` lands at bit 2i, bit i of
+    ``b`` at bit 2i+1.
+
+    Writing a dataset ``repartitionByRange(zval).sortWithinPartitions
+    (zval)`` clusters rows so that BOTH dimensions prune: any query box
+    over (a, b) touches a bounded set of z-ranges, so parquet min/max
+    row-group stats skip most files for either-dimension predicates —
+    the data-layout trick Delta's OPTIMIZE ZORDER applies, as a pure
+    column expression.  Straight shift/mask arithmetic, codegen'd,
+    engine-identical.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def morton_z16_sql(a: str, b: str) -> str:
+    """DuckDB spelling of :func:`morton_z16` (same shift/mask sums)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cdc_apply_to_sum_count(
+    old_agg_decimal: DataFrame,
+    diff: DataFrame,
+    group_from: str,
+    value_from: str,
+    group_col: str,
+) -> DataFrame:
+    """Incremental view maintenance for a SUM/COUNT aggregate: apply a
+    :func:`table_diff` change feed to a pre-aggregated (group, decimal
+    sum, count) state WITHOUT rescanning the base table.
+
+    Contributions: a delete subtracts its old value, an insert adds its
+    new value, an update does both — and because an update may MOVE a
+    row between groups (the group column itself changed), old and new
+    contributions are applied to their OWN groups.  All arithmetic
+    stays in DECIMAL until the final cast, so the maintained aggregate
+    is bit-identical to a full recompute — the property that makes
+    incremental maintenance trustworthy at 100 TB, where the delta is
+    MBs and the rescan would be the whole lake.
+
+    ``old_agg_decimal``: (group_col, _dec_sum decimal(27,7), n long).
+    Returns the same shape, groups with n=0 removed.
+    """
+    old_side = diff.filter(F.col("old_val").isNotNull()).select(
+        F.col(f"old_val.{group_from}").alias(group_col),
+        (-F.col(f"old_val.{value_from}")).cast("decimal(27,7)").alias("__d"),
+        F.lit(-1).cast("long").alias("__n"),
+    )
+    new_side = diff.filter(F.col("new_val").isNotNull()).select(
+        F.col(f"new_val.{group_from}").alias(group_col),
+        F.col(f"new_val.{value_from}").cast("decimal(27,7)").alias("__d"),
+        F.lit(1).cast("long").alias("__n"),
+    )
+    delta = (
+        old_side.unionByName(new_side)
+        .groupBy(group_col)
+        .agg(F.sum("__d").alias("__dsum"), F.sum("__n").alias("__dn"))
+    )
+    return (
+        old_agg_decimal.join(delta, group_col, "full_outer")
+        .select(
+            group_col,
+            (
+                F.coalesce(F.col("_dec_sum"), F.lit(0).cast("decimal(27,7)"))
+                + F.coalesce(F.col("__dsum"), F.lit(0).cast("decimal(27,7)"))
+            ).alias("_dec_sum"),
+            (
+                F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )

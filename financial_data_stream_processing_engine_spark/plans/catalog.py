@@ -63,124 +63,93 @@ def register(name: str, sql: str | None = None):
 #: Catalog presentation order. The driver's correctness gate walks
 #: ``queries()`` in registration order with a bounded budget (50), so
 #: the window rotates each round to keep every entry's newest green
-#: CORRECTNESS row fresh. Round-3 window: first the 13 entries that
-#: have never held a driver row, plus ``sessionization_gaps`` (its code
-#: changed after its r1 row — an entry whose implementation changes
-#: must re-enter the window before its old row counts); then new
-#: operators added this round; then the round-1-era entries whose rows
-#: are oldest. Entries not named here keep registration order at the
+#: CORRECTNESS row fresh. Rotation policy (every round): (1) entries
+#: new this round; (2) entries whose behavior-relevant code changed
+#: after their newest driver row — a changed entry must re-enter the
+#: window before its old row counts; (3) the entries whose rows are
+#: oldest. Entries not named here keep registration order at the
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
-    # never driver-checked before this round (local-oracle-green only)
-    "agg_filter_clause",
-    "histogram_value_buckets",
-    "join_full_outer_nation_activity",
-    "join_interval_bursts",
-    "join_salted_skew",
-    "json_to_map_explode",
-    "multimodal_png_resize",
-    "pipeline_pretraining_corpus",
-    "profile_events_table",
-    "quality_expectations_orders",
-    "recursive_cte_month_spine",
-    "sort_null_ordering_topn",
-    "streaming_ewma",
-    # changed after its r1 green row (µs-interval fix) — must re-earn
-    "sessionization_gaps",
-    # new this round: corpus-curation family
-    "chunk_documents",
-    "pack_sequences",
-    "contamination_ngram_overlap",
-    "mixture_sample_sources",
-    "quota_per_lang",
-    "pii_redact_documents",
-    "text_repetition_stats",
-    "corpus_select_token_budget",
-    # behavior-relevant code changed this round (moving_average
-    # uniqueness guard; MinHash hash family; connected_components
-    # convergence guard) — old rows no longer count, re-earn now
-    "ma_alerts",
-    "pipeline_multisource",
+    # --- round-4 window (first 50 = the driver's check budget) ---
+    # new this round: the five previously fixture-blocked TPC-H shapes
+    # over derived partsupp / commit+receipt dates
+    "tpch_q2_like_min_cost_supplier",
+    "tpch_q11_like_important_stock",
+    "tpch_q16_like_part_supplier_counts",
+    "tpch_q20_like_surplus_suppliers",
+    "tpch_q21_like_waiting_suppliers",
+    # new this round: indicator family
+    "fin_macd",
+    "fin_atr",
+    "fin_stochastic",
+    "fin_rolling_sharpe",
+    "fin_zscore_anomalies",
+    # new this round: dedup strategies
+    "dedup_semantic",
+    "dedup_bloom_probe",
+    "dedup_substring_spans",
+    # new this round: streaming MACD twin, CDC diff + incremental view
+    # maintenance, z-order layout, TWAP
+    "streaming_fin_macd",
+    "cdc_orders_diff",
+    "ivm_orders_status_agg",
+    "layout_morton_zorder",
+    "fin_twap_daily",
+    # behavior-relevant code changed after their newest driver row, so
+    # they re-enter the window: minhash signature family moved to the
+    # token-hash pipeline (dedup_minhash_lsh, dedup_cluster_canonical);
+    # pair ops moved to the Arrow pair-dot path and Jaccard gained the
+    # PPJoin length filter (dedup_ngram_jaccard, dedup_embedding_cosine,
+    # dedup_embedding_lsh)
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",
-    "dedup_simhash",
-    "similarity_ivf_topk",
-    # new this round: baseline-JPEG codec roundtrip + batched ANN
-    "multimodal_jpeg_roundtrip",
-    "similarity_multiquery_ivf_topk",
-    # new this round: financial-analytics family (the reference's
-    # domain — candles, VWAP, volatility, bands, RSI, drawdown,
-    # cross-symbol correlation, streaming candles)
-    "fin_ohlc_daily",
-    "fin_vwap_daily",
-    "fin_volatility",
-    "fin_bollinger_bands",
-    "fin_max_drawdown",
-    "fin_rsi_cutler",
-    "fin_pairwise_correlation",
-    "streaming_fin_ohlc",
-    # new this round: split/tf-idf/segment-dedup curation ops
-    "split_train_holdout",
-    "tfidf_top_terms",
-    "dedup_paragraph_exact",
-    # new this round: 4:4:4 color JPEG decode path
-    "multimodal_jpeg_color_roundtrip",
-    # new this round: gap-fill resample + product analytics + upsert
-    "fin_resample_ffill",
-    "cohort_retention",
-    "funnel_conversion",
-    "merge_upsert_orders",
-    # round-1-era entries, unchanged since r1, refreshing their rows
-    "agg_distinct_stats",
-    "agg_salted_skew",
-    "agg_variance_exact",
-    "clean_filter",
-    # --- driver check window boundary (first 50 above) ---
-    "join_anti_no_big_order",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    # round-1-era entries refreshing their oldest rows (32 of 38; the
+    # remaining 6 rotate in next round)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_like_shipping_priority",
+    "tpch_q5_like_regional_volume",
+    "join_star_revenue_by_region",
     "join_asof_last_purchase",
     "join_left_customer_orders",
     "join_range_price_bands",
     "join_semi_active_customers",
-    # r1-green entries displaced by the finance + curation additions
-    # this round; their r1 rows stand (code unchanged since r1) and
-    # current-code verification lives in tools/freshness_ledger.json
-    "join_star_revenue_by_region",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_like_shipping_priority",
-    "tpch_q5_like_regional_volume",
-    "udtf_ngrams",
-    "window_distribution_funcs",
+    "window_rank_orders",
     "window_lag_lead_events",
     "window_range_frame",
-    "window_rank_orders",
     "window_running_totals",
     "window_topk_per_group",
-    # r1-green entries yielding their slots this round: simple scalar /
-    # set / reshape shapes whose code is unchanged since r1 and whose
-    # current-code verification lives in tools/freshness_ledger.json
+    "window_distribution_funcs",
+    "agg_argminmax_bool_bit",
+    "agg_percentiles",
+    "agg_string_concat",
+    "array_functions_documents",
+    "grouping_sets_events",
+    "cube_status_priority",
+    "rollup_returnflag_status",
+    "pivot_qty_by_status",
+    "explode_tokens",
+    "udtf_ngrams",
+    "json_extract_props",
     "math_functions",
     "string_functions",
+    # --- driver check window boundary (first 50 above) ---
     "date_functions",
     "date_arithmetic",
+    # r1-green entries yielding their slots until next round: simple
+    # scalar/reshape/roundtrip shapes, code unchanged since r1, current-
+    # code verification in tools/freshness_ledger.json
+    "scalar_subquery_max_order",
+    "set_ops_customers",
+    "topn_orders_global",
     "conditional_tiers",
     "roundtrip_csv",
     "roundtrip_json",
-    "agg_string_concat",
-    "cube_status_priority",
-    "explode_tokens",
-    "pivot_qty_by_status",
-    "rollup_returnflag_status",
-    "set_intersect_all",
-    "set_ops_customers",
-    "topn_orders_global",
-    "unpivot_rates",
     "sample_hash_deterministic",
-    "scalar_subquery_max_order",
-    "json_extract_props",
-    "agg_argminmax_bool_bit",
-    "agg_percentiles",
-    "array_functions_documents",
-    "grouping_sets_events",
+    "set_intersect_all",
+    "unpivot_rates",
 ]
 
 

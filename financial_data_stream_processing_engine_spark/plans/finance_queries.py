@@ -482,3 +482,32 @@ def fin_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     (financial_engine.py:101-106) upgraded to a self-calibrating
     per-symbol baseline."""
     return finance.zscore_anomalies(_ticks(spark, sf_dir), n=20, z_threshold=3.0)
+
+
+@register(
+    "fin_twap_daily",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+b AS (
+  SELECT symbol, time_bucket(INTERVAL '1 day', ts) AS bucket, price, ts
+  FROM ticks),
+wt AS (
+  SELECT symbol, bucket, price,
+         epoch_us(LEAD(ts, 1) OVER (PARTITION BY symbol, bucket ORDER BY ts))
+           - epoch_us(ts) AS dt
+  FROM b)
+SELECT symbol, bucket AS bar_start,
+       CASE WHEN SUM(dt) IS NULL OR SUM(dt) = 0 THEN NULL
+            ELSE {qcast_sql('SUM(' + qint_sql('price * dt', 3) + ')')} * 1e-03
+                 / CAST(SUM(dt) AS DOUBLE) END AS twap,
+       COUNT(*) AS n_trades
+FROM wt
+GROUP BY symbol, bucket
+""",
+)
+def fin_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average price per symbol
+    (operators/finance.py::twap): each price weighted by its standing
+    time in integer microseconds — no float time arithmetic, so the
+    weighted sums are DECIMAL-exact in both engines."""
+    return finance.twap(_ticks(spark, sf_dir), bucket="1 day")

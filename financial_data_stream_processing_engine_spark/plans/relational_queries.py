@@ -2784,3 +2784,192 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_stream_processing_engine_spark.operators.scale import merge_upsert
 
     return merge_upsert(o, changes, keys=["o_orderkey"])
+
+
+@register(
+    "cdc_orders_diff",
+    sql="""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM changes),
+new_v AS (SELECT * FROM merged WHERE o_orderkey % 101 <> 7),
+old_v AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_orderstatus AS old_status, n.o_orderstatus AS new_status,
+         o.o_totalprice AS old_totalprice, n.o_totalprice AS new_totalprice,
+         o.o_custkey AS old_custkey, n.o_custkey AS new_custkey
+  FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, change_type, old_status, new_status,
+       old_totalprice, new_totalprice
+FROM (
+  SELECT j.*,
+         CASE WHEN NOT in_old THEN 'I'
+              WHEN NOT in_new THEN 'D'
+              WHEN old_custkey IS DISTINCT FROM new_custkey
+                OR old_status IS DISTINCT FROM new_status
+                OR old_totalprice IS DISTINCT FROM new_totalprice THEN 'U'
+         END AS change_type
+  FROM j)
+WHERE change_type IS NOT NULL
+""",
+)
+def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two table versions
+    (operators/scale.py::table_diff): old = orders, new = the
+    merge-upserted snapshot minus a deterministic delete set — the
+    diff yields 'U' rows for repriced keys, 'I' for inserted keys, 'D'
+    for deleted keys, nothing for untouched keys.  One full-outer join
+    on the key; this is the change feed a lake format reads from its
+    log, derived from snapshots instead."""
+    from financial_data_stream_processing_engine_spark.operators.scale import merge_upsert, table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    new_v = merge_upsert(o, updates.unionByName(inserts), keys=["o_orderkey"]).where(
+        F.col("o_orderkey") % 101 != 7
+    )
+    diff = table_diff(
+        o, new_v, keys=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    return diff.select(
+        "o_orderkey",
+        "change_type",
+        F.col("old_val.o_orderstatus").alias("old_status"),
+        F.col("new_val.o_orderstatus").alias("new_status"),
+        F.col("old_val.o_totalprice").alias("old_totalprice"),
+        F.col("new_val.o_totalprice").alias("new_totalprice"),
+    )
+
+
+def _morton_entry_sql() -> str:
+    from financial_data_stream_processing_engine_spark.operators.scale import morton_z16_sql
+
+    z = morton_z16_sql("(user_id % 65536)", "(CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 65536)")
+    return f"""
+SELECT event_id, {z} AS zval, {z} >> 16 AS ztile
+FROM events
+"""
+
+
+@register("layout_morton_zorder", sql=_morton_entry_sql())
+def layout_morton_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve position for every event over the (user_id,
+    time) plane (operators/scale.py::morton_z16) plus its coarse
+    16-bit tile.  Sorting a write by ``zval`` clusters BOTH dimensions
+    into parquet row-group min/max stats — the multi-dimensional
+    layout optimization (Delta OPTIMIZE ZORDER) as a pure codegen'd
+    expression; the oracle recomputes the identical shift/mask sum."""
+    from financial_data_stream_processing_engine_spark.operators.scale import morton_z16
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 65536
+    b = F.unix_timestamp("ts") % 65536
+    z = morton_z16(a, b)
+    return ev.select(
+        "event_id", z.alias("zval"), F.shiftright(z, 16).alias("ztile")
+    )
+
+
+@register(
+    "ivm_orders_status_agg",
+    sql="""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM changes),
+new_v AS (SELECT * FROM merged WHERE o_orderkey % 101 <> 7)
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,7))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM new_v
+GROUP BY o_orderstatus
+""",
+)
+def ivm_orders_status_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-status SUM/COUNT aggregate
+    maintained by applying the CDC diff (cdc_orders_diff's change set)
+    to the OLD aggregate — never rescanning the new snapshot
+    (operators/scale.py::cdc_apply_to_sum_count).  The oracle computes
+    the aggregate over the new snapshot directly: a hash match PROVES
+    the incrementally-maintained view is bit-identical to the full
+    recompute, which is exactly the guarantee a materialized view
+    needs before you trust delta-updates at 100 TB (the diff is MBs;
+    the rescan would be the lake).  Decimal accumulation end-to-end
+    makes the addition exact, hence order- and path-independent."""
+    from financial_data_stream_processing_engine_spark.operators.scale import (
+        cdc_apply_to_sum_count,
+        merge_upsert,
+        table_diff,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    new_v = merge_upsert(o, updates.unionByName(inserts), keys=["o_orderkey"]).where(
+        F.col("o_orderkey") % 101 != 7
+    )
+    diff = table_diff(
+        o, new_v, keys=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    old_agg = o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,7)")).alias("_dec_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    maintained = cdc_apply_to_sum_count(
+        old_agg, diff, group_from="o_orderstatus", value_from="o_totalprice",
+        group_col="o_orderstatus",
+    )
+    return maintained.select(
+        "o_orderstatus",
+        F.col("_dec_sum").cast("double").alias("total_price"),
+        F.col("n").alias("n_orders"),
+    )

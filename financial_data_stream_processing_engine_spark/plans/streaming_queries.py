@@ -351,3 +351,63 @@ def streaming_fin_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_trades",
     )
+
+
+def _macd_sql() -> str:
+    """The batch MACD oracle re-used for the streaming twin (same
+    prefix-fold recurrences; see plans/finance_queries.py::fin_macd)."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import dlit_sql
+
+    af, bf = 2.0 / 13.0, 1.0 - 2.0 / 13.0
+    as_, bs = 2.0 / 27.0, 1.0 - 2.0 / 27.0
+    ag, bg = 2.0 / 10.0, 1.0 - 2.0 / 10.0
+    return f"""
+WITH t AS (
+  SELECT event_id, user_id AS symbol, ts, value AS price
+  FROM events WHERE value IS NOT NULL),
+ordered AS (
+  SELECT symbol, event_id, ts, price,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY ts, event_id) AS rn
+  FROM t),
+g AS (SELECT symbol, LIST(price ORDER BY ts, event_id) AS vs FROM t GROUP BY symbol),
+m AS (
+  SELECT o.symbol, o.event_id, o.ts, o.price, o.rn,
+         LIST_REDUCE(g.vs[1:o.rn], (acc, x) -> {dlit_sql(af)} * x + {dlit_sql(bf)} * acc)
+       - LIST_REDUCE(g.vs[1:o.rn], (acc, x) -> {dlit_sql(as_)} * x + {dlit_sql(bs)} * acc)
+           AS macd
+  FROM ordered o JOIN g USING (symbol)),
+gm AS (SELECT symbol, LIST(macd ORDER BY ts, event_id) AS ms FROM m GROUP BY symbol)
+SELECT m.event_id, m.symbol, m.ts, m.price, m.macd,
+       LIST_REDUCE(gm.ms[1:m.rn], (acc, x) -> {dlit_sql(ag)} * x + {dlit_sql(bg)} * acc)
+         AS macd_signal,
+       m.macd
+       - LIST_REDUCE(gm.ms[1:m.rn], (acc, x) -> {dlit_sql(ag)} * x + {dlit_sql(bg)} * acc)
+         AS macd_histogram
+FROM m JOIN gm USING (symbol)
+"""
+
+
+@register("streaming_fin_macd", sql=_macd_sql())
+def streaming_fin_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD computed by the ACTUAL streaming path (file stream →
+    3-double keyed state → memory sink) — the streaming twin of
+    fin_macd, three-way bitwise: streaming == batch grouped-map ==
+    DuckDB prefix folds.  The keyed state is the smallest stateful
+    footprint in the engine (three doubles per symbol), the shape a
+    live indicator service runs."""
+    stream = _event_tick_stream(spark, sf_dir).where(F.col("price").isNotNull())
+    # ttl_ms=None: ProcessingTimeTimeout schedules continuous empty
+    # micro-batches purely to check timeouts, so processAllAvailable()
+    # never settles in the synchronous harness (same choice as
+    # streaming_ma_rowcount / streaming_ewma)
+    out = stateful.streaming_macd(stream, ttl_ms=None)
+    result = _run(out, spark)
+    return result.select(
+        F.col("id").cast("bigint").alias("event_id"),
+        F.col("symbol").cast("bigint").alias("symbol"),
+        F.col("ts"),
+        F.col("price"),
+        F.col("macd"),
+        F.col("macd_signal"),
+        F.col("macd_histogram"),
+    )

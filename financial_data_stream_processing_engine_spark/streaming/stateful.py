@@ -187,3 +187,96 @@ def streaming_ewma(
         timeoutConf=timeout_conf,
     )
     return out.unionByName(passthrough)
+
+
+MACD_OUTPUT_SCHEMA = (
+    "id string, symbol string, price double, volume bigint, ts timestamp, "
+    "source string, macd double, macd_signal double, macd_histogram double"
+)
+MACD_STATE_SCHEMA = "ef double, es double, sig double"
+
+
+def streaming_macd(
+    ticks: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    ttl_ms: int | None = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Per-symbol MACD over a tick stream — the streaming twin of
+    operators.finance.macd: three coupled EMA recurrences whose entire
+    keyed state is THREE doubles (fast EMA, slow EMA, signal EMA).
+
+    Per row the op order matches the batch fold exactly — advance fast,
+    advance slow, subtract, advance signal, subtract — so
+    streaming/batch/oracle agreement is bitwise.  NULL prices emit NULL
+    and carry state; NULL symbols bypass keyed state.  Like the other
+    stateful ops, arrival order is defined as (ts, numeric id) within
+    each micro-batch, and state carries a TTL.
+    """
+    af, bf = 2.0 / (fast + 1.0), 1.0 - 2.0 / (fast + 1.0)
+    as_, bs = 2.0 / (slow + 1.0), 1.0 - 2.0 / (slow + 1.0)
+    ag, bg = 2.0 / (signal + 1.0), 1.0 - 2.0 / (signal + 1.0)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ef, es, sig = state.get if state.exists else (None, None, None)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            idnum = pd.to_numeric(pdf["id"], errors="coerce")
+            pdf = (
+                pdf.assign(__idnum=idnum)
+                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
+                .drop(columns="__idnum")
+            )
+            m_out, s_out, h_out = [], [], []
+            for price in pdf["price"]:
+                if price is None or pd.isna(price):
+                    m_out.append(None)
+                    s_out.append(None)
+                    h_out.append(None)
+                    continue
+                v = float(price)
+                ef = v if ef is None else af * v + bf * ef
+                es = v if es is None else as_ * v + bs * es
+                m = ef - es
+                sig = m if sig is None else ag * m + bg * sig
+                m_out.append(m)
+                s_out.append(sig)
+                h_out.append(m - sig)
+            res = pdf.copy()
+            res["macd"] = pd.Series(m_out, index=pdf.index, dtype="float64")
+            res["macd_signal"] = pd.Series(s_out, index=pdf.index, dtype="float64")
+            res["macd_histogram"] = pd.Series(h_out, index=pdf.index, dtype="float64")
+            yield res
+        state.update((ef, es, sig))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    keyed = ticks.filter(ticks.symbol.isNotNull())
+    passthrough = (
+        ticks.filter(ticks.symbol.isNull())
+        .withColumn("macd", F.lit(None).cast("double"))
+        .withColumn("macd_signal", F.lit(None).cast("double"))
+        .withColumn("macd_histogram", F.lit(None).cast("double"))
+    )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    out = keyed.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=MACD_OUTPUT_SCHEMA,
+        stateStructType=MACD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+    return out.unionByName(passthrough)

@@ -373,3 +373,18 @@ def test_zscore_baseline_excludes_current_tick(spark):
     assert len(spike) == 1
     expected_mean = sum(prices[1:21]) / 20.0
     assert spike[0]["baseline_mean"] == pytest.approx(expected_mean)
+
+
+def test_twap_weights_by_standing_time(spark):
+    rows = [
+        (0, 1, BASE, 10.0, 1),
+        (1, 1, BASE + dt.timedelta(seconds=10), 20.0, 1),
+        (2, 1, BASE + dt.timedelta(seconds=30), 30.0, 1),  # last: no successor
+        (3, 2, BASE, 99.0, 1),  # single tick → NULL twap
+    ]
+    df = spark.createDataFrame(rows, TICK_SCHEMA)
+    out = {r["symbol"]: r for r in finance.twap(df, bucket="1 day").collect()}
+    # (10·10s + 20·20s) / 30s = 500/30
+    assert out[1]["twap"] == pytest.approx(500.0 / 30.0)
+    assert out[1]["n_trades"] == 3
+    assert out[2]["twap"] is None and out[2]["n_trades"] == 1

@@ -97,3 +97,88 @@ def test_merge_upsert_replaces_and_inserts(spark):
     out = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, changes, ["k"]).collect()}
     # matched row fully replaced, unmatched inserted, others untouched
     assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_table_diff_classifies_iud(spark):
+    from financial_data_stream_processing_engine_spark.operators.scale import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged → absent from diff
+         (2, "b", 25.0),        # value update
+         (4, "x", 40.0),        # null→value update (null-safe compare)
+         (5, "e", 50.0)],       # insert
+        "k long, s string, v double",
+    )
+    out = {r.k: r for r in table_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2].change_type == "U" and out[2].new_val.v == 25.0
+    assert out[3].change_type == "D" and out[3].new_val is None
+    assert out[4].change_type == "U"  # NULL <=> 'x' differs null-safely
+    assert out[5].change_type == "I" and out[5].old_val is None
+
+
+def test_morton_z16_properties(spark):
+    from financial_data_stream_processing_engine_spark.operators.scale import morton_z16
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (65535, 65535), (21845, 0), (0, 21845)],
+        "a long, b long",
+    )
+    rows = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", morton_z16(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+
+    def py_morton(a, b):
+        z = 0
+        for i in range(16):
+            z += ((a >> i) & 1) << (2 * i)
+            z += ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in rows.items():
+        assert z == py_morton(a, b)
+    assert rows[(1, 0)] == 1 and rows[(0, 1)] == 2
+    assert rows[(65535, 65535)] == (1 << 32) - 1
+    # a occupies even bits only, b odd bits only
+    assert rows[(21845, 0)] & 0xAAAAAAAA == 0
+    assert rows[(0, 21845)] & 0x55555555 == 0
+
+
+def test_ivm_matches_full_recompute_with_group_moves(spark):
+    from pyspark.sql import functions as F
+    from financial_data_stream_processing_engine_spark.operators.scale import (
+        cdc_apply_to_sum_count,
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "k long, g string, v double",
+    )
+    # 1: moves group a→b, 2: deleted, 4: value update, 5: insert into c
+    new = spark.createDataFrame(
+        [(1, "b", 10.0), (3, "b", 30.0), (4, "b", 45.0), (5, "c", 50.0)],
+        "k long, g string, v double",
+    )
+    diff = table_diff(old, new, ["k"], ["g", "v"])
+    old_agg = old.groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(27,7)")).alias("_dec_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    maintained = {
+        r["g"]: (float(r["_dec_sum"]), r["n"])
+        for r in cdc_apply_to_sum_count(old_agg, diff, "g", "v", "g").collect()
+    }
+    full = {
+        r["g"]: (float(r["s"]), r["n"])
+        for r in new.groupBy("g")
+        .agg(F.sum(F.col("v").cast("decimal(27,7)")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert maintained == full  # group 'a' vanished (n=0 dropped), b=3 rows, c=1

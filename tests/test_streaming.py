@@ -192,3 +192,24 @@ def test_stateful_ma_with_ttl_processes_data(spark, tick_dir):
     n = spark.table("ma_ttl_stream").count()
     q.stop()
     assert n == 240
+
+
+def test_streaming_macd_matches_batch_fold(spark, tick_dir):
+    from financial_data_stream_processing_engine_spark.operators import finance
+
+    stream = _stream(spark, tick_dir).filter("symbol IS NOT NULL")
+    out = stateful.streaming_macd(stream, ttl_ms=None)
+    _run_to_memory(out, "macd_stream")
+    got = {
+        r.id: (r.macd, r.macd_signal, r.macd_histogram)
+        for r in spark.table("macd_stream").collect()
+    }
+
+    batch = spark.read.parquet(tick_dir).filter("symbol IS NOT NULL")
+    exp_rows = finance.macd(
+        batch, key="symbol", ts_col="ts", price="price", order_by=("ts", "id")
+    ).collect()
+    exp = {r.id: (r.macd, r.macd_signal, r.macd_histogram) for r in exp_rows}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k], k  # bitwise: identical op order
