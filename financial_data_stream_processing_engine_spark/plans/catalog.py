@@ -95,6 +95,9 @@ _PRIORITY: list[str] = [
     "ivm_orders_status_agg",
     "layout_morton_zorder",
     "fin_twap_daily",
+    # new this round: table-maintenance pair
+    "maintenance_compact_files",
+    "schema_evolution_merge_read",
     # behavior-relevant code changed after their newest driver row, so
     # they re-enter the window: minhash signature family moved to the
     # token-hash pipeline (dedup_minhash_lsh, dedup_cluster_canonical);
@@ -133,9 +136,9 @@ _PRIORITY: list[str] = [
     "explode_tokens",
     "udtf_ngrams",
     "json_extract_props",
+    # --- driver check window boundary (first 50 above) ---
     "math_functions",
     "string_functions",
-    # --- driver check window boundary (first 50 above) ---
     "date_functions",
     "date_arithmetic",
     # r1-green entries yielding their slots until next round: simple

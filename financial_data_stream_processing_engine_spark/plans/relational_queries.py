@@ -2973,3 +2973,76 @@ def ivm_orders_status_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_dec_sum").cast("double").alias("total_price"),
         F.col("n").alias("n_orders"),
     )
+
+
+@register(
+    "maintenance_compact_files",
+    sql="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance operation every
+    100 TB lake runs nightly: a fragmented dataset (64 shards here,
+    mimicking per-micro-batch streaming output) is rewritten into a
+    bounded file count with ``repartition``, and the compacted copy is
+    proven lossless against the oracle (the original table).
+
+    Scale: compaction IS a repartition-write — one shuffle sized by
+    the target file count; readers then pay O(files) less scheduling
+    and metadata.  The file-count assertions run on the driver against
+    the filesystem, not the data.
+    """
+    import tempfile
+    from pathlib import Path
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    frag_dir = tempfile.mkdtemp(prefix="compact_in_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    n_frag = len(list(Path(frag_dir).glob("part-*.parquet")))
+    compact_dir = tempfile.mkdtemp(prefix="compact_out_")
+    spark.read.parquet(frag_dir).repartition(4).write.mode("overwrite").parquet(
+        compact_dir
+    )
+    n_compact = len(list(Path(compact_dir).glob("part-*.parquet")))
+    assert n_frag == 64 and n_compact == 4, (n_frag, n_compact)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).parquet(compact_dir)
+
+
+@register(
+    "schema_evolution_merge_read",
+    sql="""
+SELECT event_id, value, CAST(NULL AS VARCHAR) AS batch_tag FROM events
+WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, value, 'v2' AS batch_tag FROM events
+WHERE event_id % 2 = 1
+""",
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with
+    DIFFERENT schemas (v2 adds ``batch_tag``) land in one dataset;
+    ``mergeSchema=true`` reconciles them and back-fills the missing
+    column with NULL for v1 rows — the additive-evolution contract a
+    long-lived ingestion dataset depends on (columns appear over time;
+    old files never rewrite).
+    """
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="schema_evo_")
+    v1 = ev.where(F.col("event_id") % 2 == 0).select("event_id", "value")
+    v2 = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", F.lit("v2").alias("batch_tag")
+    )
+    v1.write.mode("append").parquet(d)
+    v2.write.mode("append").parquet(d)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(d)
+        .select("event_id", "value", "batch_tag")
+    )
