@@ -65,6 +65,8 @@ HEADLINE = [
     "layout_morton_zorder",
     "ivm_orders_status_agg",
     "fin_twap_daily",
+    "winsorize_events_value",
+    "graph_pagerank_similarity",
 ]
 
 

@@ -1,0 +1,85 @@
+"""Graph operators over edge-list DataFrames.
+
+Companions to ``operators.dedup.connected_components`` (min-label
+propagation): iterative algorithms expressed as per-round join +
+aggregate, never materializing anything super-linear in |E|.
+
+Determinism contract: per-round neighbor sums accumulate through
+quantized integers (``functions.numeric.qint``) — float addition is
+not associative, so a plain double SUM would vary with shuffle order
+AND disagree with the oracle; the integer grid makes every round a
+pure function of the previous one, hence bit-reproducible at any
+parallelism and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from financial_data_stream_processing_engine_spark.functions.numeric import qint
+
+#: contribution grid for pagerank sums: ranks are O(1/N); 1e-12 keeps
+#: ~6 significant digits at N=1e6 nodes per contribution
+PR_QSCALE = 12
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 4,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``k`` fixed iterations of PageRank (damping 0.85) over a
+    directed edge list: rᵢ₊₁(v) = 0.15/N + 0.85·Σ_{u→v} rᵢ(u)/deg(u).
+
+    Fixed iteration count on purpose: a convergence test would need a
+    per-round driver check (fine — connected_components does it), but
+    rank consumers (dedup canonicalization, crawl prioritization)
+    conventionally run a fixed small k, and a fixed k makes the oracle
+    an exact unrolled recomputation rather than an approximation.
+
+    Dangling nodes (no out-edges) leak their mass — the standard
+    simplified formulation; callers who need the stochastic fix add a
+    sink edge per dangling node.
+
+    Scale: per iteration one join (edges ⋈ ranks, shuffled on ``src``)
+    + one aggregation on ``dst`` — linear in |E|, the same per-round
+    profile as connected_components.  The plan is built lazily over k
+    rounds (k is small); for large k insert ``localCheckpoint`` every
+    few rounds to truncate lineage.
+    """
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    ed = edges.join(deg, src).select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__deg"
+    )
+    r = (
+        nodes.select(F.col(node_col).alias("__node"))
+        .crossJoin(F.broadcast(nn))
+        .select("__node", (F.lit(1.0) / F.col("n")).alias("__r"), "n")
+    )
+    for _ in range(k):
+        contrib = ed.join(
+            r.select(F.col("__node").alias("__src"), "__r"), "__src"
+        ).select("__dst", (F.col("__r") / F.col("__deg")).alias("__c"))
+        sums = contrib.groupBy("__dst").agg(
+            (F.sum(qint(F.col("__c"), PR_QSCALE)).cast("double") * F.lit(1e-12)).alias(
+                "__s"
+            )
+        )
+        r = (
+            nodes.select(F.col(node_col).alias("__node"))
+            .crossJoin(F.broadcast(nn))
+            .join(sums, F.col("__node") == F.col("__dst"), "left")
+            .select(
+                "__node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("__s"), F.lit(0.0))
+                ).alias("__r"),
+                "n",
+            )
+        )
+    return r.select(F.col("__node").alias(node_col), F.col("__r").alias("rank"))

@@ -10,6 +10,7 @@ marker-based language ID, rolling-hash document fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------------------
@@ -334,3 +335,29 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def nfc_normalize(df, text_col: str = "text", out_col: str = "text_nfc"):
+    """Unicode NFC normalization of a text column — the cleanup step a
+    multilingual corpus needs before tokenization/dedup (the same
+    logical text arrives as composed or decomposed codepoints from
+    different crawlers; fingerprints then disagree on identical text).
+
+    Runs as an Arrow-vectorized pandas UDF over ``unicodedata``
+    (Python's normalizer implements Unicode Annex #15, the same
+    algorithm DuckDB's ``nfc_normalize`` implements — verified
+    identical on composed/decomposed/compatibility samples).  One of
+    the few justified Python-path operators: Spark has no built-in
+    normalizer expression, and normalization tables are not SQL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

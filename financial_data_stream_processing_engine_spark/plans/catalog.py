@@ -98,6 +98,13 @@ _PRIORITY: list[str] = [
     # new this round: table-maintenance pair
     "maintenance_compact_files",
     "schema_evolution_merge_read",
+    # new this round: cleaning/outlier ops, streaming top-k, custom
+    # sink, PageRank
+    "text_unicode_normalize",
+    "winsorize_events_value",
+    "streaming_topk_users",
+    "python_datasource_sink_roundtrip",
+    "graph_pagerank_similarity",
     # behavior-relevant code changed after their newest driver row, so
     # they re-enter the window: minhash signature family moved to the
     # token-hash pipeline (dedup_minhash_lsh, dedup_cluster_canonical);
@@ -131,12 +138,12 @@ _PRIORITY: list[str] = [
     "array_functions_documents",
     "grouping_sets_events",
     "cube_status_priority",
+    # --- driver check window boundary (first 50 above) ---
     "rollup_returnflag_status",
     "pivot_qty_by_status",
     "explode_tokens",
     "udtf_ngrams",
     "json_extract_props",
-    # --- driver check window boundary (first 50 above) ---
     "math_functions",
     "string_functions",
     "date_functions",

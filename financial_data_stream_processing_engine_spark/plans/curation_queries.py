@@ -348,3 +348,52 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     document reassembly — the CCNet line-dedup shape
     (operators/curation.py::dedup_segments)."""
     return curation.dedup_segments(_docs(spark, sf_dir), window=10)
+
+
+@register(
+    "text_unicode_normalize",
+    sql=r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3
+                   WHEN 0 THEN ' cafe' || CHR(101) || CHR(769)
+                   WHEN 1 THEN ' ' || CHR(65) || CHR(778) || 'ngstrom'
+                   ELSE ''
+                 END AS t
+  FROM documents)
+SELECT doc_id,
+       LENGTH(t) AS n_before,
+       LENGTH(nfc_normalize(t)) AS n_after,
+       nfc_normalize(t) <> t AS changed,
+       nfc_normalize(t) AS text_nfc
+FROM planted
+""",
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/text.py::nfc_normalize):
+    decomposed sequences planted onto the fixture text (e+COMBINING
+    ACUTE, A+COMBINING RING) compose under NFC, shrinking the
+    character length — the canonicalization step that makes dedup
+    fingerprints agree across crawlers.  Oracle: DuckDB's
+    nfc_normalize implements the same Unicode Annex #15 algorithm as
+    Python's unicodedata, so text, lengths, and changed flags match
+    exactly."""
+    from financial_data_stream_processing_engine_spark.operators.text import nfc_normalize
+
+    docs = _docs(spark, sf_dir)
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafee\u0301"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" A\u030angstrom"))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("t")
+    )
+    out = nfc_normalize(planted, text_col="t", out_col="text_nfc")
+    return out.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_before"),
+        F.length("text_nfc").cast("long").alias("n_after"),
+        (F.col("text_nfc") != F.col("t")).alias("changed"),
+        "text_nfc",
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from financial_data_stream_processing_engine_spark.functions.numeric import davg_sql
+from financial_data_stream_processing_engine_spark.functions.numeric import davg_sql, qcast_sql, qint_sql
 from financial_data_stream_processing_engine_spark.io_utils import load_table
 from financial_data_stream_processing_engine_spark.operators import dedup, multimodal, similarity, text
 from financial_data_stream_processing_engine_spark.plans.catalog import register
@@ -1386,3 +1386,61 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_span_stats(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=8
     )
+
+
+def _pagerank_sql(k: int = 4) -> str:
+    """Unrolled k-iteration PageRank oracle over the cosine≥0.3
+    similarity graph (qint-gridded neighbor sums, same as the
+    operator)."""
+    qsum = qcast_sql("SUM(" + qint_sql("r.r / e.deg", 12) + ")") + " * 1e-12"
+    lines = [
+        f"""WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.3),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+ed AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)"""
+    ]
+    for i in range(1, k + 1):
+        lines.append(
+            f"""s{i} AS (
+  SELECT e.dst AS node, {qsum} AS s
+  FROM ed e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst)"""
+        )
+        lines.append(
+            f"""r{i} AS (
+  SELECT nodes.node,
+         CAST(0.15 AS DOUBLE) / nn.n
+           + CAST(0.85 AS DOUBLE) * COALESCE(s{i}.s, 0.0) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON s{i}.node = nodes.node)"""
+        )
+    return ",\n".join(lines) + f"\nSELECT node, r AS rank FROM r{k}"
+
+
+@register("graph_pagerank_similarity", sql=_pagerank_sql(4))
+def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (4 iterations, damping 0.85) over the undirected
+    cosine≥0.3 embedding-similarity graph — the centrality signal a
+    dedup pipeline uses to pick the most-connected representative, and
+    a second iterative-algorithm shape beside connected_components
+    (operators/graph.py::pagerank).  Oracle: the full recursion
+    unrolled in SQL with the same quantized-integer neighbor sums, so
+    every iteration is bit-identical cross-engine."""
+    from financial_data_stream_processing_engine_spark.operators.graph import pagerank
+
+    embs = _embs(spark, sf_dir)
+    pairs = dedup.embedding_cosine_pairs(embs, threshold=0.3)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = embs.select(F.col("vec_id").alias("node"))
+    return pagerank(nodes, sym, k=4)

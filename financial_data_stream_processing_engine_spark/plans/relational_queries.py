@@ -3046,3 +3046,73 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(d)
         .select("event_id", "value", "batch_tag")
     )
+
+
+@register(
+    "winsorize_events_value",
+    sql="""
+WITH stats AS (
+  SELECT event_type,
+         QUANTILE_CONT(value, 0.05) AS p05,
+         QUANTILE_CONT(value, 0.95) AS p95
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       LEAST(GREATEST(e.value, s.p05), s.p95) AS value_winsorized,
+       (e.value < s.p05 OR e.value > s.p95) AS clipped
+FROM events e JOIN stats s USING (event_type)
+""",
+)
+def winsorize_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its event-type's exact
+    [p05, p95] band — the outlier treatment a feature pipeline applies
+    before normalization (clamping, not dropping, preserves row
+    count).  Exact interpolated percentiles match QUANTILE_CONT
+    (established by agg_percentiles); the tiny per-group stats
+    broadcast, so the clip is map-side.
+
+    Scale: exact percentiles need a per-group sort — at 100 TB swap in
+    approx_percentile for the stats CTE, same plan otherwise.
+    """
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+                "value_winsorized"
+            ),
+            ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias(
+                "clipped"
+            ),
+        )
+    )
+
+
+@register(
+    "python_datasource_sink_roundtrip",
+    sql="""
+SELECT event_id, user_id, value FROM events
+""",
+)
+def python_datasource_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER round-trip
+    (sources/tick_datasource.py::build_jsonl_sink_datasource): events
+    written through ``format("jsonl_dir")`` — executor-parallel JSONL
+    shards, rename-on-commit atomicity — then read back and proven
+    lossless against the original table.  Doubles survive exactly
+    because json emits the shortest round-trip repr."""
+    import tempfile
+
+    from financial_data_stream_processing_engine_spark.sources.tick_datasource import register_sink
+
+    register_sink(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="jsonl_sink_") + "/out"
+    ev.write.format("jsonl_dir").option("path", d).mode("append").save()
+    return spark.read.schema("event_id bigint, user_id bigint, value double").json(d)

@@ -411,3 +411,49 @@ def streaming_fin_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("macd_signal"),
         F.col("macd_histogram"),
     )
+
+
+_STREAM_TOPK_SQL = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+         user_id,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2)
+SELECT win_start, user_id, n, CAST(rk AS INT) AS rk
+FROM (
+  SELECT win_start, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY win_start ORDER BY n DESC, user_id) AS rk
+  FROM counts)
+WHERE rk <= 3
+"""
+
+
+@register("streaming_topk_users", sql=_STREAM_TOPK_SQL)
+def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-keys: hourly event counts per user computed by
+    a REAL watermarked streaming aggregation (complete-mode memory
+    sink), then ranked top-3 per window on the materialized result —
+    ranking windows aren't supported inside a streaming aggregation,
+    so the rank runs where a dashboard would run it: over the sink.
+    Deterministic tie-break (count desc, user asc)."""
+    stream = _event_tick_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("symbol"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    result = _run(agg, spark, mode="complete")
+    from pyspark.sql import Window as W
+
+    ranked = result.select(
+        F.col("win.start").alias("win_start"),
+        F.col("symbol").cast("bigint").alias("user_id"),
+        F.col("n"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("win_start").orderBy(F.col("n").desc(), F.col("user_id"))
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 3)

@@ -91,3 +91,76 @@ def build_tick_datasource():
 
 def register(spark) -> None:
     spark.dataSource.register(build_tick_datasource())
+
+
+def build_jsonl_sink_datasource():
+    """Custom Python DataSource WRITER (the sink half of the Spark 4
+    DataSource API): ``df.write.format("jsonl_dir").option("path", d)
+    .save()`` writes each partition as one JSON-lines shard from the
+    executor, with task files made visible only on commit.
+
+    Completes the extension surface next to the reader above — the
+    reference's only "sink" contract is the observer ABC
+    (financial_engine.py:85-110); this is the durable, parallel,
+    all-or-nothing version:
+
+    * each task writes ``part-<uuid>.jsonl.tmp`` and reports it in its
+      WriterCommitMessage;
+    * ``commit()`` (driver, once, after every task succeeded) renames
+      the .tmp shards into place — readers never observe a partial
+      write (the same rename-on-commit protocol file committers use);
+    * ``abort()`` removes the orphaned .tmp files.
+
+    Locally-scoped classes on purpose — see the reader's deployment
+    note (cloudpickle by value).
+    """
+    import json
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class ShardCommit(WriterCommitMessage):
+        def __init__(self, tmp_path: str) -> None:
+            self.tmp_path = tmp_path
+
+    class JsonlDirWriter(DataSourceWriter):
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def write(self, rows):
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                for row in rows:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+            return ShardCommit(tmp)
+
+        def commit(self, messages):
+            for m in messages:
+                os.rename(m.tmp_path, m.tmp_path[: -len(".tmp")])
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+
+    class JsonlDirDataSource(DataSource):
+        """``df.write.format("jsonl_dir").option("path", d).save()``"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_dir"
+
+        def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+            return JsonlDirWriter(self.options)
+
+    return JsonlDirDataSource
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(build_jsonl_sink_datasource())

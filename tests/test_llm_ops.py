@@ -372,3 +372,50 @@ def test_duplicated_span_stats_short_doc_whole_text(spark):
     assert out[1]["n_spans"] == 1 and out[1]["dup_ratio"] == 1.0
     assert out[2]["dup_ratio"] == 1.0
     assert out[3]["dup_ratio"] == 0.0
+
+
+# --- batch 5: unicode / pagerank (round 4) ----------------------------
+
+
+def test_nfc_normalize_composes_and_preserves_nfc(spark):
+    docs = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, "Ångstrom"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text_nfc for r in text.nfc_normalize(docs).collect()}
+    assert out[1] == "café"          # decomposed composes
+    assert out[2] == "café"          # already-NFC unchanged
+    assert out[3] == "Ångstrom"      # A + ring → Å
+    assert out[4] is None
+
+
+def test_pagerank_star_and_isolated(spark):
+    from financial_data_stream_processing_engine_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    # undirected star centered on 1 over {1..4}; node 5 isolated
+    pairs = [(1, 2), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    r = {row.node: row.rank for row in pagerank(nodes, edges, k=8).collect()}
+    # the hub out-ranks the spokes; spokes tie bitwise by symmetry
+    assert r[1] > r[2] and r[2] == r[3] == r[4]
+    # isolated node holds exactly the teleport mass
+    assert r[5] == 0.15 / 5
+    # ranks are positive and bounded
+    assert all(0 < v < 1 for v in r.values())
+
+
+def test_pagerank_bitwise_stable_under_repartition(spark):
+    from financial_data_stream_processing_engine_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "node long")
+    pairs = [(i, (i * 7 + 1) % 30) for i in range(30)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    a = {r.node: r.rank for r in pagerank(nodes.repartition(2), edges.repartition(3), k=5).collect()}
+    b = {r.node: r.rank for r in pagerank(nodes.repartition(7), edges.repartition(11), k=5).collect()}
+    assert a == b  # exact ==: quantized-integer neighbor sums
