@@ -758,3 +758,80 @@ def twap(
         )
         .select(key, F.col("bucket").alias("bar_start"), "twap", "n_trades")
     )
+
+
+def obv(
+    df: DataFrame,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+    volume: str = "volume",
+) -> DataFrame:
+    """On-balance volume: running sum of volume signed by the price
+    direction (+vol on an up-tick, −vol on a down-tick, 0 on flat or
+    the key's first tick).
+
+    Entirely INTEGER arithmetic — sign picks, coalesce, and an
+    unbounded-preceding window sum of longs — so the result is exact,
+    order-independent within the defined (ts) order, and trivially
+    engine-identical.  One window shuffle per key; the running sum
+    frame carries a single accumulator.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    prev = F.lag(price).over(w)
+    vol = F.coalesce(F.col(volume), F.lit(0).cast("long"))
+    signed = (
+        F.when(prev.isNull(), F.lit(0).cast("long"))
+        .when(F.col(price) > prev, vol)
+        .when(F.col(price) < prev, -vol)
+        .otherwise(F.lit(0).cast("long"))
+    )
+    wsum = Window.partitionBy(key).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.select(
+        "event_id",
+        key,
+        ts_col,
+        F.col(price),
+        signed.alias("signed_volume"),
+        F.sum(signed).over(wsum).alias("obv"),
+    )
+
+
+def donchian_channels(
+    df: DataFrame,
+    n: int = 20,
+    bucket: str = "1 day",
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Donchian channels over tumbling OHLC bars: the trailing
+    ``n``-bar extremes (upper = max high, lower = min low) and their
+    midline, emitted at full frames only.
+
+    MAX/MIN of doubles are exact (no accumulation error), so this is
+    engine-identical with no decimal machinery at all; the midline is
+    one add + one divide.  Same bar-squeeze-then-window profile as
+    :func:`atr`.
+    """
+    bars = ohlc_bars(df, bucket=bucket, key=key, ts_col=ts_col, price=price,
+                     volume=None)
+    wf = Window.partitionBy(key).orderBy("bar_start").rowsBetween(-(n - 1), 0)
+    upper = F.max("high").over(wf)
+    lower = F.min("low").over(wf)
+    cnt = F.count("close").over(wf)
+    return (
+        bars.select(
+            key,
+            "bar_start",
+            "close",
+            cnt.alias("_cnt"),
+            upper.alias("upper_channel"),
+            lower.alias("lower_channel"),
+            ((upper + lower) / F.lit(2.0)).alias("mid_channel"),
+        )
+        .where(F.col("_cnt") == n)
+        .drop("_cnt")
+    )

@@ -105,6 +105,9 @@ _PRIORITY: list[str] = [
     "streaming_topk_users",
     "python_datasource_sink_roundtrip",
     "graph_pagerank_similarity",
+    # new this round: integer-exact OBV + Donchian channels
+    "fin_obv",
+    "fin_donchian",
     # behavior-relevant code changed after their newest driver row, so
     # they re-enter the window: minhash signature family moved to the
     # token-hash pipeline (dedup_minhash_lsh, dedup_cluster_canonical);
@@ -136,9 +139,9 @@ _PRIORITY: list[str] = [
     "agg_percentiles",
     "agg_string_concat",
     "array_functions_documents",
+    # --- driver check window boundary (first 50 above) ---
     "grouping_sets_events",
     "cube_status_priority",
-    # --- driver check window boundary (first 50 above) ---
     "rollup_returnflag_status",
     "pivot_qty_by_status",
     "explode_tokens",

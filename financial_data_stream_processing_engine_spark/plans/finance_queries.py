@@ -511,3 +511,55 @@ def fin_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     time in integer microseconds — no float time arithmetic, so the
     weighted sums are DECIMAL-exact in both engines."""
     return finance.twap(_ticks(spark, sf_dir), bucket="1 day")
+
+
+@register(
+    "fin_obv",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+s AS (
+  SELECT event_id, symbol, ts, price,
+         CASE WHEN LAG(price) OVER w IS NULL THEN CAST(0 AS BIGINT)
+              WHEN price > LAG(price) OVER w THEN COALESCE(volume, 0)
+              WHEN price < LAG(price) OVER w THEN -COALESCE(volume, 0)
+              ELSE CAST(0 AS BIGINT) END AS signed_volume
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts))
+SELECT event_id, symbol, ts, price, signed_volume,
+       CAST(SUM(signed_volume) OVER (PARTITION BY symbol ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM s
+""",
+)
+def fin_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per symbol (operators/finance.py::obv) —
+    pure integer running sum, exact in both engines."""
+    return finance.obv(_ticks(spark, sf_dir))
+
+
+@register(
+    "fin_donchian",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+bars AS (
+  SELECT symbol,
+         time_bucket(INTERVAL '1 day', ts) AS bar_start,
+         MAX(price) AS high,
+         MIN(price) AS low,
+         arg_max(price, ts) AS "close"
+  FROM ticks GROUP BY 1, 2)
+SELECT symbol, bar_start, "close",
+       MAX(high) OVER wf AS upper_channel,
+       MIN(low) OVER wf AS lower_channel,
+       (MAX(high) OVER wf + MIN(low) OVER wf) / 2.0 AS mid_channel
+FROM bars
+WINDOW wf AS (PARTITION BY symbol ORDER BY bar_start
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+QUALIFY COUNT("close") OVER wf = 20
+""",
+)
+def fin_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channels (20-bar trailing extremes + midline) over
+    daily candles (operators/finance.py::donchian_channels) — exact
+    MAX/MIN algebra, no accumulation machinery needed."""
+    return finance.donchian_channels(_ticks(spark, sf_dir), n=20, bucket="1 day")

@@ -388,3 +388,23 @@ def test_twap_weights_by_standing_time(spark):
     assert out[1]["twap"] == pytest.approx(500.0 / 30.0)
     assert out[1]["n_trades"] == 3
     assert out[2]["twap"] is None and out[2]["n_trades"] == 1
+
+
+def test_obv_signed_running_sum(spark):
+    # prices 10 →12(up) →11(down) →11(flat) →15(up); volumes 11,12,13,14,15
+    out = (
+        finance.obv(ticks_df(spark, [10.0, 12.0, 11.0, 11.0, 15.0]))
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r["signed_volume"] for r in out] == [0, 11, -12, 0, 14]
+    assert [r["obv"] for r in out] == [0, 11, -1, -1, 13]
+
+
+def test_donchian_brackets_close_and_gates(spark):
+    prices = [float(10 + (i * 13) % 7) for i in range(25)]
+    out = finance.donchian_channels(_daily_ticks(spark, prices), n=20).collect()
+    assert len(out) == 6  # 25 bars, full frames from bar 20
+    for r in out:
+        assert r["lower_channel"] <= r["close"] <= r["upper_channel"]
+        assert r["mid_channel"] == (r["upper_channel"] + r["lower_channel"]) / 2.0
