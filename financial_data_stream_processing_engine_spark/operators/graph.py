@@ -55,6 +55,12 @@ def pagerank(
     ed = edges.join(deg, src).select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__deg"
     )
+    # materialize the (edge, degree) list ONCE: it feeds every round's
+    # join, and without this the entire upstream edge pipeline (e.g.
+    # a cosine-pair enumeration) re-executes per round — the same
+    # lineage-truncation move connected_components makes (measured ~2×
+    # on the similarity-graph entry at sf0.1)
+    ed = ed.localCheckpoint(eager=False)
     r = (
         nodes.select(F.col(node_col).alias("__node"))
         .crossJoin(F.broadcast(nn))

@@ -1394,9 +1394,29 @@ def _pagerank_sql(k: int = 4) -> str:
     operator)."""
     qsum = qcast_sql("SUM(" + qint_sql("r.r / e.deg", 12) + ")") + " * 1e-12"
     lines = [
-        f"""WITH pairs AS (
+        f"""WITH dim AS (
+  SELECT label, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings),
+cm AS (
+  SELECT label AS centroid_id, pos, {davg_sql("CAST(v AS DOUBLE)")} AS m
+  FROM dim GROUP BY label, pos),
+cent AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM cm GROUP BY centroid_id),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent c),
+best AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM assign) WHERE rk = 1),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.3),
 sym AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1427,7 +1447,8 @@ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)"""
 @register("graph_pagerank_similarity", sql=_pagerank_sql(4))
 def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (4 iterations, damping 0.85) over the undirected
-    cosine≥0.3 embedding-similarity graph — the centrality signal a
+    cosine≥0.3 similarity graph confined to coarse centroid cells
+    (the SemDeDup quantizer bound keeps edge enumeration linear) — the centrality signal a
     dedup pipeline uses to pick the most-connected representative, and
     a second iterative-algorithm shape beside connected_components
     (operators/graph.py::pagerank).  Oracle: the full recursion
@@ -1436,7 +1457,34 @@ def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_stream_processing_engine_spark.operators.graph import pagerank
 
     embs = _embs(spark, sf_dir)
-    pairs = dedup.embedding_cosine_pairs(embs, threshold=0.3)
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    # within-cell pairs only: the same coarse-quantizer bound that makes
+    # SemDeDup linear bounds the edge enumeration here — all-pairs edge
+    # generation was measured 3.5x the whole entry's runtime at sf0.1
+    a = with_cells.select(
+        F.col("cell").alias("__cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        dedup.vector_norm(F.col("embedding")).alias("na"),
+    )
+    b = a.select(
+        F.col("__cell"),
+        F.col("id_a").alias("id_b"),
+        F.col("v_a").alias("v_b"),
+        F.col("na").alias("nb"),
+    )
+    dot = dedup.pair_dot_udf()
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b")
+    )
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
