@@ -211,3 +211,62 @@ def test_av_missing_quote_dropped(spark):
     )
     out = normalize_alpha_vantage(av_raw)
     assert out.count() == 1
+
+
+def test_tickstream_fluent_chain_matches_functions(spark, tmp_path):
+    import datetime as dt
+
+    from financial_data_stream_processing_engine_spark import TickStream
+    from financial_data_stream_processing_engine_spark.operators import core
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (f"t{i:03d}", "AAA", 100.0 + i * 3, i, base + dt.timedelta(seconds=i), "X")
+        for i in range(8)
+    ]
+    rows.append(("bad", "AAA", -1.0, 5, base + dt.timedelta(seconds=99), "X"))
+    df = spark.createDataFrame(
+        rows, "id string, symbol string, price double, volume long, ts timestamp, source string"
+    )
+    path = str(tmp_path / "ticks")
+    df.write.parquet(path)
+
+    fluent = (
+        TickStream.from_parquet(spark, path)
+        .clean()
+        .moving_average(n=5)
+        .alerts(threshold=108.0)
+        .df
+    )
+    functional = core.alerts(
+        core.moving_average(core.clean(spark.read.parquet(path)), n=5),
+        threshold=108.0,
+    )
+    got = sorted(r.id for r in fluent.collect())
+    exp = sorted(r.id for r in functional.collect())
+    assert got == exp and len(got) > 0
+
+
+def test_tickstream_union_shares_state(spark):
+    import datetime as dt
+
+    from financial_data_stream_processing_engine_spark import TickStream
+
+    base = dt.datetime(2024, 3, 1)
+
+    def src(tag, start):
+        rows = [
+            (f"{tag}{i}", "AAA", 100.0, 1, base + dt.timedelta(seconds=start + i), tag)
+            for i in range(3)
+        ]
+        return TickStream.wrap(
+            spark.createDataFrame(
+                rows,
+                "id string, symbol string, price double, volume long, ts timestamp, source string",
+            )
+        )
+
+    out = src("a", 0).union(src("b", 10)).moving_average(n=5).df.collect()
+    # 6 rows interleave into ONE keyed window: the 5th and 6th rows get
+    # a moving average (cross-source shared state, reference gotcha #2)
+    assert sum(1 for r in out if r.moving_average is not None) == 2
