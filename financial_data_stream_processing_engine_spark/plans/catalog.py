@@ -105,9 +105,11 @@ _PRIORITY: list[str] = [
     "streaming_topk_users",
     "python_datasource_sink_roundtrip",
     "graph_pagerank_similarity",
-    # new this round: integer-exact OBV + Donchian channels
+    # new this round: integer-exact OBV + Donchian channels, streaming
+    # z-score alert twin
     "fin_obv",
     "fin_donchian",
+    "streaming_zscore_alerts",
     # behavior-relevant code changed after their newest driver row, so
     # they re-enter the window: minhash signature family moved to the
     # token-hash pipeline (dedup_minhash_lsh, dedup_cluster_canonical);
@@ -138,8 +140,8 @@ _PRIORITY: list[str] = [
     "agg_argminmax_bool_bit",
     "agg_percentiles",
     "agg_string_concat",
-    "array_functions_documents",
     # --- driver check window boundary (first 50 above) ---
+    "array_functions_documents",
     "grouping_sets_events",
     "cube_status_priority",
     "rollup_returnflag_status",

@@ -457,3 +457,51 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rk") <= 3)
+
+
+_STREAM_ZSCORE_SQL = """
+WITH t AS (SELECT event_id, user_id, ts, value FROM events WHERE value IS NOT NULL),
+f AS (
+  SELECT event_id, user_id, ts, value,
+         COUNT(value) OVER wf AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(27,7))) OVER wf AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(27,7))) OVER wf AS DOUBLE) AS sxx
+  FROM t
+  WINDOW wf AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT event_id, user_id, ts, value, cnt,
+         sx / 20.0 AS baseline_mean,
+         SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0)) AS baseline_sd,
+         CASE WHEN SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0)) = 0 THEN NULL
+              ELSE (value - sx / 20.0)
+                   / SQRT(GREATEST((sxx - sx * sx / 20.0) / 19.0, 0.0))
+         END AS zscore
+  FROM f)
+SELECT event_id, user_id, ts, value, baseline_mean, baseline_sd, zscore
+FROM z
+WHERE cnt = 20 AND ABS(zscore) >= 3.0
+"""
+
+
+@register("streaming_zscore_alerts", sql=_STREAM_ZSCORE_SQL)
+def streaming_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal z-score anomaly ALERT STREAM computed by the actual
+    streaming path (file stream → ring-buffer keyed state → memory
+    sink), emitting only |z| ≥ 3 ticks — the reference's fixed
+    threshold alert upgraded to a self-calibrating detector, live.
+    Three-way bitwise: the state op replicates the batch DECIMAL
+    window sums in Python Decimal, so streaming == batch
+    (fin_zscore_anomalies shape) == DuckDB."""
+    stream = _event_tick_stream(spark, sf_dir).where(F.col("price").isNotNull())
+    out = stateful.streaming_zscore_alerts(stream, n=20, z_threshold=3.0, ttl_ms=None)
+    result = _run(out, spark)
+    return result.select(
+        F.col("id").cast("bigint").alias("event_id"),
+        F.col("symbol").cast("bigint").alias("user_id"),
+        F.col("ts"),
+        F.col("price").alias("value"),
+        F.col("baseline_mean"),
+        F.col("baseline_sd"),
+        F.col("zscore"),
+    )

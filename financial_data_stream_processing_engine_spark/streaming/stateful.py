@@ -280,3 +280,115 @@ def streaming_macd(
         timeoutConf=timeout_conf,
     )
     return out.unionByName(passthrough)
+
+
+ZSCORE_OUTPUT_SCHEMA = (
+    "id string, symbol string, price double, volume bigint, ts timestamp, "
+    "source string, baseline_mean double, baseline_sd double, zscore double"
+)
+ZSCORE_STATE_SCHEMA = "prices array<double>"
+
+
+def streaming_zscore_alerts(
+    ticks: DataFrame,
+    n: int = 20,
+    z_threshold: float = 3.0,
+    ttl_ms: int | None = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Per-symbol causal z-score anomaly alerts over a tick stream —
+    the streaming twin of operators.finance.zscore_anomalies: a ring
+    buffer of the PREVIOUS ``n`` prices per key scores each incoming
+    tick before it enters the buffer, and only |z| ≥ threshold rows
+    are emitted (the alert stream is tiny by construction).
+
+    Bitwise batch parity: the buffer's Σ and Σ² replicate the batch
+    operator's DECIMAL(27,7) window sums exactly — each double is
+    quantized via its shortest repr at scale 7 (what Spark's
+    double→decimal cast does) and accumulated in Python ``Decimal``
+    (exact), with one correctly-rounded float conversion at the end;
+    everything after is the same straight-line IEEE arithmetic.  This
+    is the reference's threshold alert (financial_engine.py:101-106)
+    as a self-calibrating streaming detector.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quant = Decimal("0.0000001")
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (prices,) = state.get if state.exists else ([],)
+        prices = list(prices)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            idnum = pd.to_numeric(pdf["id"], errors="coerce")
+            pdf = (
+                pdf.assign(__idnum=idnum)
+                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
+                .drop(columns="__idnum")
+            )
+            mus, sds, zs, keep = [], [], [], []
+            for price in pdf["price"]:
+                flag = False
+                mu = sd = z = None
+                if price is not None and not pd.isna(price):
+                    p = float(price)
+                    if len(prices) == n:
+                        sx = float(
+                            sum(
+                                Decimal(repr(v)).quantize(quant, ROUND_HALF_UP)
+                                for v in prices
+                            )
+                        )
+                        sxx = float(
+                            sum(
+                                Decimal(repr(v * v)).quantize(quant, ROUND_HALF_UP)
+                                for v in prices
+                            )
+                        )
+                        mu = sx / float(n)
+                        var = (sxx - sx * sx / float(n)) / float(n - 1)
+                        # math.sqrt is correctly rounded (IEEE), matching
+                        # the batch plan's SQRT; `** 0.5` (libm pow) is not
+                        # guaranteed to be
+                        sd = math.sqrt(max(var, 0.0))
+                        z = (p - mu) / sd if sd != 0.0 else None
+                        flag = z is not None and abs(z) >= z_threshold
+                    prices.append(p)
+                    if len(prices) > n:
+                        del prices[: len(prices) - n]
+                mus.append(mu)
+                sds.append(sd)
+                zs.append(z)
+                keep.append(flag)
+            out = pdf.copy()
+            out["baseline_mean"] = pd.Series(mus, index=pdf.index, dtype="float64")
+            out["baseline_sd"] = pd.Series(sds, index=pdf.index, dtype="float64")
+            out["zscore"] = pd.Series(zs, index=pdf.index, dtype="float64")
+            out = out[pd.Series(keep, index=pdf.index)]
+            if len(out):
+                yield out
+        state.update((prices,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    keyed = ticks.filter(ticks.symbol.isNotNull())
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

@@ -213,3 +213,37 @@ def test_streaming_macd_matches_batch_fold(spark, tick_dir):
     assert set(got) == set(exp)
     for k in exp:
         assert got[k] == exp[k], k  # bitwise: identical op order
+
+
+def test_streaming_zscore_alerts_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from financial_data_stream_processing_engine_spark.operators import finance
+
+    base = dt.datetime(2024, 3, 1)
+    prices = [100.0 + 0.1 * (i % 5) for i in range(30)]
+    prices[25] = 150.0  # planted >3 sigma spike
+    rows = [
+        (f"{i:04d}", "AAA", p, 1, base + dt.timedelta(seconds=i), "X")
+        for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(rows, TICK_SCHEMA)
+    path = str(tmp_path / "zticks")
+    df.coalesce(1).write.parquet(path)
+
+    out = stateful.streaming_zscore_alerts(_stream(spark, path), n=20, ttl_ms=None)
+    _run_to_memory(out, "zscore_stream")
+    got = {
+        int(r.id): (r.baseline_mean, r.baseline_sd, r.zscore)
+        for r in spark.table("zscore_stream").collect()
+    }
+
+    batch = finance.zscore_anomalies(
+        spark.read.parquet(path).selectExpr(
+            "CAST(id AS LONG) AS event_id", "symbol", "ts", "price"
+        ),
+        n=20,
+    ).collect()
+    exp = {r.event_id: (r.baseline_mean, r.baseline_sd, r.zscore) for r in batch}
+    assert set(got) == set(exp) == {25}
+    assert got[25] == exp[25]  # bitwise: Decimal-replicated window sums
