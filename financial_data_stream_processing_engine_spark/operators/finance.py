@@ -835,3 +835,75 @@ def donchian_channels(
         .where(F.col("_cnt") == n)
         .drop("_cnt")
     )
+
+
+def rolling_beta(
+    df: DataFrame,
+    n: int = 20,
+    bucket: str = "1 day",
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+) -> DataFrame:
+    """Rolling market beta per symbol: cov(r_s, r_m)/var(r_m) over the
+    trailing ``n`` bucketed returns, where r_m is the equal-weight
+    market return (mean of all symbols' bucket returns), emitted at
+    full frames only.
+
+    Determinism: bucket mean prices and both return series are
+    full-precision doubles, so every cross-row sum runs on the 1e-9
+    quantized-integer grid — the bucket mean (qint sum / count), the
+    market mean across symbols, and the frame's five sufficient
+    statistics (Σx Σy Σxy Σx² — integer products of int grids, exact)
+    — with straight-line double arithmetic after.  Zero-variance
+    market frames yield NULL beta via try_divide.
+
+    Scale: the bucket squeeze makes everything downstream
+    |symbols|×|buckets|-sized; the market series is one tiny aggregate
+    broadcast back; one window shuffle on the symbol key.
+    """
+    daily = (
+        df.groupBy(F.col(key), F.window(ts_col, bucket).alias("win"))
+        .agg(
+            (
+                F.sum(qint(F.col(price))).cast("double")
+                * F.lit(_Q1)
+                / F.count(price)
+            ).alias("px")
+        )
+        .select(key, F.col("win.start").alias("bucket"), "px")
+    )
+    w = Window.partitionBy(key).orderBy("bucket")
+    prev = F.lag("px").over(w)
+    rs = daily.select(
+        key,
+        "bucket",
+        F.try_divide(F.col("px") - prev, prev).alias("r_s"),
+    ).where(F.col("r_s").isNotNull())
+    market = rs.groupBy("bucket").agg(
+        (
+            F.sum(qint(F.col("r_s"))).cast("double") * F.lit(_Q1) / F.count("r_s")
+        ).alias("r_m")
+    )
+    joined = rs.join(market, "bucket").select(
+        key, "bucket", qint("r_s").alias("qx"), qint("r_m").alias("qy")
+    )
+    wf = Window.partitionBy(key).orderBy("bucket").rowsBetween(-(n - 1), 0)
+    cnt = F.count("qx").over(wf)
+    nn = F.lit(float(n))
+    sx = F.sum("qx").over(wf).cast("double") * F.lit(_Q1)
+    sy = F.sum("qy").over(wf).cast("double") * F.lit(_Q1)
+    sxy = F.sum(F.col("qx") * F.col("qy")).over(wf).cast("double") * F.lit(_Q2)
+    syy = F.sum(F.col("qy") * F.col("qy")).over(wf).cast("double") * F.lit(_Q2)
+    cov = sxy - sx * sy / nn
+    var_m = syy - sy * sy / nn
+    return (
+        joined.select(
+            key,
+            "bucket",
+            cnt.alias("_cnt"),
+            F.try_divide(cov, F.nullif(var_m, F.lit(0.0))).alias("beta"),
+        )
+        .where(F.col("_cnt") == n)
+        .drop("_cnt")
+    )

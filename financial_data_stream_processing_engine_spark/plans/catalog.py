@@ -110,6 +110,7 @@ _PRIORITY: list[str] = [
     "fin_obv",
     "fin_donchian",
     "streaming_zscore_alerts",
+    "fin_rolling_beta",
     # behavior-relevant code changed after their newest driver row, so
     # they re-enter the window: minhash signature family moved to the
     # token-hash pipeline (dedup_minhash_lsh, dedup_cluster_canonical);
@@ -139,8 +140,8 @@ _PRIORITY: list[str] = [
     "window_distribution_funcs",
     "agg_argminmax_bool_bit",
     "agg_percentiles",
-    "agg_string_concat",
     # --- driver check window boundary (first 50 above) ---
+    "agg_string_concat",
     "array_functions_documents",
     "grouping_sets_events",
     "cube_status_priority",

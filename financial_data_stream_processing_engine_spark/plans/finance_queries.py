@@ -563,3 +563,52 @@ def fin_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily candles (operators/finance.py::donchian_channels) — exact
     MAX/MIN algebra, no accumulation machinery needed."""
     return finance.donchian_channels(_ticks(spark, sf_dir), n=20, bucket="1 day")
+
+
+@register(
+    "fin_rolling_beta",
+    sql=f"""
+WITH ticks AS ({_TICKS_SQL}),
+daily AS (
+  SELECT symbol, time_bucket(INTERVAL '1 day', ts) AS bucket,
+         {qcast_sql('SUM(' + qint_sql('price') + ')')} * {1e-09!r} / COUNT(price) AS px
+  FROM ticks GROUP BY 1, 2),
+rs AS (
+  SELECT symbol, bucket,
+         CASE WHEN LAG(px) OVER w = 0 THEN NULL
+              ELSE (px - LAG(px) OVER w) / LAG(px) OVER w END AS r_s
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)),
+rs2 AS (SELECT * FROM rs WHERE r_s IS NOT NULL),
+market AS (
+  SELECT bucket,
+         {qcast_sql('SUM(' + qint_sql('r_s') + ')')} * {1e-09!r} / COUNT(r_s) AS r_m
+  FROM rs2 GROUP BY bucket),
+j AS (
+  SELECT rs2.symbol, rs2.bucket,
+         {qint_sql('rs2.r_s')} AS qx, {qint_sql('m.r_m')} AS qy
+  FROM rs2 JOIN market m USING (bucket)),
+f AS (
+  SELECT symbol, bucket,
+         COUNT(qx) OVER wf AS cnt,
+         {qcast_sql('SUM(qx) OVER wf')} * {1e-09!r} AS sx,
+         {qcast_sql('SUM(qy) OVER wf')} * {1e-09!r} AS sy,
+         {qcast_sql('SUM(qx * qy) OVER wf')} * {1e-18!r} AS sxy,
+         {qcast_sql('SUM(qy * qy) OVER wf')} * {1e-18!r} AS syy
+  FROM j
+  WINDOW wf AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT symbol, bucket,
+       CASE WHEN syy - sy * sy / 20.0 = 0 THEN NULL
+            ELSE (sxy - sx * sy / 20.0) / (syy - sy * sy / 20.0) END AS beta
+FROM f
+WHERE cnt = 20
+""",
+)
+def fin_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-day market beta per symbol vs the equal-weight
+    market return (operators/finance.py::rolling_beta) — the five
+    sufficient statistics run on 1e-9 quantized-integer frame sums, so
+    covariance/variance and hence beta are bit-identical across
+    engines and partitionings."""
+    return finance.rolling_beta(_ticks(spark, sf_dir), n=20, bucket="1 day")

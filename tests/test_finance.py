@@ -408,3 +408,20 @@ def test_donchian_brackets_close_and_gates(spark):
     for r in out:
         assert r["lower_channel"] <= r["close"] <= r["upper_channel"]
         assert r["mid_channel"] == (r["upper_channel"] + r["lower_channel"]) / 2.0
+
+
+def test_rolling_beta_of_market_clone_is_one(spark):
+    # two symbols with IDENTICAL daily prices: each equals the market,
+    # so beta == 1 exactly once frames fill
+    prices = [100.0 * (1.0 + 0.01 * ((i * 7) % 5 - 2)) ** 1 for i in range(25)]
+    a = _daily_ticks(spark, prices, symbol=1)
+    b = spark.createDataFrame(
+        [(100 + i, 2, BASE + dt.timedelta(days=i), p, 1) for i, p in enumerate(prices)],
+        TICK_SCHEMA,
+    )
+    out = finance.rolling_beta(a.unionByName(b), n=20).collect()
+    assert len(out) > 0
+    for r in out:
+        # the statistic is defined on the 1e-9 quantization grid, so
+        # "exactly 1" holds to grid precision, not machine epsilon
+        assert r["beta"] == pytest.approx(1.0, abs=1e-6)
