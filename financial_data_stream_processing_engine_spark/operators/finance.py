@@ -22,7 +22,11 @@ bit-reproducible at any parallelism):
   (divide, multiply, sqrt are correctly rounded and deterministic).
 * Row-order-sensitive picks (bar open/close, drawdown trough) order by
   the event timestamp; ``ts`` must be unique per key — true for tick
-  feeds with exchange sequence time, asserted by the fixture.
+  feeds with exchange sequence time, asserted by the fixture.  The
+  lag/lead/frame chains (_returns, zscore_anomalies, twap, obv, macd)
+  additionally tie-break on the unique event id, so they stay
+  deterministic — and oracle-hash-stable — even on feeds that violate
+  that contract.
 
 Scale notes per operator are in each docstring; the common shape is
 "one partial+final aggregation keyed by (symbol[, bucket])" — the
@@ -131,23 +135,31 @@ def vwap(
     )
 
 
-def _returns(df: DataFrame, key: str, ts_col: str, price: str) -> DataFrame:
+def _returns(
+    df: DataFrame, key: str, ts_col: str, price: str, id_col: str = "event_id"
+) -> DataFrame:
     """Per-key arithmetic returns ``(p_t - p_{t-1}) / p_{t-1}`` between
     consecutive ticks.  Arithmetic (not log) returns on purpose: the
     division of two doubles is IEEE-deterministic in every engine,
     whereas ``ln`` may differ in the last ulp between libm builds —
     which would break cross-engine bitwise comparison.
 
+    The lag chain orders by ``(ts, id)`` — the unique event id breaks
+    timestamp ties, so the pairing (and everything downstream) stays
+    deterministic even on feeds that violate the ts-unique-per-key
+    fixture contract (same rule fin_macd uses).
+
     ``try_divide``: a return off a zero price is undefined — NULL (then
     dropped), never an ANSI DIVIDE_BY_ZERO that fails the whole job for
     one bad tick (zero prices DO occur in real feeds and in the sf0.1
     fixture).
     """
-    w = Window.partitionBy(key).orderBy(ts_col)
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
     prev = F.lag(price).over(w)
     return df.select(
         key,
         ts_col,
+        F.col(id_col),
         F.col(price),
         F.try_divide(F.col(price) - prev, prev).alias("r"),
     ).where(F.col("r").isNotNull())
@@ -638,7 +650,7 @@ def rolling_sharpe(
     integer accumulators regardless of n.
     """
     r = _returns(df, key, ts_col, price)
-    wf = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    wf = Window.partitionBy(key).orderBy(ts_col, "event_id").rowsBetween(-(n - 1), 0)
     q = qint("r")
     cnt = F.count("r").over(wf)
     nn = F.lit(float(n))
@@ -686,7 +698,7 @@ def zscore_anomalies(
     Scale: one window shuffle keyed by symbol, two accumulators per
     frame; output is the (tiny) anomaly set.
     """
-    wf = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-n, -1)
+    wf = Window.partitionBy(key).orderBy(ts_col, id_col).rowsBetween(-n, -1)
     cnt = F.count(price).over(wf)
     nn = F.lit(float(n))
     sx = F.sum(F.col(price).cast(DECIMAL)).over(wf).cast("double")
@@ -717,6 +729,7 @@ def twap(
     key: str = "symbol",
     ts_col: str = "ts",
     price: str = "price",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Time-weighted average price per (key, bucket):
     ``Σ(pᵢ·Δtᵢ) / Σ(Δtᵢ)`` where ``Δtᵢ`` is the µs gap to the NEXT
@@ -742,9 +755,15 @@ def twap(
     """
     win = F.window(ts_col, bucket).alias("win")
     bucketed = df.select(
-        F.col(key), F.col(price).alias("__p"), F.col(ts_col).alias("__ts"), win
-    ).select(key, "__p", "__ts", F.col("win.start").alias("bucket"))
-    w = Window.partitionBy(key, "bucket").orderBy("__ts")
+        F.col(key),
+        F.col(price).alias("__p"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        win,
+    ).select(key, "__p", "__ts", "__id", F.col("win.start").alias("bucket"))
+    # (ts, id) ordering: the unique id makes the successor pick — and
+    # hence every Δt weight — deterministic under duplicate timestamps
+    w = Window.partitionBy(key, "bucket").orderBy("__ts", "__id")
     dt = (F.unix_micros(F.lead("__ts", 1).over(w)) - F.unix_micros(F.col("__ts"))).alias(
         "__dt"
     )
@@ -777,7 +796,7 @@ def obv(
     engine-identical.  One window shuffle per key; the running sum
     frame carries a single accumulator.
     """
-    w = Window.partitionBy(key).orderBy(ts_col)
+    w = Window.partitionBy(key).orderBy(ts_col, "event_id")
     prev = F.lag(price).over(w)
     vol = F.coalesce(F.col(volume), F.lit(0).cast("long"))
     signed = (
@@ -786,7 +805,7 @@ def obv(
         .when(F.col(price) < prev, -vol)
         .otherwise(F.lit(0).cast("long"))
     )
-    wsum = Window.partitionBy(key).orderBy(ts_col).rowsBetween(
+    wsum = Window.partitionBy(key).orderBy(ts_col, "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return df.select(

@@ -71,9 +71,10 @@ def pagerank(
             r.select(F.col("__node").alias("__src"), "__r"), "__src"
         ).select("__dst", (F.col("__r") / F.col("__deg")).alias("__c"))
         sums = contrib.groupBy("__dst").agg(
-            (F.sum(qint(F.col("__c"), PR_QSCALE)).cast("double") * F.lit(1e-12)).alias(
-                "__s"
-            )
+            (
+                F.sum(qint(F.col("__c"), PR_QSCALE)).cast("double")
+                * F.lit(10.0 ** -PR_QSCALE)
+            ).alias("__s")
         )
         r = (
             nodes.select(F.col(node_col).alias("__node"))

@@ -224,7 +224,11 @@ def cdc_apply_to_sum_count(
     MBs and the rescan would be the whole lake.
 
     ``old_agg_decimal``: (group_col, _dec_sum decimal(27,7), n long).
-    Returns the same shape, groups with n=0 removed.
+    Returns the same shape, groups with n=0 removed.  A maintained
+    count that goes NEGATIVE means the change feed is inconsistent
+    with the state (a delete for a row the state never saw) — that is
+    corruption, and it fails the job loudly (``assert_true``) instead
+    of silently vanishing with the n>0 filter.
     """
     old_side = diff.filter(F.col("old_val").isNotNull()).select(
         F.col(f"old_val.{group_from}").alias(group_col),
@@ -252,6 +256,24 @@ def cdc_apply_to_sum_count(
             (
                 F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
             ).alias("n"),
+        )
+        # assert rides the n projection so it cannot be pruned: NULL
+        # (pass) picks n, a negative count raises mid-scan
+        .withColumn(
+            "n",
+            F.when(
+                F.assert_true(
+                    F.col("n") >= 0,
+                    F.concat(
+                        F.lit("cdc_apply_to_sum_count: negative maintained count "),
+                        F.col("n"),
+                        F.lit(" for group "),
+                        F.col(group_col).cast("string"),
+                        F.lit(" — inconsistent change feed"),
+                    ),
+                ).isNull(),
+                F.col("n"),
+            ),
         )
         .filter(F.col("n") > 0)
     )

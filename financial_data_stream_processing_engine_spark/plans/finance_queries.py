@@ -90,7 +90,7 @@ r AS (
          CASE WHEN LAG(price) OVER w = 0 THEN NULL
               ELSE (price - LAG(price) OVER w) / LAG(price) OVER w END AS r
   FROM ticks
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts)),
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
 q AS (
   SELECT symbol, {qint_sql('r')} AS q
   FROM r WHERE r IS NOT NULL),
@@ -417,19 +417,20 @@ def fin_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
 WITH ticks AS ({_TICKS_SQL}),
 r AS (
-  SELECT symbol, ts,
+  SELECT symbol, ts, event_id,
          CASE WHEN LAG(price) OVER w = 0 THEN NULL
               ELSE (price - LAG(price) OVER w) / LAG(price) OVER w END AS r
   FROM ticks
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts)),
-q AS (SELECT symbol, ts, {qint_sql('r')} AS q FROM r WHERE r IS NOT NULL),
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+q AS (
+  SELECT symbol, ts, event_id, {qint_sql('r')} AS q FROM r WHERE r IS NOT NULL),
 f AS (
   SELECT symbol, ts,
          COUNT(q) OVER wf AS cnt,
          {qcast_sql('SUM(q) OVER wf')} * {1e-09!r} AS sx,
          {qcast_sql('SUM(q * q) OVER wf')} * {1e-18!r} AS sxx
   FROM q
-  WINDOW wf AS (PARTITION BY symbol ORDER BY ts
+  WINDOW wf AS (PARTITION BY symbol ORDER BY ts, event_id
                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
 SELECT symbol, ts,
        sx / 20.0 AS mean_return,
@@ -459,7 +460,7 @@ f AS (
          CAST(SUM(CAST(price AS DECIMAL(27,7))) OVER wf AS DOUBLE) AS sx,
          CAST(SUM(CAST(price * price AS DECIMAL(27,7))) OVER wf AS DOUBLE) AS sxx
   FROM ticks
-  WINDOW wf AS (PARTITION BY symbol ORDER BY ts
+  WINDOW wf AS (PARTITION BY symbol ORDER BY ts, event_id
                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
 z AS (
   SELECT event_id, symbol, ts, price, cnt,
@@ -489,11 +490,12 @@ def fin_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
 WITH ticks AS ({_TICKS_SQL}),
 b AS (
-  SELECT symbol, time_bucket(INTERVAL '1 day', ts) AS bucket, price, ts
+  SELECT symbol, time_bucket(INTERVAL '1 day', ts) AS bucket, price, ts, event_id
   FROM ticks),
 wt AS (
   SELECT symbol, bucket, price,
-         epoch_us(LEAD(ts, 1) OVER (PARTITION BY symbol, bucket ORDER BY ts))
+         epoch_us(LEAD(ts, 1) OVER (PARTITION BY symbol, bucket
+                                    ORDER BY ts, event_id))
            - epoch_us(ts) AS dt
   FROM b)
 SELECT symbol, bucket AS bar_start,
@@ -524,9 +526,9 @@ s AS (
               WHEN price < LAG(price) OVER w THEN -COALESCE(volume, 0)
               ELSE CAST(0 AS BIGINT) END AS signed_volume
   FROM ticks
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts))
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id))
 SELECT event_id, symbol, ts, price, signed_volume,
-       CAST(SUM(signed_volume) OVER (PARTITION BY symbol ORDER BY ts
+       CAST(SUM(signed_volume) OVER (PARTITION BY symbol ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
 FROM s
 """,

@@ -1392,7 +1392,12 @@ def _pagerank_sql(k: int = 4) -> str:
     """Unrolled k-iteration PageRank oracle over the cosine≥0.3
     similarity graph (qint-gridded neighbor sums, same as the
     operator)."""
-    qsum = qcast_sql("SUM(" + qint_sql("r.r / e.deg", 12) + ")") + " * 1e-12"
+    from financial_data_stream_processing_engine_spark.operators.graph import PR_QSCALE
+
+    qsum = (
+        qcast_sql("SUM(" + qint_sql("r.r / e.deg", PR_QSCALE) + ")")
+        + f" * {10.0 ** -PR_QSCALE!r}"
+    )
     lines = [
         f"""WITH dim AS (
   SELECT label, UNNEST(embedding) AS v,

@@ -467,7 +467,7 @@ f AS (
          CAST(SUM(CAST(value AS DECIMAL(27,7))) OVER wf AS DOUBLE) AS sx,
          CAST(SUM(CAST(value * value AS DECIMAL(27,7))) OVER wf AS DOUBLE) AS sxx
   FROM t
-  WINDOW wf AS (PARTITION BY user_id ORDER BY ts
+  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
 z AS (
   SELECT event_id, user_id, ts, value, cnt,

@@ -9,7 +9,10 @@ oracle, so both engines materialize the exact same rows:
 
 * ``partsupp``: four suppliers per part (the TPC-H fan-out),
   ``ps_suppkey = (p_partkey + i·⌊S/4⌋) mod S`` for i ∈ 0..3 with S the
-  supplier count — distinct for all i because ``3·⌊S/4⌋ < S``;
+  supplier count — distinct for all i because ``3·⌊S/4⌋ < S``
+  PROVIDED S ≥ 4 (below that the GREATEST(1, ·) step clamp makes the
+  modulo wrap and duplicate pairs appear; every driver fixture has
+  S ≥ 10, and both engines would derive the same duplicates anyway);
   ``ps_availqty``/``ps_supplycost`` are key-derived modular values.
 * ``l_commitdate``/``l_receiptdate``: ``l_shipdate`` plus key-derived
   day offsets, so roughly half the lineitems are "late"
@@ -429,3 +432,86 @@ def tpch_q21_like_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return waiting.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+# ---------------------------------------------------------------------------
+# Q12 — ship-mode line-priority counts (the last of the 22 shapes)
+# ---------------------------------------------------------------------------
+
+#: The seven classic TPC-H ship modes, assigned to each lineitem by key
+#: arithmetic (the same derived-column discipline as the dates above):
+#: ``mode = MODES[(l_orderkey·3 + l_linenumber) mod 7]`` — spelled as a
+#: constant-list index in both engines, so the rows are value-identical.
+SHIP_MODES = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR"]
+
+#: DuckDB spelling: dated lineitem + derived l_shipmode (lists are
+#: 1-indexed in DuckDB, hence the +1).
+Q12_LINEITEM_SQL = f"""
+  SELECT *,
+         (['{"','".join(SHIP_MODES)}'])
+           [(l_orderkey * 3 + l_linenumber) % 7 + 1] AS l_shipmode
+  FROM ({DATED_LINEITEM_SQL})
+"""
+
+
+@register(
+    "tpch_q12_like_shipmode_priority",
+    sql=f"""
+WITH l AS ({Q12_LINEITEM_SQL})
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM l
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND l_shipdate < l_commitdate
+  AND l_receiptdate >= TIMESTAMP '1996-01-01'
+  AND l_receiptdate < TIMESTAMP '1997-01-01'
+GROUP BY l_shipmode
+""",
+)
+def tpch_q12_like_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for lineitems of two ship modes received in
+    1996 that were committed late but shipped on time, count lines on
+    high- vs low-priority orders per ship mode — the conditional-
+    aggregation-over-a-join shape, and the 22nd and final entry of the
+    TPC-H inventory (the dates AND the ship mode are key-derived; see
+    the module docstring).
+
+    Spark plan: the mode/date predicates are map-side expressions over
+    the derived columns, evaluated before the join so only qualifying
+    lineitems shuffle; the orders side carries just (o_orderkey,
+    o_orderpriority); one join shuffle on the order key + one two-row
+    aggregate.  Integer CASE sums — exact in any engine.  Reference
+    contrast: financial_engine.py:283-312 has no relational layer at
+    all; the driver contract (SURVEY.md §2 TPC-H inventory) is the bar.
+    """
+    modes = F.array(*[F.lit(m) for m in SHIP_MODES])
+    li = dated_lineitem(spark, sf_dir).withColumn(
+        "l_shipmode",
+        F.element_at(
+            modes, ((F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 7 + 1).cast("int")
+        ),
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    qualifying = li.filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= lo)
+        & (F.col("l_receiptdate") < hi)
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        qualifying.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )

@@ -107,9 +107,16 @@ def build_jsonl_sink_datasource():
     * each task writes ``part-<uuid>.jsonl.tmp`` and reports it in its
       WriterCommitMessage;
     * ``commit()`` (driver, once, after every task succeeded) renames
-      the .tmp shards into place — readers never observe a partial
-      write (the same rename-on-commit protocol file committers use);
+      the .tmp shards into place and then drops a ``_SUCCESS`` marker.
+      Each rename is atomic but the loop as a whole is not — a driver
+      crash mid-commit can leave a visible subset, which is why readers
+      must key on ``_SUCCESS`` (the same contract Hadoop committers
+      publish);
     * ``abort()`` removes the orphaned .tmp files.
+
+    Non-finite doubles (NaN/±Inf) are serialized as JSON ``null`` —
+    ``json.dumps`` would otherwise emit bare ``NaN``/``Infinity``
+    tokens, which are invalid strict JSON and reader-dependent.
 
     Locally-scoped classes on purpose — see the reader's deployment
     note (cloudpickle by value).
@@ -132,17 +139,30 @@ def build_jsonl_sink_datasource():
         def __init__(self, options: dict) -> None:
             self.path = options["path"]
 
+        @staticmethod
+        def _jsonable(v):
+            # strict JSON: NaN/±Inf have no token — null, decided here
+            # rather than left to the reader's parser
+            if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+                return None
+            return v
+
         def write(self, rows):
             os.makedirs(self.path, exist_ok=True)
             tmp = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl.tmp")
             with open(tmp, "w", encoding="utf-8") as f:
                 for row in rows:
-                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    d = {k: self._jsonable(v) for k, v in row.asDict().items()}
+                    f.write(json.dumps(d, default=str, allow_nan=False) + "\n")
             return ShardCommit(tmp)
 
         def commit(self, messages):
             for m in messages:
                 os.rename(m.tmp_path, m.tmp_path[: -len(".tmp")])
+            # per-file renames are atomic; the loop is not — publish
+            # the dataset only once every shard is in place
+            with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
+                pass
 
         def abort(self, messages):
             for m in messages:

@@ -37,13 +37,39 @@ def logging_sink(
     logger: Callable[[str], None],
     config: EngineConfig = DEFAULT_CONFIG,
     name: str = "logging",
+    inner: Callable[[DataFrame, int], None] | None = None,
 ) -> StreamingQuery:
     """K2 LoggingModule: emit row counts per epoch, only when the
-    configured log level is INFO (financial_engine.py:93)."""
+    configured log level is INFO (financial_engine.py:93).
+
+    The count rides an ``Observation`` on the epoch's action instead of
+    a dedicated ``count()`` job (the connected_components pattern):
+
+    * composed with a real per-epoch write (``inner`` — e.g. a parquet
+      append), the observed frame is handed to it and the count falls
+      out of the write's own job — ZERO extra jobs for the log line;
+    * standalone, the observed frame flows into a ``noop`` write — one
+      job, but a pure columnar pass with no aggregation shuffle and no
+      driver transfer (strictly cheaper than ``count()``).
+
+    Below INFO the epoch is delegated (or skipped) without observing
+    anything — a disabled logger costs nothing
+    (financial_engine.py:93's level gate).
+    """
+    from pyspark.sql import Observation
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
-        if config.log_level == "INFO":
-            logger(f"epoch={epoch_id} rows={batch_df.count()}")
+        if config.log_level != "INFO":
+            if inner is not None:
+                inner(batch_df, epoch_id)
+            return
+        obs = Observation(f"{name}_epoch_{epoch_id}")
+        observed = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
+        if inner is not None:
+            inner(observed, epoch_id)
+        else:
+            observed.write.format("noop").mode("overwrite").save()
+        logger(f"epoch={epoch_id} rows={obs.get['n']}")
 
     return df.writeStream.foreachBatch(emit).queryName(name).start()
 

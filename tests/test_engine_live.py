@@ -234,3 +234,40 @@ def test_live_engine_log_level_gates_logging(spark):
         engine.stop()
     assert engine.recent, "engine produced no rows"
     assert logs == []  # LoggingModule is level-gated (reference :93)
+
+
+def test_fanout_busy_epoch_evaluates_rows_once(spark):
+    """A BUSY epoch — logging + alerts + recent tap all firing — still
+    evaluates each micro-batch row exactly once: the epoch frame is
+    persisted before the fan-out, so the alert collect and the recent
+    tap read the cache instead of recomputing the pipeline.  An
+    accumulator UDF upstream counts actual row evaluations."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(DoubleType())
+    def tap(v):
+        acc.add(1)
+        return v
+
+    logs: list[str] = []
+    alerts: list[tuple[list, int]] = []
+    engine = LiveEngine(
+        spark,
+        config=dataclasses.replace(DEFAULT_CONFIG, log_level="INFO"),
+        on_alert=lambda rows, n_suppressed: alerts.append((rows, n_suppressed)),
+        logger=logs.append,
+        keep_recent=5,
+    )
+    above = DEFAULT_CONFIG.price_alert_threshold + 1.0
+    batch = spark.createDataFrame(
+        [(f"SYM{i}", above if i % 2 else 1.0) for i in range(8)],
+        "symbol string, moving_average double",
+    ).withColumn("moving_average", tap("moving_average"))
+    engine._fanout(batch, epoch_id=0)
+    assert logs == ["epoch=0 rows=8"]
+    assert len(alerts) == 1 and len(alerts[0][0]) == 4 and alerts[0][1] == 0
+    assert len(engine.recent) == 5
+    assert acc.value == 8, f"rows evaluated {acc.value}x, expected once each"

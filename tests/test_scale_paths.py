@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from financial_data_stream_processing_engine_spark.io_utils import load_table
@@ -182,3 +184,59 @@ def test_ivm_matches_full_recompute_with_group_moves(spark):
         .collect()
     }
     assert maintained == full  # group 'a' vanished (n=0 dropped), b=3 rows, c=1
+
+
+def test_ivm_negative_count_fails_loudly(spark):
+    """A change feed inconsistent with the state (a delete for a row
+    the aggregate never counted) must FAIL the job, not silently drop
+    the group (the n>0 filter would have eaten the corruption)."""
+    from pyspark.sql import functions as F
+    from pyspark.errors import PySparkException
+    from financial_data_stream_processing_engine_spark.operators.scale import (
+        cdc_apply_to_sum_count,
+        table_diff,
+    )
+
+    old = spark.createDataFrame([(1, "a", 10.0)], "k long, g string, v double")
+    new = spark.createDataFrame([], "k long, g string, v double")
+    diff = table_diff(old, new, ["k"], ["g", "v"])  # one delete of (1, a)
+    # state claims group 'a' was EMPTY — applying the delete drives its
+    # maintained count to -1
+    empty_state = spark.createDataFrame(
+        [], "g string, _dec_sum decimal(27,7), n long"
+    )
+    with pytest.raises(PySparkException, match="negative maintained count"):
+        cdc_apply_to_sum_count(empty_state, diff, "g", "v", "g").collect()
+
+
+def test_jsonl_sink_strict_json_and_success_marker(spark, tmp_path):
+    """The custom jsonl_dir writer emits STRICT JSON (non-finite
+    doubles → null, never bare NaN/Infinity tokens) and publishes a
+    _SUCCESS marker only after every shard is renamed into place —
+    the contract readers key on."""
+    import json
+    import os
+
+    from financial_data_stream_processing_engine_spark.sources.tick_datasource import (
+        register_sink,
+    )
+
+    register_sink(spark)
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, float("inf")), (4, float("-inf"))],
+        "id long, x double",
+    )
+    d = str(tmp_path / "out")
+    df.coalesce(1).write.format("jsonl_dir").option("path", d).mode("append").save()
+
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    shards = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+    assert shards and not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    rows = {}
+    for shard in shards:
+        with open(os.path.join(d, shard), encoding="utf-8") as f:
+            for line in f:
+                # strict parse: reject NaN/Infinity tokens outright
+                rec = json.loads(line, parse_constant=lambda t: pytest.fail(t))
+                rows[rec["id"]] = rec["x"]
+    assert rows == {1: 1.5, 2: None, 3: None, 4: None}

@@ -247,3 +247,40 @@ def test_streaming_zscore_alerts_matches_batch(spark, tmp_path):
     exp = {r.event_id: (r.baseline_mean, r.baseline_sd, r.zscore) for r in batch}
     assert set(got) == set(exp) == {25}
     assert got[25] == exp[25]  # bitwise: Decimal-replicated window sums
+
+
+def test_logging_sink_count_rides_inner_action(spark, tick_dir):
+    """The INFO-level row count comes from an Observation riding the
+    epoch's own write — not a separate count() job.  An accumulator
+    UDF in the pipeline proves each row is evaluated exactly once: a
+    dedicated counting job would re-run the pipeline and double it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+    from financial_data_stream_processing_engine_spark.config import EngineConfig
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(StringType())
+    def tap(v):
+        acc.add(1)
+        return v
+
+    lines: list[str] = []
+    epochs: list[int] = []
+
+    def inner(batch_df, epoch_id):
+        batch_df.write.format("noop").mode("overwrite").save()
+        epochs.append(epoch_id)
+
+    q = sinks.logging_sink(
+        _stream(spark, tick_dir).withColumn("id", tap("id")),
+        logger=lines.append,
+        config=EngineConfig(log_level="INFO"),
+        name="log_obs",
+        inner=inner,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert lines and "rows=240" in lines[0]
+    assert epochs  # the inner write ran and delivered the observation
+    assert acc.value == 240, f"rows evaluated {acc.value}x, expected once each"
