@@ -254,6 +254,91 @@ def assign_cells(
     return best
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Lloyd-iteration spherical k-means for the coarse quantizer →
+    (centroid_id, centroid).
+
+    This is the data-driven replacement for ``train_centroids(by=
+    label)``: IVF recall and SemDeDup's largest-cell bound both depend
+    on cell balance, and at corpus scale there is no label column to
+    lean on — the cells must come from the data.  Design choices, all
+    made for engine-exact determinism (the oracle recomputes every
+    iteration):
+
+    * **Seeds** — the ``k`` smallest-``id_col`` vectors.  Fully
+      deterministic and trivially SQL-expressible; Lloyd iterations
+      correct mediocre seeds, and determinism is worth more here than
+      k-means++ (whose sampling is RNG-dependent).
+    * **Assignment** — argmax cosine with ties to the larger
+      centroid_id (identical rule to :func:`assign_cells`, so search
+      and training share one code path).  cosine(v, c) is scale-
+      invariant in c, so the un-normalized mean update below yields
+      the same assignments as the normalized spherical update.
+    * **Update** — element-wise mean through the decimal-exact
+      ``davg`` (posexplode + groupBy in :func:`train_centroids`):
+      order-independent, hence bit-identical centroids at any
+      parallelism.  Cast to float like every stored embedding.
+    * **Empty cells** keep their previous centroid (left join +
+      coalesce) so k never silently shrinks.
+
+    Each iteration is one corpus scan (broadcast centroids, no
+    shuffle for assignment) plus one posexplode aggregation — linear
+    in corpus size, so at 100 TB the cost is iters × (scan + agg) on a
+    sampled subset if desired.  With large ``iters`` pass
+    ``checkpoint=True`` to truncate the growing lineage (the PageRank
+    pattern — the k-row centroid frame is tiny to materialize).
+    """
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    vecs = corpus.select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_cells(vecs, cent, vec_col=vec_col, out_col="__cell")
+        means = train_centroids(assigned, by="__cell", vec_col=vec_col)
+        cent = (
+            cent.select("centroid_id", F.col("centroid").alias("__prev"))
+            .join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("centroid", "__prev").alias("centroid"),
+            )
+        )
+        if checkpoint:
+            cent = cent.localCheckpoint(eager=True)
+    return cent
+
+
+def kmeans_objective(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine of every vector to its assigned centroid — the
+    (negated) spherical k-means objective, for convergence tests."""
+    assigned = corpus.crossJoin(
+        F.broadcast(
+            centroids.select(
+                F.col("centroid_id").alias("__cid"),
+                F.col("centroid").alias("__cvec"),
+            )
+        )
+    ).withColumn("__sim", cosine(F.col(vec_col), F.col("__cvec")))
+    best = assigned.groupBy(vec_col).agg(F.max("__sim").alias("__best"))
+    return best.agg(F.avg("__best")).collect()[0][0]
+
+
 def ivf_search(
     corpus_with_cells: DataFrame,
     centroids: DataFrame,

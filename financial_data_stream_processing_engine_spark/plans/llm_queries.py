@@ -447,6 +447,145 @@ def similarity_multiquery_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _kmeans_cent_sql(k: int, iters: int) -> str:
+    """CTE chain recomputing ``operators.similarity.kmeans_train`` in
+    DuckDB: seed cent0 = the k smallest-vec_id vectors, then per Lloyd
+    iteration an argmax-(cos, id DESC) assignment, a decimal-exact
+    element-wise mean, and an empty-cell COALESCE — the PageRank-style
+    unrolled-iteration oracle.  The final CTE is ``cent{iters}``."""
+    parts = [
+        f"""cent0 AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""asg{i} AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent{i - 1} c),
+bst{i} AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM asg{i}) WHERE rk = 1),
+dim{i} AS (
+  SELECT cell, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM bst{i}),
+cm{i} AS (
+  SELECT cell AS centroid_id, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM dim{i} GROUP BY cell, pos),
+mean{i} AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM cm{i} GROUP BY centroid_id),
+cent{i} AS (
+  SELECT c.centroid_id, COALESCE(m.centroid, c.centroid) AS centroid
+  FROM cent{i - 1} c LEFT JOIN mean{i} m ON c.centroid_id = m.centroid_id)""")
+    return ",\n".join(parts)
+
+
+#: IVF search over Lloyd-trained centroids (k=8, 2 iterations,
+#: nprobe=4, top-10 for the vec_id=0 query) — the whole trainer is
+#: re-run in DuckDB, so the hash certifies seeds, both assignment
+#: rounds, both decimal-exact mean updates, AND the search.
+_KMEANS_IVF_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+{_kmeans_cent_sql(k=8, iters=2)},
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent2 c),
+best AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM assign) WHERE rk = 1),
+probe AS (
+  SELECT centroid_id AS cell
+  FROM cent2 CROSS JOIN q
+  ORDER BY {_COS.format(a='centroid', b='qvec')} DESC, centroid_id
+  LIMIT 4)
+SELECT b.vec_id, {_COS.format(a='b.embedding', b='qvec')} AS cos
+FROM best b JOIN probe p ON b.cell = p.cell CROSS JOIN q
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_ivf_kmeans_topk", sql=_KMEANS_IVF_SQL)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 over a DATA-DRIVEN coarse quantizer: 2 Lloyd
+    iterations of spherical k-means (k=8, smallest-id seeds,
+    decimal-exact mean updates — operators/similarity.py::
+    kmeans_train) instead of the label-mean shortcut.  This is the
+    100 TB path: real corpora carry no label column, and IVF recall /
+    SemDeDup's largest-cell bound both need data-driven, balanced
+    cells.  Oracle: seeds + both Lloyd rounds + search fully
+    recomputed in DuckDB (``_KMEANS_IVF_SQL``), bit-exact."""
+    embs = _embs(spark, sf_dir)
+    query = embs.filter(F.col("vec_id") == 0)
+    # checkpoint=True: the k-row centroid frame is consumed by BOTH the
+    # cell assignment and the probe ranking — materializing it once per
+    # Lloyd round (8 rows) stops the whole trainer lineage re-running
+    # for each consumer.
+    centroids = similarity.kmeans_train(
+        embs, k=8, iters=2, id_col="vec_id", vec_col="embedding",
+        checkpoint=True,
+    )
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    return similarity.ivf_search(
+        with_cells, centroids, query, k=10, nprobe=4,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+#: SemDeDup over the SAME Lloyd-trained quantizer: cells from
+#: kmeans_train(k=8, iters=2), then the within-cell smaller-id drop
+#: rule — the label-free form the published procedure actually runs.
+_SEMANTIC_KMEANS_SQL = f"""
+WITH {_kmeans_cent_sql(k=8, iters=2)},
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent2 c),
+best AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM assign) WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS.format(a='a.embedding', b='b.embedding')} AS cos
+  FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= 0.4)
+SELECT b.vec_id, b.cell, (d.id_b IS NOT NULL) AS is_dropped
+FROM best b LEFT JOIN dropped d ON b.vec_id = d.id_b
+"""
+
+
+@register("dedup_semantic_kmeans", sql=_SEMANTIC_KMEANS_SQL)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over DATA-DRIVEN cells: the same within-cell
+    smaller-id drop rule as ``dedup_semantic``, but the coarse cells
+    come from 2 Lloyd rounds of spherical k-means instead of the
+    label column — the label-free form a real corpus requires, and
+    the k-means balance guarantee is exactly what keeps the
+    within-cell quadratic term bounded at 100 TB.  Oracle: trainer +
+    assignment + pair/drop logic fully recomputed in DuckDB."""
+    embs = _embs(spark, sf_dir)
+    centroids = similarity.kmeans_train(
+        embs, k=8, iters=2, id_col="vec_id", vec_col="embedding",
+        checkpoint=True,
+    )
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    return similarity.semantic_dedup(
+        with_cells, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 # ---------------------------------------------------------------------------

@@ -419,3 +419,49 @@ def test_pagerank_bitwise_stable_under_repartition(spark):
     a = {r.node: r.rank for r in pagerank(nodes.repartition(2), edges.repartition(3), k=5).collect()}
     b = {r.node: r.rank for r in pagerank(nodes.repartition(7), edges.repartition(11), k=5).collect()}
     assert a == b  # exact ==: quantized-integer neighbor sums
+
+
+def test_kmeans_objective_improves_and_cells_balanced(spark, sf_dir):
+    """Lloyd rounds must improve the spherical objective over the
+    seed centroids, and the trained cells must be balanced — the
+    property IVF recall and SemDeDup's largest-cell bound depend on
+    (operators/similarity.py::kmeans_train)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    obj = [
+        similarity.kmeans_objective(
+            embs, similarity.kmeans_train(embs, k=10, iters=i, checkpoint=True)
+        )
+        for i in (0, 1, 2)
+    ]
+    assert obj[0] < obj[1] < obj[2], f"objective not improving: {obj}"
+
+    cent = similarity.kmeans_train(embs, k=10, iters=2, checkpoint=True)
+    sizes = [
+        r["count"]
+        for r in similarity.assign_cells(embs, cent)
+        .groupBy("cell")
+        .count()
+        .collect()
+    ]
+    assert len(sizes) == 10, "no cell may end up empty on the fixture"
+    assert max(sizes) <= 1.5 * (sum(sizes) / len(sizes)), sizes
+
+
+def test_kmeans_bitwise_stable_under_repartition(spark, sf_dir):
+    """Decimal-exact mean updates make the trained centroids
+    bit-identical at any parallelism — re-running a 1000-executor
+    training job must give the same quantizer."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    a = {
+        r.centroid_id: r.centroid
+        for r in similarity.kmeans_train(
+            embs.repartition(3), k=8, iters=2, checkpoint=True
+        ).collect()
+    }
+    b = {
+        r.centroid_id: r.centroid
+        for r in similarity.kmeans_train(
+            embs.repartition(13), k=8, iters=2, checkpoint=True
+        ).collect()
+    }
+    assert a == b
