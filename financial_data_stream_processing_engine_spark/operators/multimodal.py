@@ -159,15 +159,20 @@ def _jpeg_pixel_decoder():
     (shipped by value, like the PNG decoder).
 
     Scope: baseline sequential DCT (SOF0), 8-bit, grayscale OR
-    3-component 4:4:4 YCbCr (all sampling factors 1×1), one interleaved
-    scan — the common denominators a training pipeline's luma/size
-    probe needs.  The entropy decode is the full baseline algorithm
-    (canonical Huffman tables from DHT, per-component DC prediction,
-    AC run/size with EOB and ZRL, byte unstuffing), followed by
-    dezigzag, dequantization, float IDCT, level shift and — for color —
-    the JFIF BT.601 YCbCr→RGB conversion.  Anything out of scope
-    (progressive, subsampled color, 12-bit, arithmetic coding) returns
-    None → NULL features, per-row error isolation.
+    3-component YCbCr at any divisible sampling-factor combination —
+    4:4:4 (1×1), the dominant real-world 4:2:0 (luma 2×2), 4:2:2
+    (2×1) and 4:4:0 (1×2) — in one interleaved scan, the common
+    denominators a training pipeline's luma/size probe needs.  The
+    entropy decode is the full baseline algorithm (canonical Huffman
+    tables from DHT, per-component DC prediction, AC run/size with
+    EOB and ZRL, byte unstuffing) over the generic MCU structure
+    (h_i×v_i blocks per component per MCU, scan-component order),
+    followed by dezigzag, dequantization, float IDCT, level shift,
+    nearest-neighbor (pixel-replication) chroma upsampling to full
+    resolution, and — for color — the JFIF BT.601 YCbCr→RGB
+    conversion.  Anything out of scope (progressive, 12-bit,
+    arithmetic coding, non-divisible sampling ratios) returns None →
+    NULL features, per-row error isolation.
 
     Returns ``decode_pixels(b) -> (px, nch) | None`` with ``px`` of
     shape (h, w, 1) grayscale or (h, w, 3) RGB, float64 in 0..255.
@@ -275,9 +280,10 @@ def _jpeg_pixel_decoder():
                     comps = []
                     for ci in range(nf):
                         cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                        if hv != 0x11:  # 4:4:4 only — no subsampling
+                        hi, vi = hv >> 4, hv & 0xF
+                        if not (1 <= hi <= 4 and 1 <= vi <= 4):
                             return None
-                        comps.append((cid, tq))
+                        comps.append((cid, hi, vi, tq))
                 elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
                     return None  # non-baseline frame
                 elif marker == 0xC4:  # DHT
@@ -318,53 +324,90 @@ def _jpeg_pixel_decoder():
             data, sel = scan
             if len(sel) != len(comps):
                 return None
-            tq_of = {cid: tq for cid, tq in comps}
+            samp_of = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
             parts = []
             for cs, td, ta in sel:
-                q = qt.get(tq_of.get(cs, -1))
+                if cs not in samp_of:
+                    return None
+                hi, vi, tq = samp_of[cs]
+                # replication upsampling needs integral ratios
+                if hmax % hi or vmax % vi:
+                    return None
+                q = qt.get(tq)
                 dc_t, ac_t = huff_dc.get(td), huff_ac.get(ta)
                 if q is None or dc_t is None or ac_t is None:
                     return None
-                parts.append((q, dc_t, ac_t))
-            bw, bh = (w + 7) // 8, (h + 7) // 8
-            planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in parts]
+                parts.append((q, dc_t, ac_t, hi, vi))
+            # MCU grid covers the frame at (8·hmax)×(8·vmax) pixels per
+            # MCU; component ci contributes hi×vi blocks per MCU
+            mx_n = (w + 8 * hmax - 1) // (8 * hmax)
+            my_n = (h + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((my_n * vi * 8, mx_n * hi * 8), np.float64)
+                for (_, _, _, hi, vi) in parts
+            ]
             rd = BitReader(data)
             preds = [0] * len(parts)
-            # interleaved MCUs: at 1×1 sampling each MCU is one 8×8
-            # block per component, in scan-component order
-            for by in range(bh):
-                for bx in range(bw):
-                    for ci, (q, dc_t, ac_t) in enumerate(parts):
-                        zz = np.zeros(64, np.float64)
-                        size = rd.read_symbol(dc_t)
-                        diff = extend(rd.read_bits(size), size)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        ki = 1
-                        while ki < 64:
-                            rs = rd.read_symbol(ac_t)
-                            r, s = rs >> 4, rs & 0xF
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                ki += 16
-                                continue
-                            ki += r
-                            if ki > 63:
-                                return None
-                            zz[ki] = extend(rd.read_bits(s), s)
-                            ki += 1
-                        coeff = np.zeros(64, np.float64)
-                        coeff[ZIGZAG] = zz * q
-                        blk = C.T @ coeff.reshape(8, 8) @ C + 128.0
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            for my in range(my_n):
+                for mx in range(mx_n):
+                    for ci, (q, dc_t, ac_t, hi, vi) in enumerate(parts):
+                        for vb in range(vi):
+                            for hb in range(hi):
+                                zz = np.zeros(64, np.float64)
+                                size = rd.read_symbol(dc_t)
+                                diff = extend(rd.read_bits(size), size)
+                                preds[ci] += diff
+                                zz[0] = preds[ci]
+                                ki = 1
+                                while ki < 64:
+                                    rs = rd.read_symbol(ac_t)
+                                    r, s = rs >> 4, rs & 0xF
+                                    if rs == 0x00:  # EOB
+                                        break
+                                    if rs == 0xF0:  # ZRL
+                                        ki += 16
+                                        continue
+                                    ki += r
+                                    if ki > 63:
+                                        return None
+                                    zz[ki] = extend(rd.read_bits(s), s)
+                                    ki += 1
+                                coeff = np.zeros(64, np.float64)
+                                coeff[ZIGZAG] = zz * q
+                                if ki == 1:
+                                    # DC-only shortcut (libjpeg's 1×1
+                                    # IDCT): constant dc/8 — exact,
+                                    # where the generic basis product
+                                    # carries a ±ulp error
+                                    blk = np.full(
+                                        (8, 8), coeff[0] / 8.0 + 128.0
+                                    )
+                                else:
+                                    blk = C.T @ coeff.reshape(8, 8) @ C + 128.0
+                                py = (my * vi + vb) * 8
+                                px_ = (mx * hi + hb) * 8
+                                planes[ci][py : py + 8, px_ : px_ + 8] = blk
+            # crop each plane to its component resolution, then
+            # replicate up to full frame resolution (JFIF nearest)
+            full = []
+            for (q, dc_t, ac_t, hi, vi), plane in zip(parts, planes):
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                up = np.repeat(
+                    np.repeat(plane[:ch, :cw], vmax // vi, axis=0),
+                    hmax // hi,
+                    axis=1,
+                )
+                full.append(up[:h, :w])
             if len(parts) == 1:
-                px = np.clip(np.rint(planes[0][:h, :w]), 0, 255)[:, :, None]
+                px = np.clip(np.rint(full[0]), 0, 255)[:, :, None]
                 return px, 1
             # JFIF BT.601 full-range YCbCr → RGB
-            y = planes[0][:h, :w]
-            cb = planes[1][:h, :w] - 128.0
-            cr = planes[2][:h, :w] - 128.0
+            y = full[0]
+            cb = full[1] - 128.0
+            cr = full[2] - 128.0
             rgb = np.stack(
                 [
                     y + 1.402 * cr,

@@ -1359,9 +1359,9 @@ c AS (
   FROM b),
 rgb AS (
   SELECT doc_id,
-         LEAST(GREATEST(ROUND(y + 1.402 * cr), 0.0), 255.0) AS r,
-         LEAST(GREATEST(ROUND(y - 0.344136 * cb - 0.714136 * cr), 0.0), 255.0) AS g,
-         LEAST(GREATEST(ROUND(y + 1.772 * cb), 0.0), 255.0) AS bch
+         LEAST(GREATEST(round_even(y + 1.402 * cr, 0), 0.0), 255.0) AS r,
+         LEAST(GREATEST(round_even(y - 0.344136 * cb - 0.714136 * cr, 0), 0.0), 255.0) AS g,
+         LEAST(GREATEST(round_even(y + 1.772 * cb, 0), 0.0), 255.0) AS bch
   FROM c)
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST(1 AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
@@ -1382,6 +1382,184 @@ def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     """
     docs = _docs(spark, sf_dir).select("doc_id")
     gen = _md5_jpeg_color_generator()
+    jpegs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        jpegs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/jpeg",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
+def _md5_jpeg_420_generator():
+    """mapInPandas generator: doc_id → 16×16 baseline **4:2:0** COLOR
+    JPEG — one interleaved MCU with luma sampling 2×2 (FOUR Y blocks,
+    DC-coded as successive differences off the shared per-component
+    predictor) plus one Cb and one Cr block.  DC-only blocks with
+    all-ones quant make each 8×8 Y quadrant exactly md5(doc_id) byte
+    0/1/2/3 and the (2×-upsampled) chroma planes constant bytes 4/5 —
+    so the decoded RGB image is four constant quadrants restatable in
+    SQL.  This exercises everything 4:4:4 cannot: the multi-block MCU
+    walk, intra-MCU DC prediction, per-component plane geometry, and
+    chroma replication upsampling.  Nested def: cloudpickle by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = list(range(12))
+        dc_code = {}
+        code = 0
+        vi = 0
+        for ln in range(1, 17):
+            for _ in range(dc_bits[ln - 1]):
+                dc_code[dc_vals[vi]] = (ln, code)
+                code += 1
+                vi += 1
+            code <<= 1
+        ac_bits = [1] + [0] * 15
+        ac_vals = [0x00]
+        eob = (1, 0)
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, val: int, ln: int) -> None:
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((val >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc, self.n = 0, 0
+
+            def flush(self) -> bytes:
+                if self.n:
+                    self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                return bytes(self.out)
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        head = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(
+                0xC0,
+                struct.pack(">BHHB", 8, 16, 16, 3)
+                + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+            )
+            + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+            + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        )
+
+        def put_dc(bw, diff):
+            size = abs(diff).bit_length() if diff != 0 else 0
+            ln, cd = dc_code[size]
+            bw.put(cd, ln)
+            if size:
+                bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+            bw.put(eob[1], eob[0])
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                digest = hashlib.md5(str(did).encode()).digest()
+                bw = BitWriter()
+                # four Y blocks: the component predictor carries across
+                # blocks, so emit dc0 then successive differences
+                pred = 0
+                for c in digest[:4]:
+                    dc = 8 * (int(c) - 128)
+                    put_dc(bw, dc - pred)
+                    pred = dc
+                for c in digest[4:6]:  # Cb, Cr: fresh predictors
+                    put_dc(bw, 8 * (int(c) - 128))
+                payloads.append(head + bw.flush() + b"\xff\xd9")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return gen
+
+
+def _jpeg420_oracle_sql() -> str:
+    """Restate the decoded 16×16 4:2:0 mean luma in DuckDB, matching
+    numpy bit-for-bit.  The luma image is four constant 8×8 quadrants
+    l0..l3; numpy's pairwise ``mean()`` over the row-major 16×16
+    array reduces EXACTLY to (8·A + 8·B)/256 where A is the
+    sequential 16-term alternating fold l0+l1+l0+… and B likewise for
+    l2,l3: each half of 128 elements goes through numpy's 8-way
+    unrolled loop whose eight accumulators all see the identical
+    alternating sequence, and combining equal accumulators doubles
+    exactly in IEEE (property-verified against numpy over random
+    inputs).  The fold is list_reduce over the explicit 16-element
+    list — DuckDB folds left sequentially, same order as numpy."""
+    quad = []
+    for i in range(4):
+        quad.append(
+            f"""         LEAST(GREATEST(round_even(y{i} + 1.402 * cr, 0), 0.0), 255.0) AS r{i},
+         LEAST(GREATEST(round_even(y{i} - 0.344136 * cb - 0.714136 * cr, 0), 0.0), 255.0) AS g{i},
+         LEAST(GREATEST(round_even(y{i} + 1.772 * cb, 0), 0.0), 255.0) AS b{i}"""
+        )
+    lumas = ",\n".join(
+        f"         (0.299 * r{i} + 0.587 * g{i}) + 0.114 * b{i} AS l{i}"
+        for i in range(4)
+    )
+    fold_a = "[" + ", ".join(["l0", "l1"] * 8) + "]"
+    fold_b = "[" + ", ".join(["l2", "l3"] * 8) + "]"
+    ybytes = ",\n".join(
+        f"         CAST({_hex_byte('m', i)} AS DOUBLE) AS y{i}" for i in range(4)
+    )
+    quads = ",\n".join(quad)
+    return f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+c AS (
+  SELECT doc_id,
+{ybytes},
+         CAST({_hex_byte('m', 4)} AS DOUBLE) - 128.0 AS cb,
+         CAST({_hex_byte('m', 5)} AS DOUBLE) - 128.0 AS cr
+  FROM b),
+rgb AS (
+  SELECT doc_id,
+{quads}
+  FROM c),
+lm AS (
+  SELECT doc_id,
+{lumas}
+  FROM rgb)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       (8.0 * list_reduce({fold_a}, (x, y) -> x + y)
+        + 8.0 * list_reduce({fold_b}, (x, y) -> x + y)) / 256.0 / 255.0
+         AS mean_luma
+FROM lm
+"""
+
+
+@register("multimodal_jpeg_420_roundtrip", sql=_jpeg420_oracle_sql())
+def multimodal_jpeg_420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline **4:2:0** JPEG round trip — the dominant
+    real-world chroma layout the 4:4:4-only decoder used to reject.
+    Encode a 16×16 one-MCU 4:2:0 JPEG per doc (four diff-coded Y
+    blocks + Cb + Cr from md5(doc_id) bytes 0-5), decode through the
+    generalized baseline path — h×v multi-block MCU walk, shared
+    per-component DC predictors, per-plane geometry, replication
+    chroma upsampling, JFIF BT.601 conversion — then BT.601 mean
+    luma.  The oracle restates the whole thing from the md5 bytes,
+    INCLUDING numpy's pairwise mean reduced to a closed form
+    (operators/multimodal.py::_jpeg_pixel_decoder)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_jpeg_420_generator()
     jpegs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
     media = multimodal.as_media(
         jpegs, id_col="doc_id", payload=F.col("payload"),

@@ -451,8 +451,36 @@ def test_jpeg_color_interleaved_mcus_and_bt601(spark):
     assert r["mean_luma"] == pytest.approx(np.mean(lumas) / 255.0, abs=1e-9)
 
 
-def test_jpeg_subsampled_color_yields_null(spark):
-    """4:2:0 (2×2 luma sampling) is out of scope — must NULL out, not
-    mis-decode."""
+def test_jpeg_420_subsampled_decodes(spark):
+    """REAL 4:2:0 decode (the dominant real-world chroma layout):
+    generated one-MCU 16×16 fixture — four diff-coded Y blocks plus
+    2×-upsampled constant chroma — must yield exactly the four
+    constant RGB quadrants the md5 bytes dictate."""
+    import hashlib
+
+    import pandas as pd
+
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import _md5_jpeg_420_generator
+
+    gen = _md5_jpeg_420_generator()
+    fx = next(gen([pd.DataFrame({"doc_id": [306, 466, 7]})]))
+    out = _decode_images(spark, list(fx["payload"]))
+    for i, did in enumerate(fx["doc_id"]):
+        r = out[i]
+        assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 3)
+        d = hashlib.md5(str(did).encode()).digest()
+        cb, cr = d[4] - 128.0, d[5] - 128.0
+        lumas = []
+        for q in range(4):
+            rr = np.clip(np.rint(d[q] + 1.402 * cr), 0, 255)
+            gg = np.clip(np.rint(d[q] - 0.344136 * cb - 0.714136 * cr), 0, 255)
+            bb = np.clip(np.rint(d[q] + 1.772 * cb), 0, 255)
+            lumas.append(0.299 * rr + 0.587 * gg + 0.114 * bb)
+        assert r["mean_luma"] == pytest.approx(np.mean(lumas) / 255.0, abs=1e-12)
+
+
+def test_jpeg_truncated_subsampled_scan_yields_null(spark):
+    """A frame header claiming 2×2 luma sampling over a scan that only
+    carries 4:4:4-shaped data must NULL out, not mis-decode."""
     out = _decode_images(spark, [_make_color_jpeg([100], [30], [200], hv=0x22)])
     assert out[0]["width"] is None and out[0]["mean_luma"] is None
