@@ -3116,3 +3116,53 @@ def python_datasource_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     d = tempfile.mkdtemp(prefix="jsonl_sink_") + "/out"
     ev.write.format("jsonl_dir").option("path", d).mode("append").save()
     return spark.read.schema("event_id bigint, user_id bigint, value double").json(d)
+
+
+# ---------------------------------------------------------------------------
+# round 5: approximate heavy hitters (count-min sketch)
+# ---------------------------------------------------------------------------
+
+#: rebuild the identical 3×512 count-min sketch (same md5-derived
+#: positions, same min-over-rows estimate) and apply the same
+#: threshold — both engines compute the same counters, so even
+#: collision overcounts agree.
+_CMS_HH_SQL = """
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+pos AS (
+  SELECT k, j,
+         CAST(('0x' || SUBSTR(MD5(k || '#c' || j), 1, 8)) AS BIGINT) % 512 AS pos
+  FROM keys CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)),
+sketch AS (SELECT j, pos, COUNT(*) AS cnt FROM pos GROUP BY j, pos),
+tc AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS true_count
+  FROM events GROUP BY 1),
+upos AS (
+  SELECT t.user_id, t.true_count, x.j,
+         CAST(('0x' || SUBSTR(MD5(t.user_id || '#c' || x.j), 1, 8)) AS BIGINT)
+           % 512 AS pos
+  FROM tc t CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) x),
+est AS (
+  SELECT u.user_id,
+         MIN(COALESCE(s.cnt, 0)) AS est_count,
+         MIN(u.true_count) AS true_count
+  FROM upos u LEFT JOIN sketch s ON u.j = s.j AND u.pos = s.pos
+  GROUP BY u.user_id)
+SELECT user_id, est_count, true_count
+FROM est WHERE est_count >= 75
+"""
+
+
+@register("approx_heavy_hitters", sql=_CMS_HH_SQL)
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over events.user_id via a 3×512
+    count-min sketch (operators/sketch.py) — the scale-safe sibling of
+    exact top-k: sketch state is bounded at depth×width counters at
+    ANY key cardinality, updates are order-independent sums (unlike
+    SpaceSaving), and est ≥ true makes the report no-false-negative.
+    The exact count rides along as an error audit.  Oracle: the
+    identical sketch rebuilt in DuckDB from the same md5 positions —
+    collision overcounts and all."""
+    from financial_data_stream_processing_engine_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.heavy_hitters(ev, "user_id", threshold=75)

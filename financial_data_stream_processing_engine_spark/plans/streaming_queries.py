@@ -505,3 +505,104 @@ def streaming_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("baseline_sd"),
         F.col("zscore"),
     )
+
+
+@register(
+    "streaming_heavy_hitters",
+    sql=None,  # set below: shares the batch entry's oracle verbatim
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with the count-min sketch MAINTAINED BY A REAL
+    STREAMING QUERY: the event replay streams through the
+    ``cms_build`` groupBy (complete-mode memory sink keeps the live
+    3×512 counter table — bounded state at any key cardinality, the
+    property exact ``streaming_topk_users`` lacks), then the batch
+    estimate/threshold probe runs over the streamed sketch exactly as
+    a serving layer would.  CM counters are order-independent sums, so
+    the streamed sketch is BIT-IDENTICAL to the batch one — one
+    oracle (``_CMS_HH_SQL``) certifies both entries
+    (operators/sketch.py)."""
+    from financial_data_stream_processing_engine_spark.operators import sketch
+
+    stream = _event_tick_stream(spark, sf_dir)
+    sk_stream = sketch.cms_build(stream, F.col("symbol"))
+    sk = _run(sk_stream, spark, mode="complete")
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.heavy_hitters(ev, "user_id", threshold=75, sketch=sk)
+
+
+@register(
+    "streaming_similarity_topk",
+    sql=None,  # set below: shares the batch multiquery-IVF oracle
+)
+def streaming_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN scoring — the retrieval-serving shape: an IVF
+    index is built and PERSISTED once (centroids + corpus partitioned
+    by cell), then a STREAM of query vectors probes it per micro-batch
+    through ``foreachBatch`` + ``multiquery_ivf_topk`` (three files,
+    maxFilesPerTrigger=1 → three genuine incremental batches), each
+    batch appending its top-5 rows to the result sink.  Per-query
+    results are independent of batching, so the batch entry's oracle
+    (``_MULTIQUERY_IVF_SQL``) certifies the streamed output bit-for-
+    bit (operators/similarity.py::{save_ivf_index, load_ivf_index,
+    multiquery_ivf_topk})."""
+    from financial_data_stream_processing_engine_spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    idx_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    similarity.save_ivf_index(embs, centroids, idx_dir, vec_col="embedding")
+    corpus, cent = similarity.load_ivf_index(spark, idx_dir)
+
+    qdir = tempfile.mkdtemp(prefix="stream_queries_")
+    out_dir = tempfile.mkdtemp(prefix="stream_ann_out_") + "/out"
+    (
+        embs.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(qdir)
+    )
+    qstream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+
+    def probe(batch_df: DataFrame, epoch_id: int) -> None:
+        res = similarity.multiquery_ivf_topk(
+            corpus, cent, batch_df, k=5, nprobe=2,
+            id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+        )
+        res.write.mode("append").parquet(out_dir)
+
+    q = qstream.writeStream.foreachBatch(probe).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.schema(
+        "query_id long, vec_id long, cos double, rank int"
+    ).parquet(out_dir)
+
+
+def _borrow_oracles() -> None:
+    """The two streaming twins above share their batch entries'
+    oracles verbatim (the streamed operators are provably
+    batching-independent); registration order guarantees the batch
+    modules are imported first via plans.catalog.load_all."""
+    from financial_data_stream_processing_engine_spark.plans.catalog import QUERIES
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _MULTIQUERY_IVF_SQL,
+    )
+    from financial_data_stream_processing_engine_spark.plans.relational_queries import (
+        _CMS_HH_SQL,
+    )
+    import dataclasses
+
+    for name, sql in (
+        ("streaming_heavy_hitters", _CMS_HH_SQL),
+        ("streaming_similarity_topk", _MULTIQUERY_IVF_SQL),
+    ):
+        QUERIES[name] = dataclasses.replace(QUERIES[name], sql=sql)
+
+
+_borrow_oracles()
