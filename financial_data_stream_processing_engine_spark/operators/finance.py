@@ -220,7 +220,9 @@ def bollinger_bands(
     significant decimal digits, so plain DECIMAL(27,7) accumulation is
     cross-engine exact here — no quantization needed.
     """
-    w = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    w = Window.partitionBy(key).orderBy(ts_col, "event_id").rowsBetween(
+        -(n - 1), 0
+    )
     cnt = F.count(price).over(w)
     sx = F.sum(F.col(price).cast(DECIMAL)).over(w).cast("double")
     sxx = (
@@ -269,7 +271,7 @@ def max_drawdown(
     trough, deterministically, in both engines.  One window shuffle +
     one same-key aggregation.
     """
-    w = Window.partitionBy(key).orderBy(ts_col).rowsBetween(
+    w = Window.partitionBy(key).orderBy(ts_col, "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     peak = F.max(price).over(w)
@@ -306,12 +308,14 @@ def rsi(
     can recompute it exactly.  All-loss frames define RSI = 0,
     all-gain frames RSI = 100 (the conventional limits).
     """
-    wlag = Window.partitionBy(key).orderBy(ts_col)
+    wlag = Window.partitionBy(key).orderBy(ts_col, "event_id")
     delta = F.col(price) - F.lag(price).over(wlag)
     deltas = df.select(
         "event_id", key, ts_col, delta.alias("delta")
     ).where(F.col("delta").isNotNull())
-    wf = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    wf = Window.partitionBy(key).orderBy(ts_col, "event_id").rowsBetween(
+        -(n - 1), 0
+    )
     gain = F.greatest(F.col("delta"), F.lit(0.0))
     loss = F.greatest(-F.col("delta"), F.lit(0.0))
     cnt = F.count("delta").over(wf)

@@ -70,102 +70,112 @@ def register(name: str, sql: str | None = None):
 #: oldest. Entries not named here keep registration order at the
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
-    # --- round-4 window (first 50 = the driver's check budget) ---
-    # new this round: the five previously fixture-blocked TPC-H shapes
-    # over derived partsupp / commit+receipt dates
-    "tpch_q2_like_min_cost_supplier",
-    "tpch_q11_like_important_stock",
-    "tpch_q16_like_part_supplier_counts",
-    "tpch_q20_like_surplus_suppliers",
-    "tpch_q21_like_waiting_suppliers",
-    # new this round: indicator family
-    "fin_macd",
-    "fin_atr",
-    "fin_stochastic",
+    # --- round-5 window (first 50 = the driver's check budget) ---
+    # new this round: TPC-H Q12 closes the inventory at 22/22
+    "tpch_q12_like_shipmode_priority",
+    # new this round: Lloyd k-means quantizer family
+    "similarity_ivf_kmeans_topk",
+    "dedup_semantic_kmeans",
+    # new this round: subsampled-JPEG decode
+    "multimodal_jpeg_420_roundtrip",
+    # new this round: count-min heavy hitters + streaming twins
+    "approx_heavy_hitters",
+    "streaming_heavy_hitters",
+    "streaming_similarity_topk",
+    # behavior-relevant code changed after their newest driver row:
+    # the generalized JPEG decoder (sampling factors + exact DC-only
+    # IDCT) and the round_even oracle fix
+    "multimodal_jpeg_color_roundtrip",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_image_features",
+    # changed: (ts, event_id) window tie-breaks in the indicator
+    # family (bollinger/drawdown/RSI this round; returns/zscore/
+    # twap/obv + streaming zscore in the post-r4 commit)
+    "fin_bollinger_bands",
+    "fin_max_drawdown",
+    "fin_rsi_cutler",
+    "fin_volatility",
     "fin_rolling_sharpe",
     "fin_zscore_anomalies",
-    # new this round: dedup strategies
-    "dedup_semantic",
-    "dedup_bloom_probe",
-    "dedup_substring_spans",
-    # new this round: streaming MACD twin, CDC diff + incremental view
-    # maintenance, z-order layout, TWAP
-    "streaming_fin_macd",
-    "cdc_orders_diff",
-    "ivm_orders_status_agg",
-    "layout_morton_zorder",
     "fin_twap_daily",
-    # new this round: table-maintenance pair
-    "maintenance_compact_files",
-    "schema_evolution_merge_read",
-    # new this round: cleaning/outlier ops, streaming top-k, custom
-    # sink, PageRank
-    "text_unicode_normalize",
-    "winsorize_events_value",
-    "streaming_topk_users",
-    "python_datasource_sink_roundtrip",
-    "graph_pagerank_similarity",
-    # new this round: integer-exact OBV + Donchian channels, streaming
-    # z-score alert twin
     "fin_obv",
-    "fin_donchian",
     "streaming_zscore_alerts",
-    "fin_rolling_beta",
-    # behavior-relevant code changed after their newest driver row, so
-    # they re-enter the window: minhash signature family moved to the
-    # token-hash pipeline (dedup_minhash_lsh, dedup_cluster_canonical);
-    # pair ops moved to the Arrow pair-dot path and Jaccard gained the
-    # PPJoin length filter (dedup_ngram_jaccard, dedup_embedding_cosine,
-    # dedup_embedding_lsh)
-    "dedup_minhash_lsh",
-    "dedup_cluster_canonical",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    # changed post-r4: CDC corruption guard, PR_QSCALE-derived
+    # descale, strict-JSON sink, persisted LSH pair pipeline
+    "ivm_orders_status_agg",
+    "graph_pagerank_similarity",
+    "python_datasource_sink_roundtrip",
     "dedup_embedding_lsh",
-    # round-1-era entries refreshing their oldest rows (32 of 38; the
-    # remaining 6 rotate in next round)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_like_shipping_priority",
-    "tpch_q5_like_regional_volume",
-    "join_star_revenue_by_region",
-    "join_asof_last_purchase",
-    "join_left_customer_orders",
-    "join_range_price_bands",
-    "join_semi_active_customers",
-    "window_rank_orders",
-    "window_lag_lead_events",
-    "window_range_frame",
-    "window_running_totals",
-    "window_topk_per_group",
-    "window_distribution_funcs",
-    "agg_argminmax_bool_bit",
-    "agg_percentiles",
-    # --- driver check window boundary (first 50 above) ---
+    # the 23 round-1-era entries — the oldest driver rows anywhere
+    # (VERDICT r4 next-step #1: no entry's newest row older than r2
+    # after this round)
     "agg_string_concat",
     "array_functions_documents",
-    "grouping_sets_events",
+    "conditional_tiers",
     "cube_status_priority",
-    "rollup_returnflag_status",
-    "pivot_qty_by_status",
+    "date_arithmetic",
+    "date_functions",
     "explode_tokens",
-    "udtf_ngrams",
+    "grouping_sets_events",
+    "join_anti_no_big_order",
     "json_extract_props",
     "math_functions",
-    "string_functions",
-    "date_functions",
-    "date_arithmetic",
-    # r1-green entries yielding their slots until next round: simple
-    # scalar/reshape/roundtrip shapes, code unchanged since r1, current-
-    # code verification in tools/freshness_ledger.json
-    "scalar_subquery_max_order",
-    "set_ops_customers",
-    "topn_orders_global",
-    "conditional_tiers",
+    "pivot_qty_by_status",
+    "rollup_returnflag_status",
     "roundtrip_csv",
     "roundtrip_json",
     "sample_hash_deterministic",
+    "scalar_subquery_max_order",
     "set_intersect_all",
+    "set_ops_customers",
+    "string_functions",
+    "topn_orders_global",
+    "udtf_ngrams",
     "unpivot_rates",
+    # oldest r2-era rows filling the remaining slots (the rest of the
+    # 41-entry r2 cohort rotates in over rounds 6-7)
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "agg_builtin_stats",
+    "agg_collect_ordered",
+    # --- driver check window boundary (first 50 above) ---
+    # r2-era cohort queued next (oldest rows after this round)
+    "dedup_exact",
+    "embedding_quantize_int8",
+    "join_asof_strict",
+    "lateral_top3_orders_per_customer",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    "python_datasource_ticks",
+    "scd2_apply_changes",
+    "similarity_cosine_topk",
+    "streaming_dedup_exact",
+    "streaming_ma_rowcount",
+    "streaming_session_windows",
+    "streaming_sliding_mean",
+    "streaming_stream_stream_join",
+    "streaming_tumbling_stats",
+    "text_fingerprints",
+    "text_language_id",
+    "text_stats",
+    "text_token_counts",
+    "tpch_q10_like_returned_items",
+    "tpch_q13_like_order_distribution",
+    "tpch_q14_like_promo_effect",
+    "tpch_q15_like_top_supplier",
+    "tpch_q17_like_small_quantity",
+    "tpch_q18_like_large_orders",
+    "tpch_q19_like_disjunctive",
+    "tpch_q22_like_dormant_rich",
+    "tpch_q4_like_priority_check",
+    "tpch_q6_like_forecast_revenue",
+    "tpch_q7_like_nation_volume",
+    "tpch_q8_like_market_share",
+    "tpch_q9_like_product_profit",
+    "window_ewma_per_user",
 ]
 
 

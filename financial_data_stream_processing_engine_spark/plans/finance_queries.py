@@ -127,7 +127,7 @@ f AS (
          CAST(SUM(CAST(price AS DECIMAL(27,7))) OVER w AS DOUBLE) AS sx,
          CAST(SUM(CAST(price * price AS DECIMAL(27,7))) OVER w AS DOUBLE) AS sxx
   FROM ticks
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
 SELECT event_id, symbol, ts, price,
        sx / 20.0 AS ma,
@@ -155,7 +155,7 @@ p AS (
          CASE WHEN MAX(price) OVER w = 0 THEN NULL
               ELSE (MAX(price) OVER w - price) / MAX(price) OVER w END AS dd
   FROM ticks
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 m AS (
   SELECT symbol, ts, dd, MAX(dd) OVER (PARTITION BY symbol) AS mx
@@ -180,7 +180,8 @@ def fin_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ticks AS ({_TICKS_SQL}),
 d AS (
   SELECT event_id, symbol, ts,
-         price - LAG(price) OVER (PARTITION BY symbol ORDER BY ts) AS delta
+         price - LAG(price) OVER (PARTITION BY symbol ORDER BY ts, event_id)
+           AS delta
   FROM ticks),
 f AS (
   SELECT event_id, symbol, ts,
@@ -191,7 +192,7 @@ f AS (
            / 14.0 AS al
   FROM d
   WHERE delta IS NOT NULL
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
 SELECT event_id, symbol, ts,
        ag AS avg_gain,
