@@ -119,3 +119,82 @@ def heavy_hitters(
     return est.filter(F.col("est_count") >= threshold).select(
         key_col, "est_count", "true_count"
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (from scratch, engine-exact)
+# ---------------------------------------------------------------------------
+
+#: 2^8 = 256 registers — the classic p=8 HLL (≈6.5% standard error);
+#: register state is ≤256 rows at ANY cardinality
+HLL_P = 8
+HLL_M = 1 << HLL_P
+
+#: bias-correction constant α_m for m=256, computed once in Python and
+#: injected as the identical double literal into both engines
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_build(df: DataFrame, key: Column) -> DataFrame:
+    """HyperLogLog registers over ``key`` as a (bucket, m_j) relation.
+
+    The 32-bit hash comes from md5(key∥'#h') like the CMS/Bloom
+    positions; the top p bits pick the register, and ρ = leading-zero
+    count of the remaining 24 bits + 1 (spelled as 25 − LENGTH(bin(w)),
+    identical in Spark and DuckDB — verified: both render minimal-width
+    binary).  Registers are a MAX aggregation → order-independent and
+    mergeable, so the sketch is bit-identical at any parallelism and
+    under streaming micro-batch updates, like :func:`cms_build`.
+    """
+    h = F.conv(F.substring(F.md5(F.concat(key, F.lit("#h"))), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = h % F.lit(1 << 24)
+    rho = F.when(w == 0, F.lit(25)).otherwise(F.lit(25) - F.length(F.bin(w)))
+    return (
+        df.select(
+            F.shiftright(h, 24).alias("bucket"), rho.cast("int").alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row HLL cardinality report with an exact-count audit →
+    (n_buckets, nonzero_buckets, harmonic_sum, hll_estimate,
+    true_distinct).
+
+    The harmonic sum Σ 2^−M_j is a sum of dyadic rationals with
+    exponents ≥ −25 — EXACT in double and order-independent, so the
+    raw HLL estimate α·m²/S is deterministic and engine-identical (no
+    float-summation hazard).  The small/large-range corrections are
+    deliberately left to the consumer: they need ln(), whose last-ulp
+    behavior is not guaranteed identical across engines, and the
+    report carries nonzero_buckets so linear counting can be applied
+    downstream.  true_distinct is the audit column (drop it at real
+    scale — it is the expensive exact path this sketch replaces).
+    """
+    key = F.col(key_col).cast("string")
+    reg = hll_build(df, key)
+    sketch_stats = reg.agg(
+        F.count(F.lit(1)).alias("nonzero_buckets"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("__s_nonzero"),
+    )
+    exact = df.agg(F.count_distinct(key).alias("true_distinct"))
+    s = (F.lit(float(HLL_M)) - F.col("nonzero_buckets")) + F.col("__s_nonzero")
+    est = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / s
+    return (
+        sketch_stats.crossJoin(exact)
+        .select(
+            F.lit(HLL_M).alias("n_buckets"),
+            "nonzero_buckets",
+            s.alias("harmonic_sum"),
+            est.alias("hll_estimate"),
+            # raw-HLL is biased below 2.5m — this flag says "apply
+            # linear counting m·ln(m/empty) downstream" (the ln itself
+            # is left out: last-ulp ln behavior is engine-specific)
+            (est <= F.lit(2.5 * HLL_M)).alias("small_range"),
+            "true_distinct",
+        )
+    )

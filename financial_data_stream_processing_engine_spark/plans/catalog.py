@@ -78,10 +78,13 @@ _PRIORITY: list[str] = [
     "dedup_semantic_kmeans",
     # new this round: subsampled-JPEG decode
     "multimodal_jpeg_420_roundtrip",
-    # new this round: count-min heavy hitters + streaming twins
+    # new this round: count-min heavy hitters + HLL + streaming twins
     "approx_heavy_hitters",
+    "approx_distinct_hll",
     "streaming_heavy_hitters",
     "streaming_similarity_topk",
+    # new this round: co-located bucketed join (zero-exchange plan pin)
+    "join_bucketed_zero_shuffle",
     # behavior-relevant code changed after their newest driver row:
     # the generalized JPEG decoder (sampling factors + exact DC-only
     # IDCT) and the round_even oracle fix
@@ -136,10 +139,10 @@ _PRIORITY: list[str] = [
     # 41-entry r2 cohort rotates in over rounds 6-7)
     "agg_approx_distinct",
     "agg_approx_percentiles",
-    "agg_builtin_stats",
-    "agg_collect_ordered",
     # --- driver check window boundary (first 50 above) ---
     # r2-era cohort queued next (oldest rows after this round)
+    "agg_builtin_stats",
+    "agg_collect_ordered",
     "dedup_exact",
     "embedding_quantize_int8",
     "join_asof_strict",

@@ -3166,3 +3166,111 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return sketch.heavy_hitters(ev, "user_id", threshold=75)
+
+
+def _hll_sql() -> str:
+    """DuckDB rebuild of the identical 256-register HLL: same
+    md5-derived 32-bit hash split, same 25−LENGTH(bin(w)) ρ rule, same
+    exact dyadic harmonic sum — down to the injected α literal."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import dlit_sql
+    from financial_data_stream_processing_engine_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+    )
+
+    return f"""
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+h AS (
+  SELECT CAST(('0x' || SUBSTR(MD5(k || '#h'), 1, 8)) AS BIGINT) AS h
+  FROM keys),
+r AS (
+  SELECT h // 16777216 AS bucket,
+         CASE WHEN h % 16777216 = 0 THEN 25
+              ELSE 25 - LENGTH(bin(h % 16777216)) END AS rho
+  FROM h),
+reg AS (SELECT bucket, MAX(rho) AS m_j FROM r GROUP BY bucket),
+s AS (
+  SELECT COUNT(*) AS nonzero_buckets,
+         SUM(POWER(2.0, -m_j)) AS s_nonzero
+  FROM reg),
+e AS (SELECT COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS true_distinct FROM events)
+SELECT CAST({HLL_M} AS INTEGER) AS n_buckets,
+       nonzero_buckets,
+       ({HLL_M}.0 - nonzero_buckets) + s_nonzero AS harmonic_sum,
+       {dlit_sql(HLL_ALPHA)} * {float(HLL_M * HLL_M)!r}
+         / (({HLL_M}.0 - nonzero_buckets) + s_nonzero) AS hll_estimate,
+       ({dlit_sql(HLL_ALPHA)} * {float(HLL_M * HLL_M)!r}
+         / (({HLL_M}.0 - nonzero_buckets) + s_nonzero))
+         <= {float(2.5 * HLL_M)!r} AS small_range,
+       true_distinct
+FROM s CROSS JOIN e
+"""
+
+
+@register("approx_distinct_hll", sql=_hll_sql())
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog cardinality over events.user_id
+    (operators/sketch.py::hll_report) — the transparent sibling of the
+    built-in ``approx_count_distinct`` entry: 256 MAX-registers
+    (order-independent, mergeable, bounded state at any cardinality),
+    an EXACTLY-computable dyadic harmonic sum, and the exact distinct
+    count as an audit column.  Oracle: the full register table and
+    estimate rebuilt in DuckDB from the same md5 hash split — the
+    value hash certifies every register, not just the estimate."""
+    from financial_data_stream_processing_engine_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.hll_report(ev, "user_id")
+
+
+_BUCKETED_JOIN_SQL = f"""
+SELECT o.o_custkey AS custkey,
+       c.c_name AS c_name,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o.o_totalprice')} AS total_spent
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("join_bucketed_zero_shuffle", sql=_BUCKETED_JOIN_SQL)
+def join_bucketed_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: both sides written ``bucketBy(8,
+    custkey).sortBy(custkey)``, then joined AND aggregated on the
+    bucket key with ZERO exchanges — the scan's bucket distribution
+    satisfies the sort-merge join and the groupBy in one go (plan
+    pinned in tests/test_plans.py).  This is the 100 TB pattern for
+    fact-to-fact joins where neither side broadcasts: pay the shuffle
+    ONCE at write time, amortize it over every subsequent join — at a
+    thousand executors the bucketed layout replaces the single
+    costliest network step of the query.  The ``merge`` hint keeps
+    Catalyst from broadcasting the (fixture-tiny) dimension so the
+    plan exercised is the one that matters at scale.  Results are
+    layout-independent, so the plain-join oracle certifies values."""
+    import tempfile
+    import uuid
+
+    sfx = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tname = f"bkt_{tbl}_{sfx}"
+        (
+            _t(spark, sf_dir, tbl)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{tbl}")
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
+        names[tbl] = tname
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"]).hint("merge")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("o_custkey").alias("custkey"), F.col("c_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_spent"),
+        )
+    )

@@ -179,3 +179,21 @@ def test_streaming_ohlc_uses_declarative_candle_state(spark, sf_dir, queries):
     )
     assert "Sort" not in plan.split("Exchange")[0]  # no pre-agg sort
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir, queries):
+    plan = plan_of(queries, "join_bucketed_zero_shuffle", spark, sf_dir)
+    # the whole point: bucketed scans satisfy join AND groupBy
+    # distribution — no network step anywhere in the plan
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_kmeans_ivf_probe_scans_stay_pruned_and_jvm_side(spark, sf_dir, queries):
+    plan = plan_of(queries, "similarity_ivf_kmeans_topk", spark, sf_dir)
+    # the trained-centroid search is pure expression work: no Python
+    # in the plan, and the final top-k is a TakeOrdered, not a global sort
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -30,3 +30,37 @@ def test_cms_sketch_order_independent(spark, sf_dir):
     b = {(r.j, r.pos): r.cnt for r in sketch.cms_build(ev.repartition(17), key).collect()}
     assert a == b
     assert len(a) <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
+
+
+def test_hll_registers_order_independent_and_bounded(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    a = {r.bucket: r.m_j for r in sketch.hll_build(ev.repartition(2), key).collect()}
+    b = {r.bucket: r.m_j for r in sketch.hll_build(ev.repartition(19), key).collect()}
+    assert a == b
+    assert len(a) <= sketch.HLL_M
+    assert all(1 <= v <= 25 for v in a.values())
+
+
+def test_hll_estimate_tracks_cardinality(spark, sf_dir):
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    # few distinct users → the report must flag the small-range regime,
+    # and the documented consumer-side correction (linear counting
+    # m·ln(m/empty) off nonzero_buckets) must land near the truth
+    small = sketch.hll_report(ev, "user_id").collect()[0]
+    assert small.small_range
+    lc = sketch.HLL_M * math.log(
+        sketch.HLL_M / (sketch.HLL_M - small.nonzero_buckets)
+    )
+    assert abs(lc - small.true_distinct) <= 0.2 * small.true_distinct + 3
+    # high cardinality (every event id distinct) → the RAW estimate is
+    # the operative one and must sit inside the ±3σ envelope of the
+    # 1.04/√m standard error
+    big = sketch.hll_report(ev, "event_id").collect()[0]
+    sigma = 1.04 / math.sqrt(sketch.HLL_M)
+    assert (
+        abs(big.hll_estimate - big.true_distinct)
+        <= 3 * sigma * big.true_distinct
+    )
