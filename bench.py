@@ -67,6 +67,15 @@ HEADLINE = [
     "fin_twap_daily",
     "winsorize_events_value",
     "graph_pagerank_similarity",
+    # round-5 additions: Lloyd-trained IVF (the data-driven quantizer
+    # path), sketch aggregations (CMS + HLL — bounded-state shuffles),
+    # and the two layout patterns (zero-exchange bucketed join,
+    # metadata-level partition pruning)
+    "similarity_ivf_kmeans_topk",
+    "approx_heavy_hitters",
+    "approx_distinct_hll",
+    "join_bucketed_zero_shuffle",
+    "layout_partition_prune",
 ]
 
 

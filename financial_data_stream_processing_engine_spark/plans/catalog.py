@@ -83,8 +83,10 @@ _PRIORITY: list[str] = [
     "approx_distinct_hll",
     "streaming_heavy_hitters",
     "streaming_similarity_topk",
-    # new this round: co-located bucketed join (zero-exchange plan pin)
+    # new this round: co-located bucketed join + partitioned layout
+    # (both plan-pinned: zero exchanges / metadata-level pruning)
     "join_bucketed_zero_shuffle",
+    "layout_partition_prune",
     # behavior-relevant code changed after their newest driver row:
     # the generalized JPEG decoder (sampling factors + exact DC-only
     # IDCT) and the round_even oracle fix
@@ -138,9 +140,9 @@ _PRIORITY: list[str] = [
     # oldest r2-era rows filling the remaining slots (the rest of the
     # 41-entry r2 cohort rotates in over rounds 6-7)
     "agg_approx_distinct",
-    "agg_approx_percentiles",
     # --- driver check window boundary (first 50 above) ---
     # r2-era cohort queued next (oldest rows after this round)
+    "agg_approx_percentiles",
     "agg_builtin_stats",
     "agg_collect_ordered",
     "dedup_exact",

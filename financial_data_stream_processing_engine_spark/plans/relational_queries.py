@@ -3274,3 +3274,55 @@ def join_bucketed_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "total_spent"),
         )
     )
+
+
+_PARTITION_PRUNE_SQL = """
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY 1, 2
+"""
+
+
+@register("layout_partition_prune", sql=_PARTITION_PRUNE_SQL)
+def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned read: events
+    written ``partitionBy(event_type)``, then a two-type filter that
+    resolves at the METADATA level — the scan's PartitionFilters prune
+    to 2 of the type directories before a single row is read (plan
+    pinned in tests/test_plans.py).  At 100 TB this is the first-line
+    defense: a predicate on the partition column costs a directory
+    listing, not a scan.  The partition column comes back as a
+    directory-derived string, so it is recast to match the source
+    schema; values are layout-independent, certified by the plain
+    oracle."""
+    import tempfile
+
+    # always load through _t: it pins the session timezone the ts→date
+    # cast below depends on, even when the partitioned copy is cached
+    src = _t(spark, sf_dir, "events")
+    key = (spark.sparkContext.applicationId, sf_dir, "evt_by_type")
+    d = _PART_DIRS.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="evt_by_type_")
+        src.write.partitionBy("event_type").mode("overwrite").parquet(d)
+        _PART_DIRS[key] = d
+    ev = spark.read.parquet(d)
+    return (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+#: (applicationId, sf_dir, layout) → written-once partitioned dir
+_PART_DIRS: dict[tuple, str] = {}

@@ -197,3 +197,10 @@ def test_kmeans_ivf_probe_scans_stay_pruned_and_jvm_side(spark, sf_dir, queries)
     # in the plan, and the final top-k is a TakeOrdered, not a global sort
     assert "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_layout_scan_prunes_partitions(spark, sf_dir, queries):
+    plan = plan_of(queries, "layout_partition_prune", spark, sf_dir)
+    # the event_type predicate must resolve at the metadata level
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in seg and "IN" in seg.upper()
