@@ -76,6 +76,8 @@ HEADLINE = [
     "approx_distinct_hll",
     "join_bucketed_zero_shuffle",
     "layout_partition_prune",
+    "join_fuzzy_names_editdist1",
+    "streaming_ivm_orders_agg",
 ]
 
 

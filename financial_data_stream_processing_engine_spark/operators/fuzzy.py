@@ -1,0 +1,73 @@
+"""Edit-distance entity resolution via deletion-neighborhood blocking
+(the FastSS scheme).
+
+An all-pairs ``levenshtein(a, b) <= 1`` join is O(n²) — dead at any
+scale.  The published fix: two strings within edit distance 1 must
+share a member of their deletion neighborhoods ``{s} ∪ del1(s)``
+(delete one character at each position) — a substitution pair shares
+the variant with the differing position deleted, an insert/delete pair
+shares the shorter string itself.  So exploding each string into its
+``len+1`` deletion keys and self-joining ON THE KEY produces a
+candidate superset, and the exact levenshtein filter runs on
+candidates only — the same candidates-only shape as MinHash-LSH, with
+a *lossless* (not probabilistic) blocking guarantee.
+
+Scale: keys are linear in corpus size × string length; the shuffle is
+keyed by deletion variant, and the quadratic term is bounded by the
+largest key group (strings colliding on one variant), not the corpus.
+For distance ≤ k the neighborhood generalizes to ≤ k deletions
+(O(len^k) keys — practical for k ≤ 2 and short entity strings).
+
+This is the entity-resolution primitive of a training-data pipeline
+(author/source canonicalization); the reference engine has no
+string-similarity surface at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def deletion_keys(name: F.Column) -> F.Column:
+    """``{s} ∪ del1(s)`` as an array: the string itself plus every
+    one-character-deleted variant, in position order."""
+    variants = F.transform(
+        F.sequence(F.lit(1), F.length(name)),
+        lambda i: F.concat(
+            name.substr(F.lit(1), i - 1), name.substr(i + 1, F.length(name))
+        ),
+    )
+    return F.array_prepend(variants, name)
+
+
+def fuzzy_pairs_edit1(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """All (id_a, id_b, name_a, name_b, dist) pairs with levenshtein
+    distance ≤ 1, id_a < id_b — COMPLETE by the deletion-neighborhood
+    argument, never all-pairs.  Candidates sharing several keys are
+    de-duplicated before the exact distance check."""
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    # separate select: putting the explode in the same projection as
+    # the `name` alias makes the reference resolve as a lateral column
+    # alias, which Spark 4's analyzer rejects inside the higher-order
+    # transform
+    k = base.select("id", "name", F.explode(deletion_keys(F.col("name"))).alias("key"))
+    a = k.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "key"
+    )
+    b = k.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "key"
+    )
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -87,6 +87,9 @@ _PRIORITY: list[str] = [
     # (both plan-pinned: zero exchanges / metadata-level pruning)
     "join_bucketed_zero_shuffle",
     "layout_partition_prune",
+    # new this round: FastSS fuzzy entity resolution + live IVM
+    "join_fuzzy_names_editdist1",
+    "streaming_ivm_orders_agg",
     # behavior-relevant code changed after their newest driver row:
     # the generalized JPEG decoder (sampling factors + exact DC-only
     # IDCT) and the round_even oracle fix
@@ -106,11 +109,12 @@ _PRIORITY: list[str] = [
     "fin_obv",
     "streaming_zscore_alerts",
     # changed post-r4: CDC corruption guard, PR_QSCALE-derived
-    # descale, strict-JSON sink, persisted LSH pair pipeline
+    # descale, strict-JSON sink (dedup_embedding_lsh's change was a
+    # perf-only persist — no behavior delta — so it yields its slot
+    # and rides the freshness ledger instead)
     "ivm_orders_status_agg",
     "graph_pagerank_similarity",
     "python_datasource_sink_roundtrip",
-    "dedup_embedding_lsh",
     # the 23 round-1-era entries — the oldest driver rows anywhere
     # (VERDICT r4 next-step #1: no entry's newest row older than r2
     # after this round)
@@ -137,11 +141,11 @@ _PRIORITY: list[str] = [
     "topn_orders_global",
     "udtf_ngrams",
     "unpivot_rates",
-    # oldest r2-era rows filling the remaining slots (the rest of the
-    # 41-entry r2 cohort rotates in over rounds 6-7)
-    "agg_approx_distinct",
     # --- driver check window boundary (first 50 above) ---
-    # r2-era cohort queued next (oldest rows after this round)
+    # r2-era cohort queued next (oldest rows after this round;
+    # dedup_embedding_lsh re-queued first after its perf-only change)
+    "dedup_embedding_lsh",
+    "agg_approx_distinct",
     "agg_approx_percentiles",
     "agg_builtin_stats",
     "agg_collect_ordered",

@@ -3326,3 +3326,37 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: (applicationId, sf_dir, layout) → written-once partitioned dir
 _PART_DIRS: dict[tuple, str] = {}
+
+
+_FUZZY_NAMES_SQL = """
+WITH k AS (
+  SELECT c_custkey AS id, c_name AS name,
+         UNNEST(LIST_PREPEND(c_name,
+           LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(c_name)),
+             i -> SUBSTR(c_name, 1, i - 1) || SUBSTR(c_name, i + 1)))) AS key
+  FROM customer),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.name AS name_a, b.name AS name_b
+  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id)
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
+@register("join_fuzzy_names_editdist1", sql=_FUZZY_NAMES_SQL)
+def join_fuzzy_names_editdist1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: customer-name pairs within
+    levenshtein distance 1 via deletion-neighborhood (FastSS) blocking
+    (operators/fuzzy.py::fuzzy_pairs_edit1) — candidates come from a
+    key-equality join on the len+1 deletion variants (LOSSLESS
+    blocking, unlike LSH), and the exact distance check runs on
+    candidates only.  Oracle: the identical neighborhood generation +
+    distance filter in DuckDB (both engines' classic-DP levenshtein
+    agree on integers)."""
+    from financial_data_stream_processing_engine_spark.operators.fuzzy import fuzzy_pairs_edit1
+
+    c = _t(spark, sf_dir, "customer")
+    return fuzzy_pairs_edit1(c, id_col="c_custkey", name_col="c_name")

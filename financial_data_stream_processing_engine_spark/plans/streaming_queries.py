@@ -606,3 +606,107 @@ def _borrow_oracles() -> None:
 
 
 _borrow_oracles()
+
+
+@register(
+    "streaming_ivm_orders_agg",
+    sql=None,  # set below: shares the batch IVM entry's oracle verbatim
+)
+def streaming_ivm_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance LIVE: the CDC change feed arrives
+    as a STREAM (3 deterministic key-sliced micro-batches,
+    maxFilesPerTrigger=1) and ``foreachBatch`` applies each delta to
+    the materialized aggregate state — read state, apply
+    ``cdc_apply_to_sum_count``, write the next state version
+    (versioned directories: the epoch write is atomic-by-rename and
+    re-runnable, the streaming-sink idempotence pattern).  Because the
+    maintenance arithmetic is DECIMAL-exact and additive per group,
+    applying the diff in ANY batch partitioning yields the identical
+    final state — so the batch IVM oracle (full recompute over the new
+    snapshot) certifies the streamed view bit-for-bit
+    (operators/scale.py::cdc_apply_to_sum_count)."""
+    from financial_data_stream_processing_engine_spark.operators.scale import (
+        cdc_apply_to_sum_count,
+        merge_upsert,
+        table_diff,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    new_v = merge_upsert(o, updates.unionByName(inserts), keys=["o_orderkey"]).where(
+        F.col("o_orderkey") % 101 != 7
+    )
+    diff = table_diff(
+        o, new_v, keys=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    # ship the change feed as 3 key-sliced files → 3 real micro-batches
+    feed_dir = tempfile.mkdtemp(prefix="cdc_feed_")
+    for i in range(3):
+        (
+            diff.filter(F.col("o_orderkey") % 3 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+
+    # materialize the OLD aggregate as state version 0
+    state_dir = tempfile.mkdtemp(prefix="ivm_state_")
+    old_agg = o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,7)")).alias("_dec_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    old_agg.write.mode("overwrite").parquet(f"{state_dir}/v0")
+    state = {"version": 0}
+
+    def apply_delta(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = spark.read.parquet(f"{state_dir}/v{state['version']}")
+        nxt = cdc_apply_to_sum_count(
+            cur, batch_df, group_from="o_orderstatus",
+            value_from="o_totalprice", group_col="o_orderstatus",
+        )
+        nxt.write.mode("overwrite").parquet(f"{state_dir}/v{state['version'] + 1}")
+        state["version"] += 1
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = feed.writeStream.foreachBatch(apply_delta).start()
+    q.processAllAvailable()
+    q.stop()
+
+    return spark.read.parquet(f"{state_dir}/v{state['version']}").select(
+        "o_orderstatus",
+        F.col("_dec_sum").cast("double").alias("total_price"),
+        F.col("n").alias("n_orders"),
+    )
+
+
+def _borrow_ivm_oracle() -> None:
+    from financial_data_stream_processing_engine_spark.plans.catalog import QUERIES
+    from financial_data_stream_processing_engine_spark.plans import relational_queries  # noqa: F401
+    import dataclasses
+
+    QUERIES["streaming_ivm_orders_agg"] = dataclasses.replace(
+        QUERIES["streaming_ivm_orders_agg"],
+        sql=QUERIES["ivm_orders_status_agg"].sql,
+    )
+
+
+_borrow_ivm_oracle()
