@@ -78,6 +78,7 @@ HEADLINE = [
     "layout_partition_prune",
     "join_fuzzy_names_editdist1",
     "streaming_ivm_orders_agg",
+    "approx_quantiles_hdr",
 ]
 
 

@@ -198,3 +198,104 @@ def hll_report(df: DataFrame, key_col: str) -> DataFrame:
             "true_distinct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-linear histogram quantiles (HdrHistogram-style, engine-exact)
+# ---------------------------------------------------------------------------
+
+#: linear sub-buckets per octave: 2^4 = 16 → ≤ 2^-4 = 6.25% relative
+#: error, ~16 buckets per power of two of dynamic range
+HDR_SUBBITS = 4
+
+
+def hdr_bucket_and_floor(v: Column) -> tuple[Column, Column]:
+    """(bucket id, bucket lower bound) for a POSITIVE integer value.
+
+    HdrHistogram's log-linear grid in pure integer arithmetic: the
+    octave is the MSB position p = LENGTH(bin(v)) and the sub-bucket
+    is the next ``HDR_SUBBITS`` bits, so every bucket spans a 2^-4
+    slice of its octave.  Values below 2^(SUBBITS+1) are their own
+    bucket (exact).  Everything is integer shifts/divides with
+    power-of-two doubles in between — bit-identical in Spark and
+    DuckDB, unlike t-digest (RNG-free but merge-order-dependent) or
+    anything involving ln().
+    """
+    p = F.length(F.bin(v))
+    small = p <= HDR_SUBBITS + 1
+    scale = F.pow(F.lit(2.0), (p - HDR_SUBBITS - 1).cast("double"))
+    sub = F.floor(v / scale).cast("long")  # in [2^SUBBITS, 2^(SUBBITS+1))
+    bucket = F.when(small, v).otherwise(
+        F.shiftleft(p.cast("long"), HDR_SUBBITS) + sub - F.lit(1 << HDR_SUBBITS)
+    )
+    floor_ = F.when(small, v).otherwise((sub * scale).cast("long"))
+    return bucket, floor_
+
+
+def hdr_histogram(df: DataFrame, v: Column) -> DataFrame:
+    """Log-linear histogram over positive integer ``v`` → (bucket,
+    floor, cnt).  ~16 rows per octave of dynamic range regardless of
+    data size (64-bit values ⇒ ≤ ~1000 buckets): the quantile sibling
+    of :func:`cms_build`/:func:`hll_build` — a pure COUNT aggregation,
+    order-independent, mergeable, streaming-native, and the shuffle
+    carries only the bucket rows."""
+    bucket, floor_ = hdr_bucket_and_floor(v)
+    return (
+        df.select(bucket.alias("bucket"), floor_.alias("floor"))
+        .groupBy("bucket")
+        .agg(F.min("floor").alias("floor"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantile_report(
+    df: DataFrame,
+    value: Column,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.95, 0.99),
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile estimates from the histogram, with the exact
+    interpolated percentile as an audit → (q, est, exact) per quantile.
+
+    ``value`` is quantized to an integer grid (``scale`` = units per
+    1.0, e.g. cents) with round-half-up; the estimate for quantile q
+    is the LOWER BOUND of the bucket holding the ceil(q·N)-th ranked
+    value — a one-sided estimate with guaranteed relative error
+    ≤ 2^-HDR_SUBBITS (6.25%), documented rather than probabilistic.
+    The rank walk is a cumulative sum over ≤~1000 bucket rows (the
+    single-partition window is over the SKETCH, never the data).
+    """
+    from pyspark.sql import Window
+
+    v = F.floor(value * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    base = df.select(value.alias("__val"), v.alias("__v")).filter(F.col("__v") > 0)
+    hist = hdr_histogram(base, F.col("__v"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    total = hist.agg(F.sum("cnt").alias("__N"))
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    exacts = base.agg(
+        *[
+            F.percentile("__val", F.lit(q)).alias(f"__x{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    parts = []
+    for i, q in enumerate(qs):
+        rank = F.ceil(F.lit(q) * F.col("__N"))
+        est = (
+            cum.filter(F.col("cum") >= rank)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(f"{q}").alias("q"),
+                (F.col("floor") / F.lit(float(scale))).alias("est"),
+            )
+        )
+        parts.append(
+            est.crossJoin(exacts.select(F.col(f"__x{i}").alias("exact")))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

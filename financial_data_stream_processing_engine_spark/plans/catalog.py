@@ -90,12 +90,17 @@ _PRIORITY: list[str] = [
     # new this round: FastSS fuzzy entity resolution + live IVM
     "join_fuzzy_names_editdist1",
     "streaming_ivm_orders_agg",
+    # new this round: log-linear quantile sketch + watermark-timeout
+    # sessionization
+    "approx_quantiles_hdr",
+    "streaming_session_timeout_flush",
     # behavior-relevant code changed after their newest driver row:
     # the generalized JPEG decoder (sampling factors + exact DC-only
-    # IDCT) and the round_even oracle fix
+    # IDCT) and the round_even oracle fix (multimodal_image_features
+    # yields its slot: the three roundtrip entries exercise the same
+    # decoder deeper, and it is freshness-ledger green at HEAD)
     "multimodal_jpeg_color_roundtrip",
     "multimodal_jpeg_roundtrip",
-    "multimodal_image_features",
     # changed: (ts, event_id) window tie-breaks in the indicator
     # family (bollinger/drawdown/RSI this round; returns/zscore/
     # twap/obv + streaming zscore in the post-r4 commit)
@@ -112,7 +117,6 @@ _PRIORITY: list[str] = [
     # descale, strict-JSON sink (dedup_embedding_lsh's change was a
     # perf-only persist — no behavior delta — so it yields its slot
     # and rides the freshness ledger instead)
-    "ivm_orders_status_agg",
     "graph_pagerank_similarity",
     "python_datasource_sink_roundtrip",
     # the 23 round-1-era entries — the oldest driver rows anywhere
@@ -142,8 +146,12 @@ _PRIORITY: list[str] = [
     "udtf_ngrams",
     "unpivot_rates",
     # --- driver check window boundary (first 50 above) ---
-    # r2-era cohort queued next (oldest rows after this round;
-    # dedup_embedding_lsh re-queued first after its perf-only change)
+    # queued first for r6: entries whose changed code is covered
+    # in-window by a deeper sibling this round (image_features by the
+    # three JPEG roundtrips; batch IVM by its streaming twin sharing
+    # the same oracle and apply operator; LSH's change was perf-only)
+    "multimodal_image_features",
+    "ivm_orders_status_agg",
     "dedup_embedding_lsh",
     "agg_approx_distinct",
     "agg_approx_percentiles",

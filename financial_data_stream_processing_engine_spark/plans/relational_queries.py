@@ -3360,3 +3360,65 @@ def join_fuzzy_names_editdist1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer")
     return fuzzy_pairs_edit1(c, id_col="c_custkey", name_col="c_name")
+
+
+_HDR_QUANTILES_SQL = """
+WITH v AS (
+  SELECT o_totalprice AS val,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+  FROM orders WHERE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) > 0),
+b AS (
+  SELECT v,
+         CASE WHEN LENGTH(bin(v)) <= 5 THEN v
+              ELSE (CAST(LENGTH(bin(v)) AS BIGINT) << 4)
+                   + CAST(FLOOR(v / POWER(2.0, LENGTH(bin(v)) - 5)) AS BIGINT) - 16
+         END AS bucket,
+         CASE WHEN LENGTH(bin(v)) <= 5 THEN v
+              ELSE CAST(FLOOR(v / POWER(2.0, LENGTH(bin(v)) - 5))
+                        * POWER(2.0, LENGTH(bin(v)) - 5) AS BIGINT)
+         END AS fl
+  FROM v),
+h AS (SELECT bucket, MIN(fl) AS fl, COUNT(*) AS cnt FROM b GROUP BY bucket),
+c AS (
+  SELECT bucket, fl, cnt,
+         SUM(cnt) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM h),
+pick AS (
+  SELECT q, MIN(bucket) AS bucket FROM (
+    SELECT qq.q AS q, c.bucket
+    FROM c CROSS JOIN (SELECT UNNEST(['0.25', '0.5', '0.95', '0.99']) AS q) qq
+    WHERE c.cum >= CEIL(CAST(qq.q AS DOUBLE) * c.n))
+  GROUP BY q),
+ex AS (
+  SELECT QUANTILE_CONT(val, 0.25) AS x0, QUANTILE_CONT(val, 0.5) AS x1,
+         QUANTILE_CONT(val, 0.95) AS x2, QUANTILE_CONT(val, 0.99) AS x3
+  FROM v)
+SELECT p.q,
+       (SELECT fl FROM h WHERE h.bucket = p.bucket) / 100.0 AS est,
+       CASE p.q WHEN '0.25' THEN ex.x0 WHEN '0.5' THEN ex.x1
+                WHEN '0.95' THEN ex.x2 ELSE ex.x3 END AS exact
+FROM pick p CROSS JOIN ex
+"""
+
+
+@register("approx_quantiles_hdr", sql=_HDR_QUANTILES_SQL)
+def approx_quantiles_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style quantile sketch over orders.o_totalprice
+    (operators/sketch.py::hdr_quantile_report) — the quantile member
+    of the sketch family (CMS frequency / HLL cardinality / Bloom
+    membership / log-linear histogram quantiles): a pure-integer
+    log-linear grid (MSB octave × 16 linear sub-buckets) whose COUNT
+    aggregation is order-independent, mergeable, streaming-native,
+    and ≤ ~16 rows per octave of dynamic range at ANY data size.
+    Unlike t-digest the result is deterministic, and unlike
+    ln()-based buckets it is engine-exact — the oracle rebuilds every
+    bucket, the rank walk, and the ≤ 6.25%-error estimates in DuckDB.
+    The exact interpolated percentile rides along as the audit."""
+    from financial_data_stream_processing_engine_spark.operators import sketch
+
+    o = _t(spark, sf_dir, "orders")
+    return sketch.hdr_quantile_report(
+        o, F.col("o_totalprice"), qs=(0.25, 0.5, 0.95, 0.99), scale=100
+    )

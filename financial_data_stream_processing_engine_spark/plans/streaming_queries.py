@@ -710,3 +710,93 @@ def _borrow_ivm_oracle() -> None:
 
 
 _borrow_ivm_oracle()
+
+
+_STREAM_SESSION_TIMEOUT_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL '2 hours'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register("streaming_session_timeout_flush", sql=_STREAM_SESSION_TIMEOUT_SQL)
+def streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with WATERMARK-TIMEOUT emission, end-to-end
+    (streaming/stateful.py::streaming_sessionize_timeout): sessions
+    close inline when a same-key event exceeds the 2 h gap, and the
+    final open session per key is flushed by
+    ``GroupStateTimeout.EventTimeTimeout`` when the event-time
+    watermark passes session_end + gap — driven here by two sentinel
+    ticks written AFTER the replay is processed (the first advances
+    the watermark past every real timeout at its batch boundary, the
+    second triggers the batch at which the expired state is
+    evicted).  The oracle is the batch gap rule over the same events:
+    a hash match proves every session was emitted exactly once, by
+    exactly one of the two paths, with exact boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    ticks = ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("user_id").cast("string").alias("symbol"),
+        F.col("value").alias("price"),
+        F.lit(0).cast("long").alias("volume"),
+        F.col("ts"),
+        F.lit("EventsReplay").alias("source"),
+    )
+    feed = tempfile.mkdtemp(prefix="session_feed_")
+    ticks.write.mode("append").parquet(feed)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .parquet(feed)
+        .withWatermark("ts", "0 seconds")
+    )
+    sessions = stateful.streaming_sessionize_timeout(stream, gap_s=7200)
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+
+    import datetime
+
+    def sentinel(offset_s: int) -> None:
+        row = [(
+            "zz_flush", "__flush__", 0.0, 0,
+            max_ts + datetime.timedelta(seconds=offset_s), "Sentinel",
+        )]
+        spark.createDataFrame(row, TICK_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        q.processAllAvailable()
+
+    # sentinel 1 advances the watermark past every real timeout;
+    # sentinel 2 triggers the batch that evicts the expired state
+    sentinel(7200 + 3600)
+    sentinel(7200 + 3601)
+    q.stop()
+
+    return spark.table(name).filter(F.col("symbol") != "__flush__").select(
+        F.col("symbol").cast("bigint").alias("user_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )

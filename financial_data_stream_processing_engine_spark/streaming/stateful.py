@@ -392,3 +392,95 @@ def streaming_zscore_alerts(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "symbol string, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us long, end_us long, n long"
+
+
+def streaming_sessionize_timeout(
+    ticks: DataFrame,
+    gap_s: int = 7200,
+) -> DataFrame:
+    """Per-key sessionization with WATERMARK-DRIVEN emission — the
+    state-timeout feature the built-in session window hides: a session
+    closes either when a later event in the stream exceeds the gap
+    (emitted inline) or when the EVENT-TIME watermark passes
+    last_event + gap (``GroupStateTimeout.EventTimeTimeout`` fires the
+    update function with ``hasTimedOut`` and no data, and the open
+    session is flushed from state).  Exactly-once per session: a
+    session is emitted from precisely one of the two paths.
+
+    State per key is three longs — O(1) regardless of session length —
+    and expires the moment the watermark proves no more events can
+    join, which is the minimal-retention contract for unbounded key
+    sets at scale.  Semantics match the batch gap rule exactly
+    (strictly-greater-than-gap starts a new session), so batch
+    sessionization is the oracle.
+    """
+    gap_us = gap_s * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def frame(rows: list[tuple[int, int, int]]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "symbol": [key[0]] * len(rows),
+                    "session_start": [
+                        pd.to_datetime(s, unit="us") for s, _, _ in rows
+                    ],
+                    "session_end": [
+                        pd.to_datetime(e, unit="us") for _, e, _ in rows
+                    ],
+                    "n_events": [n for _, _, n in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield frame([(start_us, end_us, n)])
+            return
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        idnum = pd.to_numeric(pdf["id"], errors="coerce")
+        pdf = pdf.assign(__idnum=idnum).sort_values(
+            ["ts", "__idnum", "id"], kind="mergesort"
+        )
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = None
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            t = int(t)
+            if start_us is None:
+                start_us, end_us, n = t, t, 1
+            elif t - end_us > gap_us:
+                closed.append((start_us, end_us, n))
+                start_us, end_us, n = t, t, 1
+            else:
+                end_us, n = t, n + 1
+        state.update((start_us, end_us, n))
+        # fire when the event-time watermark passes session end + gap
+        state.setTimeoutTimestamp(end_us // 1000 + gap_s * 1000)
+        if closed:
+            yield frame(closed)
+
+    keyed = ticks.filter(ticks.symbol.isNotNull())
+    return keyed.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -484,3 +484,92 @@ def test_jpeg_truncated_subsampled_scan_yields_null(spark):
     carries 4:4:4-shaped data must NULL out, not mis-decode."""
     out = _decode_images(spark, [_make_color_jpeg([100], [30], [200], hv=0x22)])
     assert out[0]["width"] is None and out[0]["mean_luma"] is None
+
+
+def _make_subsampled_jpeg(y_blocks: list[int], cb: int, cr: int,
+                          hv: int, w: int, h: int) -> bytes:
+    """One-MCU baseline JPEG with luma sampling ``hv`` (0x21 = 4:2:2,
+    0x12 = 4:4:0, 0x22 = 4:2:0): ``y_blocks`` DC-only Y blocks in MCU
+    scan order (diff-coded off the shared predictor) + one Cb + one Cr."""
+    import struct
+
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    dc_codes = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(dc_bits[ln - 1]):
+            dc_codes[dc_vals[vi]] = (ln, code)
+            code += 1
+            vi += 1
+        code <<= 1
+
+    out = bytearray()
+    acc = [0, 0]
+
+    def put(val: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0x00)
+                acc[0], acc[1] = 0, 0
+
+    def put_dc(diff: int) -> None:
+        size = abs(diff).bit_length() if diff else 0
+        ln_, cd = dc_codes[size]
+        put(cd, ln_)
+        if size:
+            put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        put(0, 1)  # EOB
+
+    pred = 0
+    for yv in y_blocks:
+        dc = 8 * (yv - 128)
+        put_dc(dc - pred)
+        pred = dc
+    for c in (cb, cr):
+        put_dc(8 * (c - 128))
+    if acc[1]:
+        out.append((acc[0] << (8 - acc[1])) | ((1 << (8 - acc[1])) - 1))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, hv, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_422_and_440_decode(spark):
+    """4:2:2 (2×1 luma) and 4:4:0 (1×2 luma) — the other two
+    subsampled layouts the generalized MCU walk must place and
+    upsample correctly."""
+    cb, cr = 30, 200
+    lumas = []
+    for yv in (100, 200):
+        rr = np.clip(np.rint(yv + 1.402 * (cr - 128)), 0, 255)
+        gg = np.clip(np.rint(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)
+        bb = np.clip(np.rint(yv + 1.772 * (cb - 128)), 0, 255)
+        lumas.append(0.299 * rr + 0.587 * gg + 0.114 * bb)
+    expected = np.mean(lumas) / 255.0
+
+    j422 = _make_subsampled_jpeg([100, 200], cb, cr, hv=0x21, w=16, h=8)
+    j440 = _make_subsampled_jpeg([100, 200], cb, cr, hv=0x12, w=8, h=16)
+    out = _decode_images(spark, [j422, j440])
+    assert (out[0]["width"], out[0]["height"], out[0]["n_channels"]) == (16, 8, 3)
+    assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (8, 16, 3)
+    # each image is two constant half-planes → mean luma identical
+    assert out[0]["mean_luma"] == pytest.approx(expected, abs=1e-12)
+    assert out[1]["mean_luma"] == pytest.approx(expected, abs=1e-12)

@@ -64,3 +64,36 @@ def test_hll_estimate_tracks_cardinality(spark, sf_dir):
         abs(big.hll_estimate - big.true_distinct)
         <= 3 * sigma * big.true_distinct
     )
+
+
+def test_hdr_quantile_one_sided_error_bound(spark, sf_dir):
+    """The histogram estimate is the bucket lower bound: est ≤ the true
+    value, and within the documented 2^-HDR_SUBBITS relative error."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = sketch.hdr_quantile_report(
+        orders, F.col("o_totalprice"), qs=(0.1, 0.5, 0.9, 0.99)
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        # quantization to cents can nudge by ±0.005 either way
+        assert r.est <= r.exact + 0.01, r
+        assert r.exact <= r.est * (1 + 2.0 ** -sketch.HDR_SUBBITS) + 0.01, r
+
+
+def test_hdr_histogram_order_independent_and_small(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    a = {
+        (r.bucket, r.floor): r.cnt
+        for r in sketch.hdr_histogram(orders.repartition(3), v).collect()
+    }
+    b = {
+        (r.bucket, r.floor): r.cnt
+        for r in sketch.hdr_histogram(orders.repartition(11), v).collect()
+    }
+    assert a == b
+    assert len(a) < 1000  # bounded rows at any data size
