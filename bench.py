@@ -79,6 +79,13 @@ HEADLINE = [
     "join_fuzzy_names_editdist1",
     "streaming_ivm_orders_agg",
     "approx_quantiles_hdr",
+    # round-5 additions (late): KMV set-operation sketch (two
+    # distinct-shuffles + sketch-sized tail), BM25 retrieval
+    # (explode + conditional-count groupBy + TakeOrdered), and PQ/ADC
+    # (subspace Lloyd + argmin encode + LUT-sum scoring)
+    "approx_setops_kmv",
+    "text_bm25_topk",
+    "similarity_pq_adc_topk",
 ]
 
 

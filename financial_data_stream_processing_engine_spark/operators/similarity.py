@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from financial_data_stream_processing_engine_spark.functions.numeric import davg
+from financial_data_stream_processing_engine_spark.functions.numeric import davg, qint
 from financial_data_stream_processing_engine_spark.operators.dedup import (
     cosine,
     pair_dot_udf,
@@ -514,5 +514,205 @@ def semantic_dedup(
             id_col,
             cell_col,
             F.col("__dup_id").isNotNull().alias("is_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Left-to-right fold dot product (the numerator of
+    ``dedup.cosine`` — bitwise-compatible wherever either is used)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance — the PQ codeword-assignment metric —
+    via the same left-to-right double fold as :func:`dot_product`."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(
+    df: DataFrame,
+    m: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Split each vector into ``m`` contiguous subvectors of
+    ``dims/m`` components → (id, sub, subvec).  Pure slicing — one
+    map-side posexplode, no shuffle."""
+    d = dims // m
+    parts = F.array(*[F.slice(F.col(vec_col), i * d + 1, d) for i in range(m)])
+    return df.select(F.col(id_col), F.posexplode(parts).alias("sub", "subvec"))
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    dims: int = 64,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebook → (sub, code_id, codeword).
+
+    The product-quantization trainer (Jégou et al., "Product
+    quantization for nearest neighbor search"): an independent
+    ``ks``-codeword quantizer per subspace, here one Lloyd round per
+    subspace over the SAME engine-exact machinery as
+    :func:`kmeans_train` —
+
+    * seeds: the subvectors of the ``ks`` smallest-``id_col`` vectors
+      (deterministic, SQL-expressible; code_id = seed id);
+    * assignment: argmin SQUARED L2 (the PQ metric — unlike the coarse
+      quantizer's cosine, codewords quantize magnitude too), ties to
+      the smaller code_id;
+    * update: element-wise decimal-exact mean per (sub, cell, pos) —
+      order-independent, bit-identical at any parallelism; empty cells
+      keep their seed.
+
+    All subspaces train in ONE relation keyed by ``sub`` (no
+    per-subspace loop): the shuffle is a groupBy on (sub, cell, pos) —
+    m·ks·dims/m = ks·dims rows out, linear in corpus size in."""
+    subv = pq_subvectors(corpus, m, dims, id_col, vec_col)
+    seed_ids = corpus.orderBy(id_col).limit(ks).select(id_col)
+    cb = subv.join(F.broadcast(seed_ids), id_col).select(
+        "sub", F.col(id_col).alias("code_id"), F.col("subvec").alias("codeword")
+    )
+    assigned = _pq_assign(subv, cb)
+    exploded = assigned.select(
+        "sub", F.col("code").alias("cell"), F.posexplode("subvec").alias("pos", "v")
+    )
+    means = (
+        exploded.groupBy("sub", "cell", "pos")
+        .agg(davg(F.col("v").cast("double"), "m"))
+        .groupBy("sub", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "sub",
+            F.col("cell").alias("code_id"),
+            F.transform("pm", lambda s: s["m"].cast("float")).alias("__new"),
+        )
+    )
+    return (
+        cb.join(means, ["sub", "code_id"], "left")
+        .select(
+            "sub",
+            "code_id",
+            F.coalesce("__new", "codeword").alias("codeword"),
+        )
+    )
+
+
+def _pq_assign(subv: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codeword per (id, sub) by squared L2, ties to the
+    smaller code_id → input columns + ``code``.  Codebooks broadcast
+    (m·ks rows); argmin via struct-min, all built-in."""
+    cb = codebook.select(
+        "sub", F.col("code_id").alias("__cid"), F.col("codeword").alias("__cw")
+    )
+    scored = subv.join(F.broadcast(cb), "sub").withColumn(
+        "__d2", l2_sq(F.col("subvec"), F.col("__cw"))
+    )
+    keys = subv.columns
+    return (
+        scored.groupBy(*keys)
+        .agg(F.min(F.struct(F.col("__d2"), F.col("__cid"))).alias("__best"))
+        .withColumn("code", F.col("__best.__cid"))
+        .drop("__best")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    dims: int = 64,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-``k`` by APPROXIMATE dot product
+    → (vec_id, score_adc, dot_exact, rank).
+
+    The PQ serving shape: the corpus is stored as m small integer
+    codes per vector (here m=4 codes ≈ 32 bytes → 16 bytes-per-vector
+    class storage vs 256 bytes of float32 — the memory-bound regime
+    where PQ lives); a query builds an m×ks lookup table of
+    subvector·codeword dots ONCE, and each corpus vector's score is a
+    table lookup + sum, never a float-vector scan.  This implements
+    MIPS (dot-product) ADC; cosine callers pre-normalize the corpus.
+
+    The per-vector sum over the m subspace partials runs on the
+    decimal-integer grid (``functions.numeric.qint``) — an
+    order-independent aggregation, so scores are bit-identical at any
+    parallelism and in the DuckDB oracle.  ``dot_exact`` re-scores the
+    k winners against the full vectors as an audit (k rows only).
+
+    Scale: codes are 1 shuffle to build (the argmin groupBy); the LUT
+    is m·ks rows broadcast; scoring is map-side + one groupBy(id) over
+    m-row groups; top-k is TakeOrdered.  Linear at any corpus size.
+    """
+    if codebook is None:
+        codebook = pq_train(corpus, m, dims, ks, id_col, vec_col)
+    codebook = codebook.localCheckpoint(eager=False)
+    codes = _pq_assign(pq_subvectors(corpus, m, dims, id_col, vec_col), codebook)
+    qsub = pq_subvectors(query, m, dims, id_col, vec_col).select(
+        "sub", F.col("subvec").alias("__qsub")
+    )
+    lut = codebook.join(F.broadcast(qsub), "sub").select(
+        "sub",
+        "code_id",
+        dot_product(F.col("__qsub"), F.col("codeword")).alias("__lut"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), (codes.sub == lut.sub) & (codes.code == lut.code_id))
+        .groupBy(F.col(id_col))
+        .agg(
+            (F.sum(qint(F.col("__lut"))).cast("double") * F.lit(1e-9)).alias(
+                "score_adc"
+            )
+        )
+    )
+    top = (
+        scored.orderBy(F.col("score_adc").desc(), F.col(id_col))
+        .limit(k)
+    )
+    qv = query.select(F.col(vec_col).alias("__qvec"))
+    audit = top.join(
+        corpus.select(id_col, vec_col), id_col
+    ).crossJoin(F.broadcast(qv))
+    from pyspark.sql import Window
+
+    return (
+        audit.select(
+            id_col,
+            "score_adc",
+            dot_product(F.col(vec_col), F.col("__qvec")).alias("dot_exact"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score_adc").desc(), F.col(id_col))
+            ),
         )
     )

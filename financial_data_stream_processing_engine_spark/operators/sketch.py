@@ -160,7 +160,9 @@ def hll_build(df: DataFrame, key: Column) -> DataFrame:
     )
 
 
-def hll_report(df: DataFrame, key_col: str) -> DataFrame:
+def hll_report(
+    df: DataFrame, key_col: str, registers: DataFrame | None = None
+) -> DataFrame:
     """One-row HLL cardinality report with an exact-count audit →
     (n_buckets, nonzero_buckets, harmonic_sum, hll_estimate,
     true_distinct).
@@ -174,9 +176,14 @@ def hll_report(df: DataFrame, key_col: str) -> DataFrame:
     report carries nonzero_buckets so linear counting can be applied
     downstream.  true_distinct is the audit column (drop it at real
     scale — it is the expensive exact path this sketch replaces).
+
+    ``registers`` may be passed in (e.g. maintained incrementally by a
+    streaming query — MAX registers are order-independent, so the
+    streamed table is bit-identical to the batch build); by default
+    they are built from ``df``.
     """
     key = F.col(key_col).cast("string")
-    reg = hll_build(df, key)
+    reg = registers if registers is not None else hll_build(df, key)
     sketch_stats = reg.agg(
         F.count(F.lit(1)).alias("nonzero_buckets"),
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("__s_nonzero"),
@@ -252,6 +259,7 @@ def hdr_quantile_report(
     value: Column,
     qs: tuple[float, ...] = (0.25, 0.5, 0.95, 0.99),
     scale: int = 100,
+    hist: DataFrame | None = None,
 ) -> DataFrame:
     """Quantile estimates from the histogram, with the exact
     interpolated percentile as an audit → (q, est, exact) per quantile.
@@ -263,12 +271,20 @@ def hdr_quantile_report(
     ≤ 2^-HDR_SUBBITS (6.25%), documented rather than probabilistic.
     The rank walk is a cumulative sum over ≤~1000 bucket rows (the
     single-partition window is over the SKETCH, never the data).
+
+    ``hist`` may be passed in (e.g. maintained incrementally by a
+    streaming query — the bucket rows are MIN/COUNT aggregations,
+    order-independent and mergeable, so the streamed histogram is
+    bit-identical to the batch build); by default it is built from
+    ``df`` with the identical ``floor(value·scale + 0.5)``
+    quantization the caller must replicate.
     """
     from pyspark.sql import Window
 
     v = F.floor(value * F.lit(float(scale)) + F.lit(0.5)).cast("long")
     base = df.select(value.alias("__val"), v.alias("__v")).filter(F.col("__v") > 0)
-    hist = hdr_histogram(base, F.col("__v"))
+    if hist is None:
+        hist = hdr_histogram(base, F.col("__v"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     total = hist.agg(F.sum("cnt").alias("__N"))
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
@@ -299,3 +315,133 @@ def hdr_quantile_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values (KMV) distinct sketch with set-operation estimates
+# ---------------------------------------------------------------------------
+
+#: sketch size: k smallest distinct hash values are kept per set —
+#: relative error ~1/sqrt(k-2) ≈ 6.3%, state ≤ k rows per set at ANY
+#: cardinality (the theta-sketch / KMV family: Bar-Yossef et al.,
+#: Beyer et al. "distinct-value synopses for set operations")
+KMV_K = 256
+
+#: hash range: md5-derived 32-bit uniform values live in [0, 2^32)
+KMV_RANGE = float(1 << 32)
+
+
+def kmv_hash(key: Column) -> Column:
+    """32-bit uniform hash for the KMV order statistics: md5(key∥'#v')
+    first 8 hex digits → long — the Bloom/CMS/HLL arithmetic with its
+    own salt, so an external engine rebuilds the identical sketch."""
+    return F.conv(F.substring(F.md5(F.concat(key, F.lit("#v"))), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(tagged: DataFrame, tag_col: str, key: Column, k: int = KMV_K) -> DataFrame:
+    """Per-tag KMV sketch → (tag, h): the ``k`` SMALLEST DISTINCT hash
+    values of each tagged key set.
+
+    One distinct-shuffle over (tag, hash) — 12 bytes/row regardless of
+    key width — then a rank-limit window that Spark executes as
+    WindowGroupLimit: each partition keeps only its local top-k before
+    the exchange, so the shuffle after the distinct carries ≤ k rows
+    per partition per tag.  State is ≤ k rows per set at any
+    cardinality.
+    """
+    from pyspark.sql import Window
+
+    hashes = tagged.select(
+        F.col(tag_col).alias("tag"), kmv_hash(key).alias("h")
+    ).distinct()
+    w = Window.partitionBy("tag").orderBy("h")
+    return (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("tag", "h")
+    )
+
+
+def _kmv_est(cnt: Column, hk: Column, k: int) -> Column:
+    """(k−1)/h₍k₎ estimator, degrading to the exact retained count when
+    the sketch holds the whole set (cnt < k).  One integer-exact
+    multiply + one IEEE division — engine-identical."""
+    return F.when(cnt < F.lit(k), cnt.cast("double")).otherwise(
+        F.lit(float(k - 1) * KMV_RANGE) / hk.cast("double")
+    )
+
+
+def kmv_setops_report(
+    tagged: DataFrame, tag_col: str, key: Column, k: int = KMV_K
+) -> DataFrame:
+    """One-row |A|, |B|, |A∪B|, |A∩B| estimate report from two KMV
+    sketches, with exact audits → (k, est_a, est_b, est_union,
+    est_intersect, true_a, true_b, true_union, true_intersect).
+
+    ``tagged`` carries (tag ∈ {'a','b'}, key).  The union sketch is the
+    k smallest of the merged sketch hashes (KMV merge = union + re-top-k);
+    the intersection uses the standard ratio estimator
+    ρ·|A∪B| where ρ = |K_∪ ∩ A ∩ B| / |K_∪| — membership checked
+    against the per-set sketches, which is exact for hashes inside K_∪
+    (any A-hash ≤ the kth union value is necessarily among A's k
+    smallest).  Everything after the per-set distinct is sketch-sized
+    (≤ 2k rows): the one unpartitioned window runs over the SKETCH,
+    never the data.  The exact audits cost one more distinct over the
+    tagged keys — drop them at real scale.
+    """
+    from pyspark.sql import Window
+
+    sk = kmv_sketch(tagged, tag_col, key, k).localCheckpoint(eager=False)
+    per = (
+        sk.groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
+        .select("tag", _kmv_est(F.col("cnt"), F.col("hk"), k).alias("est"))
+    )
+    est_a = per.filter(F.col("tag") == "a").select(F.col("est").alias("est_a"))
+    est_b = per.filter(F.col("tag") == "b").select(F.col("est").alias("est_b"))
+    wu = Window.orderBy("h")  # over ≤ 2k sketch rows
+    ku = (
+        sk.select("h")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(wu))
+        .filter(F.col("__rn") <= k)
+        .select("h")
+        .localCheckpoint(eager=False)
+    )
+    u = ku.agg(F.count(F.lit(1)).alias("cnt_u"), F.max("h").alias("hk_u"))
+    both = (
+        ku.join(sk.filter(F.col("tag") == "a").select("h"), "h", "semi")
+        .join(sk.filter(F.col("tag") == "b").select("h"), "h", "semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    keys = tagged.select(F.col(tag_col).alias("tag"), key.alias("k")).distinct()
+    exact = keys.groupBy("k").agg(F.count_distinct("tag").alias("nt"))
+    audits = exact.agg(
+        F.count(F.lit(1)).alias("true_union"),
+        F.count_if(F.col("nt") == 2).alias("true_intersect"),
+    )
+    per_true = keys.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+    ta = per_true.filter(F.col("tag") == "a").select(F.col("n").alias("true_a"))
+    tb = per_true.filter(F.col("tag") == "b").select(F.col("n").alias("true_b"))
+    est_union = _kmv_est(F.col("cnt_u"), F.col("hk_u"), k)
+    row = (
+        u.crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(audits))
+    )
+    return row.select(
+        F.lit(k).alias("k"),
+        "est_a",
+        "est_b",
+        est_union.alias("est_union"),
+        ((F.col("n_both") * est_union) / F.col("cnt_u")).alias("est_intersect"),
+        "true_a",
+        "true_b",
+        "true_union",
+        "true_intersect",
+    )

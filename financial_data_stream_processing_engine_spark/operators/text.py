@@ -361,3 +361,77 @@ def nfc_normalize(df, text_col: str = "text", out_col: str = "text_nfc"):
         )
 
     return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a fixed query term set →
+    (doc_id, dl, tf_<term>..., score, rank).
+
+    BM25's tf-saturation term is kept intact — score_t =
+    idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) — but the idf is
+    the RATIONAL surrogate (N − df + 0.5)/(df + 0.5) instead of its
+    log: ln()'s last-ulp behavior is engine-specific (the tfidf entry
+    makes the same trade), and the rational idf is order-preserving
+    within any fixed corpus for df ≥ 1, so rankings for single-term
+    scores are unchanged and multi-term totals remain a documented,
+    deterministic variant.  Per-document totals are added in FIXED
+    query-term order (explicit ``+`` chain, no SUM over a shuffled
+    frame), so every double op is a single correctly-rounded IEEE
+    instruction — bit-identical across engines and parallelism.
+
+    Plan: one explode + one groupBy(doc) with conditional-count tf
+    columns (map-side combine), one broadcast 1-row corpus-stats
+    frame, top-k via TakeOrdered — linear, two shuffles, no UDFs.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count_if(F.col("term") == F.lit(t)).alias(f"tf_{t}")
+            for t in query_terms
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in query_terms
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    score = None
+    for t in query_terms:
+        tf = F.col(f"tf_{t}")
+        idf = (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        s_t = F.when(tf > 0, idf * (tf * F.lit(k1 + 1.0))
+                     / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+                     ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+    from pyspark.sql import Window
+
+    ranked = scored.select(
+        id_col, "dl", *[f"tf_{t}" for t in query_terms], score.alias("score")
+    )
+    # rank window runs over the already-limited k rows, never the corpus
+    return (
+        ranked.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),
+        )
+    )

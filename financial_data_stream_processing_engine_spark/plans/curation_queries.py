@@ -397,3 +397,64 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("text_nfc") != F.col("t")).alias("changed"),
         "text_nfc",
     )
+
+
+#: DuckDB rebuild of the identical BM25 computation: same rational
+#: idf, same fixed-order score addition, same tf/df/dl integers.
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         COUNT(*) FILTER (WHERE term = 'spark') AS tf_spark,
+         COUNT(*) FILTER (WHERE term = 'window') AS tf_window,
+         COUNT(*) FILTER (WHERE term = 'merge') AS tf_merge
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+         COUNT(*) FILTER (WHERE tf_spark > 0) AS df_spark,
+         COUNT(*) FILTER (WHERE tf_window > 0) AS df_window,
+         COUNT(*) FILTER (WHERE tf_merge > 0) AS df_merge
+  FROM per_doc),
+scored AS (
+  SELECT p.doc_id, p.dl, p.tf_spark, p.tf_window, p.tf_merge,
+           CASE WHEN p.tf_spark > 0 THEN
+             ((s.n_docs - s.df_spark + 0.5e0) / (s.df_spark + 0.5e0))
+             * (p.tf_spark * 2.2e0)
+             / (p.tf_spark + 1.2e0 * (0.25e0 + 0.75e0 * (p.dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+           ELSE 0.0e0 END
+         + CASE WHEN p.tf_window > 0 THEN
+             ((s.n_docs - s.df_window + 0.5e0) / (s.df_window + 0.5e0))
+             * (p.tf_window * 2.2e0)
+             / (p.tf_window + 1.2e0 * (0.25e0 + 0.75e0 * (p.dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+           ELSE 0.0e0 END
+         + CASE WHEN p.tf_merge > 0 THEN
+             ((s.n_docs - s.df_merge + 0.5e0) / (s.df_merge + 0.5e0))
+             * (p.tf_merge * 2.2e0)
+             / (p.tf_merge + 1.2e0 * (0.25e0 + 0.75e0 * (p.dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+           ELSE 0.0e0 END AS score
+  FROM per_doc p CROSS JOIN stats s)
+SELECT doc_id, dl, tf_spark, tf_window, tf_merge, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("text_bm25_topk", sql=_BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for the fixed query
+    ('spark','window','merge') — top-10 documents with the full
+    tf-saturation term (k1=1.2, b=0.75) and a rational idf surrogate
+    (the tfidf entry's engine-exactness trade; ln() differs at the
+    last ulp between engines).  Per-doc totals add in fixed query-term
+    order, so scores are bit-identical in Spark and DuckDB
+    (operators/text.py::bm25_topk).  Plan: explode + conditional-count
+    groupBy + broadcast stats row + TakeOrdered — no UDFs, two
+    shuffles, linear at any corpus size."""
+    from financial_data_stream_processing_engine_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), query_terms=("spark", "window", "merge"), k=10
+    )

@@ -1814,3 +1814,105 @@ def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = embs.select(F.col("vec_id").alias("node"))
     return pagerank(nodes, sym, k=4)
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): product quantization ADC
+# ---------------------------------------------------------------------------
+
+#: squared-L2 fold (mirrors similarity.l2_sq — same left-to-right
+#: double summation as _COS)
+_L2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+    " * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x,y) -> x+y)"
+)
+
+#: dot-product fold (mirrors similarity.dot_product)
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x,y) -> x+y)"
+)
+
+#: the full PQ pipeline — 4×16 subspaces, 8 codewords each, smallest-id
+#: seeds, ONE Lloyd round (argmin L2, ties→smaller code, decimal-exact
+#: means, empty-cell keep-seed), encode, query LUT, grid-exact ADC sum,
+#: top-10 with exact-dot audit — recomputed in DuckDB end to end.
+_PQ_ADC_SQL = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+subs AS (SELECT UNNEST([0, 1, 2, 3]) AS sub),
+subv AS (
+  SELECT vec_id, sub, embedding[sub * 16 + 1 : sub * 16 + 16] AS subvec
+  FROM embeddings CROSS JOIN subs),
+seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+cb0 AS (
+  SELECT s.sub, s.vec_id AS code_id, s.subvec AS codeword
+  FROM subv s JOIN seeds ON s.vec_id = seeds.vec_id),
+best1 AS (
+  SELECT vec_id, sub, subvec, code_id AS cell FROM (
+    SELECT v.vec_id, v.sub, v.subvec, c.code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.sub
+             ORDER BY {_L2.format(a='v.subvec', b='c.codeword')} ASC,
+                      c.code_id ASC) AS rk
+    FROM subv v JOIN cb0 c ON v.sub = c.sub) WHERE rk = 1),
+dim1 AS (
+  SELECT sub, cell, UNNEST(subvec) AS v,
+         GENERATE_SUBSCRIPTS(subvec, 1) AS pos
+  FROM best1),
+cm1 AS (
+  SELECT sub, cell, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM dim1 GROUP BY sub, cell, pos),
+mean1 AS (
+  SELECT sub, cell AS code_id, LIST(CAST(m AS REAL) ORDER BY pos) AS codeword
+  FROM cm1 GROUP BY sub, cell),
+cb1 AS (
+  SELECT c.sub, c.code_id, COALESCE(m.codeword, c.codeword) AS codeword
+  FROM cb0 c LEFT JOIN mean1 m ON c.sub = m.sub AND c.code_id = m.code_id),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, v.sub, c.code_id AS code,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.sub
+             ORDER BY {_L2.format(a='v.subvec', b='c.codeword')} ASC,
+                      c.code_id ASC) AS rk
+    FROM subv v JOIN cb1 c ON v.sub = c.sub) WHERE rk = 1),
+qsub AS (
+  SELECT sub, embedding[sub * 16 + 1 : sub * 16 + 16] AS qs
+  FROM q CROSS JOIN subs),
+lut AS (
+  SELECT c.sub, c.code_id, {_DOT.format(a='s.qs', b='c.codeword')} AS l
+  FROM cb1 c JOIN qsub s ON c.sub = s.sub),
+scored AS (
+  SELECT k.vec_id,
+         {qcast_sql(f"SUM({qint_sql('lut.l')})")} * 1e-9 AS score_adc
+  FROM codes k JOIN lut ON k.sub = lut.sub AND k.code = lut.code_id
+  GROUP BY k.vec_id),
+top AS (
+  SELECT vec_id, score_adc FROM scored
+  ORDER BY score_adc DESC, vec_id LIMIT 10)
+SELECT t.vec_id, t.score_adc,
+       {_DOT.format(a='e.embedding', b='q.embedding')} AS dot_exact,
+       CAST(ROW_NUMBER() OVER (ORDER BY t.score_adc DESC, t.vec_id) AS INT) AS rank
+FROM top t JOIN embeddings e ON t.vec_id = e.vec_id CROSS JOIN q
+"""
+
+
+@register("similarity_pq_adc_topk", sql=_PQ_ADC_SQL)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC retrieval (Jégou et al.): 4×16-dim
+    subspaces, 8 codewords each trained by one engine-exact Lloyd
+    round (operators/similarity.py::{pq_train, pq_adc_topk}), the
+    corpus stored as 4 small codes per vector, a query scored through
+    an m×ks lookup table and a decimal-grid (order-independent) ADC
+    sum — the MEMORY-BOUND ANN regime IVF doesn't cover: at 100 TB of
+    float32 embeddings the PQ codes are ~32× smaller than the vectors
+    and scoring never rescans floats.  Top-10 by approximate dot with
+    the exact dot re-scored on the winners as an audit.  Oracle: the
+    ENTIRE pipeline (seeds, Lloyd round, encode, LUT, grid sum, audit)
+    recomputed in DuckDB, bit-exact."""
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") == 0)
+    return similarity.pq_adc_topk(
+        embs, q, k=10, m=4, dims=64, ks=8, id_col="vec_id", vec_col="embedding"
+    )

@@ -3422,3 +3422,92 @@ def approx_quantiles_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.hdr_quantile_report(
         o, F.col("o_totalprice"), qs=(0.25, 0.5, 0.95, 0.99), scale=100
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): KMV distinct sketch with set-operation estimates
+# ---------------------------------------------------------------------------
+
+#: rebuild the identical k=256 KMV sketches in DuckDB — same md5 '#v'
+#: hash, same k-smallest-distinct order statistics, same
+#: (k−1)·2³²/h₍k₎ estimator with the exact-count degradation — so even
+#: 32-bit hash collisions agree between engines.
+_KMV_SETOPS_SQL = """
+WITH tagged AS (
+  SELECT 'a' AS tag, l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'b' AS tag, l_orderkey AS k FROM lineitem WHERE l_quantity > 25),
+hashes AS (
+  SELECT DISTINCT tag,
+         CAST(('0x' || SUBSTR(MD5(CAST(k AS VARCHAR) || '#v'), 1, 8)) AS BIGINT) AS h
+  FROM tagged),
+sk AS (
+  SELECT tag, h FROM (
+    SELECT tag, h, ROW_NUMBER() OVER (PARTITION BY tag ORDER BY h) AS rn
+    FROM hashes) t
+  WHERE rn <= 256),
+per AS (
+  SELECT tag,
+         CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 1095216660480.0 / CAST(MAX(h) AS DOUBLE) END AS est
+  FROM sk GROUP BY tag),
+ku AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)) t
+  WHERE rn <= 256),
+u AS (SELECT COUNT(*) AS cnt_u, MAX(h) AS hk_u FROM ku),
+bth AS (
+  SELECT COUNT(*) AS n_both FROM ku
+  WHERE h IN (SELECT h FROM sk WHERE tag = 'a')
+    AND h IN (SELECT h FROM sk WHERE tag = 'b')),
+keys AS (SELECT DISTINCT tag, k FROM tagged),
+ex AS (SELECT k, COUNT(DISTINCT tag) AS nt FROM keys GROUP BY k),
+audits AS (
+  SELECT COUNT(*) AS true_union,
+         COUNT(*) FILTER (WHERE nt = 2) AS true_intersect
+  FROM ex),
+pt AS (SELECT tag, COUNT(*) AS n FROM keys GROUP BY tag),
+eu AS (
+  SELECT cnt_u, hk_u,
+         CASE WHEN cnt_u < 256 THEN CAST(cnt_u AS DOUBLE)
+              ELSE 1095216660480.0 / CAST(hk_u AS DOUBLE) END AS est_union
+  FROM u)
+SELECT CAST(256 AS INTEGER) AS k,
+       (SELECT est FROM per WHERE tag = 'a') AS est_a,
+       (SELECT est FROM per WHERE tag = 'b') AS est_b,
+       eu.est_union,
+       (bth.n_both * eu.est_union) / eu.cnt_u AS est_intersect,
+       (SELECT n FROM pt WHERE tag = 'a') AS true_a,
+       (SELECT n FROM pt WHERE tag = 'b') AS true_b,
+       audits.true_union,
+       audits.true_intersect
+FROM eu CROSS JOIN bth CROSS JOIN audits
+"""
+
+
+@register("approx_setops_kmv", sql=_KMV_SETOPS_SQL)
+def approx_setops_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET OPERATIONS from two k=256 KMV sketches
+    (operators/sketch.py::kmv_setops_report) — |A|, |B|, |A∪B| from the
+    (k−1)/h₍k₎ order statistic, |A∩B| from the ratio estimator over the
+    merged sketch, exact audits alongside.  A = orderkeys containing a
+    returned lineitem, B = orderkeys with a quantity-over-25 lineitem.
+    Completes the sketch family: CMS = frequency, HLL = cardinality,
+    HDR = quantiles, KMV = cardinality under ∪/∩ (which HLL alone
+    cannot estimate for ∩).  State is ≤ k rows per set at ANY
+    cardinality; everything past the per-set distinct is sketch-sized.
+    Oracle: the identical sketches rebuilt in DuckDB."""
+    from financial_data_stream_processing_engine_spark.operators import sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.lit("a").alias("tag"), F.col("l_orderkey")
+    )
+    b = li.filter(F.col("l_quantity") > 25).select(
+        F.lit("b").alias("tag"), F.col("l_orderkey")
+    )
+    tagged = a.unionByName(b)
+    return sketch.kmv_setops_report(
+        tagged, "tag", F.col("l_orderkey").cast("string"), k=256
+    )

@@ -800,3 +800,126 @@ def streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFra
         "session_end",
         "n_events",
     )
+
+
+@register(
+    "streaming_distinct_hll",
+    sql=None,  # set below: shares the batch HLL entry's oracle verbatim
+)
+def streaming_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality with the 256 MAX-registers MAINTAINED
+    BY A REAL STREAMING QUERY (complete-mode memory sink keeps the
+    live register table — bounded state at any key cardinality), then
+    the batch report/estimate runs over the streamed registers exactly
+    as a serving layer would.  MAX registers are order-independent, so
+    the streamed sketch is BIT-IDENTICAL to the batch build and one
+    oracle (``_hll_sql``) certifies both entries
+    (operators/sketch.py::{hll_build, hll_report})."""
+    from financial_data_stream_processing_engine_spark.operators import sketch
+
+    stream = _event_tick_stream(spark, sf_dir)
+    reg_stream = sketch.hll_build(stream, F.col("symbol"))
+    reg = _run(reg_stream, spark, mode="complete")
+    ev = load_table(spark, sf_dir, "events")
+    return sketch.hll_report(ev, "user_id", registers=reg)
+
+
+def _borrow_hll_oracle() -> None:
+    import dataclasses
+
+    from financial_data_stream_processing_engine_spark.plans.catalog import QUERIES
+    from financial_data_stream_processing_engine_spark.plans.relational_queries import (
+        _hll_sql,
+    )
+
+    QUERIES["streaming_distinct_hll"] = dataclasses.replace(
+        QUERIES["streaming_distinct_hll"], sql=_hll_sql()
+    )
+
+
+_borrow_hll_oracle()
+
+
+_STREAM_ENRICH_SQL = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("streaming_static_enrich", sql=_STREAM_ENRICH_SQL)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical streaming
+    ETL shape this catalog was missing: a live event stream inner-joins
+    a BROADCAST static dimension (customer) per micro-batch, append
+    mode, no watermark needed (stream-static inner joins are
+    stateless).  The static side is planned once as a broadcast hash
+    join: each micro-batch is enriched map-side with ZERO shuffle of
+    the stream — at 100 TB/day of events and a dimension that fits an
+    executor, this plan never touches the network for stream rows.
+    Row set is batching-independent, so the plain batch join SQL is
+    the oracle."""
+    stream = _event_tick_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream["symbol"].cast("bigint") == dim["c_custkey"]
+    )
+    result = _run(joined, spark)
+    return result.select(
+        F.col("id").cast("bigint").alias("event_id"),
+        F.col("symbol").cast("bigint").alias("user_id"),
+        "c_name",
+        "c_mktsegment",
+        F.col("price").alias("value"),
+    )
+
+
+@register(
+    "streaming_quantiles_hdr",
+    sql=None,  # set below: shares the batch HDR entry's oracle verbatim
+)
+def streaming_quantiles_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-linear quantile sketch with the bucket histogram MAINTAINED
+    BY A REAL STREAMING QUERY: the orders replay streams through the
+    ``hdr_histogram`` groupBy (complete-mode memory sink keeps the
+    live ≤~1000-bucket table — bounded state at any value
+    cardinality), then the batch rank-walk/estimate runs over the
+    streamed buckets exactly as a latency dashboard would.  Bucket
+    rows are MIN/COUNT aggregations — order-independent and mergeable
+    — so the streamed histogram is BIT-IDENTICAL to the batch one and
+    one oracle (the batch entry's ``_HDR_QUANTILES_SQL``) certifies
+    both entries (operators/sketch.py::{hdr_histogram,
+    hdr_quantile_report}).  Completes the streamed-sketch family:
+    CMS (frequency), HLL (cardinality), HDR (quantiles)."""
+    from financial_data_stream_processing_engine_spark.operators import sketch
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    d = tempfile.mkdtemp(prefix="stream_orders_")
+    o.write.mode("overwrite").parquet(d)
+    ostream = spark.readStream.schema("o_totalprice double").parquet(d)
+    # the identical quantization hdr_quantile_report documents
+    v = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = ostream.select(v.alias("__v")).filter(F.col("__v") > 0)
+    hist = _run(sketch.hdr_histogram(base, F.col("__v")), spark, mode="complete")
+    o_batch = load_table(spark, sf_dir, "orders")
+    return sketch.hdr_quantile_report(
+        o_batch, F.col("o_totalprice"), qs=(0.25, 0.5, 0.95, 0.99), scale=100,
+        hist=hist,
+    )
+
+
+def _borrow_hdr_oracle() -> None:
+    import dataclasses
+
+    from financial_data_stream_processing_engine_spark.plans.catalog import QUERIES
+    from financial_data_stream_processing_engine_spark.plans.relational_queries import (
+        _HDR_QUANTILES_SQL,
+    )
+
+    QUERIES["streaming_quantiles_hdr"] = dataclasses.replace(
+        QUERIES["streaming_quantiles_hdr"], sql=_HDR_QUANTILES_SQL
+    )
+
+
+_borrow_hdr_oracle()

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from financial_data_stream_processing_engine_spark.io_utils import load_table
 from financial_data_stream_processing_engine_spark.operators import curation
 
 
@@ -229,3 +230,39 @@ def test_tfidf_surfaces_planted_rare_term(spark):
     assert top[1] == ("zzyzx", 2, 1)
     # ubiquitous terms tie at score 1 -> alphabetical winner
     assert top[2][0] == "alpha"
+
+
+def test_bm25_matches_reference_formula(spark, sf_dir):
+    """bm25_topk agrees with a literal NumPy recomputation of the
+    documented rational-idf BM25 on the same tokenization."""
+    from collections import Counter
+
+    from financial_data_stream_processing_engine_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ("spark", "window", "merge")
+    got = bm25_topk(docs, query_terms=terms, k=10).collect()
+    rows = docs.select("doc_id", "text").collect()
+    dls, tfs = {}, {}
+    for r in rows:
+        toks = [t for t in r.text.split(" ") if t]
+        dls[r.doc_id] = len(toks)
+        c = Counter(toks)
+        tfs[r.doc_id] = [c.get(t, 0) for t in terms]
+    n = len(dls)
+    total = sum(dls.values())
+    avgdl = float(total) / n
+    dfs = [sum(1 for d in tfs.values() if d[i] > 0) for i in range(len(terms))]
+    def score(doc):
+        s = 0.0
+        for i in range(len(terms)):
+            tf = tfs[doc][i]
+            if tf:
+                idf = (n - dfs[i] + 0.5) / (dfs[i] + 0.5)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dls[doc] / avgdl)))
+        return s
+    expect = sorted(dls, key=lambda d: (-score(d), d))[:10]
+    assert [r.doc_id for r in got] == expect
+    for r in got:
+        assert abs(r.score - score(r.doc_id)) < 1e-9
+        assert r.dl == dls[r.doc_id]

@@ -465,3 +465,76 @@ def test_kmeans_bitwise_stable_under_repartition(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+def test_pq_adc_order_independent_bitwise(spark, sf_dir):
+    """PQ training, encoding and ADC scoring are deterministic at any
+    parallelism: the whole top-k (scores included) is bit-identical
+    under repartitioning."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0)
+    a = similarity.pq_adc_topk(embs.repartition(2), q, k=10).collect()
+    b = similarity.pq_adc_topk(embs.repartition(17), q, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pq_self_match_ranks_first(spark, sf_dir):
+    """The query vector itself must win ADC retrieval: quantization is
+    shared between query-side LUT and its own codes, so its ADC score
+    dominates."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0)
+    top = similarity.pq_adc_topk(embs, q, k=10).collect()
+    assert top[0].vec_id == 0 and top[0].rank == 1
+    # audit column must carry the exact self-dot (≈ ||q||²)
+    assert abs(top[0].dot_exact - 1.0) < 0.05  # fixture embeddings are unit-norm
+
+
+def test_pq_codebook_and_codes_shapes(spark, sf_dir):
+    """Codebook = m×ks rows, every vector gets exactly m codes, every
+    code references a codebook entry of its own subspace."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(embs, m=4, dims=64, ks=8)
+    rows = cb.collect()
+    assert len(rows) == 4 * 8
+    assert all(len(r.codeword) == 16 for r in rows)
+    codes = similarity._pq_assign(
+        similarity.pq_subvectors(embs, 4, 64), cb
+    )
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 4 for r in per_vec)
+    valid = {(r.sub, r.code_id) for r in rows}
+    assert all(
+        (r.sub, r.code) in valid for r in codes.select("sub", "code").collect()
+    )
+
+
+def test_pq_adc_error_bounded_by_quantization(spark, sf_dir):
+    """|ADC − exact| ≤ ‖q_sub‖·‖residual_sub‖ summed over subspaces
+    (Cauchy–Schwarz per subspace) — checked on the top-10 rows with a
+    small grid-quantization allowance."""
+    import math
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0)
+    cb = similarity.pq_train(embs, m=4, dims=64, ks=8)
+    top = similarity.pq_adc_topk(embs, q, k=10, codebook=cb).collect()
+    cbm = {(r.sub, r.code_id): r.codeword for r in cb.collect()}
+    codes = {
+        (r.vec_id, r.sub): r.code
+        for r in similarity._pq_assign(
+            similarity.pq_subvectors(embs, 4, 64), cb
+        ).collect()
+    }
+    vecs = {r.vec_id: r.embedding for r in embs.collect()}
+    qv = vecs[0]
+    for row in top:
+        v = vecs[row.vec_id]
+        bound = 0.0
+        for sub in range(4):
+            qs = qv[sub * 16 : sub * 16 + 16]
+            vs = v[sub * 16 : sub * 16 + 16]
+            cw = cbm[(sub, codes[(row.vec_id, sub)])]
+            res = math.sqrt(sum((a - b) ** 2 for a, b in zip(vs, cw)))
+            bound += math.sqrt(sum(x * x for x in qs)) * res
+        assert abs(row.score_adc - row.dot_exact) <= bound + 1e-6, row

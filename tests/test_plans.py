@@ -204,3 +204,48 @@ def test_partitioned_layout_scan_prunes_partitions(spark, sf_dir, queries):
     # the event_type predicate must resolve at the metadata level
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in seg and "IN" in seg.upper()
+
+
+def test_fuzzy_join_shuffles_only_ids(spark, sf_dir, queries):
+    """The FastSS blocking join must carry (id, hashed key) only —
+    names re-enter AFTER the pair dedup.  If `name` appears in a
+    hashpartitioning clause the shuffle-width fix regressed."""
+    plan = plan_of(queries, "join_fuzzy_names_editdist1", spark, sf_dir)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(key#" in line:
+            assert "name" not in line.split("hashpartitioning", 1)[1][:80]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_single_pass_no_python(spark, sf_dir, queries):
+    plan = plan_of(queries, "text_bm25_topk", spark, sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    # the 1-row corpus-stats frame must broadcast, never shuffle-join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmv_sketch_rank_limit_runs_partial_before_exchange(spark, sf_dir):
+    """The per-tag k-smallest window must carry the WindowGroupLimit
+    optimization — each partition keeps only its local top-k BEFORE
+    the per-tag exchange (the full entry's plan hides this behind a
+    localCheckpoint, so the pin targets the sketch sub-plan)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+    from financial_data_stream_processing_engine_spark.operators import sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.lit("a").alias("tag"), F.col("l_orderkey")
+    )
+    b = li.filter(F.col("l_quantity") > 25).select(
+        F.lit("b").alias("tag"), F.col("l_orderkey")
+    )
+    sk = sketch.kmv_sketch(
+        a.unionByName(b), "tag", F.col("l_orderkey").cast("string")
+    )
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BatchEvalPython" not in plan

@@ -97,3 +97,45 @@ def test_hdr_histogram_order_independent_and_small(spark, sf_dir):
     }
     assert a == b
     assert len(a) < 1000  # bounded rows at any data size
+
+
+def test_kmv_estimates_within_error_bounds(spark, sf_dir):
+    """KMV (k−1)/h₍k₎ estimates for |A|, |B|, |A∪B|, |A∩B| land within
+    the ~1/√(k−2) relative-error envelope (3σ) of the exact audits."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.lit("a").alias("tag"), F.col("l_orderkey")
+    )
+    b = li.filter(F.col("l_quantity") > 25).select(
+        F.lit("b").alias("tag"), F.col("l_orderkey")
+    )
+    r = sketch.kmv_setops_report(
+        a.unionByName(b), "tag", F.col("l_orderkey").cast("string"), k=256
+    ).collect()[0]
+    tol = 3 * (1.0 / math.sqrt(256 - 2))
+    assert abs(r.est_a - r.true_a) <= tol * r.true_a + 2
+    assert abs(r.est_b - r.true_b) <= tol * r.true_b + 2
+    assert abs(r.est_union - r.true_union) <= tol * r.true_union + 2
+    # intersection compounds union + ratio noise — allow 2× the envelope
+    assert abs(r.est_intersect - r.true_intersect) <= 2 * tol * r.true_intersect + 4
+
+
+def test_kmv_sketch_order_independent_and_bounded(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(F.lit("a").alias("tag"), F.col("l_orderkey"))
+    key = F.col("l_orderkey").cast("string")
+    a = {r.h for r in sketch.kmv_sketch(tagged.repartition(2), "tag", key).collect()}
+    b = {r.h for r in sketch.kmv_sketch(tagged.repartition(13), "tag", key).collect()}
+    assert a == b
+    assert len(a) <= sketch.KMV_K
+
+
+def test_kmv_small_set_degrades_to_exact(spark):
+    rows = [("a", f"k{i}") for i in range(40)] + [("b", f"k{i}") for i in range(20, 70)]
+    df = spark.createDataFrame(rows, "tag string, k string")
+    r = sketch.kmv_setops_report(df, "tag", F.col("k"), k=256).collect()[0]
+    # every set fits inside the sketch → all four estimates are EXACT
+    assert (r.est_a, r.est_b, r.est_union, r.est_intersect) == (40.0, 50.0, 70.0, 20.0)
+    assert (r.true_a, r.true_b, r.true_union, r.true_intersect) == (40, 50, 70, 20)
