@@ -86,6 +86,7 @@ HEADLINE = [
     "approx_setops_kmv",
     "text_bm25_topk",
     "similarity_pq_adc_topk",
+    "similarity_ivfpq_topk",
 ]
 
 

@@ -716,3 +716,127 @@ def pq_adc_topk(
             ),
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    dims: int = 64,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS ``IVFADC`` composition, Jégou et al. §IV):
+    coarse cells prune the corpus, product quantization on the
+    RESIDUALS (v − centroid) scores what remains — together the
+    canonical billion-scale ANN index: the cell list bounds the scan
+    (nprobe/ncells of the data, partition-prunable) and the residual
+    codes bound the memory (m bytes per vector instead of the float
+    row).  → (vec_id, cell, score_adc, dot_exact, rank).
+
+    Scoring decomposes exactly: q·v ≈ q·c + q·r̂ where r̂ is the
+    PQ-reconstructed residual — so the score is the per-cell q·c dot
+    plus an m-term LUT sum over the (cell, sub, code) table (nprobe ×
+    m × ks rows, broadcast).  The LUT sum rides the decimal-integer
+    grid and the final addition is one IEEE op — deterministic at any
+    parallelism, recomputable in the oracle.  One GLOBAL residual
+    codebook (the FAISS default), one Lloyd round, smallest-id seeds.
+
+    Exactness audit: the k winners are re-scored against the full
+    vectors (k rows).  Residuals are computed in double (zip_with),
+    matching the oracle's CAST-per-element spelling.
+    """
+    cv = centroids.select(
+        F.col("centroid_id").alias("cell"), F.col("centroid").alias("__cvec")
+    )
+    cells = assign_cells(corpus, centroids, vec_col=vec_col, out_col="cell")
+    resid = cells.join(F.broadcast(cv), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col(vec_col),
+            F.col("__cvec"),
+            # double subtract, then float like every stored embedding —
+            # keeps the PQ machinery's float codewords type-consistent
+            lambda x, y: (x.cast("double") - y.cast("double")).cast("float"),
+        ).alias("__res"),
+    )
+    codebook = pq_train(
+        resid, m=m, dims=dims, ks=ks, id_col=id_col, vec_col="__res"
+    ).localCheckpoint(eager=False)
+    codes = _pq_assign(
+        pq_subvectors(resid, m, dims, id_col, "__res"), codebook
+    ).join(resid.select(id_col, "cell"), id_col)
+    qv = query.select(F.col(vec_col).alias("__qvec"))
+    probe = (
+        centroids.crossJoin(F.broadcast(qv))
+        .withColumn("__sim", cosine(F.col("centroid"), F.col("__qvec")))
+        .orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select(
+            F.col("centroid_id").alias("cell"),
+            F.col("centroid").alias("__cvec"),
+            F.col("__qvec"),
+        )
+    )
+    qres = probe.select(
+        "cell",
+        dot_product(F.col("__qvec"), F.col("__cvec")).alias("__qdotc"),
+        F.zip_with(
+            F.col("__qvec"),
+            F.col("__cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double")).cast("float"),
+        ).alias("__qres"),
+    )
+    qsub = pq_subvectors(
+        qres.withColumnRenamed("cell", "__qcell"), m, dims, "__qcell", "__qres"
+    ).join(
+        qres.select(F.col("cell").alias("__qcell"), "__qdotc"), "__qcell"
+    )
+    lut = codebook.join(F.broadcast(qsub), "sub").select(
+        F.col("__qcell").alias("cell"),
+        "__qdotc",
+        "sub",
+        "code_id",
+        dot_product(F.col("subvec"), F.col("codeword")).alias("__lut"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.cell == lut.cell)
+            & (codes.sub == lut.sub)
+            & (codes.code == lut.code_id),
+        )
+        .groupBy(codes[id_col], codes.cell, lut.__qdotc)
+        .agg(
+            (
+                F.col("__qdotc")
+                + F.sum(qint(F.col("__lut"))).cast("double") * F.lit(1e-9)
+            ).alias("score_adc")
+        )
+        .select(id_col, "cell", "score_adc")
+    )
+    top = scored.orderBy(F.col("score_adc").desc(), F.col(id_col)).limit(k)
+    audit = top.join(corpus.select(id_col, vec_col), id_col).crossJoin(
+        F.broadcast(qv)
+    )
+    from pyspark.sql import Window
+
+    return (
+        audit.select(
+            id_col,
+            "cell",
+            "score_adc",
+            dot_product(F.col(vec_col), F.col("__qvec")).alias("dot_exact"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score_adc").desc(), F.col(id_col))
+            ),
+        )
+    )

@@ -416,22 +416,26 @@ def kmv_setops_report(
         .join(sk.filter(F.col("tag") == "b").select("h"), "h", "semi")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    keys = tagged.select(F.col(tag_col).alias("tag"), key.alias("k")).distinct()
-    exact = keys.groupBy("k").agg(F.count_distinct("tag").alias("nt"))
-    audits = exact.agg(
-        F.count(F.lit(1)).alias("true_union"),
-        F.count_if(F.col("nt") == 2).alias("true_intersect"),
+    # exact audits in ONE wide shuffle: per-key tag flags via a single
+    # groupBy (map-side combine), then the four counts in one 1-row agg
+    # (replacing a distinct + a re-groupBy + a per-tag count — the
+    # audit is the expensive exact path the sketch replaces; drop it
+    # at real scale)
+    ex = tagged.groupBy(key.alias("__k")).agg(
+        F.max(F.col(tag_col) == "a").alias("__ha"),
+        F.max(F.col(tag_col) == "b").alias("__hb"),
     )
-    per_true = keys.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
-    ta = per_true.filter(F.col("tag") == "a").select(F.col("n").alias("true_a"))
-    tb = per_true.filter(F.col("tag") == "b").select(F.col("n").alias("true_b"))
+    audits = ex.agg(
+        F.count_if(F.col("__ha")).alias("true_a"),
+        F.count_if(F.col("__hb")).alias("true_b"),
+        F.count(F.lit(1)).alias("true_union"),
+        F.count_if(F.col("__ha") & F.col("__hb")).alias("true_intersect"),
+    )
     est_union = _kmv_est(F.col("cnt_u"), F.col("hk_u"), k)
     row = (
         u.crossJoin(F.broadcast(both))
         .crossJoin(F.broadcast(est_a))
         .crossJoin(F.broadcast(est_b))
-        .crossJoin(F.broadcast(ta))
-        .crossJoin(F.broadcast(tb))
         .crossJoin(F.broadcast(audits))
     )
     return row.select(

@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "similarity_pq_adc_topk",
     "streaming_quantiles_hdr",
+    "similarity_ivfpq_topk",
     # behavior-relevant code changed after their newest driver row:
     # the generalized JPEG decoder (sampling factors + exact DC-only
     # IDCT) and the round_even oracle fix (multimodal_image_features
@@ -115,7 +116,6 @@ _PRIORITY: list[str] = [
     "fin_bollinger_bands",
     "fin_max_drawdown",
     "fin_rsi_cutler",
-    "fin_volatility",
     "fin_rolling_sharpe",
     "fin_zscore_anomalies",
     "streaming_zscore_alerts",
@@ -165,13 +165,14 @@ _PRIORITY: list[str] = [
     "json_extract_props",
     "graph_pagerank_similarity",
     "python_datasource_sink_roundtrip",
-    # fin_obv/fin_twap_daily's only change is the shared
-    # (ts, event_id) tie-break, value-identical on every driver
+    # fin_obv/fin_twap_daily/fin_volatility's only change is the
+    # shared (ts, event_id) tie-break, value-identical on every driver
     # fixture (0 duplicate (user_id, ts) pairs at sf0.001/0.01/0.1 —
-    # checked) and re-earned in-window by 6 sibling indicator entries
+    # checked) and re-earned in-window by 5 sibling indicator entries
     # sharing the ordering
     "fin_obv",
     "fin_twap_daily",
+    "fin_volatility",
     "multimodal_image_features",
     "ivm_orders_status_agg",
     "dedup_embedding_lsh",

@@ -1916,3 +1916,133 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         embs, q, k=10, m=4, dims=64, ks=8, id_col="vec_id", vec_col="embedding"
     )
+
+
+#: float-cast residual (double subtract, REAL round-trip — mirrors the
+#: zip_with in similarity.ivfpq_topk)
+_RESID = (
+    "list_transform(list_zip({a}, {b}),"
+    " s -> CAST(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) AS REAL))"
+)
+
+#: IVF-PQ end to end: label coarse cells, argmax-cos assignment,
+#: float residuals, ONE global residual codebook (smallest-id seeds +
+#: one Lloyd round), encode, nprobe=2 probe, per-cell q·c + LUT grid
+#: sum, top-10 with exact-dot audit — all recomputed in DuckDB.
+_IVFPQ_SQL = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+dimc AS (
+  SELECT label, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings),
+cmc AS (
+  SELECT label AS centroid_id, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM dimc GROUP BY label, pos),
+cent AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM cmc GROUP BY centroid_id),
+assignc AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent c),
+bestc AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM assignc) WHERE rk = 1),
+res AS (
+  SELECT b.vec_id, b.cell,
+         {_RESID.format(a='b.embedding', b='c.centroid')} AS r
+  FROM bestc b JOIN cent c ON b.cell = c.centroid_id),
+subs AS (SELECT UNNEST([0, 1, 2, 3]) AS sub),
+subv AS (
+  SELECT vec_id, cell, sub, r[sub * 16 + 1 : sub * 16 + 16] AS subvec
+  FROM res CROSS JOIN subs),
+seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+cb0 AS (
+  SELECT s.sub, s.vec_id AS code_id, s.subvec AS codeword
+  FROM subv s JOIN seeds ON s.vec_id = seeds.vec_id),
+best1 AS (
+  SELECT vec_id, sub, subvec, code_id AS pcell FROM (
+    SELECT v.vec_id, v.sub, v.subvec, c.code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.sub
+             ORDER BY {_L2.format(a='v.subvec', b='c.codeword')} ASC,
+                      c.code_id ASC) AS rk
+    FROM subv v JOIN cb0 c ON v.sub = c.sub) WHERE rk = 1),
+dim1 AS (
+  SELECT sub, pcell, UNNEST(subvec) AS v,
+         GENERATE_SUBSCRIPTS(subvec, 1) AS pos
+  FROM best1),
+cm1 AS (
+  SELECT sub, pcell, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM dim1 GROUP BY sub, pcell, pos),
+mean1 AS (
+  SELECT sub, pcell AS code_id, LIST(CAST(m AS REAL) ORDER BY pos) AS codeword
+  FROM cm1 GROUP BY sub, pcell),
+cb1 AS (
+  SELECT c.sub, c.code_id, COALESCE(m.codeword, c.codeword) AS codeword
+  FROM cb0 c LEFT JOIN mean1 m ON c.sub = m.sub AND c.code_id = m.code_id),
+codes AS (
+  SELECT vec_id, cell, sub, code FROM (
+    SELECT v.vec_id, v.cell, v.sub, c.code_id AS code,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.sub
+             ORDER BY {_L2.format(a='v.subvec', b='c.codeword')} ASC,
+                      c.code_id ASC) AS rk
+    FROM subv v JOIN cb1 c ON v.sub = c.sub) WHERE rk = 1),
+probe AS (
+  SELECT centroid_id AS cell, centroid
+  FROM cent CROSS JOIN q
+  ORDER BY {_COS.format(a='centroid', b='q.embedding')} DESC, centroid_id
+  LIMIT 2),
+qres AS (
+  SELECT p.cell,
+         {_DOT.format(a='q.embedding', b='p.centroid')} AS qdotc,
+         {_RESID.format(a='q.embedding', b='p.centroid')} AS qr
+  FROM probe p CROSS JOIN q),
+qsub AS (
+  SELECT cell, qdotc, sub, qr[sub * 16 + 1 : sub * 16 + 16] AS qs
+  FROM qres CROSS JOIN subs),
+lut AS (
+  SELECT s.cell, s.qdotc, c.sub, c.code_id,
+         {_DOT.format(a='s.qs', b='c.codeword')} AS l
+  FROM cb1 c JOIN qsub s ON c.sub = s.sub),
+scored AS (
+  SELECT k.vec_id, k.cell,
+         l.qdotc + {qcast_sql(f"SUM({qint_sql('l.l')})")} * 1e-9 AS score_adc
+  FROM codes k
+  JOIN lut l ON k.cell = l.cell AND k.sub = l.sub AND k.code = l.code_id
+  GROUP BY k.vec_id, k.cell, l.qdotc),
+top AS (
+  SELECT vec_id, cell, score_adc FROM scored
+  ORDER BY score_adc DESC, vec_id LIMIT 10)
+SELECT t.vec_id, t.cell, t.score_adc,
+       {_DOT.format(a='e.embedding', b='q.embedding')} AS dot_exact,
+       CAST(ROW_NUMBER() OVER (ORDER BY t.score_adc DESC, t.vec_id) AS INT) AS rank
+FROM top t JOIN embeddings e ON t.vec_id = e.vec_id CROSS JOIN q
+"""
+
+
+@register("similarity_ivfpq_topk", sql=_IVFPQ_SQL)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS ``IVFADC`` composition and the canonical
+    billion-scale ANN index: coarse cells bound the SCAN (nprobe
+    cells, partition-prunable at 100 TB), PQ codes on the residuals
+    bound the MEMORY (m codes per vector), and the score decomposes
+    exactly as q·c + LUT(residual) per probed cell
+    (operators/similarity.py::ivfpq_topk).  Coarse quantizer: the
+    label-mean centroids (the kmeans-trained path is proven separately
+    by ``similarity_ivf_kmeans_topk``; using the given-partition path
+    keeps this oracle's CTE chain at one Lloyd recompute instead of
+    three).  Oracle: cells, residuals, codebook training, encoding,
+    probe, LUT grid sum and audit ALL recomputed in DuckDB,
+    bit-exact."""
+    embs = _embs(spark, sf_dir)
+    cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    q = embs.filter(F.col("vec_id") == 0)
+    return similarity.ivfpq_topk(
+        embs, cent, q, k=10, nprobe=2, m=4, dims=64, ks=8,
+        id_col="vec_id", vec_col="embedding",
+    )

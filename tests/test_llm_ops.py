@@ -538,3 +538,48 @@ def test_pq_adc_error_bounded_by_quantization(spark, sf_dir):
             res = math.sqrt(sum((a - b) ** 2 for a, b in zip(vs, cw)))
             bound += math.sqrt(sum(x * x for x in qs)) * res
         assert abs(row.score_adc - row.dot_exact) <= bound + 1e-6, row
+
+
+def test_ivfpq_candidates_confined_to_probed_cells(spark, sf_dir):
+    """Every IVF-PQ result must come from one of the nprobe cells
+    nearest the query — the scan-bounding property."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    q = embs.filter(F.col("vec_id") == 0)
+    top = similarity.ivfpq_topk(embs, cent, q, k=10, nprobe=2).collect()
+    qvec = q.collect()[0].embedding
+    cents = cent.collect()
+    def cos(a, b):
+        import math
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+    probed = {
+        r.centroid_id
+        for r in sorted(cents, key=lambda r: (-cos(r.centroid, qvec), r.centroid_id))[:2]
+    }
+    assert {r.cell for r in top} <= probed
+    assert top[0].vec_id == 0 and top[0].rank == 1  # self-match wins
+
+
+def test_ivfpq_order_independent_bitwise(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    q = embs.filter(F.col("vec_id") == 0)
+    a = similarity.ivfpq_topk(embs.repartition(2), cent, q, k=10).collect()
+    b = similarity.ivfpq_topk(embs.repartition(17), cent, q, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_ivfpq_score_decomposition(spark, sf_dir):
+    """score_adc must equal q·c(cell) + the LUT reconstruction — i.e.
+    approximately q·v with the residual quantization as the only
+    error: |score − exact| ≤ ‖q‖·‖residual error‖ and in particular
+    the residual-PQ score should beat plain PQ's error on the self
+    match (residual of the self vector is better centered)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    q = embs.filter(F.col("vec_id") == 0)
+    ivfpq = {r.vec_id: r for r in similarity.ivfpq_topk(embs, cent, q, k=10).collect()}
+    r0 = ivfpq[0]
+    assert abs(r0.score_adc - r0.dot_exact) < 1.0  # same-order reconstruction
