@@ -87,6 +87,7 @@ HEADLINE = [
     "text_bm25_topk",
     "similarity_pq_adc_topk",
     "similarity_ivfpq_topk",
+    "fin_pattern_match_topk",
 ]
 
 

@@ -930,3 +930,113 @@ def rolling_beta(
         .where(F.col("_cnt") == n)
         .drop("_cnt")
     )
+
+
+def pattern_match_topk(
+    df: DataFrame,
+    pattern_key,
+    length: int = 8,
+    k: int = 10,
+    key: str = "symbol",
+    ts_col: str = "ts",
+    price: str = "price",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series similarity search: top-``k`` z-normalized
+    euclidean matches of the query pattern (the first ``length``
+    prices of ``pattern_key``) over EVERY length-``length`` sliding
+    window of every key → (symbol, event_id, ts, dist, rank).
+
+    The distributed subsequence-matching shape (cf. "Time Series
+    Similarity Search for Streaming Data in Distributed Systems",
+    EDBT 2019): windows materialize as a lag-chain (one shuffle on the
+    key — the same frame the MA/indicator family rides), z-normalize
+    per window, and score against the BROADCAST query pattern —
+    map-side after the one window shuffle, linear at any history
+    length, top-k via TakeOrdered.
+
+    Engine-exactness: mean, variance, and the distance are
+    STRAIGHT-LINE left-associated IEEE chains over the ``length`` lag
+    columns (no SUM aggregation anywhere), so the oracle can restate
+    the identical expression tree and hashes match bitwise — the same
+    strategy as the MA lag-chain.  Zero-variance windows (flat prices)
+    are dropped on BOTH sides rather than scored with a 0/0.
+
+    The query's own window scores dist = 0 and ranks first — a
+    built-in self-consistency check.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    # v0 = oldest … v{L-1} = current row, so each row carries the
+    # window ENDING at it
+    vcols = [
+        F.lag(price, length - 1 - i).over(w).alias(f"__v{i}")
+        for i in range(length)
+    ]
+    cand = df.select(key, id_col, ts_col, *vcols).where(
+        F.col("__v0").isNotNull()
+    )
+
+    def chain_mean(cols):
+        s = cols[0]
+        for c in cols[1:]:
+            s = s + c
+        return s / F.lit(float(length))
+
+    def chain_var(cols, m):
+        s = (cols[0] - m) * (cols[0] - m)
+        for c in cols[1:]:
+            s = s + (c - m) * (c - m)
+        return s / F.lit(float(length))
+
+    vs = [F.col(f"__v{i}") for i in range(length)]
+    m = chain_mean(vs)
+    sd = F.sqrt(chain_var(vs, m))
+    cand = cand.select(
+        key, id_col, ts_col, *[f"__v{i}" for i in range(length)],
+        m.alias("__m"), sd.alias("__s"),
+    ).where(F.col("__s") > 0)
+
+    pat = df.where(F.col(key) == F.lit(pattern_key))
+    rn = F.row_number().over(
+        Window.partitionBy(key).orderBy(ts_col, id_col)
+    )
+    prow = (
+        pat.select("*", rn.alias("__rn"))
+        .where(F.col("__rn") <= length)
+        .groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("__rn") == i + 1, F.col(price))).alias(
+                    f"__q{i}"
+                )
+                for i in range(length)
+            ]
+        )
+    )
+    qs = [F.col(f"__q{i}") for i in range(length)]
+    qm = chain_mean(qs)
+    qsd = F.sqrt(chain_var(qs, qm))
+    prow = prow.select(
+        *[f"__q{i}" for i in range(length)],
+        qm.alias("__qm"), qsd.alias("__qs"),
+    ).where(F.col("__qs") > 0)
+
+    scored = cand.crossJoin(F.broadcast(prow))
+    z = lambda v: (v - F.col("__m")) / F.col("__s")  # noqa: E731
+    zq = lambda q: (q - F.col("__qm")) / F.col("__qs")  # noqa: E731
+    d = (z(vs[0]) - zq(qs[0])) * (z(vs[0]) - zq(qs[0]))
+    for i in range(1, length):
+        d = d + (z(vs[i]) - zq(qs[i])) * (z(vs[i]) - zq(qs[i]))
+    return (
+        scored.select(key, id_col, ts_col, d.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(key), F.col(id_col))
+        .limit(k)
+        .select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("dist").asc(), F.col(key), F.col(id_col)))
+            .alias("rank"),
+        )
+    )

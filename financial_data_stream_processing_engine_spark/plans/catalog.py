@@ -103,6 +103,10 @@ _PRIORITY: list[str] = [
     "similarity_pq_adc_topk",
     "streaming_quantiles_hdr",
     "similarity_ivfpq_topk",
+    # new this round: time-series subsequence similarity search +
+    # ANN recall evaluation
+    "fin_pattern_match_topk",
+    "similarity_recall_report",
     # behavior-relevant code changed after their newest driver row:
     # the generalized JPEG decoder (sampling factors + exact DC-only
     # IDCT) and the round_even oracle fix (multimodal_image_features
@@ -114,9 +118,7 @@ _PRIORITY: list[str] = [
     # family (bollinger/drawdown/RSI this round; returns/zscore/
     # twap/obv + streaming zscore in the post-r4 commit)
     "fin_bollinger_bands",
-    "fin_max_drawdown",
     "fin_rsi_cutler",
-    "fin_rolling_sharpe",
     "fin_zscore_anomalies",
     "streaming_zscore_alerts",
     # changed post-r4 but VALUE-IDENTICAL on driver fixtures, so each
@@ -165,14 +167,17 @@ _PRIORITY: list[str] = [
     "json_extract_props",
     "graph_pagerank_similarity",
     "python_datasource_sink_roundtrip",
-    # fin_obv/fin_twap_daily/fin_volatility's only change is the
-    # shared (ts, event_id) tie-break, value-identical on every driver
+    # the fin indicator family's only change is the shared
+    # (ts, event_id) tie-break, value-identical on every driver
     # fixture (0 duplicate (user_id, ts) pairs at sf0.001/0.01/0.1 —
-    # checked) and re-earned in-window by 5 sibling indicator entries
-    # sharing the ordering
+    # checked); these five yield their slots to new entries and the
+    # shared ordering change is re-earned in-window by bollinger, RSI,
+    # z-score and the streaming z-score twin
     "fin_obv",
     "fin_twap_daily",
     "fin_volatility",
+    "fin_rolling_sharpe",
+    "fin_max_drawdown",
     "multimodal_image_features",
     "ivm_orders_status_agg",
     "dedup_embedding_lsh",

@@ -615,3 +615,91 @@ def fin_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance/variance and hence beta are bit-identical across
     engines and partitionings."""
     return finance.rolling_beta(_ticks(spark, sf_dir), n=20, bucket="1 day")
+
+
+def _pattern_sql(length: int = 8, k: int = 10) -> str:
+    """DuckDB restatement of ``finance.pattern_match_topk``: the same
+    lag columns, the same LEFT-ASSOCIATED mean/variance/distance
+    chains (straight-line IEEE, no SUM aggregation), the same
+    zero-variance drops — bitwise."""
+    lags = ",\n         ".join(
+        f"LAG(price, {length - 1 - i}) OVER w AS v{i}" for i in range(length)
+    )
+    def chain(terms):
+        s = terms[0]
+        for t in terms[1:]:
+            s = f"({s} + {t})"
+        return s
+    vm = chain([f"v{i}" for i in range(length)]) + f" / {float(length)!r}"
+    vvar = (
+        chain([f"((v{i} - m) * (v{i} - m))" for i in range(length)])
+        + f" / {float(length)!r}"
+    )
+    qm = chain([f"q{i}" for i in range(length)]) + f" / {float(length)!r}"
+    qvar = (
+        chain([f"((q{i} - qm) * (q{i} - qm))" for i in range(length)])
+        + f" / {float(length)!r}"
+    )
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN rn = {i + 1} THEN price END) AS q{i}"
+        for i in range(length)
+    )
+    dist = chain(
+        [
+            f"(((v{i} - m) / s - (q{i} - qm) / qs)"
+            f" * ((v{i} - m) / s - (q{i} - qm) / qs))"
+            for i in range(length)
+        ]
+    )
+    return f"""
+WITH ticks AS ({_TICKS_SQL}),
+t AS (SELECT event_id, symbol, ts, price FROM ticks WHERE price IS NOT NULL),
+lagged AS (
+  SELECT symbol, event_id, ts,
+         {lags}
+  FROM t
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+withm AS (
+  SELECT *, {vm} AS m FROM lagged WHERE v0 IS NOT NULL),
+withs AS (
+  SELECT *, SQRT({vvar}) AS s FROM withm),
+cand AS (SELECT * FROM withs WHERE s > 0),
+pr AS (
+  SELECT price, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+  FROM t WHERE symbol = 1),
+pq AS (
+  SELECT {pivots}
+  FROM pr WHERE rn <= {length}),
+pqm AS (SELECT *, {qm} AS qm FROM pq),
+pat AS (
+  SELECT * FROM (SELECT *, SQRT({qvar}) AS qs FROM pqm) WHERE qs > 0),
+scored AS (
+  SELECT c.symbol, c.event_id, c.ts, {dist} AS dist
+  FROM cand c CROSS JOIN pat)
+SELECT symbol, event_id, ts, dist,
+       CAST(ROW_NUMBER() OVER (ORDER BY dist ASC, symbol, event_id) AS INT) AS rank
+FROM scored
+ORDER BY dist ASC, symbol, event_id
+LIMIT {k}
+"""
+
+
+@register("fin_pattern_match_topk", sql=_pattern_sql(length=8, k=10))
+def fin_pattern_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the EDBT 2019 distributed
+    subsequence-matching shape): top-10 z-normalized euclidean matches
+    of symbol 1's first 8 prices across EVERY 8-tick sliding window of
+    every symbol (operators/finance.py::pattern_match_topk).  Windows
+    ride the indicator family's one lag-chain shuffle; the query
+    pattern broadcasts; scoring is map-side straight-line IEEE chains
+    → bitwise against the DuckDB restatement.  The query's own window
+    ranks first at dist 0 — a built-in self-consistency check."""
+    t = (
+        _ticks(spark, sf_dir)
+        .select("event_id", "symbol", "ts", "price")
+        .where(F.col("price").isNotNull())
+    )
+    return finance.pattern_match_topk(
+        t, pattern_key=1, length=8, k=10,
+        key="symbol", ts_col="ts", price="price", id_col="event_id",
+    )

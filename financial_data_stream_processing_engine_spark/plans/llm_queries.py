@@ -2046,3 +2046,80 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs, cent, q, k=10, nprobe=2, m=4, dims=64, ks=8,
         id_col="vec_id", vec_col="embedding",
     )
+
+
+#: retrieval-quality evaluation: exact brute-force top-10 vs IVF
+#: (label cells, nprobe=2) top-10 for the vec_id=0 query, overlap
+#: counted — both pipelines recomputed in DuckDB.
+_RECALL_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+exact AS (
+  SELECT vec_id FROM embeddings CROSS JOIN q
+  ORDER BY {_COS.format(a='embedding', b='qvec')} DESC, vec_id
+  LIMIT 10),
+dim AS (
+  SELECT label, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings),
+cm AS (
+  SELECT label AS centroid_id, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM dim GROUP BY label, pos),
+cent AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM cm GROUP BY centroid_id),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent c),
+best AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM assign) WHERE rk = 1),
+probe AS (
+  SELECT centroid_id AS cell
+  FROM cent CROSS JOIN q
+  ORDER BY {_COS.format(a='centroid', b='qvec')} DESC, centroid_id
+  LIMIT 2),
+approxk AS (
+  SELECT b.vec_id
+  FROM best b JOIN probe p ON b.cell = p.cell CROSS JOIN q
+  ORDER BY {_COS.format(a='b.embedding', b='qvec')} DESC, b.vec_id
+  LIMIT 10),
+hits AS (
+  SELECT COUNT(*) AS n_hits FROM approxk
+  WHERE vec_id IN (SELECT vec_id FROM exact))
+SELECT CAST(10 AS INTEGER) AS k, n_hits, n_hits / 10.0e0 AS recall
+FROM hits
+"""
+
+
+@register("similarity_recall_report", sql=_RECALL_SQL)
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — the report a retrieval pipeline runs
+    nightly: recall@10 of the IVF index (label cells, nprobe=2)
+    against the exact brute-force top-10 for a fixed query → one row
+    (k, n_hits, recall).  Both pipelines are existing oracle-proven
+    entries (``similarity_cosine_topk``, ``similarity_ivf_topk``);
+    this entry pins their AGREEMENT level so an index regression
+    (bad centroids, broken probe) shows up as a recall drop, not a
+    silent quality loss.  Cost: the brute-force side is the audit —
+    at 100 TB it runs on a sampled query set, which is exactly this
+    shape."""
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") == 0)
+    exact = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    approx = similarity.ivf_search(
+        cells, centroids, q, k=10, nprobe=2, id_col="vec_id", vec_col="embedding"
+    ).select("vec_id")
+    hits = approx.join(exact, "vec_id", "semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).alias("k"),
+        "n_hits",
+        (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+    )

@@ -425,3 +425,64 @@ def test_rolling_beta_of_market_clone_is_one(spark):
         # the statistic is defined on the 1e-9 quantization grid, so
         # "exactly 1" holds to grid precision, not machine epsilon
         assert r["beta"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pattern_match_self_window_is_exact_zero(spark, sf_dir):
+    """The query's own window must rank first at dist == 0.0 — the
+    z-normalized distance of a window to itself is exactly zero in
+    IEEE arithmetic (x − x == 0 for every finite term)."""
+    from financial_data_stream_processing_engine_spark.operators.finance import (
+        pattern_match_topk,
+        ticks_from_events,
+    )
+
+    t = (
+        ticks_from_events(load_table(spark, sf_dir, "events"))
+        .select("event_id", "symbol", "ts", "price")
+        .where(F.col("price").isNotNull())
+    )
+    top = pattern_match_topk(t, pattern_key=1, length=8, k=10).collect()
+    assert top[0].symbol == 1 and top[0].dist == 0.0 and top[0].rank == 1
+    # distances are non-decreasing by construction of the rank order
+    ds = [r.dist for r in top]
+    assert ds == sorted(ds)
+    assert all(d >= 0.0 for d in ds)
+
+
+def test_pattern_match_matches_numpy_recompute(spark, sf_dir):
+    """Top-10 agrees with a literal NumPy z-normalized-euclidean
+    recomputation over every sliding window."""
+    import numpy as np
+
+    from financial_data_stream_processing_engine_spark.operators.finance import (
+        pattern_match_topk,
+        ticks_from_events,
+    )
+
+    t = (
+        ticks_from_events(load_table(spark, sf_dir, "events"))
+        .select("event_id", "symbol", "ts", "price")
+        .where(F.col("price").isNotNull())
+    )
+    got = pattern_match_topk(t, pattern_key=1, length=8, k=10).collect()
+    rows = sorted(t.collect(), key=lambda r: (r.symbol, r.ts, r.event_id))
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.symbol, []).append((r.event_id, float(r.price)))
+    qv = np.array([p for _, p in series[1][:8]])
+    qz = (qv - qv.mean()) / np.sqrt(((qv - qv.mean()) ** 2).mean())
+    cands = []
+    for sym, pts in series.items():
+        vals = np.array([p for _, p in pts])
+        for end in range(7, len(vals)):
+            w = vals[end - 7 : end + 1]
+            s = np.sqrt(((w - w.mean()) ** 2).mean())
+            if s == 0:
+                continue
+            z = (w - w.mean()) / s
+            cands.append((float(((z - qz) ** 2).sum()), sym, pts[end][0]))
+    cands.sort()
+    expect = [(sym, eid) for _, sym, eid in cands[:10]]
+    assert [(r.symbol, r.event_id) for r in got] == expect
+    for r, (d, _, _) in zip(got, cands[:10]):
+        assert abs(r.dist - d) < 1e-9
