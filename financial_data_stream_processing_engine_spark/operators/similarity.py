@@ -750,6 +750,12 @@ def ivfpq_topk(
     vectors (k rows).  Residuals are computed in double (zip_with),
     matching the oracle's CAST-per-element spelling.
     """
+    # the centroid frame (ncells rows) feeds the cell assignment, the
+    # residual join AND the probe ranking — materialize it once or the
+    # whole training aggregation re-executes per consumer (the
+    # kmeans_train checkpoint rationale; measured ~2 s/extra pass at
+    # sf0.1)
+    centroids = centroids.localCheckpoint(eager=False)
     cv = centroids.select(
         F.col("centroid_id").alias("cell"), F.col("centroid").alias("__cvec")
     )
@@ -765,6 +771,11 @@ def ivfpq_topk(
             lambda x, y: (x.cast("double") - y.cast("double")).cast("float"),
         ).alias("__res"),
     )
+    # the residual relation feeds codebook training (several scans) and
+    # the encoding pass; materialize it once — at real scale this is
+    # the persisted index-build write (the save_ivf_index pattern),
+    # locally a lineage truncation
+    resid = resid.localCheckpoint(eager=False)
     codebook = pq_train(
         resid, m=m, dims=dims, ks=ks, id_col=id_col, vec_col="__res"
     ).localCheckpoint(eager=False)
