@@ -103,9 +103,10 @@ _PRIORITY: list[str] = [
     "similarity_pq_adc_topk",
     "streaming_quantiles_hdr",
     "similarity_ivfpq_topk",
-    # new this round: time-series subsequence similarity search +
-    # ANN recall evaluation
+    # new this round: time-series subsequence similarity search (batch
+    # + streaming twin) + ANN recall evaluation
     "fin_pattern_match_topk",
+    "streaming_pattern_match_topk",
     "similarity_recall_report",
     # behavior-relevant code changed after their newest driver row:
     # the generalized JPEG decoder (sampling factors + exact DC-only
@@ -113,7 +114,6 @@ _PRIORITY: list[str] = [
     # yields its slot: the three roundtrip entries exercise the same
     # decoder deeper, and it is freshness-ledger green at HEAD)
     "multimodal_jpeg_color_roundtrip",
-    "multimodal_jpeg_roundtrip",
     # changed: (ts, event_id) window tie-breaks in the indicator
     # family (bollinger/drawdown/RSI this round; returns/zscore/
     # twap/obv + streaming zscore in the post-r4 commit)
@@ -178,6 +178,11 @@ _PRIORITY: list[str] = [
     "fin_volatility",
     "fin_rolling_sharpe",
     "fin_max_drawdown",
+    # the grayscale JPEG roundtrip yields its slot: the color and
+    # 4:2:0 roundtrips in-window exercise strictly more of the changed
+    # decoder (multi-component MCU walk, subsampling, shared DC
+    # predictors) and all three share one code path
+    "multimodal_jpeg_roundtrip",
     "multimodal_image_features",
     "ivm_orders_status_agg",
     "dedup_embedding_lsh",

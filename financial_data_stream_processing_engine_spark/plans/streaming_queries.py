@@ -923,3 +923,63 @@ def _borrow_hdr_oracle() -> None:
 
 
 _borrow_hdr_oracle()
+
+
+@register(
+    "streaming_pattern_match_topk",
+    sql=None,  # set below: shares the batch pattern-search oracle
+)
+def streaming_pattern_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series pattern search LIVE: the z-normalized distance of
+    every sliding price window to the query pattern is computed by a
+    REAL streaming query (file stream → per-symbol ring-buffer keyed
+    state → memory sink), then the global top-10 ranks over the sink
+    exactly as an alerting dashboard would.  The state op replicates
+    the batch operator's left-associated IEEE chains in Python floats,
+    so streamed distances equal batch — one oracle (the batch entry's
+    ``_pattern_sql``) certifies both
+    (streaming/stateful.py::streaming_pattern_distance).  The 8-value
+    query pattern is a driver-side PARAMETER (like the alert
+    threshold), read once from the batch table."""
+    from pyspark.sql import Window as W
+
+    stream = _event_tick_stream(spark, sf_dir).where(F.col("price").isNotNull())
+    t = load_table(spark, sf_dir, "events")
+    qrows = (
+        t.where((F.col("user_id") == 1) & F.col("value").isNotNull())
+        .orderBy("ts", "event_id")
+        .limit(8)
+        .select("value")
+        .collect()
+    )
+    qvals = [float(r.value) for r in qrows]
+    out = stateful.streaming_pattern_distance(stream, qvals, length=8, ttl_ms=None)
+    result = _run(out, spark)
+    ranked = result.select(
+        F.col("symbol").cast("bigint").alias("symbol"),
+        F.col("id").cast("bigint").alias("event_id"),
+        F.col("ts"),
+        F.col("dist"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("dist").asc(), F.col("symbol"), F.col("event_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 10)
+
+
+def _borrow_pattern_oracle() -> None:
+    import dataclasses
+
+    from financial_data_stream_processing_engine_spark.plans.catalog import QUERIES
+    from financial_data_stream_processing_engine_spark.plans.finance_queries import (
+        _pattern_sql,
+    )
+
+    QUERIES["streaming_pattern_match_topk"] = dataclasses.replace(
+        QUERIES["streaming_pattern_match_topk"], sql=_pattern_sql(length=8, k=10)
+    )
+
+
+_borrow_pattern_oracle()

@@ -484,3 +484,113 @@ def streaming_sessionize_timeout(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+PATTERN_OUT_SCHEMA = "id string, symbol string, ts timestamp, dist double"
+PATTERN_STATE_SCHEMA = "prices array<double>"
+
+
+def streaming_pattern_distance(
+    ticks: DataFrame,
+    qvals: list[float],
+    length: int = 8,
+    ttl_ms: int | None = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Per-symbol z-normalized euclidean distance of every length-
+    ``length`` sliding price window to the query pattern ``qvals`` —
+    the streaming twin of ``operators.finance.pattern_match_topk``.
+
+    State: one double[<=length] ring buffer per key (the
+    ``streaming_moving_average`` shape).  A row is emitted once the
+    buffer is full and the window has nonzero variance (flat windows
+    are dropped exactly like the batch operator).
+
+    Bitwise parity contract: every float op replicates the batch
+    expression tree — mean and variance are LEFT-ASSOCIATED Python
+    float chains over oldest→newest prices, the query statistics are
+    folded once with the identical chains, and each distance term is
+    ``((v−m)/s − (q−qm)/qs)²`` accumulated left-to-right.  Python
+    floats ARE IEEE doubles, so streamed distances equal the batch
+    (and DuckDB-oracle) distances bit-for-bit.
+    """
+    import math
+
+    acc = qvals[0]
+    for v in qvals[1:]:
+        acc = acc + v
+    qm = acc / float(length)
+    acc2 = (qvals[0] - qm) * (qvals[0] - qm)
+    for v in qvals[1:]:
+        acc2 = acc2 + (v - qm) * (v - qm)
+    qs = math.sqrt(acc2 / float(length))
+    if qs <= 0:
+        raise ValueError("query pattern has zero variance")
+    zq = [(q - qm) / qs for q in qvals]
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (prices,) = state.get if state.exists else ([],)
+        prices = list(prices)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            idnum = pd.to_numeric(pdf["id"], errors="coerce")
+            pdf = (
+                pdf.assign(__idnum=idnum)
+                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
+                .drop(columns="__idnum")
+            )
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                price = row.price
+                if price is None or pd.isna(price):
+                    continue
+                prices.append(float(price))
+                if len(prices) > length:
+                    del prices[: len(prices) - length]
+                if len(prices) < length:
+                    continue
+                m_acc = prices[0]
+                for v in prices[1:]:
+                    m_acc = m_acc + v
+                m = m_acc / float(length)
+                v_acc = (prices[0] - m) * (prices[0] - m)
+                for v in prices[1:]:
+                    v_acc = v_acc + (v - m) * (v - m)
+                s = _math.sqrt(v_acc / float(length))
+                if not s > 0:
+                    continue
+                d0 = (prices[0] - m) / s - zq[0]
+                d_acc = d0 * d0
+                for i in range(1, length):
+                    di = (prices[i] - m) / s - zq[i]
+                    d_acc = d_acc + di * di
+                out_rows.append((row.id, row.symbol, row.ts, d_acc))
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows, columns=["id", "symbol", "ts", "dist"]
+                )
+        state.update((prices,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return ticks.filter(ticks.symbol.isNotNull()).groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=PATTERN_OUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

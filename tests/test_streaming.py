@@ -284,3 +284,22 @@ def test_logging_sink_count_rides_inner_action(spark, tick_dir):
     assert lines and "rows=240" in lines[0]
     assert epochs  # the inner write ran and delivered the observation
     assert acc.value == 240, f"rows evaluated {acc.value}x, expected once each"
+
+
+def test_streaming_pattern_distance_matches_batch_bitwise(spark, sf_dir):
+    """Streamed z-normalized distances equal the batch operator's
+    bit-for-bit on the shared top-10 (the three-way parity the
+    catalog entry's shared oracle certifies)."""
+    from financial_data_stream_processing_engine_spark.plans import streaming_queries as sq
+    from financial_data_stream_processing_engine_spark.plans.catalog import QUERIES, load_all
+
+    load_all()
+    got = {
+        (r.symbol, r.event_id): r.dist
+        for r in QUERIES["streaming_pattern_match_topk"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r.symbol, r.event_id): r.dist
+        for r in QUERIES["fin_pattern_match_topk"].fn(spark, sf_dir).collect()
+    }
+    assert got == want  # exact float equality — bitwise parity
