@@ -486,3 +486,26 @@ def test_pattern_match_matches_numpy_recompute(spark, sf_dir):
     assert [(r.symbol, r.event_id) for r in got] == expect
     for r, (d, _, _) in zip(got, cands[:10]):
         assert abs(r.dist - d) < 1e-9
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_fixture_ts_unique_per_key_makes_tiebreak_value_identical(spark, sf):
+    """The round-5 window rotation demoted five indicator entries
+    (obv, twap, volatility, rolling_sharpe, max_drawdown) on the
+    argument that their only change — adding ``event_id`` as a
+    secondary window sort key — is value-identical on every driver
+    fixture.  That argument is exactly the claim that (user_id, ts)
+    is unique in events: when the primary sort key is unique within
+    each partition, ORDER BY ts and ORDER BY (ts, event_id) define
+    the same total order, so every window/lag/rank over either
+    ordering produces identical rows.  This test pins the premise at
+    all three driver scales; if a future fixture breaks it, the five
+    demoted entries must re-enter the check window."""
+    df = spark.read.parquet(f"/root/testdata/{sf}/events.parquet")
+    dups = (
+        df.groupBy("user_id", "ts")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
