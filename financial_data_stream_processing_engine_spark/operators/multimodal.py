@@ -158,21 +158,29 @@ def _jpeg_pixel_decoder():
     """Build a stdlib+numpy baseline-JPEG decoder as a NESTED function
     (shipped by value, like the PNG decoder).
 
-    Scope: baseline sequential DCT (SOF0), 8-bit, grayscale OR
-    3-component YCbCr at any divisible sampling-factor combination —
-    4:4:4 (1×1), the dominant real-world 4:2:0 (luma 2×2), 4:2:2
-    (2×1) and 4:4:0 (1×2) — in one interleaved scan, the common
-    denominators a training pipeline's luma/size probe needs.  The
-    entropy decode is the full baseline algorithm (canonical Huffman
-    tables from DHT, per-component DC prediction, AC run/size with
-    EOB and ZRL, byte unstuffing) over the generic MCU structure
-    (h_i×v_i blocks per component per MCU, scan-component order),
-    followed by dezigzag, dequantization, float IDCT, level shift,
-    nearest-neighbor (pixel-replication) chroma upsampling to full
-    resolution, and — for color — the JFIF BT.601 YCbCr→RGB
-    conversion.  Anything out of scope (progressive, 12-bit,
-    arithmetic coding, non-divisible sampling ratios) returns None →
-    NULL features, per-row error isolation.
+    Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2),
+    8-bit, grayscale OR 3-component YCbCr at any divisible
+    sampling-factor combination — 4:4:4 (1×1), the dominant
+    real-world 4:2:0 (luma 2×2), 4:2:2 (2×1) and 4:4:0 (1×2) — the
+    common denominators a training pipeline's luma/size probe needs.
+    The entropy decode is the full baseline algorithm (canonical
+    Huffman tables from DHT, per-component DC prediction, AC run/size
+    with EOB and ZRL, byte unstuffing) over the generic MCU structure
+    (h_i×v_i blocks per component per MCU, scan-component order).
+    Progressive files (ITU-T T.81 §G) accumulate per-block
+    coefficients across ANY number of scans: spectral-selection bands
+    (Ss..Se), successive approximation (Ah/Al) for DC and AC —
+    first scans with shifted values and cross-block EOB runs, and
+    refinement scans with correction bits, newly-significant ±1
+    insertion and corrections-during-EOB-runs; Huffman tables are
+    snapshotted per scan so mid-stream DHT redefinition decodes
+    correctly.  Both paths share dezigzag, dequantization, float
+    IDCT, level shift, nearest-neighbor (pixel-replication) chroma
+    upsampling to full resolution, and — for color — the JFIF BT.601
+    YCbCr→RGB conversion.  Anything out of scope (12-bit, arithmetic
+    coding, hierarchical, restart markers in progressive scans,
+    non-divisible sampling ratios) returns None → NULL features,
+    per-row error isolation.
 
     Returns ``decode_pixels(b) -> (px, nch) | None`` with ``px`` of
     shape (h, w, 1) grayscale or (h, w, 3) RGB, float64 in 0..255.
@@ -254,6 +262,8 @@ def _jpeg_pixel_decoder():
             w = h = None
             comps = None  # [(id, tq), ...] in frame order
             scan = None
+            progressive = False
+            scans = []  # SOF2: [(data, sel_tables, ss, se, ah, al)]
             while pos + 4 <= len(b):
                 if b[pos] != 0xFF:
                     return None
@@ -273,7 +283,8 @@ def _jpeg_pixel_decoder():
                             seg[s + 1 : s + 65], np.uint8
                         ).astype(np.float64)
                         s += 65
-                elif marker == 0xC0:  # SOF0 baseline
+                elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                    progressive = marker == 0xC2
                     prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
                     if prec != 8 or nf not in (1, 3):
                         return None
@@ -284,8 +295,8 @@ def _jpeg_pixel_decoder():
                         if not (1 <= hi <= 4 and 1 <= vi <= 4):
                             return None
                         comps.append((cid, hi, vi, tq))
-                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-                    return None  # non-baseline frame
+                elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                    return None  # non-baseline/progressive frame
                 elif marker == 0xC4:  # DHT
                     s = 0
                     while s < len(seg):
@@ -303,6 +314,8 @@ def _jpeg_pixel_decoder():
                     for ci in range(ns):
                         cs, tdta = seg[1 + 2 * ci], seg[2 + 2 * ci]
                         sel.append((cs, tdta >> 4, tdta & 0xF))
+                    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                    ahal = seg[3 + 2 * ns]
                     # entropy data follows until the next marker
                     data = bytearray()
                     p = pos + ln
@@ -315,10 +328,217 @@ def _jpeg_pixel_decoder():
                             break  # a real marker ends the scan
                         data.append(b[p])
                         p += 1
-                    scan = (bytes(data), sel)
+                    if progressive:
+                        # snapshot table objects NOW: later DHT
+                        # segments may redefine ids for later scans
+                        snap = [
+                            (cs, huff_dc.get(td), huff_ac.get(ta))
+                            for cs, td, ta in sel
+                        ]
+                        scans.append(
+                            (bytes(data), snap, ss, se, ahal >> 4, ahal & 0xF)
+                        )
+                    else:
+                        scan = (bytes(data), sel)
                     pos = p
                     continue
                 pos += ln
+            if progressive:
+                if w is None or comps is None or not scans:
+                    return None
+                hmax = max(hi for _, hi, _, _ in comps)
+                vmax = max(vi for _, _, vi, _ in comps)
+                mx_n = (w + 8 * hmax - 1) // (8 * hmax)
+                my_n = (h + 8 * vmax - 1) // (8 * vmax)
+                # per-component coefficient grids (zigzag order, ints),
+                # MCU-padded — a superset of the ceil grid that
+                # non-interleaved scans walk
+                grids: dict[int, np.ndarray] = {}
+                cdims: dict[int, tuple[int, int, int, int]] = {}
+                for cid, hi, vi, tq in comps:
+                    if hmax % hi or vmax % vi:
+                        return None  # replication needs integral ratios
+                    cw = (w * hi + hmax - 1) // hmax
+                    ch = (h * vi + vmax - 1) // vmax
+                    cdims[cid] = (cw, ch, (cw + 7) // 8, (ch + 7) // 8)
+                    grids[cid] = np.zeros((my_n * vi, mx_n * hi, 64), np.int64)
+                comp_of = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+
+                def refine_nz(zz, k, rd, p1, m1):
+                    # T.81 G.1.2.3: correction bit for a coefficient
+                    # that is already nonzero at this approximation
+                    if rd.read_bit():
+                        if (int(zz[k]) & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+
+                for data, snap, ss, se, ah, al in scans:
+                    rd = BitReader(data)
+                    if ss == 0:  # DC scan (first or refinement)
+                        if se != 0:
+                            return None
+                        preds = [0] * len(snap)
+                        if len(snap) > 1:  # interleaved MCU walk
+                            order = []
+                            for my in range(my_n):
+                                for mx in range(mx_n):
+                                    for si, (cs, _, _) in enumerate(snap):
+                                        hi, vi, _ = comp_of[cs]
+                                        for vb in range(vi):
+                                            for hb in range(hi):
+                                                order.append(
+                                                    (si, cs, my * vi + vb, mx * hi + hb)
+                                                )
+                        else:  # single-component: raster over its grid
+                            cs0 = snap[0][0]
+                            _, _, bw_, bh_ = cdims[cs0]
+                            order = [
+                                (0, cs0, by, bx)
+                                for by in range(bh_)
+                                for bx in range(bw_)
+                            ]
+                        for si, cs, by, bx in order:
+                            zz = grids[cs][by, bx]
+                            if ah == 0:  # first: diffs of DC >> Al
+                                dc_t = snap[si][1]
+                                if dc_t is None:
+                                    return None
+                                size = rd.read_symbol(dc_t)
+                                preds[si] += extend(rd.read_bits(size), size)
+                                zz[0] = preds[si] << al
+                            else:  # refinement: one bit per block
+                                if rd.read_bit():
+                                    zz[0] = int(zz[0]) | (1 << al)
+                    else:  # AC scan: always single-component (G.1.1)
+                        if len(snap) != 1:
+                            return None
+                        cs0, _, ac_t = snap[0]
+                        if ac_t is None:
+                            return None
+                        _, _, bw_, bh_ = cdims[cs0]
+                        p1, m1 = 1 << al, (-1) << al
+                        eobrun = 0
+                        for by in range(bh_):
+                            for bx in range(bw_):
+                                zz = grids[cs0][by, bx]
+                                if ah == 0:  # band-first scan
+                                    if eobrun > 0:
+                                        eobrun -= 1
+                                        continue
+                                    k = ss
+                                    while k <= se:
+                                        rs = rd.read_symbol(ac_t)
+                                        r, s = rs >> 4, rs & 0xF
+                                        if s == 0:
+                                            if r == 15:  # ZRL
+                                                k += 16
+                                                continue
+                                            eobrun = (
+                                                (1 << r)
+                                                + (rd.read_bits(r) if r else 0)
+                                                - 1
+                                            )
+                                            break
+                                        k += r
+                                        if k > se:
+                                            return None
+                                        zz[k] = extend(rd.read_bits(s), s) << al
+                                        k += 1
+                                else:  # refinement scan
+                                    k = ss
+                                    if eobrun == 0:
+                                        while k <= se:
+                                            rs = rd.read_symbol(ac_t)
+                                            r, s = rs >> 4, rs & 0xF
+                                            if s == 0:
+                                                if r < 15:  # EOBn
+                                                    eobrun = (1 << r) + (
+                                                        rd.read_bits(r) if r else 0
+                                                    )
+                                                    break
+                                                val = 0  # ZRL
+                                            elif s == 1:
+                                                val = p1 if rd.read_bit() else m1
+                                            else:
+                                                return None
+                                            # skip r zero-history coeffs,
+                                            # correcting nonzero-history
+                                            # ones passed over
+                                            while k <= se:
+                                                if zz[k] != 0:
+                                                    refine_nz(zz, k, rd, p1, m1)
+                                                else:
+                                                    if r == 0:
+                                                        break
+                                                    r -= 1
+                                                k += 1
+                                            if val and k <= se:
+                                                zz[k] = val
+                                            k += 1
+                                    if eobrun > 0:
+                                        # EOB run covers the rest of
+                                        # this block: corrections only
+                                        while k <= se:
+                                            if zz[k] != 0:
+                                                refine_nz(zz, k, rd, p1, m1)
+                                            k += 1
+                                        eobrun -= 1
+                # all scans applied: dequantize + IDCT + assemble
+                full = []
+                for cid, hi, vi, tq in comps:
+                    q = qt.get(tq)
+                    if q is None:
+                        return None
+                    cw, ch, bw_, bh_ = cdims[cid]
+                    plane = np.zeros((bh_ * 8, bw_ * 8), np.float64)
+                    for by in range(bh_):
+                        for bx in range(bw_):
+                            zzq = grids[cid][by, bx].astype(np.float64) * q
+                            coeff = np.zeros(64, np.float64)
+                            coeff[ZIGZAG] = zzq
+                            nz_ac = [int(i) for i in np.nonzero(coeff)[0] if i != 0]
+                            if not nz_ac:
+                                # DC-only shortcut (exact, as baseline)
+                                blk = np.full((8, 8), coeff[0] / 8.0 + 128.0)
+                            elif len(nz_ac) <= 4:
+                                # sparse IDCT: per-coefficient scaled
+                                # outer products accumulated
+                                # element-wise in raster order — a
+                                # DEFINED, FMA-free IEEE op sequence
+                                # (the DC-only shortcut's determinism
+                                # argument extended to few-coefficient
+                                # blocks; the matmul below is BLAS-
+                                # kernel-ordered and may fuse)
+                                blk = np.full((8, 8), coeff[0] / 8.0)
+                                for fi in nz_ac:
+                                    u, v = fi // 8, fi % 8
+                                    blk = blk + coeff[fi] * np.multiply.outer(
+                                        C[u], C[v]
+                                    )
+                                blk = blk + 128.0
+                            else:
+                                blk = C.T @ coeff.reshape(8, 8) @ C + 128.0
+                            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                    up = np.repeat(
+                        np.repeat(plane[:ch, :cw], vmax // vi, axis=0),
+                        hmax // hi,
+                        axis=1,
+                    )
+                    full.append(up[:h, :w])
+                if len(comps) == 1:
+                    px = np.clip(np.rint(full[0]), 0, 255)[:, :, None]
+                    return px, 1
+                y = full[0]
+                cb = full[1] - 128.0
+                cr = full[2] - 128.0
+                rgb = np.stack(
+                    [
+                        y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb,
+                    ],
+                    axis=-1,
+                )
+                return np.clip(np.rint(rgb), 0, 255), 3
             if w is None or comps is None or scan is None:
                 return None
             data, sel = scan

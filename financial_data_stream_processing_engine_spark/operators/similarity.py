@@ -456,6 +456,95 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return corpus, centroids
 
 
+def maintain_ivf_index(
+    spark,
+    path: str,
+    diff: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a CDC change feed to a persisted IVF index — no retrain,
+    no full re-encode: only the partitions whose cell membership the
+    delta touches are rewritten.
+
+    ``diff`` is the :func:`~financial_data_stream_processing_engine_spark.operators.scale.table_diff`
+    shape — (id, change_type ∈ I/D/U, old_val, new_val) with
+    ``vec_col`` inside the value structs.  Because cell assignment is
+    a DETERMINISTIC function of the vector (argmax cosine, ties to
+    the larger centroid id — the same rule as :func:`assign_cells`),
+    the feed alone determines every touched partition: a D/U row's
+    OLD cell is recomputed from ``old_val`` (no index scan to look it
+    up), an I/U row's NEW cell from ``new_val``.  Maintenance is then
+
+    1. touched = cells(old of D∪U) ∪ cells(new of I∪U) — bounded by
+       min(|delta|, n_cells); collected as a metadata-size literal
+       list so the survivor read is PARTITION PRUNING at the source;
+    2. survivors = touched partitions minus D∪U keys (anti join
+       against the broadcast-size delta keys);
+    3. write survivors ∪ upserts with dynamic partition overwrite —
+       untouched partitions are never read or written;
+    4. a touched cell left EMPTY by the delta is removed explicitly
+       (dynamic overwrite only replaces partitions present in the
+       written frame — the same metadata delete a lake-format MERGE
+       issues for emptied partitions).
+
+    The rewrite set is materialized (``localCheckpoint``) before the
+    overwrite because Spark refuses a self-referencing file overwrite
+    on an unbroken lineage; the set is delta-sized, exactly what a
+    merge-on-read compaction materializes.  Cost: O(|delta| +
+    touched-partition bytes) — at 100 TB a corpus change feed costs
+    the few cells it touches, not the corpus scan + Lloyd retrain of
+    a rebuild.  Returns the touched-cell frame (cell ids).
+    """
+    up = diff.filter(F.col("change_type").isin("I", "U")).select(
+        F.col(id_col), F.col(f"new_val.{vec_col}").alias(vec_col)
+    )
+    gone_old = diff.filter(F.col("change_type").isin("D", "U")).select(
+        F.col(id_col), F.col(f"old_val.{vec_col}").alias(vec_col)
+    )
+    up_cells = assign_cells(up, centroids, vec_col=vec_col, out_col="cell")
+    old_cells = assign_cells(gone_old, centroids, vec_col=vec_col, out_col="cell")
+    touched = (
+        up_cells.select("cell").union(old_cells.select("cell")).distinct()
+    )
+    touched_ids = sorted(r.cell for r in touched.collect())
+    if not touched_ids:  # empty delta: nothing to rewrite
+        return touched
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    stale_keys = diff.filter(F.col("change_type").isin("D", "U")).select(id_col)
+    survivors = corpus.filter(F.col("cell").isin(touched_ids)).join(
+        F.broadcast(stale_keys), id_col, "left_anti"
+    )
+    new_content = survivors.unionByName(
+        up_cells.select(*survivors.columns)
+    ).localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        new_content.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/corpus"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # cells the delta emptied entirely: dynamic overwrite wrote no
+    # partition for them, so drop the stale directory (metadata-level
+    # delete, local-FS index layout)
+    import shutil
+    from pathlib import Path
+
+    still = {r.cell for r in new_content.select("cell").distinct().collect()}
+    for cell in touched_ids:
+        if cell not in still:
+            d = Path(f"{path}/corpus/cell={cell}")
+            if d.is_dir():
+                shutil.rmtree(d)
+    return touched
+
+
 def semantic_dedup(
     corpus_with_cells: DataFrame,
     id_col: str = "vec_id",

@@ -435,3 +435,108 @@ def bm25_topk(
             F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# real-merges BPE tokenization
+# ---------------------------------------------------------------------------
+
+#: A loadable byte-pair-encoding merges table (the ``merges.txt`` shape
+#: every published BPE tokenizer ships): pair i is merged before pair
+#: i+1.  Every composite operand is produced by an earlier merge, the
+#: well-formedness property real vocabularies have by construction (a
+#: token must be minted before a later merge can reference it).
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("a", "n"), ("e", "r"), ("i", "n"),
+    ("o", "r"), ("s", "c"), ("sc", "an"), ("o", "w"), ("l", "ow"),
+    ("s", "low"), ("r", "ow"), ("a", "t"), ("c", "h"), ("b", "at"),
+    ("bat", "ch"), ("or", "d"), ("ord", "er"), ("a", "l"), ("v", "al"),
+    ("u", "e"), ("val", "ue"), ("e", "y"), ("k", "ey"), ("j", "o"),
+    ("jo", "in"), ("h", "a"), ("ha", "s"), ("has", "h"),
+)
+
+
+def bpe_tokenize_pieces(
+    pieces: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    piece_col: str = "piece",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply a REAL merges-table BPE to a frame of DISTINCT lowercase
+    word pieces → adds ``out_col: array<string>``.
+
+    Algorithm (the classic greedy BPE loop of Sennrich et al. 2016 /
+    the GPT-2 reference tokenizer): start from the character sequence,
+    repeatedly merge all left-to-right non-overlapping occurrences of
+    the highest-priority pair present until no merge applies.  Because
+    a merge's output token is minted by that merge (no earlier pair
+    references it) and merging two tokens never makes their outer
+    neighbours adjacent, applying the merges IN TABLE ORDER — each to
+    fixpoint — is exactly equivalent to the greedy
+    lowest-rank-first loop, and both equal a delimiter-string
+    ``replace()`` fixpoint: tokens are joined as ``|t1|t2|…|`` and pair
+    (a,b) is the substring ``|a|b|`` → ``|ab|``, Python's left-to-right
+    non-overlapping replace matching BPE's in-pass scan.  That same
+    walk is restatable one-to-one in SQL (recursive CTE over
+    ``contains``/``replace``) — see the catalog oracle.
+
+    Runs as an Arrow-batched pandas UDF over the DISTINCT piece frame
+    — the standard word-cache trick: at corpus scale the Python path
+    touches only the vocabulary (|distinct words|, ~10⁶–10⁷ for web
+    text), never the corpus; per-occurrence costs stay JVM-side in the
+    piece-count aggregation.  Pieces must not contain ``|`` (the
+    caller restricts to ``[a-z]+`` runs).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merge_strs = tuple((f"|{a}|{b}|", f"|{a}{b}|") for a, b in merges)
+
+    @pandas_udf("array<string>")
+    def _bpe(s: pd.Series) -> pd.Series:
+        def walk(piece: str) -> list[str]:
+            t = "|" + "|".join(piece) + "|"
+            for pat, rep in merge_strs:
+                while pat in t:
+                    t = t.replace(pat, rep)
+            return t.strip("|").split("|")
+
+        return s.map(walk)
+
+    return pieces.withColumn(out_col, _bpe(F.col(piece_col)))
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide BPE token histogram → (token, n_occurrences).
+
+    Pipeline: lowercase pre-tokenization into pieces with the shared
+    :data:`BPE_PIECE_PATTERN` (letter / digit / punctuation runs — the
+    GPT-2 pre-tokenizer family), count occurrences per DISTINCT piece
+    (one JVM-side explode + groupBy, map-side combined), then BPE-walk
+    only the distinct ``[a-z]+`` pieces through
+    :func:`bpe_tokenize_pieces`; digit/punctuation pieces pass through
+    as atomic tokens (the byte-fallback analogue).  Occurrence counts
+    re-weight the per-piece tokens, so the Python path is
+    O(vocabulary), not O(corpus) — the design that makes exact token
+    accounting affordable at 100 TB.
+    """
+    pieces = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PIECE_PATTERN), 0)
+        ).alias("piece")
+    )
+    pc = pieces.groupBy("piece").agg(F.count(F.lit(1)).alias("__n"))
+    is_alpha = F.col("piece").rlike("^[a-z]+$")
+    walked = bpe_tokenize_pieces(pc.filter(is_alpha), merges=merges)
+    alpha_tokens = walked.select(
+        F.explode("tokens").alias("token"), F.col("__n")
+    )
+    atomic = pc.filter(~is_alpha).select(F.col("piece").alias("token"), F.col("__n"))
+    return (
+        alpha_tokens.unionByName(atomic)
+        .groupBy("token")
+        .agg(F.sum("__n").alias("n_occurrences"))
+    )

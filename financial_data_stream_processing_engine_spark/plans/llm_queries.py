@@ -2123,3 +2123,227 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits") / F.lit(10.0)).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: real-merges BPE tokenization
+# ---------------------------------------------------------------------------
+
+
+def _bpe_sql() -> str:
+    """Oracle: the IDENTICAL BPE merge walk restated as a DuckDB
+    recursive CTE.  Token state is the delimiter string ``|t1|t2|…|``;
+    one recursion step either re-applies the current merge (``replace``
+    is left-to-right non-overlapping, the same scan as the Python
+    pass) or advances to the next merge index once the pair is absent
+    — the replace-to-fixpoint-in-table-order loop proven equivalent to
+    greedy BPE in operators/text.py::bpe_tokenize_pieces.  A row exits
+    the recursion when its merge index reaches len(merges) (the join
+    against the merges relation fails)."""
+    merges = text.DEFAULT_BPE_MERGES
+    vals = ", ".join(
+        f"({i}, '|{a}|{b}|', '|{a}{b}|')" for i, (a, b) in enumerate(merges)
+    )
+    n = len(merges)
+    pat = text.BPE_PIECE_PATTERN
+    return f"""
+WITH RECURSIVE merges(mi, pat, rep) AS (SELECT * FROM (VALUES {vals})),
+pieces AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '{pat}')) AS piece
+  FROM documents),
+pc AS (SELECT piece, COUNT(*) AS n FROM pieces GROUP BY piece),
+walk(piece, s, mi) AS (
+  SELECT piece, '|' || array_to_string(regexp_extract_all(piece, '.'), '|') || '|', 0
+  FROM pc WHERE regexp_full_match(piece, '[a-z]+')
+  UNION ALL
+  SELECT w.piece,
+         CASE WHEN contains(w.s, m.pat) THEN replace(w.s, m.pat, m.rep) ELSE w.s END,
+         CASE WHEN contains(w.s, m.pat) THEN w.mi ELSE w.mi + 1 END
+  FROM walk w JOIN merges m ON m.mi = w.mi),
+toks AS (
+  SELECT piece, UNNEST(string_split(trim(s, '|'), '|')) AS token
+  FROM walk WHERE mi = {n}
+  UNION ALL
+  SELECT piece, piece AS token FROM pc
+  WHERE NOT regexp_full_match(piece, '[a-z]+')),
+counted AS (
+  SELECT t.token, CAST(SUM(pc.n) AS BIGINT) AS n_occurrences
+  FROM toks t JOIN pc ON t.piece = pc.piece
+  GROUP BY t.token)
+SELECT token, n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank
+FROM counted
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+
+@register("text_bpe_tokenize", sql=_bpe_sql())
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-EXACT token accounting: a real merges-table BPE
+    (loadable vocabulary, greedy highest-priority-pair loop — the
+    Sennrich/GPT-2 algorithm) applied to the document corpus, top-20
+    corpus tokens by exact occurrence count.  The Python path touches
+    only DISTINCT word pieces (the word-cache trick); every
+    per-occurrence cost is a JVM-side explode/groupBy — O(vocabulary)
+    UDF work at any corpus size.  Oracle: the merge walk itself
+    re-run in DuckDB as a recursive CTE over the same merges table
+    (operators/text.py::{bpe_tokenize_pieces, bpe_token_counts})."""
+    from pyspark.sql import Window as W
+
+    counts = text.bpe_token_counts(_docs(spark, sf_dir))
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 6: CDC-driven incremental maintenance of the persisted IVF index
+# ---------------------------------------------------------------------------
+
+#: Oracle: the ENTIRE maintenance outcome recomputed from first
+#: principles — new corpus version (reverse-updates / negate-inserts /
+#: modulo-deletes), CDC classification (full outer join, null-safe
+#: compare — mirroring operators/scale.py::table_diff), cell
+#: assignment of every new-version vector (label-mean centroids, argmax
+#: cosine, ties to the larger centroid id), and the touched-cell set
+#: derived from the change rows alone (old cell from old_val, new cell
+#: from new_val — the same no-index-scan rule the operator uses).  A
+#: hash match proves the MAINTAINED on-disk index equals a full
+#: rebuild cell-for-cell AND that exactly the delta-determined cells
+#: were touched.
+_INDEX_MAINTAIN_SQL = f"""
+WITH dim AS (
+  SELECT label, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings),
+cm AS (
+  SELECT label AS centroid_id, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM dim GROUP BY label, pos),
+cent AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM cm GROUP BY centroid_id),
+old_v AS (SELECT vec_id, embedding FROM embeddings),
+upd AS (
+  SELECT vec_id, list_reverse(embedding) AS embedding
+  FROM old_v WHERE vec_id % 13 = 1),
+ins AS (
+  SELECT vec_id + 1000000 AS vec_id, list_transform(embedding, x -> -x) AS embedding
+  FROM old_v WHERE vec_id % 19 = 2),
+chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+new_v AS (
+  SELECT * FROM (
+    SELECT o.vec_id, o.embedding FROM old_v o
+    WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.vec_id = o.vec_id)
+    UNION ALL SELECT * FROM chg)
+  WHERE vec_id % 17 != 3),
+feed AS (
+  SELECT COALESCE(o.vec_id, n.vec_id) AS vec_id,
+         o.embedding AS old_emb, n.embedding AS new_emb,
+         CASE WHEN o.vec_id IS NULL THEN 'I'
+              WHEN n.vec_id IS NULL THEN 'D'
+              WHEN o.embedding IS DISTINCT FROM n.embedding THEN 'U' END AS ct
+  FROM old_v o FULL OUTER JOIN new_v n ON o.vec_id = n.vec_id),
+probe_old AS (SELECT vec_id, old_emb AS embedding FROM feed WHERE ct IN ('D','U')),
+probe_new AS (SELECT vec_id, new_emb AS embedding FROM feed WHERE ct IN ('I','U')),
+assign_all AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS.format(a='e.embedding', b='c.centroid')} DESC,
+                      c.centroid_id DESC) AS rk
+    FROM new_v e CROSS JOIN cent c) WHERE rk = 1),
+assign_old AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS.format(a='e.embedding', b='c.centroid')} DESC,
+                      c.centroid_id DESC) AS rk
+    FROM probe_old e CROSS JOIN cent c) WHERE rk = 1),
+assign_new AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS.format(a='e.embedding', b='c.centroid')} DESC,
+                      c.centroid_id DESC) AS rk
+    FROM probe_new e CROSS JOIN cent c) WHERE rk = 1),
+touched AS (
+  SELECT DISTINCT cell FROM (
+    SELECT cell FROM assign_old UNION ALL SELECT cell FROM assign_new)),
+rep AS (
+  SELECT cell, COUNT(*) AS n_vectors, SUM(vec_id) AS sum_vec_id
+  FROM assign_all GROUP BY cell)
+SELECT r.cell,
+       CAST(r.n_vectors AS BIGINT) AS n_vectors,
+       CAST(r.sum_vec_id AS BIGINT) AS sum_vec_id,
+       (t.cell IS NOT NULL) AS touched
+FROM rep r LEFT JOIN touched t ON r.cell = t.cell
+"""
+
+
+@register("similarity_index_maintain", sql=_INDEX_MAINTAIN_SQL)
+def similarity_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the missing lifecycle piece
+    between "build once" and "retrain on every corpus change": a CDC
+    change feed (deterministic reverse-updates, negate-inserts and
+    modulo-deletes over the embeddings corpus) is applied DIRECTLY to
+    the persisted cell-partitioned IVF index
+    (operators/similarity.py::maintain_ivf_index): only the cells the
+    delta touches are read (partition pruning) and rewritten (dynamic
+    partition overwrite); untouched partitions are never opened.  The
+    result reads the maintained ON-DISK index back and reports per
+    cell (n_vectors, sum_vec_id, touched); the oracle recomputes the
+    full-rebuild assignment AND the delta-determined touched set, so a
+    hash match proves maintained == rebuilt while touching only the
+    right cells (the pytest twin additionally pins that untouched
+    partition FILES are byte-identical)."""
+    import tempfile
+
+    from financial_data_stream_processing_engine_spark.operators.scale import (
+        merge_upsert,
+        table_diff,
+    )
+
+    embs = _embs(spark, sf_dir)
+    old = embs.select("vec_id", "embedding")
+    cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    idx = tempfile.mkdtemp(prefix="ivf_maint_")
+    similarity.save_ivf_index(old, cent, idx, vec_col="embedding")
+
+    upd = old.filter(F.col("vec_id") % 13 == 1).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    ins = old.filter(F.col("vec_id") % 19 == 2).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform("embedding", lambda v: -v).alias("embedding"),
+    )
+    new_v = merge_upsert(old, upd.unionByName(ins), keys=["vec_id"]).where(
+        F.col("vec_id") % 17 != 3
+    )
+    diff = table_diff(old, new_v, keys=["vec_id"], compare_cols=["embedding"])
+    touched = similarity.maintain_ivf_index(
+        spark, idx, diff, cent, id_col="vec_id", vec_col="embedding"
+    )
+    maintained, _ = similarity.load_ivf_index(spark, idx)
+    rep = maintained.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("vec_id").alias("sum_vec_id"),
+    )
+    return rep.join(
+        touched.withColumn("touched", F.lit(True)), "cell", "left"
+    ).select(
+        "cell",
+        "n_vectors",
+        "sum_vec_id",
+        F.coalesce("touched", F.lit(False)).alias("touched"),
+    )

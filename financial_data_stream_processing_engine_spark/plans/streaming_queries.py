@@ -955,18 +955,26 @@ def streaming_pattern_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvals = [float(r.value) for r in qrows]
     out = stateful.streaming_pattern_distance(stream, qvals, length=8, ttl_ms=None)
     result = _run(out, spark)
-    ranked = result.select(
-        F.col("symbol").cast("bigint").alias("symbol"),
-        F.col("id").cast("bigint").alias("event_id"),
-        F.col("ts"),
-        F.col("dist"),
-    ).withColumn(
-        "rank",
-        F.row_number().over(
-            W.orderBy(F.col("dist").asc(), F.col("symbol"), F.col("event_id"))
-        ),
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heap, no global single-partition window over the sink) — the
+    # batch twin's shape (operators/finance.py::pattern_match_topk);
+    # the rank window then runs over the already-limited 10 rows
+    return (
+        result.select(
+            F.col("symbol").cast("bigint").alias("symbol"),
+            F.col("id").cast("bigint").alias("event_id"),
+            F.col("ts"),
+            F.col("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("symbol"), F.col("event_id"))
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("dist").asc(), F.col("symbol"), F.col("event_id"))
+            ),
+        )
     )
-    return ranked.filter(F.col("rank") <= 10)
 
 
 def _borrow_pattern_oracle() -> None:
@@ -983,3 +991,111 @@ def _borrow_pattern_oracle() -> None:
 
 
 _borrow_pattern_oracle()
+
+
+_LATE_METRICS_SQL = """
+WITH a AS (SELECT event_id, ts, value FROM events WHERE event_id % 3 != 0),
+b AS (SELECT event_id, ts, value FROM events WHERE event_id % 3 = 0),
+wm AS (
+  SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 30 MINUTE AS w FROM a),
+dropped AS (SELECT b.* FROM b, wm WHERE b.ts <= wm.w),
+kept AS (
+  SELECT * FROM a
+  UNION ALL
+  SELECT b.* FROM b, wm WHERE b.ts > wm.w),
+wins AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(27,7))) AS s
+  FROM kept GROUP BY 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dropped) AS n_late_dropped,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(s) AS DOUBLE) AS total_value
+FROM wins
+"""
+
+
+@register("streaming_late_data_metrics", sql=_LATE_METRICS_SQL)
+def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data OBSERVABILITY — the first dashboard a streaming
+    operator asks for at scale: how many rows did the watermark drop,
+    and what did the surviving aggregate look like?  A watermarked
+    dedup→tumbling-aggregation pipeline runs over a two-batch replay
+    (batch 1 = ⅔ of events, batch 2 = the rest, now LATE relative to
+    the watermark batch 1 established), and the entry surfaces
+    ``numRowsDroppedByWatermark`` from StreamingQueryProgress — the
+    engine's own state-operator metric, not a recount — alongside the
+    emitted-window totals, as one queryable metrics row.
+
+    Design note for oracle determinism: on a bare windowed
+    aggregation the metric counts rows AFTER map-side partial
+    aggregation (one partial row per window per input partition — a
+    partitioning-dependent number no oracle can restate).  Chaining a
+    keyed ``dropDuplicates`` in front moves the late filter to a
+    row-granularity state operator: the metric becomes an exact input
+    -row count, and the downstream aggregation can drop nothing (a
+    row surviving ``ts > wm`` always has window end > wm).  The drop
+    rule is pinned empirically against the state-store watermark
+    predicate: dropped iff ``ts ≤ watermark``, watermark = the
+    millisecond-truncated max event time of prior batches minus the
+    delay.  The decimal-exact value sum ties the surviving aggregate
+    bit-for-bit, so the metric AND the aggregate are both
+    engine-certified."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    feed = tempfile.mkdtemp(prefix="late_feed_")
+    ev.filter(F.col("event_id") % 3 != 0).write.mode("append").parquet(feed)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .parquet(feed)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,7)")).alias("_dec_sum"),
+    )
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2: the held-back third arrives after the watermark moved
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(feed)
+    q.processAllAvailable()
+
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(offset_s: int) -> None:
+        row = [(-1 - offset_s % 7, max_ts + datetime.timedelta(seconds=offset_s), 0.0)]
+        spark.createDataFrame(
+            row, "event_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(feed)
+        q.processAllAvailable()
+
+    # sentinel 1 advances the watermark past every real window end;
+    # sentinel 2 triggers the batch that emits the finalized windows
+    sentinel(10 * 24 * 3600)
+    sentinel(10 * 24 * 3600 + 60)
+
+    n_dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    q.stop()
+
+    sink = spark.table(name)
+    return sink.agg(
+        F.lit(n_dropped).cast("bigint").alias("n_late_dropped"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n").alias("n_rows"),
+        F.sum("_dec_sum").cast("double").alias("total_value"),
+    )

@@ -7,12 +7,12 @@ from financial_data_stream_processing_engine_spark.operators.fuzzy import fuzzy_
 
 def test_fuzzy_edit1_complete_on_planted_typos(spark):
     rows = [
-        (1, "anthropic"),
-        (2, "antropic"),    # deletion  → dist 1
-        (3, "anthropik"),   # substitution → dist 1
-        (4, "anthropics"),  # insertion → dist 1
-        (5, "anthropological"),  # far
-        (6, "anthropic"),   # exact duplicate → dist 0
+        (1, "chromatic"),
+        (2, "chromtic"),    # deletion  → dist 1
+        (3, "chromatik"),   # substitution → dist 1
+        (4, "chromatics"),  # insertion → dist 1
+        (5, "chromatography"),  # far
+        (6, "chromatic"),   # exact duplicate → dist 0
     ]
     df = spark.createDataFrame(rows, "id long, name string")
     got = {
