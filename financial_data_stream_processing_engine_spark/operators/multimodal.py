@@ -104,43 +104,80 @@ def _png_pixel_decoder():
                 return None
             w, h, depth, ctype, comp, filt, interlace = ihdr
             nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or nch is None:
+            if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1) or nch is None:
                 return None
             raw = zlib.decompress(b"".join(idat))
         except Exception:
             return None
-        stride = w * nch
-        if w == 0 or h == 0 or len(raw) < h * (stride + 1):
+        if w == 0 or h == 0:
             return None
-        rows = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(h, stride + 1)
-        ftype, lines = rows[:, 0], rows[:, 1:]
-        out = np.zeros((h, stride), np.uint8)
-        prev = np.zeros(stride, np.int32)
-        for y in range(h):
-            f, line = ftype[y], lines[y].astype(np.int32)
-            if f == 0:
-                rec = line
-            elif f == 2:  # Up — vectorized
-                rec = line + prev
-            elif f == 1:  # Sub — per-channel-lane running sum
-                rec = line.reshape(-1, nch).cumsum(axis=0).reshape(stride)
-            elif f in (3, 4):  # Average / Paeth — sequential by spec
-                rec = np.empty(stride, np.int32)
-                for x in range(stride):
-                    a = rec[x - nch] & 0xFF if x >= nch else 0
-                    up = prev[x]
-                    if f == 3:
-                        rec[x] = line[x] + ((a + up) >> 1)
-                    else:
-                        c = prev[x - nch] if x >= nch else 0
-                        p = a + up - c
-                        pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                        pr = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
-                        rec[x] = line[x] + pr
-            else:
+
+        def unfilter(block: bytes, w_sub: int, h_sub: int):
+            """One filtered scanline image (a whole frame, or one Adam7
+            pass — each pass restarts filtering with a zero prior row,
+            per PNG §8.2)."""
+            stride = w_sub * nch
+            rows = np.frombuffer(block, np.uint8).reshape(h_sub, stride + 1)
+            ftype, lines = rows[:, 0], rows[:, 1:]
+            sub = np.zeros((h_sub, stride), np.uint8)
+            prev = np.zeros(stride, np.int32)
+            for y in range(h_sub):
+                f, line = ftype[y], lines[y].astype(np.int32)
+                if f == 0:
+                    rec = line
+                elif f == 2:  # Up — vectorized
+                    rec = line + prev
+                elif f == 1:  # Sub — per-channel-lane running sum
+                    rec = line.reshape(-1, nch).cumsum(axis=0).reshape(stride)
+                elif f in (3, 4):  # Average / Paeth — sequential by spec
+                    rec = np.empty(stride, np.int32)
+                    for x in range(stride):
+                        a = rec[x - nch] & 0xFF if x >= nch else 0
+                        up = prev[x]
+                        if f == 3:
+                            rec[x] = line[x] + ((a + up) >> 1)
+                        else:
+                            c = prev[x - nch] if x >= nch else 0
+                            p = a + up - c
+                            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                            pr = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                            rec[x] = line[x] + pr
+                else:
+                    return None
+                sub[y] = rec & 0xFF  # mod-256 per spec
+                prev = sub[y].astype(np.int32)
+            return sub
+
+        if interlace == 0:
+            stride = w * nch
+            if len(raw) < h * (stride + 1):
                 return None
-            out[y] = rec & 0xFF  # mod-256 per spec
-            prev = out[y].astype(np.int32)
+            out = unfilter(raw[: h * (stride + 1)], w, h)
+            if out is None:
+                return None
+        else:
+            # Adam7 (PNG §8.2): seven independently-filtered reduced
+            # images, scattered back on the standard (x0, y0, dx, dy)
+            # grid; empty passes contribute no scanlines at all.
+            out = np.zeros((h, w * nch), np.uint8)
+            img = out.reshape(h, w, nch)
+            at = 0
+            for x0, y0, dx, dy in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ):
+                w_sub = (w - x0 + dx - 1) // dx
+                h_sub = (h - y0 + dy - 1) // dy
+                if w_sub <= 0 or h_sub <= 0:
+                    continue
+                need = h_sub * (w_sub * nch + 1)
+                if len(raw) < at + need:
+                    return None
+                sub = unfilter(raw[at : at + need], w_sub, h_sub)
+                if sub is None:
+                    return None
+                at += need
+                img[y0::dy, x0::dx, :] = sub.reshape(h_sub, w_sub, nch)
         px = out.reshape(h, w, nch).astype(np.float64)
         if ctype == 3:  # palette lookup
             if plte is None:

@@ -188,7 +188,9 @@ BPE_PIECE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+"
 CHARS_PER_BPE_TOKEN = 4.0
 
 
-def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str | None = None
+) -> DataFrame:
     """Token-count estimators per document, all engine-side:
 
     * ``n_ws_tokens``    — whitespace tokens (exact);
@@ -196,17 +198,22 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
       punctuation runs): the upper-bound shape a byte-pair tokenizer
       starts from — every real BPE token boundary is inside one piece;
     * ``n_tokens_est``   — the ceil(chars/4) budget estimator;
-    * ``chars_per_piece``— payload density, a cheap quality signal.
+    * ``chars_per_piece``— payload density, a cheap quality signal;
+    * ``n_bpe_tokens``   — only when ``id_col`` is given: the EXACT
+      token count under the real merges-table BPE
+      (:func:`bpe_doc_token_counts` — word-cache walk over distinct
+      pieces, per-occurrence arithmetic JVM-side).
 
-    Pure per-row expressions (regexp + arithmetic): no shuffle, scales
-    linearly, and the pattern is deliberately RE2-compatible so
-    external engines reproduce it byte-for-byte.
+    Without ``id_col`` everything is a pure per-row expression (regexp
+    + arithmetic): no shuffle, scales linearly, and the pattern is
+    deliberately RE2-compatible so external engines reproduce it
+    byte-for-byte.  The exact count adds one vocabulary-sized join.
     """
     text = F.col(text_col)
     n_chars = F.length(text)
     pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_PATTERN), 0)
     n_pieces = F.size(pieces)
-    return (
+    out = (
         df.withColumn("n_ws_tokens", F.size(tokens(text)).cast("long"))
         .withColumn("n_bpe_pieces", n_pieces.cast("long"))
         .withColumn(
@@ -218,6 +225,9 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.try_divide(n_chars.cast("double"), n_pieces.cast("double")),
         )
     )
+    if id_col is not None:
+        out = out.join(bpe_doc_token_counts(df, id_col, text_col=text_col), id_col)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -540,3 +550,90 @@ def bpe_token_counts(
         .groupBy("token")
         .agg(F.sum("__n").alias("n_occurrences"))
     )
+
+
+def bpe_doc_token_counts(
+    df: DataFrame,
+    id_col: str,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Tokenizer-EXACT per-document token counts → (id, ``out_col``).
+
+    The per-document analogue of :func:`bpe_token_counts`, sharing its
+    word-cache shape: the BPE walk runs once per DISTINCT lowercase
+    piece (O(vocabulary) Python work), per-piece token counts are
+    joined back to the per-(doc, piece) occurrence counts JVM-side,
+    and a map-side-combinable sum yields each document's exact token
+    total.  Documents with no pieces (empty / whitespace-only text)
+    count 0.  This is what makes token-budget selection EXACT instead
+    of the chars/4 estimate — at 100 TB the UDF cost is still only the
+    vocabulary, never the corpus.
+    """
+    pieces = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PIECE_PATTERN), 0)
+        ).alias("piece"),
+    )
+    per = pieces.groupBy(id_col, "piece").agg(F.count(F.lit(1)).alias("__n"))
+    vocab = per.select("piece").distinct()
+    is_alpha = F.col("piece").rlike("^[a-z]+$")
+    walked = bpe_tokenize_pieces(vocab.filter(is_alpha), merges=merges).select(
+        "piece", F.size("tokens").cast("long").alias("__ntok")
+    )
+    atomic = vocab.filter(~is_alpha).select(
+        "piece", F.lit(1).cast("long").alias("__ntok")
+    )
+    ptok = walked.unionByName(atomic)
+    counts = (
+        per.join(ptok, "piece")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__n") * F.col("__ntok")).alias(out_col))
+    )
+    return df.select(id_col).join(counts, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col)
+    )
+
+
+def bpe_ptok_sql_ctes(
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    source: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB CTE chain (for a ``WITH RECURSIVE`` prologue) ending in
+    ``ptok(piece, ntok)`` — the exact BPE token count of every distinct
+    lowercase piece of ``source.text_col``, plus ``docpieces(doc_id,
+    piece)``, the per-document piece multiset.
+
+    The walk is the same replace-to-fixpoint-in-table-order recursion
+    proven equivalent to greedy BPE in :func:`bpe_tokenize_pieces`
+    (and used verbatim by the ``text_bpe_tokenize`` oracle); oracles
+    that need per-document exact counts join ``docpieces`` to ``ptok``
+    and sum.
+    """
+    vals = ", ".join(
+        f"({i}, '|{a}|{b}|', '|{a}{b}|')" for i, (a, b) in enumerate(merges)
+    )
+    n = len(merges)
+    return f"""
+merges(mi, pat, rep) AS (SELECT * FROM (VALUES {vals})),
+docpieces AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower({text_col}), '{BPE_PIECE_PATTERN}')) AS piece
+  FROM {source}),
+vocab AS (SELECT DISTINCT piece FROM docpieces),
+walk(piece, s, mi) AS (
+  SELECT piece, '|' || array_to_string(regexp_extract_all(piece, '.'), '|') || '|', 0
+  FROM vocab WHERE regexp_full_match(piece, '[a-z]+')
+  UNION ALL
+  SELECT w.piece,
+         CASE WHEN contains(w.s, m.pat) THEN replace(w.s, m.pat, m.rep) ELSE w.s END,
+         CASE WHEN contains(w.s, m.pat) THEN w.mi ELSE w.mi + 1 END
+  FROM walk w JOIN merges m ON m.mi = w.mi),
+ptok AS (
+  SELECT piece, CAST(LEN(string_split(trim(s, '|'), '|')) AS BIGINT) AS ntok
+  FROM walk WHERE mi = {n}
+  UNION ALL
+  SELECT piece, CAST(1 AS BIGINT) AS ntok FROM vocab
+  WHERE NOT regexp_full_match(piece, '[a-z]+'))"""

@@ -197,17 +197,23 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_select_token_budget",
-    sql=r"""
-WITH t AS (
-  SELECT doc_id,
+    sql=f"""
+WITH RECURSIVE {text.bpe_ptok_sql_ctes()},
+perdoc AS (
+  SELECT dp.doc_id, CAST(SUM(pt.ntok) AS BIGINT) AS n_bpe_tokens
+  FROM docpieces dp JOIN ptok pt ON dp.piece = pt.piece
+  GROUP BY dp.doc_id),
+t AS (
+  SELECT d.doc_id,
          LENGTH(text) AS n_chars,
          LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
          LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_unique,
-         LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS n_punct,
-         LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS n_digit
-  FROM documents),
+         LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS n_punct,
+         LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS n_digit,
+         CAST(COALESCE(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
 qq AS (
-  SELECT doc_id, n_tokens,
+  SELECT doc_id, n_bpe_tokens,
          (LEAST(n_tokens / 20.0, 1.0)
           + n_unique / n_tokens
           + GREATEST(0.0, 1.0 - 4 * (CAST(n_punct AS DOUBLE) / n_chars
@@ -215,31 +221,39 @@ qq AS (
            AS qs
   FROM t),
 b AS (
-  SELECT doc_id, n_tokens,
+  SELECT doc_id, n_bpe_tokens,
          GREATEST(LEAST(CAST(FLOOR(qs * 100) AS INT), 99), 0) AS bucket
   FROM qq),
-h AS (SELECT bucket, SUM(n_tokens) AS toks FROM b GROUP BY bucket),
+h AS (SELECT bucket, SUM(n_bpe_tokens) AS toks FROM b GROUP BY bucket),
 c AS (
   SELECT bucket,
          SUM(toks) OVER (
            ORDER BY bucket DESC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM h)
-SELECT CAST(b.bucket AS INT) AS bucket, b.doc_id, b.n_tokens
+SELECT CAST(b.bucket AS INT) AS bucket, b.doc_id, b.n_bpe_tokens
 FROM b JOIN c ON b.bucket = c.bucket
-WHERE c.cum <= 8000
+WHERE c.cum <= 16000
 """,
 )
 def corpus_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-bounded selection: highest-quality docs whose tokens fit
-    an 8000-token budget, by quality-histogram threshold — two
+    a 16000-token budget, by quality-histogram threshold — two
     map-side-combinable passes + a broadcast keep-set, never a global
-    sort (operators/curation.py::select_token_budget)."""
+    sort (operators/curation.py::select_token_budget).  Budgeting is
+    tokenizer-EXACT: each document's cost is its real merges-table BPE
+    token count (operators/text.py::bpe_doc_token_counts — O(vocab)
+    Python, per-occurrence sums JVM-side), not the chars/4 estimate,
+    so the selected set's token total is what the training run will
+    actually see."""
     docs = text.with_text_stats(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "quality_score"
+        "doc_id", "quality_score"
     )
-    kept = curation.select_token_budget(docs, budget=8000)
-    return kept.select("bucket", "doc_id", "n_tokens")
+    exact = text.bpe_doc_token_counts(_docs(spark, sf_dir), "doc_id")
+    kept = curation.select_token_budget(
+        docs.join(exact, "doc_id"), budget=16000, token_col="n_bpe_tokens"
+    )
+    return kept.select("bucket", "doc_id", "n_bpe_tokens")
 
 
 @register(

@@ -862,6 +862,111 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(media, fake=False)
 
 
+def _md5_png_adam7_generator():
+    """mapInPandas generator: doc_id → 8×8 grayscale INTERLACED
+    (Adam7) PNG whose 64 raster-order pixels are md5(doc_id) digest
+    bytes tiled 4× — the seven reduced passes each carry their standard
+    (x0, y0, dx, dy) sub-grid, independently filtered with a rotating
+    filter type (pass+row) % 5 so all five PNG filters occur inside
+    sub-images.  Nested def so cloudpickle ships it by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        PASSES = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def filt(f: int, line, prev):
+            left = np.concatenate([[0], line[:-1]])
+            if f == 0:
+                out = line
+            elif f == 1:
+                out = line - left
+            elif f == 2:
+                out = line - prev
+            elif f == 3:
+                out = line - ((left + prev) >> 1)
+            else:  # Paeth
+                c = np.concatenate([[0], prev[:-1]])
+                p = left + prev - c
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - c)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, c)
+                )
+                out = line - pr
+            return bytes((out & 0xFF).astype(np.uint8))
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = hashlib.md5(str(did).encode()).digest()
+                px = np.array([d[i % 16] for i in range(64)], np.int32).reshape(8, 8)
+                scan = b""
+                for pi, (x0, y0, dx, dy) in enumerate(PASSES):
+                    sub = px[y0::dy, x0::dx]
+                    prev = np.zeros(sub.shape[1], np.int32)
+                    for r in range(sub.shape[0]):
+                        line = sub[r]
+                        scan += bytes([(pi + r) % 5]) + filt((pi + r) % 5, line, prev)
+                        prev = line
+                ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return gen
+
+
+@register(
+    "multimodal_png_adam7_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       (CAST({_md5_sum("({b})")} AS DOUBLE) / 16.0) / 255.0 AS mean_luma
+FROM b
+""",
+)
+def multimodal_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced PNG codec round trip: encode an 8×8
+    grayscale interlaced PNG per doc (pixels = md5 digest bytes tiled
+    4×, seven reduced passes, every pass filtered independently with a
+    rotating filter type), then decode with the stdlib PNG decoder
+    (fake=False) — the decode must walk all seven sub-images, restart
+    the filter state per pass, and scatter each onto its Adam7 grid.
+
+    Oracle strategy: the tiled recipe makes mean luma = sum(md5 bytes)
+    / 16 regardless of position, and the sums are dyadic-exact, so the
+    hash match is bitwise; positional scatter correctness (which a
+    mean cannot see) is pinned by tests/test_multimodal_codecs.py
+    against the raster recipe pixel-for-pixel.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_png_adam7_generator()
+    pngs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        pngs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/png",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
 def _md5_jpeg_generator():
     """mapInPandas generator: doc_id → 16×16 baseline grayscale JPEG of
     four 8×8 blocks whose constant values are md5(doc_id) bytes 0-3.
@@ -991,6 +1096,203 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(media, fake=False)
 
 
+def _md5_jpeg_progressive_generator():
+    """mapInPandas generator: doc_id → 16×16 PROGRESSIVE (SOF2)
+    grayscale JPEG of four 8×8 blocks, decoded over SIX scans:
+    DC-first (Al=1), AC band 1-5 first (Al=1), AC band 6-63 first
+    (Al=1), a MID-STREAM DHT that redefines both AC table ids, AC band
+    1-5 refinement (corrections consumed inside a cross-block EOB4
+    run), AC band 6-63 refinement (newly-significant ±1 insertion),
+    and a DC refinement bit per block.  Pixel recipe: block i's
+    constant is md5 byte i — the DC LSB (md5-derived, sent only in the
+    DC refinement scan) and the ±2 / ±1 AC coefficients perturb each
+    pixel by < 0.5, so rint() restores the exact constants and the
+    baseline-roundtrip oracle applies unchanged.  Nested def so
+    cloudpickle ships it by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        def enc_map(bits, vals):
+            m, code, vi = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    m[vals[vi]] = (ln, code)
+                    code += 1
+                    vi += 1
+                code <<= 1
+            return m
+
+        dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = list(range(12))
+        DC = enc_map(dc_bits, dc_vals)
+        # first-scan AC tables vs post-DHT refinement tables: same ids
+        # (0 and 1), DIFFERENT code→symbol meanings — decodes only if
+        # the decoder snapshots tables per scan
+        A0_1B, A0_1V = [1, 2] + [0] * 14, [0x11, 0x00, 0x10]
+        A1_1B, A1_1V = [1] + [0] * 15, [0x20]
+        A0_2B, A0_2V = [1] + [0] * 15, [0x20]
+        A1_2B, A1_2V = [1, 2] + [0] * 14, [0x41, 0x00, 0x10]
+        AC0_V1, AC1_V1 = enc_map(A0_1B, A0_1V), enc_map(A1_1B, A1_1V)
+        AC0_V2, AC1_V2 = enc_map(A0_2B, A0_2V), enc_map(A1_2B, A1_2V)
+
+        class BW:
+            def __init__(self):
+                self.out, self.acc, self.n = bytearray(), 0, 0
+
+            def put(self, val, ln):
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((val >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc, self.n = 0, 0
+
+            def code(self, m, sym):
+                ln, cd = m[sym]
+                self.put(cd, ln)
+
+            def flush(self):
+                if self.n:
+                    self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                return bytes(self.out)
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        def dht(tc, th, bits, vals):
+            return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+        def sos(tdta, ss, se, ah, al):
+            return seg(0xDA, bytes([1, 1, tdta, ss, se, ah << 4 | al]))
+
+        head = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(0xC2, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+            + dht(0, 0, dc_bits, dc_vals)
+            + dht(1, 0, A0_1B, A0_1V)
+            + dht(1, 1, A1_1B, A1_1V)
+        )
+        redefine = dht(1, 0, A0_2B, A0_2V) + dht(1, 1, A1_2B, A1_2V)
+
+        def build(did) -> bytes:
+            d = hashlib.md5(str(did).encode()).digest()
+            consts = [d[0], d[1], d[2], d[3]]
+            lsb = [0, 0, d[6] & 1, d[7] & 1]
+            dcs = [8 * (consts[i] - 128) + lsb[i] for i in range(4)]
+            ac2 = [2 if d[8] & 1 else -2, 2 if d[9] & 1 else -2]
+            ac10 = [1 if d[10] & 1 else -1, 1 if d[11] & 1 else -1]
+            out = bytearray(head)
+            # scan 1: DC first, Al=1 — diffs of dc>>1, raster order
+            bw, pred = BW(), 0
+            for dc in dcs:
+                v = dc >> 1
+                diff, pred = v - pred, v
+                size = abs(diff).bit_length()
+                bw.code(DC, size)
+                if size:
+                    bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+            out += sos(0x00, 0, 0, 0, 1) + bw.flush()
+            # scan 2: AC 1-5 first, Al=1 — ±1 high-bits at zigzag 2 in
+            # blocks 0,1; EOB2 run across blocks 2,3
+            bw = BW()
+            for b in (0, 1):
+                bw.code(AC0_V1, 0x11)  # run=1, size=1
+                bw.put(1 if ac2[b] > 0 else 0, 1)
+                bw.code(AC0_V1, 0x00)
+            bw.code(AC0_V1, 0x10)  # EOBn r=1 → eobrun 2
+            bw.put(0, 1)
+            out += sos(0x00, 1, 5, 0, 1) + bw.flush()
+            # scan 3: AC 6-63 first, Al=1 — nothing visible yet: EOB4
+            bw = BW()
+            bw.code(AC1_V1, 0x20)
+            bw.put(0, 2)
+            out += sos(0x01, 6, 63, 0, 1) + bw.flush()
+            out += redefine  # mid-stream DHT: new meanings for ids 0,1
+            # scan 4: AC 1-5 refinement — EOB4 run; blocks 0,1's
+            # nonzero-history coeff takes its correction bit INSIDE the
+            # run (|±2| has LSB 0)
+            bw = BW()
+            bw.code(AC0_V2, 0x20)
+            bw.put(0, 2)
+            bw.put(0, 1)  # block 0 correction
+            bw.put(0, 1)  # block 1 correction (consumed mid-EOB-run)
+            out += sos(0x00, 1, 5, 1, 0) + bw.flush()
+            # scan 5: AC 6-63 refinement — EOB2 over blocks 0,1, then
+            # newly-significant ±1 at zigzag 10 in blocks 2,3
+            bw = BW()
+            bw.code(AC1_V2, 0x10)
+            bw.put(0, 1)
+            for b in (0, 1):
+                bw.code(AC1_V2, 0x41)  # 4 zero-history coeffs, then ±1
+                bw.put(1 if ac10[b] > 0 else 0, 1)
+                bw.code(AC1_V2, 0x00)
+            out += sos(0x01, 6, 63, 1, 0) + bw.flush()
+            # scan 6: DC refinement — the md5-derived LSB per block
+            bw = BW()
+            for dc in dcs:
+                bw.put(dc & 1, 1)
+            out += sos(0x00, 0, 0, 1, 0) + bw.flush()
+            return bytes(out + b"\xff\xd9")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [build(d) for d in pdf["doc_id"]]}
+            )
+
+    return gen
+
+
+@register(
+    "multimodal_jpeg_progressive_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       (CAST({_hex_byte('m', 0)} + {_hex_byte('m', 1)}
+             + {_hex_byte('m', 2)} + {_hex_byte('m', 3)} AS DOUBLE) / 4.0) / 255.0
+         AS mean_luma
+FROM b
+""",
+)
+def multimodal_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2, ITU-T T.81 §G) codec round trip:
+    each doc's fixture decodes only if the decoder accumulates
+    coefficients across six scans — spectral-selection bands,
+    DC/AC successive approximation, cross-block EOB runs with
+    corrections consumed inside the run, newly-significant ±1
+    insertion, per-scan Huffman snapshots across a mid-stream DHT
+    redefinition — then dequantizes/IDCTs once at the end
+    (operators/multimodal.py::_jpeg_pixel_decoder, progressive path).
+
+    Oracle strategy: the AC perturbations (±2 at zigzag 2, ±1 at
+    zigzag 10) and the DC LSB each move any pixel < 0.5, so rint()
+    restores the md5-byte block constants EXACTLY and DuckDB states
+    dimensions + mean luma from the digest alone — the same bitwise
+    hash gate as the baseline roundtrip, now over the multi-scan
+    machinery.  The refinement correction-bit=1 branch (|v|=3) is
+    pinned by tests/test_multimodal_codecs.py.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_jpeg_progressive_generator()
+    jpegs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        jpegs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/jpeg",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
 @register(
     "multimodal_wav_roundtrip",
     sql=f"""
@@ -1047,27 +1349,38 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_token_counts",
     sql=f"""
-SELECT doc_id,
+WITH RECURSIVE {text.bpe_ptok_sql_ctes()},
+perdoc AS (
+  SELECT dp.doc_id, CAST(SUM(pt.ntok) AS BIGINT) AS n_bpe_tokens
+  FROM docpieces dp JOIN ptok pt ON dp.piece = pt.piece
+  GROUP BY dp.doc_id)
+SELECT d.doc_id,
        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens,
        CAST(LEN(REGEXP_EXTRACT_ALL(text, '{text.BPE_PIECE_PATTERN}')) AS BIGINT)
            AS n_bpe_pieces,
        CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_tokens_est,
        CAST(LENGTH(text) AS DOUBLE)
          / NULLIF(LEN(REGEXP_EXTRACT_ALL(text, '{text.BPE_PIECE_PATTERN}')), 0)
-           AS chars_per_piece
-FROM documents
+           AS chars_per_piece,
+       CAST(COALESCE(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
 """,
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting for budget planning: whitespace tokens, BPE-style
     pre-tokenizer pieces (letter/digit/punctuation runs), the chars/4
-    estimator, and payload density.  The piece pattern is restricted to
-    constructs RE2 and Java regex agree on, so the oracle reproduces it
-    byte-for-byte.  Pure per-row expressions — no shuffle at any scale.
+    estimator, payload density, and the tokenizer-EXACT count under the
+    real merges-table BPE (word-cache walk over distinct pieces — the
+    Python path is O(vocabulary) at any corpus size).  The estimator
+    columns are pure per-row expressions; the exact count adds one
+    vocabulary-sized join.  Oracle: the same estimators per-row plus
+    the BPE merge walk restated as a DuckDB recursive CTE
+    (operators/text.py::{{bpe_doc_token_counts, bpe_ptok_sql_ctes}}).
     """
-    out = text.with_token_counts(_docs(spark, sf_dir))
+    out = text.with_token_counts(_docs(spark, sf_dir), id_col="doc_id")
     return out.select(
-        "doc_id", "n_ws_tokens", "n_bpe_pieces", "n_tokens_est", "chars_per_piece"
+        "doc_id", "n_ws_tokens", "n_bpe_pieces", "n_tokens_est",
+        "chars_per_piece", "n_bpe_tokens",
     )
 
 
@@ -2334,6 +2647,91 @@ def similarity_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched = similarity.maintain_ivf_index(
         spark, idx, diff, cent, id_col="vec_id", vec_col="embedding"
     )
+    maintained, _ = similarity.load_ivf_index(spark, idx)
+    rep = maintained.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("vec_id").alias("sum_vec_id"),
+    )
+    return rep.join(
+        touched.withColumn("touched", F.lit(True)), "cell", "left"
+    ).select(
+        "cell",
+        "n_vectors",
+        "sum_vec_id",
+        F.coalesce("touched", F.lit(False)).alias("touched"),
+    )
+
+
+@register("streaming_index_maintain", sql=_INDEX_MAINTAIN_SQL)
+def streaming_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index freshness as a CONTINUOUS process: the same CDC
+    change feed as ``similarity_index_maintain``, but arriving as a
+    live stream — three deterministic key-sliced micro-batches
+    (maxFilesPerTrigger=1), each applied to the persisted IVF index by
+    ``foreachBatch`` → ``maintain_ivf_index`` (the
+    ``streaming_ivm_orders_agg`` pattern, pointed at index partitions
+    instead of aggregate state).  Slices are disjoint by vector id, so
+    each batch is a valid delta against the current index and the
+    final on-disk content is identical to one-shot maintenance — which
+    is why the batch entry's full-rebuild oracle certifies the
+    STREAMED index bit-for-bit, touched-set included (per-row touched
+    cells are a function of the row alone, so the union over batches
+    equals the full delta's set).  At 100 TB this is the serving
+    story: index staleness bounded by the trigger interval, per-batch
+    cost bounded by the cells that batch touches
+    (operators/similarity.py::maintain_ivf_index)."""
+    import tempfile
+
+    from financial_data_stream_processing_engine_spark.operators.scale import (
+        merge_upsert,
+        table_diff,
+    )
+
+    embs = _embs(spark, sf_dir)
+    old = embs.select("vec_id", "embedding")
+    cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    idx = tempfile.mkdtemp(prefix="ivf_stream_maint_")
+    similarity.save_ivf_index(old, cent, idx, vec_col="embedding")
+
+    upd = old.filter(F.col("vec_id") % 13 == 1).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    ins = old.filter(F.col("vec_id") % 19 == 2).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform("embedding", lambda v: -v).alias("embedding"),
+    )
+    new_v = merge_upsert(old, upd.unionByName(ins), keys=["vec_id"]).where(
+        F.col("vec_id") % 17 != 3
+    )
+    diff = table_diff(old, new_v, keys=["vec_id"], compare_cols=["embedding"])
+
+    # ship the change feed as 3 key-sliced files → 3 real micro-batches
+    feed_dir = tempfile.mkdtemp(prefix="ivf_cdc_feed_")
+    for i in range(3):
+        (
+            diff.filter(F.col("vec_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+    touched_dir = tempfile.mkdtemp(prefix="ivf_touched_")
+
+    def apply_delta(batch_df: DataFrame, epoch_id: int) -> None:
+        t = similarity.maintain_ivf_index(
+            spark, idx, batch_df, cent, id_col="vec_id", vec_col="embedding"
+        )
+        t.write.mode("append").parquet(touched_dir)
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = feed.writeStream.foreachBatch(apply_delta).start()
+    q.processAllAvailable()
+    q.stop()
+
+    touched = spark.read.parquet(touched_dir).distinct()
     maintained, _ = similarity.load_ivf_index(spark, idx)
     rep = maintained.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors"),

@@ -573,3 +573,298 @@ def test_jpeg_422_and_440_decode(spark):
     # each image is two constant half-planes → mean luma identical
     assert out[0]["mean_luma"] == pytest.approx(expected, abs=1e-12)
     assert out[1]["mean_luma"] == pytest.approx(expected, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG
+# ---------------------------------------------------------------------------
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def make_png_adam7(
+    pixels: np.ndarray, ctype: int, palette: np.ndarray | None = None
+) -> bytes:
+    """Interlaced twin of make_png: seven independently-filtered Adam7
+    passes, rotating filter (pass + row) % 5; empty passes omitted."""
+    h, w, nch = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    scan = b""
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = pixels[y0::dy, x0::dx, :]
+        hs, ws = sub.shape[0], sub.shape[1]
+        if hs == 0 or ws == 0:
+            continue
+        raw_rows = sub.reshape(hs, ws * nch)
+        prev = np.zeros(ws * nch, np.int32)
+        for y in range(hs):
+            scan += _filter_row((pi + y) % 5, raw_rows[y], prev, nch)
+            prev = raw_rows[y].astype(np.int32)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+    return out
+
+
+def test_png_adam7_pixel_positions(spark):
+    """Scatter correctness pixel-for-pixel — a mean-based roundtrip
+    cannot see a transposed or mis-strided pass; this can."""
+    decode = multimodal._png_pixel_decoder()
+    # asymmetric gradient: every pixel value unique → any mis-scatter
+    # lands a wrong value somewhere
+    gray = (np.arange(64, dtype=np.uint8).reshape(8, 8, 1) * 3 + 7) % 256
+    got = decode(make_png_adam7(gray, 0))
+    assert got is not None
+    px, nch = got
+    assert nch == 1 and px.shape == (8, 8, 1)
+    assert np.array_equal(px.astype(np.uint8), gray)
+
+    rgb = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)  # odd dims
+    px, nch = decode(make_png_adam7(rgb, 2))
+    assert nch == 3 and px.shape == (10, 13, 3)
+    assert np.array_equal(px.astype(np.uint8), rgb)
+
+    tiny = rng.integers(0, 256, (1, 1, 1), dtype=np.uint8)  # only pass 1
+    px, nch = decode(make_png_adam7(tiny, 0))
+    assert np.array_equal(px.astype(np.uint8), tiny)
+
+    tall = rng.integers(0, 256, (9, 2, 1), dtype=np.uint8)  # empty passes
+    px, nch = decode(make_png_adam7(tall, 0))
+    assert np.array_equal(px.astype(np.uint8), tall)
+
+
+def test_png_adam7_through_spark_path(spark):
+    rgba = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    out = _decode_images(
+        spark,
+        [
+            make_png_adam7(rgba, 6),
+            make_png(rgba, 6, [1, 2, 3, 4]),  # non-interlaced control
+        ],
+    )
+    interlaced, plain = out[0], out[1]
+    assert (interlaced["width"], interlaced["height"], interlaced["n_channels"]) == (5, 6, 4)
+    assert interlaced["mean_luma"] == pytest.approx(plain["mean_luma"], abs=0)
+
+
+def test_png_adam7_truncated_pass_yields_null(spark):
+    gray = rng.integers(0, 256, (8, 8, 1), dtype=np.uint8)
+    good = make_png_adam7(gray, 0)
+    # re-parse the chunks, truncate the filtered stream mid-pass, and
+    # rebuild: the decoder must reject (None), not mis-scatter
+    decode = multimodal._png_pixel_decoder()
+    pos, chunks = 8, {}
+    while pos + 8 <= len(good):
+        ln, typ = struct.unpack(">I4s", good[pos : pos + 8])
+        chunks[typ] = good[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + 4
+    scan = zlib.decompress(chunks[b"IDAT"])
+    rebuilt = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", chunks[b"IHDR"])
+        + _chunk(b"IDAT", zlib.compress(scan[: len(scan) - 10]))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode(rebuilt) is None
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) JPEG
+# ---------------------------------------------------------------------------
+
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+
+def _enc_map(bits, vals):
+    m, code, vi = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            m[vals[vi]] = (ln, code)
+            code += 1
+            vi += 1
+        code <<= 1
+    return m
+
+
+class _BW:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, val, ln):
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def code(self, m, sym):
+        ln, cd = m[sym]
+        self.put(cd, ln)
+
+    def flush(self):
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _jseg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _jdht(tc, th, bits, vals):
+    return _jseg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+
+def _jsos(tdta, ss, se, ah, al):
+    return _jseg(0xDA, bytes([1, 1, tdta, ss, se, ah << 4 | al]))
+
+
+def make_progressive_jpeg(dcs, ac2, ac10):
+    """16×16 grayscale SOF2: 4 blocks with full-precision DC ``dcs``,
+    AC at zigzag 2 = ``ac2`` (blocks 0,1; |v| ≤ 3, sent as high bit at
+    Al=1 + refinement correction bit), AC at zigzag 10 = ``ac10``
+    (blocks 2,3; ±1, newly significant in refinement).  Six scans with
+    a mid-stream DHT redefinition — the same layout as the catalog
+    fixture generator, but with the correction-bit=1 (|v|=3) case
+    reachable."""
+    A0_1B, A0_1V = [1, 2] + [0] * 14, [0x11, 0x00, 0x10]
+    A1_1B, A1_1V = [1] + [0] * 15, [0x20]
+    A0_2B, A0_2V = [1] + [0] * 15, [0x20]
+    A1_2B, A1_2V = [1, 2] + [0] * 14, [0x41, 0x00, 0x10]
+    DC = _enc_map(_DC_BITS, _DC_VALS)
+    AC0_V1, AC1_V1 = _enc_map(A0_1B, A0_1V), _enc_map(A1_1B, A1_1V)
+    AC0_V2, AC1_V2 = _enc_map(A0_2B, A0_2V), _enc_map(A1_2B, A1_2V)
+
+    out = bytearray(
+        b"\xff\xd8"
+        + _jseg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jseg(0xC2, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+        + _jdht(0, 0, _DC_BITS, _DC_VALS)
+        + _jdht(1, 0, A0_1B, A0_1V)
+        + _jdht(1, 1, A1_1B, A1_1V)
+    )
+    bw, pred = _BW(), 0
+    for dc in dcs:  # scan 1: DC first, Al=1
+        v = dc >> 1
+        diff, pred = v - pred, v
+        size = abs(diff).bit_length()
+        bw.code(DC, size)
+        if size:
+            bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    out += _jsos(0x00, 0, 0, 0, 1) + bw.flush()
+    bw = _BW()
+    for b in (0, 1):  # scan 2: AC 1-5 first, Al=1
+        bw.code(AC0_V1, 0x11)
+        bw.put(1 if ac2[b] > 0 else 0, 1)
+        bw.code(AC0_V1, 0x00)
+    bw.code(AC0_V1, 0x10)
+    bw.put(0, 1)
+    out += _jsos(0x00, 1, 5, 0, 1) + bw.flush()
+    bw = _BW()  # scan 3: AC 6-63 first — EOB4
+    bw.code(AC1_V1, 0x20)
+    bw.put(0, 2)
+    out += _jsos(0x01, 6, 63, 0, 1) + bw.flush()
+    out += _jdht(1, 0, A0_2B, A0_2V) + _jdht(1, 1, A1_2B, A1_2V)
+    bw = _BW()  # scan 4: AC 1-5 refine — corrections inside EOB4 run
+    bw.code(AC0_V2, 0x20)
+    bw.put(0, 2)
+    for b in (0, 1):
+        bw.put(abs(ac2[b]) & 1, 1)
+    out += _jsos(0x00, 1, 5, 1, 0) + bw.flush()
+    bw = _BW()  # scan 5: AC 6-63 refine — newly-significant ±1
+    bw.code(AC1_V2, 0x10)
+    bw.put(0, 1)
+    for b in (0, 1):
+        bw.code(AC1_V2, 0x41)
+        bw.put(1 if ac10[b] > 0 else 0, 1)
+        bw.code(AC1_V2, 0x00)
+    out += _jsos(0x01, 6, 63, 1, 0) + bw.flush()
+    bw = _BW()  # scan 6: DC refine
+    for dc in dcs:
+        bw.put(dc & 1, 1)
+    out += _jsos(0x00, 0, 0, 1, 0) + bw.flush()
+    return bytes(out + b"\xff\xd9")
+
+
+def _idct_ref(zz):
+    """Reference: dezigzag (q=1) + orthonormal IDCT + level shift."""
+    ZIGZAG = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ])
+    k = np.arange(8, dtype=np.float64)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.where(
+        k[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8)
+    )
+    coeff = np.zeros(64)
+    coeff[ZIGZAG] = zz
+    return C.T @ coeff.reshape(8, 8) @ C + 128.0
+
+
+def test_jpeg_progressive_refinement_and_correction_bits(spark):
+    """The |v|=3 case: the AC coefficient's high bit arrives in the
+    first band scan, its LSB via refine_nz (correction bit 1) — plus an
+    odd DC whose LSB arrives only in the DC refinement scan, and
+    negative newly-significant insertion."""
+    decode = multimodal._jpeg_pixel_decoder()
+    dcs = [117, -200, 83, -45]          # odd and even, both signs
+    ac2 = [3, -3]                        # correction bit = 1 both
+    ac10 = [-1, 1]
+    px, nch = decode(make_progressive_jpeg(dcs, ac2, ac10))
+    assert nch == 1 and px.shape == (16, 16, 1)
+    exp = np.zeros((16, 16))
+    coef = [
+        {0: dcs[0], 2: ac2[0]}, {0: dcs[1], 2: ac2[1]},
+        {0: dcs[2], 10: ac10[0]}, {0: dcs[3], 10: ac10[1]},
+    ]
+    for i, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        zz = np.zeros(64)
+        for kk, v in coef[i].items():
+            zz[kk] = v
+        exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_ref(zz)
+    assert np.array_equal(px[:, :, 0], np.clip(np.rint(exp), 0, 255))
+
+
+def test_jpeg_progressive_without_refinement_scans(spark):
+    """Prefix decodability: dropping the three refinement scans must
+    still decode (coarse approximation), with each DC at its Al=1
+    precision and the ±1 coefficients absent."""
+    decode = multimodal._jpeg_pixel_decoder()
+    dcs = [117, -200, 83, -45]
+    full = make_progressive_jpeg(dcs, [3, -3], [-1, 1])
+    # cut at the mid-stream DHT (first 3 scans survive) + EOI
+    cut = full.find(b"\xff\xc4", full.find(b"\xff\xda"))
+    assert cut > 0
+    px, nch = decode(full[:cut] + b"\xff\xd9")
+    exp = np.zeros((16, 16))
+    coarse = [
+        {0: (dcs[0] >> 1) << 1, 2: 2}, {0: (dcs[1] >> 1) << 1, 2: -2},
+        {0: (dcs[2] >> 1) << 1}, {0: (dcs[3] >> 1) << 1},
+    ]
+    for i, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        zz = np.zeros(64)
+        for kk, v in coarse[i].items():
+            zz[kk] = v
+        exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_ref(zz)
+    assert np.array_equal(px[:, :, 0], np.clip(np.rint(exp), 0, 255))
+
+
+def test_jpeg_progressive_truncated_scan_yields_null(spark):
+    decode = multimodal._jpeg_pixel_decoder()
+    full = make_progressive_jpeg([116, -200, 82, -44], [2, -2], [-1, 1])
+    # truncate the first scan's entropy data mid-bits: EOF → None
+    first_sos = full.find(b"\xff\xda")
+    assert decode(full[: first_sos + 14] + b"\xff\xd9") is None

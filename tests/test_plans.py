@@ -97,10 +97,19 @@ def test_salted_join_stays_hash_join(spark, sf_dir, queries):
 
 
 def test_quantize_and_token_counts_stay_jvm_side(spark, sf_dir, queries):
-    for name in ("embedding_quantize_int8", "text_token_counts"):
-        plan = plan_of(queries, name, spark, sf_dir)
-        assert "BatchEvalPython" not in plan, name
-        assert "ArrowEvalPython" not in plan, name  # pure built-ins, no UDF at all
+    # int8 quantization: pure built-ins, no UDF at all
+    plan = plan_of(queries, "embedding_quantize_int8", spark, sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # token counts: estimator columns are built-ins; the ONLY Python is
+    # the Arrow-batched BPE walk over the DISTINCT piece vocabulary
+    # (word-cache) — never row-at-a-time, never over corpus rows
+    plan = plan_of(queries, "text_token_counts", spark, sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    # the UDF's subtree (printed below it) must be the piece-distinct
+    # aggregate, i.e. vocabulary-sized input, not the documents scan
+    assert "HashAggregate(keys=[piece" in plan[plan.index("ArrowEvalPython") :]
 
 
 def test_curation_map_only_ops_have_no_exchange(spark, sf_dir, queries):
