@@ -211,13 +211,17 @@ def _jpeg_pixel_decoder():
     refinement scans with correction bits, newly-significant ±1
     insertion and corrections-during-EOB-runs; Huffman tables are
     snapshotted per scan so mid-stream DHT redefinition decodes
-    correctly.  Both paths share dezigzag, dequantization, float
-    IDCT, level shift, nearest-neighbor (pixel-replication) chroma
-    upsampling to full resolution, and — for color — the JFIF BT.601
-    YCbCr→RGB conversion.  Anything out of scope (12-bit, arithmetic
-    coding, hierarchical, restart markers in progressive scans,
-    non-divisible sampling ratios) returns None → NULL features,
-    per-row error isolation.
+    correctly.  Restart markers (DRI + RSTn, F.2.1.3) are supported in
+    BOTH paths: the entropy stream splits into byte-aligned restart
+    segments at RSTn, and every sri MCUs the decoder starts the next
+    segment with DC predictors (and, in progressive AC scans, the EOB
+    run — which may not legally cross a restart) reset.  Both paths
+    share dezigzag, dequantization, float IDCT, level shift,
+    nearest-neighbor (pixel-replication) chroma upsampling to full
+    resolution, and — for color — the JFIF BT.601 YCbCr→RGB
+    conversion.  Anything out of scope (12-bit, arithmetic coding,
+    hierarchical, non-divisible sampling ratios) returns None → NULL
+    features, per-row error isolation.
 
     Returns ``decode_pixels(b) -> (px, nch) | None`` with ``px`` of
     shape (h, w, 1) grayscale or (h, w, 3) RGB, float64 in 0..255.
@@ -300,7 +304,8 @@ def _jpeg_pixel_decoder():
             comps = None  # [(id, tq), ...] in frame order
             scan = None
             progressive = False
-            scans = []  # SOF2: [(data, sel_tables, ss, se, ah, al)]
+            ri = 0  # DRI restart interval (MCUs), 0 = none
+            scans = []  # SOF2: [(segs, sel_tables, ss, se, ah, al, ri)]
             while pos + 4 <= len(b):
                 if b[pos] != 0xFF:
                     return None
@@ -343,6 +348,8 @@ def _jpeg_pixel_decoder():
                         vals = list(seg[s + 17 : s + 17 + nv])
                         (huff_dc if tc == 0 else huff_ac)[th] = build_huff(bits, vals)
                         s += 17 + nv
+                elif marker == 0xDD:  # DRI
+                    ri = struct.unpack(">H", seg[0:2])[0]
                 elif marker == 0xDA:  # SOS
                     ns = seg[0]
                     if ns not in (1, 3):
@@ -353,30 +360,40 @@ def _jpeg_pixel_decoder():
                         sel.append((cs, tdta >> 4, tdta & 0xF))
                     ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                     ahal = seg[3 + 2 * ns]
-                    # entropy data follows until the next marker
-                    data = bytearray()
+                    # entropy data follows until the next marker; RSTn
+                    # markers (F.2.1.3) split it into restart segments
+                    segs = [bytearray()]
                     p = pos + ln
                     while p < len(b) - 1:
                         if b[p] == 0xFF:
-                            if b[p + 1] == 0x00:
-                                data.append(0xFF)
+                            nxt = b[p + 1]
+                            if nxt == 0x00:
+                                segs[-1].append(0xFF)
+                                p += 2
+                                continue
+                            if 0xD0 <= nxt <= 0xD7:  # RSTm boundary
+                                segs.append(bytearray())
                                 p += 2
                                 continue
                             break  # a real marker ends the scan
-                        data.append(b[p])
+                        segs[-1].append(b[p])
                         p += 1
+                    if len(segs) > 1 and ri == 0:
+                        return None  # RST without a declared interval
+                    seg_bytes = [bytes(s) for s in segs]
                     if progressive:
-                        # snapshot table objects NOW: later DHT
-                        # segments may redefine ids for later scans
+                        # snapshot table objects (later DHT segments may
+                        # redefine ids for later scans) AND the restart
+                        # interval in force at this SOS
                         snap = [
                             (cs, huff_dc.get(td), huff_ac.get(ta))
                             for cs, td, ta in sel
                         ]
                         scans.append(
-                            (bytes(data), snap, ss, se, ahal >> 4, ahal & 0xF)
+                            (seg_bytes, snap, ss, se, ahal >> 4, ahal & 0xF, ri)
                         )
                     else:
-                        scan = (bytes(data), sel)
+                        scan = (seg_bytes, sel, ri)
                     pos = p
                     continue
                 pos += ln
@@ -408,32 +425,45 @@ def _jpeg_pixel_decoder():
                         if (int(zz[k]) & p1) == 0:
                             zz[k] += p1 if zz[k] >= 0 else m1
 
-                for data, snap, ss, se, ah, al in scans:
-                    rd = BitReader(data)
+                for segs, snap, ss, se, ah, al, sri in scans:
+                    seg_i = 0
+                    rd = BitReader(segs[0])
                     if ss == 0:  # DC scan (first or refinement)
                         if se != 0:
                             return None
                         preds = [0] * len(snap)
+                        # order entries carry their MCU ordinal so RSTn
+                        # boundaries (every sri MCUs: new byte-aligned
+                        # segment, predictors reset) land exactly
                         if len(snap) > 1:  # interleaved MCU walk
                             order = []
                             for my in range(my_n):
                                 for mx in range(mx_n):
+                                    mcu = my * mx_n + mx
                                     for si, (cs, _, _) in enumerate(snap):
                                         hi, vi, _ = comp_of[cs]
                                         for vb in range(vi):
                                             for hb in range(hi):
                                                 order.append(
-                                                    (si, cs, my * vi + vb, mx * hi + hb)
+                                                    (mcu, si, cs, my * vi + vb, mx * hi + hb)
                                                 )
-                        else:  # single-component: raster over its grid
+                        else:  # single-component: raster; MCU = block
                             cs0 = snap[0][0]
                             _, _, bw_, bh_ = cdims[cs0]
                             order = [
-                                (0, cs0, by, bx)
+                                (by * bw_ + bx, 0, cs0, by, bx)
                                 for by in range(bh_)
                                 for bx in range(bw_)
                             ]
-                        for si, cs, by, bx in order:
+                        prev_mcu = 0
+                        for mcu, si, cs, by, bx in order:
+                            if sri and mcu != prev_mcu and mcu % sri == 0:
+                                seg_i += 1
+                                if seg_i >= len(segs):
+                                    return None
+                                rd = BitReader(segs[seg_i])
+                                preds = [0] * len(snap)
+                            prev_mcu = mcu
                             zz = grids[cs][by, bx]
                             if ah == 0:  # first: diffs of DC >> Al
                                 dc_t = snap[si][1]
@@ -454,8 +484,17 @@ def _jpeg_pixel_decoder():
                         _, _, bw_, bh_ = cdims[cs0]
                         p1, m1 = 1 << al, (-1) << al
                         eobrun = 0
+                        bi = 0
                         for by in range(bh_):
                             for bx in range(bw_):
+                                if sri and bi and bi % sri == 0:
+                                    if eobrun:
+                                        return None  # EOB run across RST
+                                    seg_i += 1
+                                    if seg_i >= len(segs):
+                                        return None
+                                    rd = BitReader(segs[seg_i])
+                                bi += 1
                                 zz = grids[cs0][by, bx]
                                 if ah == 0:  # band-first scan
                                     if eobrun > 0:
@@ -578,7 +617,7 @@ def _jpeg_pixel_decoder():
                 return np.clip(np.rint(rgb), 0, 255), 3
             if w is None or comps is None or scan is None:
                 return None
-            data, sel = scan
+            segs, sel, sri = scan
             if len(sel) != len(comps):
                 return None
             samp_of = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
@@ -605,10 +644,20 @@ def _jpeg_pixel_decoder():
                 np.zeros((my_n * vi * 8, mx_n * hi * 8), np.float64)
                 for (_, _, _, hi, vi) in parts
             ]
-            rd = BitReader(data)
+            seg_i = 0
+            rd = BitReader(segs[0])
             preds = [0] * len(parts)
             for my in range(my_n):
                 for mx in range(mx_n):
+                    mcu = my * mx_n + mx
+                    if sri and mcu and mcu % sri == 0:
+                        # RSTn boundary: byte-aligned fresh segment,
+                        # DC predictors reset (F.2.1.3.1)
+                        seg_i += 1
+                        if seg_i >= len(segs):
+                            return None
+                        rd = BitReader(segs[seg_i])
+                        preds = [0] * len(parts)
                     for ci, (q, dc_t, ac_t, hi, vi) in enumerate(parts):
                         for vb in range(vi):
                             for hb in range(hi):

@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     # streaming CDC index-maintenance twin
     "multimodal_jpeg_progressive_roundtrip",
     "multimodal_png_adam7_roundtrip",
+    "multimodal_jpeg_restart_roundtrip",
     "streaming_index_maintain",
     # registered in round 6 but never driver-checked (left outside the
     # unrotated r6 window)
@@ -133,8 +134,10 @@ _PRIORITY: list[str] = [
     "window_ewma_per_user",
     "tpch_q4_like_priority_check",
     "tpch_q6_like_forecast_revenue",
-    "tpch_q7_like_nation_volume",
     # --- driver check window boundary (first 50 above) ---
+    # queued first for round 8: yielded its slot to the restart-marker
+    # entry (plan untouched since r2; judge-verified at HEAD r4+r6)
+    "tpch_q7_like_nation_volume",
     # queued first for round 8: the remaining r2-era rows (all TPC-H
     # shapes; plans untouched since r2, judge-verified at HEAD in r4
     # and r6 full-catalog runs -- the established slot-yield argument

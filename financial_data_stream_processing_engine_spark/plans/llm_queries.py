@@ -1293,6 +1293,139 @@ def multimodal_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> D
     return multimodal.decode_image_features(media, fake=False)
 
 
+def _md5_jpeg_restart_generator():
+    """mapInPandas generator: doc_id → 16×16 baseline grayscale JPEG
+    with DRI=1 — every MCU is its own byte-aligned entropy segment
+    separated by RST0..RST2, so each block's DC diff is the ABSOLUTE
+    value (predictor resets at every marker).  A decoder that fails to
+    byte-align, misses the predictor reset, or treats the RST bytes as
+    entropy data produces wrong constants or EOF → NULL.  Same md5
+    pixel recipe as the plain baseline fixture.  Nested def so
+    cloudpickle ships it by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        def enc_map(bits, vals):
+            m, code, vi = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    m[vals[vi]] = (ln, code)
+                    code += 1
+                    vi += 1
+                code <<= 1
+            return m
+
+        dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = list(range(12))
+        DC = enc_map(dc_bits, dc_vals)
+        AC = enc_map([1] + [0] * 15, [0x00])
+
+        class BW:
+            def __init__(self):
+                self.out, self.acc, self.n = bytearray(), 0, 0
+
+            def put(self, val, ln):
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((val >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc, self.n = 0, 0
+
+            def code(self, m, sym):
+                ln, cd = m[sym]
+                self.put(cd, ln)
+
+            def flush(self):
+                if self.n:
+                    self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                return bytes(self.out)
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        head = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+            + seg(0xDD, struct.pack(">H", 1))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        )
+
+        def build(did) -> bytes:
+            digest = hashlib.md5(str(did).encode()).digest()
+            out = bytearray(head)
+            for i, c in enumerate(digest[:4]):
+                bw = BW()
+                dc = 8 * (int(c) - 128)  # absolute: predictor was reset
+                size = abs(dc).bit_length()
+                bw.code(DC, size)
+                if size:
+                    bw.put(dc if dc > 0 else dc + (1 << size) - 1, size)
+                bw.code(AC, 0x00)  # EOB
+                out += bw.flush()
+                if i < 3:
+                    out += bytes([0xFF, 0xD0 + (i % 8)])
+            return bytes(out + b"\xff\xd9")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [build(d) for d in pdf["doc_id"]]}
+            )
+
+    return gen
+
+
+@register(
+    "multimodal_jpeg_restart_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       (CAST({_hex_byte('m', 0)} + {_hex_byte('m', 1)}
+             + {_hex_byte('m', 2)} + {_hex_byte('m', 3)} AS DOUBLE) / 4.0) / 255.0
+         AS mean_luma
+FROM b
+""",
+)
+def multimodal_jpeg_restart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL restart-marker (DRI/RSTn, T.81 F.2.1.3) JPEG round trip:
+    DRI=1 splits each doc's entropy stream into four byte-aligned
+    segments separated by RST0-RST2; every block's DC arrives as an
+    ABSOLUTE diff because the predictor resets at each marker — the
+    error-resilience layout real crawl JPEGs use.  Decoding requires
+    the segment split, per-segment byte alignment, and predictor
+    resets to all be right
+    (operators/multimodal.py::_jpeg_pixel_decoder).
+
+    Oracle strategy: identical to the plain baseline roundtrip (DC-only
+    constant blocks are transform-exact), so the bitwise md5 gate now
+    certifies the restart machinery; progressive-scan restarts and the
+    EOB-run-across-restart rejection are pinned by
+    tests/test_multimodal_codecs.py.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_jpeg_restart_generator()
+    jpegs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        jpegs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/jpeg",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
 @register(
     "multimodal_wav_roundtrip",
     sql=f"""

@@ -868,3 +868,102 @@ def test_jpeg_progressive_truncated_scan_yields_null(spark):
     # truncate the first scan's entropy data mid-bits: EOF → None
     first_sos = full.find(b"\xff\xda")
     assert decode(full[: first_sos + 14] + b"\xff\xd9") is None
+
+
+# ---------------------------------------------------------------------------
+# restart markers (DRI / RSTn)
+# ---------------------------------------------------------------------------
+
+
+def _dc_diff_bits(bw, DC, diff):
+    size = abs(diff).bit_length()
+    bw.code(DC, size)
+    if size:
+        bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+
+def _build_prog_rst(dcs, sri=2, eob_span=1, with_rst=True, with_dri=True):
+    DC = _enc_map(_DC_BITS, _DC_VALS)
+    acb, acv = [0, 2] + [0] * 14, [0x00, 0x10]
+    AC = _enc_map(acb, acv)
+    out = bytearray(
+        b"\xff\xd8"
+        + _jseg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jseg(0xC2, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+        + _jdht(0, 0, _DC_BITS, _DC_VALS)
+        + _jdht(1, 0, acb, acv)
+    )
+    if with_dri:
+        out += _jseg(0xDD, struct.pack(">H", sri))
+    # scan 1: DC first (Al=0) — one BitWriter per restart segment
+    out += _jsos(0x00, 0, 0, 0, 0)
+    for s0 in range(0, len(dcs), sri):
+        if s0 and with_rst:
+            out += bytes([0xFF, 0xD0 + ((s0 // sri - 1) % 8)])
+        bw, pred = _BW(), 0  # predictor resets per segment
+        for dc in dcs[s0 : s0 + sri]:
+            _dc_diff_bits(bw, DC, dc - pred)
+            pred = dc
+        out += bw.flush()
+    # scan 2: AC band 1-63 first (Al=0), all-zero coefficients
+    out += _jsos(0x00, 1, 63, 0, 0)
+    for s0 in range(0, len(dcs), sri):
+        if s0 and with_rst:
+            out += bytes([0xFF, 0xD0 + ((s0 // sri - 1) % 8)])
+        bw = _BW()
+        blk = s0
+        while blk < min(s0 + sri, len(dcs)):
+            if blk == 0 and eob_span > 1:
+                bw.code(AC, 0x10)  # EOBn r=1: run = 2 + bit
+                bw.put(eob_span - 2, 1)
+                blk += eob_span
+            else:
+                bw.code(AC, 0x00)
+                blk += 1
+        out += bw.flush()
+    return bytes(out + b"\xff\xd9")
+
+
+def test_jpeg_progressive_restart_markers(spark):
+    decode = multimodal._jpeg_pixel_decoder()
+    dcs = [117, -200, 83, -45]
+    px, nch = decode(_build_prog_rst(dcs, sri=2))
+    assert nch == 1 and px.shape == (16, 16, 1)
+    exp = np.zeros((16, 16))
+    for i, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        zz = np.zeros(64)
+        zz[0] = dcs[i]
+        exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_ref(zz)
+    assert np.array_equal(px[:, :, 0], np.clip(np.rint(exp), 0, 255))
+
+
+def test_jpeg_restart_malformed_variants_yield_null(spark):
+    decode = multimodal._jpeg_pixel_decoder()
+    dcs = [117, -200, 83, -45]
+    # DRI declared but RST markers absent: segment exhaustion → None
+    assert decode(_build_prog_rst(dcs, sri=2, with_rst=False)) is None
+    # RST markers present without any DRI → None
+    assert decode(_build_prog_rst(dcs, sri=2, with_dri=False)) is None
+    # an EOB run spanning a restart boundary is nonconforming → None
+    assert decode(_build_prog_rst(dcs, sri=2, eob_span=3)) is None
+
+
+def test_jpeg_baseline_restart_spark_path(spark):
+    """Baseline DRI=1 fixture through the real mapInPandas decode: the
+    per-MCU absolute DC + predictor reset must reproduce the constants
+    (mirrors the multimodal_jpeg_restart_roundtrip recipe)."""
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _md5_jpeg_restart_generator,
+    )
+    import hashlib
+    import pandas as pd
+
+    gen = _md5_jpeg_restart_generator()
+    pdf = pd.DataFrame({"doc_id": [3, 41, 999]})
+    payloads = list(gen(iter([pdf])))[0]["payload"]
+    out = _decode_images(spark, list(payloads))
+    for i, did in enumerate([3, 41, 999]):
+        d = hashlib.md5(str(did).encode()).digest()
+        r = out[i]
+        assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 1)
+        assert r["mean_luma"] == pytest.approx(sum(d[:4]) / 4.0 / 255.0, abs=0)
