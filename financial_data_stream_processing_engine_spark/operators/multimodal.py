@@ -104,19 +104,25 @@ def _png_pixel_decoder():
                 return None
             w, h, depth, ctype, comp, filt, interlace = ihdr
             nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-            if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1) or nch is None:
+            if (
+                depth not in (8, 16) or comp != 0 or filt != 0
+                or interlace not in (0, 1) or nch is None
+                or (ctype == 3 and depth != 8)  # palette indices are 8-bit
+            ):
                 return None
             raw = zlib.decompress(b"".join(idat))
         except Exception:
             return None
         if w == 0 or h == 0:
             return None
+        bpp = nch * (depth // 8)  # filter byte-lane offset (PNG §9.2)
 
         def unfilter(block: bytes, w_sub: int, h_sub: int):
             """One filtered scanline image (a whole frame, or one Adam7
             pass — each pass restarts filtering with a zero prior row,
-            per PNG §8.2)."""
-            stride = w_sub * nch
+            per PNG §8.2).  Filters operate on BYTES with the previous
+            pixel bpp bytes back, whatever the sample depth."""
+            stride = w_sub * bpp
             rows = np.frombuffer(block, np.uint8).reshape(h_sub, stride + 1)
             ftype, lines = rows[:, 0], rows[:, 1:]
             sub = np.zeros((h_sub, stride), np.uint8)
@@ -128,16 +134,16 @@ def _png_pixel_decoder():
                 elif f == 2:  # Up — vectorized
                     rec = line + prev
                 elif f == 1:  # Sub — per-channel-lane running sum
-                    rec = line.reshape(-1, nch).cumsum(axis=0).reshape(stride)
+                    rec = line.reshape(-1, bpp).cumsum(axis=0).reshape(stride)
                 elif f in (3, 4):  # Average / Paeth — sequential by spec
                     rec = np.empty(stride, np.int32)
                     for x in range(stride):
-                        a = rec[x - nch] & 0xFF if x >= nch else 0
+                        a = rec[x - bpp] & 0xFF if x >= bpp else 0
                         up = prev[x]
                         if f == 3:
                             rec[x] = line[x] + ((a + up) >> 1)
                         else:
-                            c = prev[x - nch] if x >= nch else 0
+                            c = prev[x - bpp] if x >= bpp else 0
                             p = a + up - c
                             pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                             pr = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
@@ -149,7 +155,7 @@ def _png_pixel_decoder():
             return sub
 
         if interlace == 0:
-            stride = w * nch
+            stride = w * bpp
             if len(raw) < h * (stride + 1):
                 return None
             out = unfilter(raw[: h * (stride + 1)], w, h)
@@ -159,8 +165,8 @@ def _png_pixel_decoder():
             # Adam7 (PNG §8.2): seven independently-filtered reduced
             # images, scattered back on the standard (x0, y0, dx, dy)
             # grid; empty passes contribute no scanlines at all.
-            out = np.zeros((h, w * nch), np.uint8)
-            img = out.reshape(h, w, nch)
+            out = np.zeros((h, w * bpp), np.uint8)
+            img = out.reshape(h, w, bpp)
             at = 0
             for x0, y0, dx, dy in (
                 (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -170,15 +176,22 @@ def _png_pixel_decoder():
                 h_sub = (h - y0 + dy - 1) // dy
                 if w_sub <= 0 or h_sub <= 0:
                     continue
-                need = h_sub * (w_sub * nch + 1)
+                need = h_sub * (w_sub * bpp + 1)
                 if len(raw) < at + need:
                     return None
                 sub = unfilter(raw[at : at + need], w_sub, h_sub)
                 if sub is None:
                     return None
                 at += need
-                img[y0::dy, x0::dx, :] = sub.reshape(h_sub, w_sub, nch)
-        px = out.reshape(h, w, nch).astype(np.float64)
+                img[y0::dy, x0::dx, :] = sub.reshape(h_sub, w_sub, bpp)
+        if depth == 16:
+            hi_lo = out.reshape(h, w, nch, 2).astype(np.float64)
+            # big-endian 16-bit samples, scaled to the 8-bit range by
+            # the EXACT dyadic /256 (not the lossy /257 "true"
+            # rescale) so downstream means stay bitwise-restatable
+            px = (hi_lo[..., 0] * 256.0 + hi_lo[..., 1]) / 256.0
+        else:
+            px = out.reshape(h, w, nch).astype(np.float64)
         if ctype == 3:  # palette lookup
             if plte is None:
                 return None

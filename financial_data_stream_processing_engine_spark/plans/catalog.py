@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     "multimodal_jpeg_progressive_roundtrip",
     "multimodal_png_adam7_roundtrip",
     "multimodal_jpeg_restart_roundtrip",
+    "multimodal_png_16bit_roundtrip",
     "streaming_index_maintain",
     # registered in round 6 but never driver-checked (left outside the
     # unrotated r6 window)
@@ -133,10 +134,11 @@ _PRIORITY: list[str] = [
     "text_stats",
     "window_ewma_per_user",
     "tpch_q4_like_priority_check",
-    "tpch_q6_like_forecast_revenue",
     # --- driver check window boundary (first 50 above) ---
-    # queued first for round 8: yielded its slot to the restart-marker
-    # entry (plan untouched since r2; judge-verified at HEAD r4+r6)
+    # queued first for round 8: these two yielded their slots to the
+    # restart-marker and 16-bit-PNG entries (plans untouched since r2;
+    # judge-verified at HEAD in the r4 and r6 full-catalog runs)
+    "tpch_q6_like_forecast_revenue",
     "tpch_q7_like_nation_volume",
     # queued first for round 8: the remaining r2-era rows (all TPC-H
     # shapes; plans untouched since r2, judge-verified at HEAD in r4

@@ -967,6 +967,112 @@ def multimodal_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return multimodal.decode_image_features(media, fake=False)
 
 
+def _md5_png16_generator():
+    """mapInPandas generator: doc_id → 4×4 grayscale 16-BIT PNG whose
+    big-endian samples are ``md5[i]·256 + md5[(i+1) mod 16]`` (every
+    digest byte appears once as a high and once as a low byte, so the
+    sample total is exactly 257·Σdigest — SQL-restatable).  Rows are
+    filtered Paeth/Sub/Up/Average with the 2-byte-per-pixel lane
+    offset, the part an 8-bit-only unfilter gets wrong.  Nested def so
+    cloudpickle ships it by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def filt(f: int, line, prev, bpp: int):
+            left = (
+                np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+                if len(line) > bpp else np.zeros_like(line)
+            )
+            if f == 1:
+                out = line - left
+            elif f == 2:
+                out = line - prev
+            elif f == 3:
+                out = line - ((left + prev) >> 1)
+            else:  # Paeth
+                c = (
+                    np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+                    if len(prev) > bpp else np.zeros_like(prev)
+                )
+                p = left + prev - c
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - c)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, c)
+                )
+                out = line - pr
+            return bytes([f]) + bytes((out & 0xFF).astype(np.uint8))
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = hashlib.md5(str(did).encode()).digest()
+                be = np.zeros((4, 4, 2), np.uint8)
+                for i in range(16):
+                    be[i // 4, i % 4, 0] = d[i]
+                    be[i // 4, i % 4, 1] = d[(i + 1) % 16]
+                rows = be.reshape(4, 8).astype(np.int32)
+                scan, prev = b"", np.zeros(8, np.int32)
+                for y, f in enumerate((4, 1, 2, 3)):
+                    scan += filt(f, rows[y], prev, 2)
+                    prev = rows[y]
+                ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return gen
+
+
+@register(
+    "multimodal_png_16bit_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(257 * ({_md5_sum("({b})")}) AS DOUBLE) / 16.0 / 256.0 / 255.0
+         AS mean_luma
+FROM b
+""",
+)
+def multimodal_png_16bit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-bit PNG codec round trip: each doc's 4×4 grayscale PNG
+    carries big-endian 16-bit samples (md5-derived, every digest byte
+    once as high and once as low), filtered Paeth/Sub/Up/Average with
+    the 2-byte pixel lane offset — decode must run the byte-level
+    filters at bpp=2 and reassemble the 16-bit samples
+    (operators/multimodal.py::_png_pixel_decoder).
+
+    Oracle strategy: samples scale to the 8-bit range by the EXACT
+    dyadic /256, so mean luma = 257·Σdigest / 16 / 256 / 255 with one
+    shared final rounding — bitwise across engines.  RGB/RGBA and
+    Adam7 16-bit variants are pinned pixel-for-pixel by
+    tests/test_multimodal_codecs.py.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_png16_generator()
+    pngs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        pngs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/png",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
 def _md5_jpeg_generator():
     """mapInPandas generator: doc_id → 16×16 baseline grayscale JPEG of
     four 8×8 blocks whose constant values are md5(doc_id) bytes 0-3.

@@ -967,3 +967,85 @@ def test_jpeg_baseline_restart_spark_path(spark):
         r = out[i]
         assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 1)
         assert r["mean_luma"] == pytest.approx(sum(d[:4]) / 4.0 / 255.0, abs=0)
+
+
+# ---------------------------------------------------------------------------
+# 16-bit PNG
+# ---------------------------------------------------------------------------
+
+
+def make_png16(samples: np.ndarray, ctype: int, interlace: int = 0) -> bytes:
+    """samples: (h, w, nch) uint16 big-endian-encoded; rotating filters
+    (row % 5 non-interlaced, (pass+row) % 5 interlaced) at bpp = 2·nch."""
+    h, w, nch = samples.shape
+    bpp = nch * 2
+    be = np.zeros((h, w, nch, 2), np.uint8)
+    be[..., 0] = samples >> 8
+    be[..., 1] = samples & 0xFF
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, interlace)
+    scan = b""
+    if interlace == 0:
+        rows = be.reshape(h, w * bpp)
+        prev = np.zeros(w * bpp, np.int32)
+        for y in range(h):
+            scan += _filter_row(y % 5, rows[y], prev, bpp)
+            prev = rows[y].astype(np.int32)
+    else:
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = be[y0::dy, x0::dx]
+            hs, ws = sub.shape[0], sub.shape[1]
+            if hs == 0 or ws == 0:
+                continue
+            rows = sub.reshape(hs, ws * bpp)
+            prev = np.zeros(ws * bpp, np.int32)
+            for y in range(hs):
+                scan += _filter_row((pi + y) % 5, rows[y], prev, bpp)
+                prev = rows[y].astype(np.int32)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_pixel_values(spark):
+    decode = multimodal._png_pixel_decoder()
+    g = rng.integers(0, 65536, (6, 5, 1), dtype=np.uint16)
+    px, nch = decode(make_png16(g, 0))
+    assert nch == 1 and px.shape == (6, 5, 1)
+    assert np.array_equal(px, g.astype(np.float64) / 256.0)
+
+    c = rng.integers(0, 65536, (4, 7, 3), dtype=np.uint16)
+    px, nch = decode(make_png16(c, 2))
+    assert nch == 3
+    assert np.array_equal(px, c.astype(np.float64) / 256.0)
+
+
+def test_png_16bit_adam7_positions(spark):
+    decode = multimodal._png_pixel_decoder()
+    a = rng.integers(0, 65536, (9, 10, 4), dtype=np.uint16)
+    px, nch = decode(make_png16(a, 6, interlace=1))
+    assert nch == 4 and px.shape == (9, 10, 4)
+    assert np.array_equal(px, a.astype(np.float64) / 256.0)
+
+
+def test_png_16bit_malformed_variants(spark):
+    decode = multimodal._png_pixel_decoder()
+    g = rng.integers(0, 65536, (4, 4, 1), dtype=np.uint16)
+    good = make_png16(g, 0)
+    # depth-16 palette is illegal per the spec → None
+    bad_pal = bytearray(good)
+    ihdr_at = good.index(b"IHDR") + 4
+    bad_pal[ihdr_at + 9] = 3  # ctype byte
+    assert decode(bytes(bad_pal)) is None
+    # truncated sample stream → None
+    pos2, chunks = 8, {}
+    while pos2 + 8 <= len(good):
+        ln, typ = struct.unpack(">I4s", good[pos2 : pos2 + 8])
+        chunks[typ] = good[pos2 + 8 : pos2 + 8 + ln]
+        pos2 += 8 + ln + 4
+    scan = zlib.decompress(chunks[b"IDAT"])
+    cut = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", chunks[b"IHDR"])
+        + _chunk(b"IDAT", zlib.compress(scan[:-5])) + _chunk(b"IEND", b"")
+    )
+    assert decode(cut) is None
