@@ -105,9 +105,10 @@ def _png_pixel_decoder():
             w, h, depth, ctype, comp, filt, interlace = ihdr
             nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
             if (
-                depth not in (8, 16) or comp != 0 or filt != 0
+                depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0
                 or interlace not in (0, 1) or nch is None
-                or (ctype == 3 and depth != 8)  # palette indices are 8-bit
+                or (depth < 8 and ctype not in (0, 3))  # sub-byte: gray/palette only (11.2.2)
+                or (ctype == 3 and depth == 16)  # palette indices are <= 8-bit
             ):
                 return None
             raw = zlib.decompress(b"".join(idat))
@@ -115,14 +116,14 @@ def _png_pixel_decoder():
             return None
         if w == 0 or h == 0:
             return None
-        bpp = nch * (depth // 8)  # filter byte-lane offset (PNG §9.2)
+        fbpp = max(1, nch * depth // 8)  # filter byte-lane offset (PNG 9.2)
 
-        def unfilter(block: bytes, w_sub: int, h_sub: int):
+        def unfilter(block: bytes, stride: int, h_sub: int):
             """One filtered scanline image (a whole frame, or one Adam7
             pass — each pass restarts filtering with a zero prior row,
-            per PNG §8.2).  Filters operate on BYTES with the previous
-            pixel bpp bytes back, whatever the sample depth."""
-            stride = w_sub * bpp
+            per PNG 8.2).  Filters operate on BYTES with the previous
+            pixel fbpp bytes back (one byte for sub-byte depths),
+            whatever the sample layout."""
             rows = np.frombuffer(block, np.uint8).reshape(h_sub, stride + 1)
             ftype, lines = rows[:, 0], rows[:, 1:]
             sub = np.zeros((h_sub, stride), np.uint8)
@@ -133,17 +134,17 @@ def _png_pixel_decoder():
                     rec = line
                 elif f == 2:  # Up — vectorized
                     rec = line + prev
-                elif f == 1:  # Sub — per-channel-lane running sum
-                    rec = line.reshape(-1, bpp).cumsum(axis=0).reshape(stride)
+                elif f == 1:  # Sub — per-byte-lane running sum
+                    rec = line.reshape(-1, fbpp).cumsum(axis=0).reshape(stride)
                 elif f in (3, 4):  # Average / Paeth — sequential by spec
                     rec = np.empty(stride, np.int32)
                     for x in range(stride):
-                        a = rec[x - bpp] & 0xFF if x >= bpp else 0
+                        a = rec[x - fbpp] & 0xFF if x >= fbpp else 0
                         up = prev[x]
                         if f == 3:
                             rec[x] = line[x] + ((a + up) >> 1)
                         else:
-                            c = prev[x - bpp] if x >= bpp else 0
+                            c = prev[x - fbpp] if x >= fbpp else 0
                             p = a + up - c
                             pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                             pr = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
@@ -154,19 +155,39 @@ def _png_pixel_decoder():
                 prev = sub[y].astype(np.int32)
             return sub
 
-        if interlace == 0:
-            stride = w * bpp
-            if len(raw) < h * (stride + 1):
+        def read_pass(block: bytes, wpx: int, hpx: int):
+            """Filtered bytes of one scanline image → (hpx, wpx, nch)
+            integer SAMPLES: byte pairs for depth 16, raw bytes for 8,
+            MSB-first bit groups for 1/2/4 (PNG 7.2)."""
+            stride = (wpx * nch * depth + 7) // 8
+            rows = unfilter(block, stride, hpx)
+            if rows is None:
                 return None
-            out = unfilter(raw[: h * (stride + 1)], w, h)
-            if out is None:
+            if depth == 8:
+                return rows.reshape(hpx, wpx, nch)
+            if depth == 16:
+                pair = rows.reshape(hpx, wpx, nch, 2).astype(np.uint16)
+                return (pair[..., 0] << 8) | pair[..., 1]
+            bits = np.unpackbits(rows, axis=1)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = bits.reshape(hpx, -1, depth) @ weights
+            return vals[:, :wpx].astype(np.uint8)[..., None]
+
+        def pass_bytes(wpx: int, hpx: int) -> int:
+            return hpx * ((wpx * nch * depth + 7) // 8 + 1)
+
+        if interlace == 0:
+            need = pass_bytes(w, h)
+            if len(raw) < need:
+                return None
+            samples = read_pass(raw[:need], w, h)
+            if samples is None:
                 return None
         else:
-            # Adam7 (PNG §8.2): seven independently-filtered reduced
+            # Adam7 (PNG 8.2): seven independently-filtered reduced
             # images, scattered back on the standard (x0, y0, dx, dy)
             # grid; empty passes contribute no scanlines at all.
-            out = np.zeros((h, w * bpp), np.uint8)
-            img = out.reshape(h, w, bpp)
+            samples = np.zeros((h, w, nch), np.uint16 if depth == 16 else np.uint8)
             at = 0
             for x0, y0, dx, dy in (
                 (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -176,29 +197,33 @@ def _png_pixel_decoder():
                 h_sub = (h - y0 + dy - 1) // dy
                 if w_sub <= 0 or h_sub <= 0:
                     continue
-                need = h_sub * (w_sub * bpp + 1)
+                need = pass_bytes(w_sub, h_sub)
                 if len(raw) < at + need:
                     return None
-                sub = unfilter(raw[at : at + need], w_sub, h_sub)
+                sub = read_pass(raw[at : at + need], w_sub, h_sub)
                 if sub is None:
                     return None
                 at += need
-                img[y0::dy, x0::dx, :] = sub.reshape(h_sub, w_sub, bpp)
+                samples[y0::dy, x0::dx, :] = sub
+        if ctype == 3:  # palette lookup (indices at any 1/2/4/8 depth)
+            if plte is None:
+                return None
+            idx = samples[..., 0].astype(np.int64)
+            if int(idx.max(initial=0)) >= len(plte):
+                return None
+            return plte[idx].astype(np.float64), nch
+        sf = samples.astype(np.float64)
         if depth == 16:
-            hi_lo = out.reshape(h, w, nch, 2).astype(np.float64)
             # big-endian 16-bit samples, scaled to the 8-bit range by
             # the EXACT dyadic /256 (not the lossy /257 "true"
             # rescale) so downstream means stay bitwise-restatable
-            px = (hi_lo[..., 0] * 256.0 + hi_lo[..., 1]) / 256.0
+            px = sf / 256.0
+        elif depth < 8:
+            # 255/(2^d - 1) is an exact integer (255, 85, 17): sub-byte
+            # samples scale to 0..255 losslessly
+            px = sf * (255.0 / ((1 << depth) - 1))
         else:
-            px = out.reshape(h, w, nch).astype(np.float64)
-        if ctype == 3:  # palette lookup
-            if plte is None:
-                return None
-            idx = out.reshape(h, w).astype(np.int64)
-            if int(idx.max(initial=0)) >= len(plte):
-                return None
-            px = plte[idx].astype(np.float64)
+            px = sf
         return px, nch
 
     return decode_pixels

@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "multimodal_png_adam7_roundtrip",
     "multimodal_jpeg_restart_roundtrip",
     "multimodal_png_16bit_roundtrip",
+    "multimodal_png_4bit_roundtrip",
     "streaming_index_maintain",
     # registered in round 6 but never driver-checked (left outside the
     # unrotated r6 window)
@@ -133,11 +134,12 @@ _PRIORITY: list[str] = [
     "text_language_id",
     "text_stats",
     "window_ewma_per_user",
-    "tpch_q4_like_priority_check",
     # --- driver check window boundary (first 50 above) ---
-    # queued first for round 8: these two yielded their slots to the
-    # restart-marker and 16-bit-PNG entries (plans untouched since r2;
-    # judge-verified at HEAD in the r4 and r6 full-catalog runs)
+    # queued first for round 8: these three yielded their slots to the
+    # restart-marker, 16-bit-PNG and 4-bit-PNG entries (plans untouched
+    # since r2; judge-verified at HEAD in the r4 and r6 full-catalog
+    # runs)
+    "tpch_q4_like_priority_check",
     "tpch_q6_like_forecast_revenue",
     "tpch_q7_like_nation_volume",
     # queued first for round 8: the remaining r2-era rows (all TPC-H

@@ -967,6 +967,129 @@ def multimodal_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return multimodal.decode_image_features(media, fake=False)
 
 
+def _md5_png4bit_generator():
+    """mapInPandas generator: doc_id → 8×4 four-BIT grayscale PNG,
+    Adam7-INTERLACED, whose 32 samples are the md5 digest's nibbles in
+    hex order — six non-empty reduced passes (some one sample wide, so
+    scanlines carry padding bits), every pass independently filtered
+    with a rotating filter.  Exercises sub-byte MSB-first unpacking,
+    per-pass bit re-packing, padding-bit discard, and the fbpp=1
+    filter lane at once.  Nested def so cloudpickle ships it by
+    value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        PASSES = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def pack4(row):
+            bits = []
+            for v in row:
+                for i in (3, 2, 1, 0):
+                    bits.append((int(v) >> i) & 1)
+            while len(bits) % 8:
+                bits.append(0)
+            return np.packbits(np.array(bits, np.uint8)).tobytes()
+
+        def filt(f: int, line, prev):
+            left = np.concatenate([[0], line[:-1]])
+            if f == 0:
+                out = line
+            elif f == 1:
+                out = line - left
+            elif f == 2:
+                out = line - prev
+            elif f == 3:
+                out = line - ((left + prev) >> 1)
+            else:
+                c = np.concatenate([[0], prev[:-1]])
+                p = left + prev - c
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - c)
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, c)
+                )
+                out = line - pr
+            return bytes([f]) + bytes((out & 0xFF).astype(np.uint8))
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                hx = hashlib.md5(str(did).encode()).hexdigest()
+                px = np.array([int(c, 16) for c in hx], np.uint8).reshape(4, 8)
+                scan = b""
+                for pi, (x0, y0, dx, dy) in enumerate(PASSES):
+                    sub = px[y0::dy, x0::dx]
+                    if sub.shape[0] == 0 or sub.shape[1] == 0:
+                        continue
+                    prev = np.zeros(len(pack4(sub[0])), np.int32)
+                    for r in range(sub.shape[0]):
+                        line = np.frombuffer(pack4(sub[r]), np.uint8).astype(np.int32)
+                        scan += filt((pi + r) % 5, line, prev)
+                        prev = line
+                ihdr = struct.pack(">IIBBBBB", 8, 4, 4, 0, 0, 0, 1)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return gen
+
+
+@register(
+    "multimodal_png_4bit_roundtrip",
+    sql="""
+WITH n AS (
+  SELECT doc_id,
+         LIST_SUM(LIST_TRANSFORM(
+           regexp_extract_all(MD5(CAST(doc_id AS VARCHAR)), '.'),
+           c -> CAST('0x' || c AS INT))) AS s
+  FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(17 * s AS DOUBLE) / 32.0 / 255.0 AS mean_luma
+FROM n
+""",
+)
+def multimodal_png_4bit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sub-byte PNG codec round trip: an Adam7-interlaced 4-bit
+    grayscale PNG per doc whose samples are the md5 digest's 32
+    nibbles — decode must unpack MSB-first bit groups per reduced
+    pass (several passes are one sample wide, leaving padding bits in
+    every scanline byte), discard pass padding, run the byte-level
+    filters at fbpp=1, and scatter on the Adam7 grid
+    (operators/multimodal.py::_png_pixel_decoder).
+
+    Oracle strategy: 4-bit samples scale by the exact integer 17, so
+    mean luma = 17·Σnibbles / 32 / 255 with one shared final rounding
+    — bitwise.  1/2-bit depths and sub-byte palette images are pinned
+    pixel-for-pixel by tests/test_multimodal_codecs.py.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_png4bit_generator()
+    pngs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        pngs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/png",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
 def _md5_png16_generator():
     """mapInPandas generator: doc_id → 4×4 grayscale 16-BIT PNG whose
     big-endian samples are ``md5[i]·256 + md5[(i+1) mod 16]`` (every

@@ -1049,3 +1049,87 @@ def test_png_16bit_malformed_variants(spark):
         + _chunk(b"IDAT", zlib.compress(scan[:-5])) + _chunk(b"IEND", b"")
     )
     assert decode(cut) is None
+
+
+# ---------------------------------------------------------------------------
+# sub-byte (1/2/4-bit) PNG
+# ---------------------------------------------------------------------------
+
+
+def make_png_subbyte(
+    samples: np.ndarray,
+    depth: int,
+    ctype: int,
+    palette: np.ndarray | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """samples: (h, w) ints < 2^depth; MSB-first bit packing with
+    per-scanline padding; rotating filters at fbpp=1."""
+    h, w = samples.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+
+    def pack_row(row):
+        bits = []
+        for v in row:
+            for i in range(depth - 1, -1, -1):
+                bits.append((int(v) >> i) & 1)
+        while len(bits) % 8:
+            bits.append(0)
+        return np.packbits(np.array(bits, np.uint8)).tobytes()
+
+    def encode_image(sub, f0):
+        rows = [np.frombuffer(pack_row(r), np.uint8) for r in sub]
+        scan = b""
+        prev = np.zeros(len(rows[0]), np.int32)
+        for y, rb in enumerate(rows):
+            scan += _filter_row((f0 + y) % 5, rb, prev, 1)
+            prev = rb.astype(np.int32)
+        return scan
+
+    if interlace == 0:
+        scan = encode_image(samples, 0)
+    else:
+        scan = b""
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            scan += encode_image(sub, pi)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+
+
+def test_png_subbyte_gray_depths(spark):
+    decode = multimodal._png_pixel_decoder()
+    for depth in (1, 2, 4):
+        g = rng.integers(0, 1 << depth, (7, 11), dtype=np.uint8)
+        exp = g.astype(np.float64) * (255.0 / ((1 << depth) - 1))
+        for interlace in (0, 1):
+            px, nch = decode(make_png_subbyte(g, depth, 0, interlace=interlace))
+            assert nch == 1 and px.shape == (7, 11, 1), (depth, interlace)
+            assert np.array_equal(px[:, :, 0], exp), (depth, interlace)
+
+
+def test_png_subbyte_palette(spark):
+    decode = multimodal._png_pixel_decoder()
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx4 = rng.integers(0, 16, (6, 9), dtype=np.uint8)
+    px, nch = decode(make_png_subbyte(idx4, 4, 3, palette=pal))
+    assert np.array_equal(px, pal[idx4].astype(np.float64))
+    idx1 = rng.integers(0, 2, (5, 10), dtype=np.uint8)
+    px, nch = decode(make_png_subbyte(idx1, 1, 3, palette=pal, interlace=1))
+    assert np.array_equal(px, pal[idx1].astype(np.float64))
+    # out-of-range palette index still rejects at sub-byte depth
+    pal2 = pal[:3]
+    assert decode(make_png_subbyte(idx4, 4, 3, palette=pal2)) is None
+
+
+def test_png_subbyte_color_types_reject(spark):
+    decode = multimodal._png_pixel_decoder()
+    g = rng.integers(0, 4, (4, 4), dtype=np.uint8)
+    # sub-byte RGB / gray+alpha / RGBA are illegal per PNG 11.2.2
+    for ctype in (2, 4, 6):
+        payload = make_png_subbyte(g, 2, ctype)
+        assert decode(payload) is None, ctype
