@@ -88,6 +88,15 @@ HEADLINE = [
     "similarity_pq_adc_topk",
     "similarity_ivfpq_topk",
     "fin_pattern_match_topk",
+    # round-7 additions: the exact-BPE accounting chain (word-cache
+    # tokenize; pack on exact costs), CDC index maintenance batch +
+    # streamed (delta-bounded partition rewrites), and the progressive
+    # multi-scan JPEG decode path
+    "text_bpe_tokenize",
+    "pack_sequences_bpe",
+    "similarity_index_maintain",
+    "streaming_index_maintain",
+    "multimodal_jpeg_progressive_roundtrip",
 ]
 
 

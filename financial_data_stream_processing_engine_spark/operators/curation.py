@@ -89,12 +89,16 @@ def pack_sequences(
     text_col: str = "text",
     group_col: str = "source",
     budget: int = 256,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: walk each group's documents in id order
     and append to the current pack while the token budget holds,
     otherwise start a new pack.  A document larger than the budget gets
     a pack of its own.  Returns (source, shard, doc_id, n_tokens,
-    pack_idx) — pack identity is (source, shard, pack_idx).
+    pack_idx) — pack identity is (source, shard, pack_idx).  Token
+    cost is whitespace tokens by default; pass ``n_tokens_col`` (e.g. a
+    :func:`~financial_data_stream_processing_engine_spark.operators.text.bpe_doc_token_counts`
+    join) to pack on tokenizer-EXACT counts instead.
 
     Greedy packing is a prefix recurrence (pack of row i depends on the
     accumulator after row i-1), which no window function expresses, so
@@ -109,11 +113,15 @@ def pack_sequences(
     raise the nibble count; packing quality is unaffected because packs
     never cross shards by construction.
     """
+    ntok = (
+        F.col(n_tokens_col) if n_tokens_col is not None
+        else F.size(tokens(F.col(text_col)))
+    )
     base = df.select(
         F.col(group_col).cast("string").alias("source"),
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).alias("shard"),
         F.col(id_col).cast("long").alias("doc_id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        ntok.cast("long").alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

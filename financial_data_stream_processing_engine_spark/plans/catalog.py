@@ -90,10 +90,14 @@ _PRIORITY: list[str] = [
     "udtf_ngrams",
     "json_extract_props",
     # behavior-relevant code changed this round: tokenizer-exact BPE
-    # counts wired into token counting and budget selection
-    # (operators/text.py::{with_token_counts, bpe_doc_token_counts})
+    # counts wired into token counting, budget selection and packing
+    # (operators/text.py::{with_token_counts, bpe_doc_token_counts}).
+    # pack_sequences itself is plan-identical after the n_tokens_col
+    # parameter (default path builds the same expression) — slot-yield
+    # argument (a); the new BPE twin re-earns the shared walk in-window
     "text_token_counts",
     "corpus_select_token_budget",
+    "pack_sequences_bpe",
     # the r2-era queue (oldest remaining rows), pre-staged in round 5
     # and twice-deferred; multimodal entries double as in-window
     # re-earns for this round's PNG-decoder interlace refactor
@@ -133,12 +137,12 @@ _PRIORITY: list[str] = [
     "text_fingerprints",
     "text_language_id",
     "text_stats",
-    "window_ewma_per_user",
     # --- driver check window boundary (first 50 above) ---
-    # queued first for round 8: these three yielded their slots to the
-    # restart-marker, 16-bit-PNG and 4-bit-PNG entries (plans untouched
-    # since r2; judge-verified at HEAD in the r4 and r6 full-catalog
-    # runs)
+    # queued first for round 8: these four yielded their slots to the
+    # restart-marker, 16-bit-PNG, 4-bit-PNG and BPE-packing entries
+    # (code untouched since r2; judge-verified at HEAD in the r4 and
+    # r6 full-catalog runs)
+    "window_ewma_per_user",
     "tpch_q4_like_priority_check",
     "tpch_q6_like_forecast_revenue",
     "tpch_q7_like_nation_volume",

@@ -57,6 +57,59 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_sequences(_docs(spark, sf_dir), budget=256)
 
 
+def _pack_bpe_sql(budget: int = 512) -> str:
+    """Oracle for BPE-exact packing: the per-piece recursive merge walk
+    (shared with the token-count oracles) feeds per-document exact
+    counts into the SAME greedy packing recursion the whitespace
+    entry replays — two recursive CTEs in one WITH RECURSIVE clause."""
+    return f"""
+WITH RECURSIVE {text.bpe_ptok_sql_ctes()},
+perdoc AS (
+  SELECT dp.doc_id, CAST(SUM(pt.ntok) AS BIGINT) AS n_bpe_tokens
+  FROM docpieces dp JOIN ptok pt ON dp.piece = pt.piece
+  GROUP BY dp.doc_id),
+d AS (
+  SELECT CAST(source AS VARCHAR) AS source,
+         SUBSTR(MD5(CAST(doc.doc_id AS VARCHAR)), 1, 1) AS shard,
+         doc.doc_id,
+         CAST(COALESCE(p.n_bpe_tokens, 0) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, SUBSTR(MD5(CAST(doc.doc_id AS VARCHAR)), 1, 1)
+           ORDER BY doc.doc_id) AS rn
+  FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id),
+pk AS (
+  SELECT source, shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_idx, n_tokens AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.shard, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN pk.acc + d.n_tokens <= {budget}
+              THEN pk.pack_idx ELSE pk.pack_idx + 1 END,
+         CASE WHEN pk.acc + d.n_tokens <= {budget}
+              THEN pk.acc + d.n_tokens ELSE d.n_tokens END
+  FROM pk JOIN d ON d.source = pk.source AND d.shard = pk.shard AND d.rn = pk.rn + 1)
+SELECT source, shard, doc_id, n_tokens, pack_idx FROM pk
+"""
+
+
+@register("pack_sequences_bpe", sql=_pack_bpe_sql(budget=512))
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on tokenizer-EXACT costs: the same greedy
+    per-(source, shard) walk as ``pack_sequences``, but each document
+    costs its real merges-table BPE token count
+    (operators/text.py::bpe_doc_token_counts — word-cache walk over
+    distinct pieces, occurrence sums JVM-side) against a 512-token
+    pack budget, so packed sequences fill what the training run
+    actually sees — the end of the exact-accounting chain (count →
+    budget-select → pack).  Oracle: the recursive merge walk feeding
+    the identical packing recursion in one WITH RECURSIVE clause."""
+    docs = _docs(spark, sf_dir)
+    exact = text.bpe_doc_token_counts(docs, "doc_id")
+    return curation.pack_sequences(
+        docs.join(exact, "doc_id"), budget=512, n_tokens_col="n_bpe_tokens"
+    )
+
+
 @register(
     "contamination_ngram_overlap",
     sql="""
