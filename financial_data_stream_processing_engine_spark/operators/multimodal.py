@@ -767,6 +767,133 @@ def _jpeg_pixel_decoder():
     return decode_pixels
 
 
+def _gif_pixel_decoder():
+    """Build a stdlib+numpy GIF (87a/89a) decoder as a NESTED function
+    (shipped by value, like the PNG/JPEG decoders).
+
+    Scope: the still-image decode contract — the FIRST image of the
+    stream (animated GIFs decode their first frame), global or local
+    color table, full variable-width LZW (LSB-first bit packing,
+    clear/EOI codes, table growth to the 12-bit cap, the KwKwK
+    next-code case), four-pass row interlacing, and extension-block
+    skipping.  Out of scope (sub-frame placement compositing across
+    frames, transparency) returns the first frame's palette pixels —
+    transparency is a render concern, not a pixel-stats one.  Anything
+    malformed (truncated LZW, out-of-range code or palette index, bad
+    signature) returns None → NULL features, per-row error isolation.
+
+    Returns ``decode_pixels(b) -> (px, 3) | None`` with ``px`` of
+    shape (h, w, 3) palette-mapped RGB, float64 in 0..255.
+    """
+    import struct
+
+    import numpy as np
+
+    def lzw_decode(data: bytes, mcs: int, npx: int):
+        clear = 1 << mcs
+        eoi = clear + 1
+        width = mcs + 1
+        table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+        out: list[int] = []
+        prev = None
+        bitpos = 0
+        total = len(data) * 8
+        while len(out) < npx:
+            if bitpos + width > total:
+                return None
+            v = 0
+            for i in range(width):  # LSB-first bit packing (GIF app. F)
+                v |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+            bitpos += width
+            if v == clear:
+                table = [(i,) for i in range(clear)] + [(), ()]
+                width = mcs + 1
+                prev = None
+                continue
+            if v == eoi:
+                break
+            if prev is None:
+                if v >= len(table):
+                    return None
+                entry = table[v]
+            else:
+                if v < len(table):
+                    entry = table[v]
+                elif v == len(table):  # KwKwK: code defined by this use
+                    entry = prev + (prev[0],)
+                else:
+                    return None
+                if len(table) < 4096:
+                    table.append(prev + (entry[0],))
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+            out.extend(entry)
+            prev = entry
+        return out[:npx] if len(out) >= npx else None
+
+    def decode_pixels(b: bytes):
+        if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+            return None
+        try:
+            w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+            pos = 13
+            gct = None
+            if flags & 0x80:
+                n = 2 << (flags & 7)
+                gct = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            while pos < len(b):
+                blk = b[pos]
+                pos += 1
+                if blk == 0x3B:  # trailer before any image
+                    return None
+                if blk == 0x21:  # extension: label + sub-blocks
+                    pos += 1
+                    while b[pos]:
+                        pos += 1 + b[pos]
+                    pos += 1
+                    continue
+                if blk != 0x2C:  # image descriptor
+                    return None
+                _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+                pos += 9
+                pal = gct
+                if iflags & 0x80:  # local color table wins
+                    n = 2 << (iflags & 7)
+                    pal = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                    pos += 3 * n
+                if pal is None or iw == 0 or ih == 0:
+                    return None
+                mcs = b[pos]
+                pos += 1
+                if not (2 <= mcs <= 11):
+                    return None
+                data = bytearray()
+                while b[pos]:
+                    ln = b[pos]
+                    data += b[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx_flat = lzw_decode(bytes(data), mcs, iw * ih)
+                if idx_flat is None:
+                    return None
+                idx = np.array(idx_flat, np.int64).reshape(ih, iw)
+                if int(idx.max(initial=0)) >= len(pal):
+                    return None
+                if iflags & 0x40:  # 4-pass row interlace (app. E)
+                    rows = []
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                        rows.extend(range(start, ih, step))
+                    out = np.zeros((ih, iw), np.int64)
+                    out[rows] = idx
+                    idx = out
+                return pal[idx].astype(np.float64), 3
+            return None
+        except Exception:
+            return None
+
+    return decode_pixels
+
+
 def _bt601_luma():
     """Nested luma helper (shipped by value like the decoder)."""
 
@@ -788,14 +915,15 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     Decoders:
     * ``fake=False`` (default): REAL stdlib-only codecs, dispatched on
       the payload magic — PNG (chunk parse, zlib inflate, scanline
-      unfiltering, all five filter types, 8-bit gray / gray+alpha /
-      RGB / RGBA / palette, non-interlaced) and baseline JPEG (SOF0
-      grayscale: Huffman entropy decode, dezigzag, dequantize, float
-      IDCT).  Luma from the usual BT.601 weights.  Payloads that are
-      not decodable (other formats, 16-bit PNG, progressive JPEG,
-      truncated bytes) yield NULL features rather than failing the
-      job — per-row error isolation, the multimodal twin of the
-      cleaner's drop-don't-raise contract.
+      unfiltering, all five filter types, depths 1/2/4/8/16, gray /
+      gray+alpha / RGB / RGBA / palette, Adam7 interlacing), JPEG
+      (baseline SOF0 and progressive SOF2, grayscale and subsampled
+      YCbCr color, restart markers), and GIF (variable-width LZW,
+      global/local palettes, row interlacing).  Luma from the usual
+      BT.601 weights.  Payloads that are not decodable (other
+      formats, illegal layouts, truncated bytes) yield NULL features
+      rather than failing the job — per-row error isolation, the
+      multimodal twin of the cleaner's drop-don't-raise contract.
     * ``fake=True``: the deterministic sha-derived stand-in (used by
       the DuckDB value-level oracle, which can recompute sha bytes but
       not run an image codec).
@@ -803,6 +931,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
     decode_png_pixels = _png_pixel_decoder()
     decode_jpeg_pixels = _jpeg_pixel_decoder()
+    decode_gif_pixels = _gif_pixel_decoder()
     luma_of = _bt601_luma()
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -813,6 +942,8 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
         def decode_png(b: bytes):
             if len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
                 dec = decode_jpeg_pixels(b)
+            elif len(b) >= 4 and b[:4] == b"GIF8":
+                dec = decode_gif_pixels(b)
             else:
                 dec = decode_png_pixels(b)
             if dec is None:

@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "multimodal_jpeg_restart_roundtrip",
     "multimodal_png_16bit_roundtrip",
     "multimodal_png_4bit_roundtrip",
+    "multimodal_gif_roundtrip",
     "streaming_index_maintain",
     # registered in round 6 but never driver-checked (left outside the
     # unrotated r6 window)
@@ -136,8 +137,13 @@ _PRIORITY: list[str] = [
     "streaming_tumbling_stats",
     "text_fingerprints",
     "text_language_id",
-    "text_stats",
     # --- driver check window boundary (first 50 above) ---
+    # queued first for round 8: text_stats yielded its slot to the GIF
+    # entry — its behavior-relevant code (with_text_stats) is untouched
+    # this round (the text.py change is additive BPE machinery), its r2
+    # row's code is intact and judge-verified at HEAD in r4+r6, and
+    # three text-family siblings remain in-window (arguments (c)+(d))
+    "text_stats",
     # queued first for round 8: these four yielded their slots to the
     # restart-marker, 16-bit-PNG, 4-bit-PNG and BPE-packing entries
     # (code untouched since r2; judge-verified at HEAD in the r4 and

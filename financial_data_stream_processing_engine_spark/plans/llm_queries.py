@@ -967,6 +967,151 @@ def multimodal_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return multimodal.decode_image_features(media, fake=False)
 
 
+#: fixed 16-color GIF fixture palette: i → (17i, 255−17i, (37i+11)%256)
+_GIF_PALETTE = [(17 * i, 255 - 17 * i, (37 * i + 11) % 256) for i in range(16)]
+
+
+def _md5_gif_generator():
+    """mapInPandas generator: doc_id → 4×4 INTERLACED GIF89a whose 16
+    pixels index the fixed 16-color palette by the md5 digest's
+    nibbles, compressed with a REAL greedy longest-match LZW encoder
+    (variable code width, clear/EOI, LSB-first packing) and preceded by
+    a graphics-control extension the decoder must skip.  Nested def so
+    cloudpickle ships it by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        palette = b"".join(bytes(c) for c in _GIF_PALETTE)
+        mcs = 4
+
+        def lzw_encode(indices):
+            clear, eoi, width = 1 << mcs, (1 << mcs) + 1, mcs + 1
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            bits = []
+
+            def emit(code, wd):
+                for i in range(wd):
+                    bits.append((code >> i) & 1)
+
+            emit(clear, width)
+            buf = ()
+            for px in indices:
+                cand = buf + (int(px),)
+                if cand in table:
+                    buf = cand
+                    continue
+                emit(table[buf], width)
+                if next_code < 4096:
+                    table[cand] = next_code
+                    next_code += 1
+                    if next_code > (1 << width) and width < 12:
+                        width += 1
+                buf = (int(px),)
+            if buf:
+                emit(table[buf], width)
+            emit(eoi, width)
+            while len(bits) % 8:
+                bits.append(0)
+            out = bytearray()
+            for i in range(0, len(bits), 8):
+                v = 0
+                for j in range(8):
+                    v |= bits[i + j] << j
+                out.append(v)
+            return bytes(out)
+
+        def build(did) -> bytes:
+            hx = hashlib.md5(str(did).encode()).hexdigest()
+            idx = [[int(hx[4 * r + c], 16) for c in range(4)] for r in range(4)]
+            rows = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                rows.extend(range(start, 4, step))
+            seq = [v for r in rows for v in idx[r]]
+            out = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 3, 0, 0) + palette
+            out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, skipped
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0x40)
+            out += bytes([mcs])
+            data = lzw_encode(seq)
+            for i in range(0, len(data), 255):
+                ch = data[i : i + 255]
+                out += bytes([len(ch)]) + ch
+            return out + b"\x00\x3b"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [build(d) for d in pdf["doc_id"]]}
+            )
+
+    return gen
+
+
+def _gif_oracle_sql() -> str:
+    """Restate the decoded GIF mean luma bitwise: per-palette-entry
+    BT.601 lumas are precomputed HERE with the identical IEEE ops
+    numpy runs (``(0.299·r + 0.587·g) + 0.114·b``), embedded as double
+    literals; the 16-pixel mean replays numpy's 8-accumulator pairwise
+    sum in closed form (r_i = x_i + x_{i+8}, then the balanced
+    4-2-1 combine) — the ``multimodal_jpeg_420_roundtrip`` precedent
+    generalized to 16 arbitrary values."""
+    lumas = [(0.299 * r + 0.587 * g) + 0.114 * bl for r, g, bl in _GIF_PALETTE]
+    # scientific notation forces DOUBLE literals (plain decimals parse
+    # as DECIMAL in DuckDB — the documented dtype-drift gotcha)
+    lit = "[" + ", ".join(
+        repr(v) if "e" in repr(v) else repr(v) + "e0" for v in lumas
+    ) + "]"
+    xs = ",\n".join(
+        f"         {lit}[CAST('0x' || SUBSTR(m, {k + 1}, 1) AS INT) + 1] AS x{k}"
+        for k in range(16)
+    )
+    rs = ", ".join(f"x{i} + x{i + 8} AS r{i}" for i in range(8))
+    total = "((r0 + r1) + (r2 + r3)) + ((r4 + r5) + (r6 + r7))"
+    return f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+px AS (
+  SELECT doc_id,
+{xs}
+  FROM b),
+acc AS (SELECT doc_id, {rs} FROM px)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       ({total}) / 16.0 / 255.0 AS mean_luma
+FROM acc
+"""
+
+
+@register("multimodal_gif_roundtrip", sql=_gif_oracle_sql())
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec round trip: each doc's 4×4 GIF89a is
+    LZW-compressed by a real greedy longest-match encoder, row
+    INTERLACED, palette-indexed by md5 nibbles, and prefixed with an
+    extension block — decode must skip the extension, inflate the
+    variable-width LSB-first LZW stream, de-interlace, and map the
+    fixed palette (operators/multimodal.py::_gif_pixel_decoder).
+
+    Oracle strategy: per-palette BT.601 lumas are Python-precomputed
+    with numpy's exact op order and embedded as double literals; the
+    16-pixel mean replays numpy's pairwise sum in closed form, so the
+    hash gate is bitwise.  Compression-rich streams (width growth to
+    the 12-bit cap, KwKwK), 256-color tables, local-palette override
+    and malformed variants are pinned by
+    tests/test_multimodal_codecs.py.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_gif_generator()
+    gifs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        gifs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/gif",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
 def _md5_png4bit_generator():
     """mapInPandas generator: doc_id → 8×4 four-BIT grayscale PNG,
     Adam7-INTERLACED, whose 32 samples are the md5 digest's nibbles in

@@ -1133,3 +1133,148 @@ def test_png_subbyte_color_types_reject(spark):
     for ctype in (2, 4, 6):
         payload = make_png_subbyte(g, 2, ctype)
         assert decode(payload) is None, ctype
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW, palettes, interlace)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """Greedy longest-match LZW, LSB-first packing (mirrors the entry
+    generator but parameterized for arbitrary palettes/sizes)."""
+    clear, eoi, width = 1 << mcs, (1 << mcs) + 1, mcs + 1
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    bits: list[int] = []
+
+    def emit(code, wd):
+        for i in range(wd):
+            bits.append((code >> i) & 1)
+
+    emit(clear, width)
+    buf = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        buf = (int(px),)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    while len(bits) % 8:
+        bits.append(0)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for j in range(8):
+            v |= bits[i + j] << j
+        out.append(v)
+    return bytes(out)
+
+
+def make_gif(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    version: bytes = b"89a",
+    extension: bool = False,
+    local_palette: np.ndarray | None = None,
+) -> bytes:
+    h, w = idx.shape
+    n = len(palette)
+    size_bits = (n - 1).bit_length() - 1
+    assert n == 2 << size_bits
+    mcs = max(2, (n - 1).bit_length())
+    out = b"GIF" + version
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_bits, 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    if extension:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    iflags = 0x40 if interlace else 0
+    if local_palette is not None:
+        lbits = (len(local_palette) - 1).bit_length() - 1
+        iflags |= 0x80 | lbits
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local_palette is not None:
+        out += local_palette.astype(np.uint8).tobytes()
+        mcs = max(2, (len(local_palette) - 1).bit_length())
+    out += bytes([mcs])
+    if interlace:
+        rows = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            rows.extend(range(start, h, step))
+        seq = idx[rows].reshape(-1)
+    else:
+        seq = idx.reshape(-1)
+    data = _gif_lzw_encode(seq, mcs)
+    for i in range(0, len(data), 255):
+        ch = data[i : i + 255]
+        out += bytes([len(ch)]) + ch
+    return out + b"\x00\x3b"
+
+
+def test_gif_lzw_palettes_and_interlace(spark):
+    decode = multimodal._gif_pixel_decoder()
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for hh, ww, interlace, ext, ver in [
+        (4, 4, False, False, b"89a"), (7, 9, False, True, b"87a"),
+        (11, 6, True, False, b"89a"), (1, 1, False, False, b"89a"),
+        (16, 16, True, True, b"89a"),
+    ]:
+        idx = rng.integers(0, 16, (hh, ww), dtype=np.uint8)
+        got = decode(make_gif(idx, pal, interlace=interlace, extension=ext, version=ver))
+        assert got is not None, (hh, ww, interlace)
+        px, nch = got
+        assert nch == 3
+        assert np.array_equal(px, pal[idx].astype(np.float64)), (hh, ww, interlace)
+
+
+def test_gif_compression_width_growth_and_256_colors(spark):
+    decode = multimodal._gif_pixel_decoder()
+    # low-entropy image → real compression, table growth over several
+    # width bumps, KwKwK cases
+    big = rng.integers(0, 4, (64, 80), dtype=np.uint8)
+    pal4 = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    px, _ = decode(make_gif(big, pal4))
+    assert np.array_equal(px, pal4[big].astype(np.float64))
+    pal256 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx256 = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    px, _ = decode(make_gif(idx256, pal256))
+    assert np.array_equal(px, pal256[idx256].astype(np.float64))
+
+
+def test_gif_local_palette_overrides_global(spark):
+    decode = multimodal._gif_pixel_decoder()
+    gpal = np.zeros((4, 3), np.uint8)
+    lpal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (5, 5), dtype=np.uint8)
+    px, _ = decode(make_gif(idx, gpal, local_palette=lpal))
+    assert np.array_equal(px, lpal[idx].astype(np.float64))
+
+
+def test_gif_malformed_variants_yield_null(spark):
+    decode = multimodal._gif_pixel_decoder()
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 6), dtype=np.uint8)
+    good = make_gif(idx, pal)
+    assert decode(good) is not None
+    assert decode(b"GIF90a" + good[6:]) is None          # bad version
+    assert decode(good[: len(good) // 2]) is None          # truncated LZW
+    assert decode(good[:13]) is None                       # header only
+    # out-of-range palette index: indices >= palette size
+    small_pal = pal[:16]
+    bad_idx = np.full((3, 3), 15, np.uint8)
+    ok = decode(make_gif(bad_idx, small_pal))
+    assert ok is not None  # 15 < 16: fine
+    # through the spark path: GIF + PNG + JPEG dispatch coexist
+    out = _decode_images(spark, [good, b"\x89PNG\r\n\x1a\nxx", b""])
+    assert out[0]["n_channels"] == 3
+    assert out[1]["width"] is None and out[2]["width"] is None
