@@ -894,6 +894,74 @@ def _gif_pixel_decoder():
     return decode_pixels
 
 
+def _bmp_pixel_decoder():
+    """Build a stdlib+numpy BMP decoder as a NESTED function (shipped
+    by value, like the other codec decoders).
+
+    Scope: BITMAPINFOHEADER (40-byte DIB), uncompressed BI_RGB, 8-bit
+    palette / 24-bit BGR / 32-bit BGRX, bottom-up (positive height)
+    and top-down (negative height) row order, 4-byte row padding.
+    Out of scope (BI_RLE*, bitfields, OS/2 headers, 1/4-bit) returns
+    None → NULL features, per-row error isolation.
+
+    Returns ``decode_pixels(b) -> (px, nch) | None`` with ``px`` of
+    shape (h, w, 3) RGB float64 in 0..255 (palette and BGR orders
+    normalized), ``nch`` = 1 for palette images (declared), else 3.
+    """
+    import struct
+
+    import numpy as np
+
+    def decode_pixels(b: bytes):
+        if len(b) < 54 or b[:2] != b"BM":
+            return None
+        try:
+            data_off = struct.unpack("<I", b[10:14])[0]
+            hdr_size = struct.unpack("<I", b[14:18])[0]
+            if hdr_size != 40:  # BITMAPINFOHEADER only
+                return None
+            w, h_raw = struct.unpack("<ii", b[18:26])
+            planes, bpp = struct.unpack("<HH", b[26:30])
+            compression, _isz = struct.unpack("<II", b[30:38])
+            colors_used = struct.unpack("<I", b[46:50])[0]
+            if planes != 1 or compression != 0 or bpp not in (8, 24, 32):
+                return None
+            top_down = h_raw < 0
+            h = -h_raw if top_down else h_raw
+            if w <= 0 or h <= 0:
+                return None
+            pal = None
+            if bpp == 8:
+                n = colors_used or 256
+                pal_at = 14 + hdr_size
+                raw_pal = b[pal_at : pal_at + 4 * n]
+                if len(raw_pal) < 4 * n:
+                    return None
+                # BGRA quads → RGB
+                pal = np.frombuffer(raw_pal, np.uint8).reshape(n, 4)[:, 2::-1]
+            stride = ((w * bpp // 8) + 3) & ~3
+            need = stride * h
+            rows = b[data_off : data_off + need]
+            if len(rows) < need:
+                return None
+            arr = np.frombuffer(rows, np.uint8).reshape(h, stride)
+            if not top_down:
+                arr = arr[::-1]  # bottom-up storage → raster order
+            if bpp == 8:
+                idx = arr[:, :w].astype(np.int64)
+                if int(idx.max(initial=0)) >= len(pal):
+                    return None
+                return pal[idx].astype(np.float64), 1
+            step = bpp // 8
+            px = arr[:, : w * step].reshape(h, w, step)
+            # BGR(X) → RGB
+            return px[:, :, 2::-1].astype(np.float64), 3
+        except Exception:
+            return None
+
+    return decode_pixels
+
+
 def _bt601_luma():
     """Nested luma helper (shipped by value like the decoder)."""
 
@@ -932,6 +1000,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     decode_png_pixels = _png_pixel_decoder()
     decode_jpeg_pixels = _jpeg_pixel_decoder()
     decode_gif_pixels = _gif_pixel_decoder()
+    decode_bmp_pixels = _bmp_pixel_decoder()
     luma_of = _bt601_luma()
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -944,6 +1013,8 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 dec = decode_jpeg_pixels(b)
             elif len(b) >= 4 and b[:4] == b"GIF8":
                 dec = decode_gif_pixels(b)
+            elif len(b) >= 2 and b[:2] == b"BM":
+                dec = decode_bmp_pixels(b)
             else:
                 dec = decode_png_pixels(b)
             if dec is None:

@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "multimodal_png_16bit_roundtrip",
     "multimodal_png_4bit_roundtrip",
     "multimodal_gif_roundtrip",
+    "multimodal_bmp_roundtrip",
     "streaming_index_maintain",
     # registered in round 6 but never driver-checked (left outside the
     # unrotated r6 window)
@@ -134,10 +135,15 @@ _PRIORITY: list[str] = [
     "streaming_session_windows",
     "streaming_sliding_mean",
     "streaming_stream_stream_join",
-    "streaming_tumbling_stats",
     "text_fingerprints",
     "text_language_id",
     # --- driver check window boundary (first 50 above) ---
+    # queued for round 8: streaming_tumbling_stats yielded its slot to
+    # the BMP entry — its windowed-agg logic is unchanged since r2
+    # (judge-verified at HEAD in r4+r6) and five streaming siblings
+    # remain in-window exercising the same micro-batch machinery
+    # (arguments (c)+(d))
+    "streaming_tumbling_stats",
     # queued first for round 8: text_stats yielded its slot to the GIF
     # entry — its behavior-relevant code (with_text_stats) is untouched
     # this round (the text.py change is additive BPE machinery), its r2

@@ -1085,6 +1085,102 @@ FROM acc
 """
 
 
+def _md5_bmp_generator():
+    """mapInPandas generator: doc_id → 4×4 24-bit bottom-up BMP whose
+    pixel (r, g, b) at raster position i is md5 bytes (i, (i+5)%16,
+    (i+11)%16) — written as BGR rows bottom-up with 4-byte padding
+    (w=4 → 12-byte rows, no pad, so the padding path is pinned by the
+    pytest's odd widths instead).  Nested def so cloudpickle ships it
+    by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        def build(did) -> bytes:
+            d = hashlib.md5(str(did).encode()).digest()
+            stride = (4 * 3 + 3) & ~3
+            rows = b""
+            for y in range(3, -1, -1):  # bottom-up storage
+                row = b""
+                for x in range(4):
+                    i = 4 * y + x
+                    r, g, bl = d[i], d[(i + 5) % 16], d[(i + 11) % 16]
+                    row += bytes([bl, g, r])  # BGR on disk
+                rows += row + b"\x00" * (stride - len(row))
+            dib = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+            off = 14 + 40
+            head = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+            return head + dib + rows
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [build(d) for d in pdf["doc_id"]]}
+            )
+
+    return gen
+
+
+def _bmp_oracle_sql() -> str:
+    """Restate the decoded BMP mean luma bitwise: per-pixel BT.601 from
+    the three md5 bytes (the same literal weights and op order the
+    engine runs), then numpy's 16-element pairwise sum in closed form
+    — the GIF oracle's machinery with per-doc channel values instead
+    of fixed palette constants."""
+    xs = ",\n".join(
+        f"         (0.299 * CAST({_hex_byte('m', k)} AS DOUBLE)"
+        f" + 0.587 * CAST({_hex_byte('m', (k + 5) % 16)} AS DOUBLE))"
+        f" + 0.114 * CAST({_hex_byte('m', (k + 11) % 16)} AS DOUBLE) AS x{k}"
+        for k in range(16)
+    )
+    rs = ", ".join(f"x{i} + x{i + 8} AS r{i}" for i in range(8))
+    total = "((r0 + r1) + (r2 + r3)) + ((r4 + r5) + (r6 + r7))"
+    return f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+px AS (
+  SELECT doc_id,
+{xs}
+  FROM b),
+acc AS (SELECT doc_id, {rs} FROM px)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       ({total}) / 16.0 / 255.0 AS mean_luma
+FROM acc
+"""
+
+
+@register("multimodal_bmp_roundtrip", sql=_bmp_oracle_sql())
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP codec round trip: each doc's 4×4 24-bit BMP stores
+    md5-derived RGB as bottom-up BGR rows — decode must parse the
+    BITMAPINFOHEADER, flip the row order, and swap BGR→RGB
+    (operators/multimodal.py::_bmp_pixel_decoder).  A decoder that
+    forgets the vertical flip produces a luma multiset that is
+    IDENTICAL here (means are position-blind), so the flip itself is
+    pinned by the pytest's asymmetric fixtures; what this entry's
+    bitwise gate certifies is the header walk, stride math, channel
+    order, and the BT.601 + pairwise-mean restatement.
+
+    Oracle strategy: per-pixel BT.601 from the md5 bytes with the
+    engine's literal weights and op order, then numpy's 16-element
+    pairwise sum in closed form (the GIF-entry machinery with per-doc
+    channel values).  8-bit palette, 32-bit BGRX, top-down rows, row
+    padding and malformed variants are pinned by
+    tests/test_multimodal_codecs.py.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_bmp_generator()
+    bmps = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        bmps, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/bmp",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
 @register("multimodal_gif_roundtrip", sql=_gif_oracle_sql())
 def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF codec round trip: each doc's 4×4 GIF89a is

@@ -1278,3 +1278,87 @@ def test_gif_malformed_variants_yield_null(spark):
     out = _decode_images(spark, [good, b"\x89PNG\r\n\x1a\nxx", b""])
     assert out[0]["n_channels"] == 3
     assert out[1]["width"] is None and out[2]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def make_bmp(
+    pixels: np.ndarray,
+    bpp: int = 24,
+    top_down: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """pixels: (h, w, 3) RGB uint8 for 24/32-bit, or (h, w) indices
+    for 8-bit (palette required, RGB rows)."""
+    if bpp == 8:
+        h, w = pixels.shape
+    else:
+        h, w = pixels.shape[:2]
+    stride = ((w * bpp // 8) + 3) & ~3
+    rows = b""
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        row = b""
+        for x in range(w):
+            if bpp == 8:
+                row += bytes([int(pixels[y, x])])
+            elif bpp == 24:
+                r, g, b = pixels[y, x]
+                row += bytes([b, g, r])
+            else:  # 32: BGRX
+                r, g, b = pixels[y, x]
+                row += bytes([b, g, r, 0xAA])
+        rows += row + b"\x00" * (stride - len(row))
+    pal_bytes = b""
+    n_colors = 0
+    if palette is not None:
+        n_colors = len(palette)
+        for r, g, b in palette:
+            pal_bytes += bytes([b, g, r, 0])  # BGRA quads
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0,
+        len(rows), 2835, 2835, n_colors, 0,
+    )
+    off = 14 + 40 + len(pal_bytes)
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+        + dib + pal_bytes + rows
+    )
+
+
+def test_bmp_pixel_values_and_row_order(spark):
+    decode = multimodal._bmp_pixel_decoder()
+    # asymmetric gradient: a missing bottom-up flip scrambles values
+    rgb = (np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3) * 3 + 1) % 256
+    for top_down in (False, True):
+        px, nch = decode(make_bmp(rgb, 24, top_down=top_down))
+        assert nch == 3 and px.shape == (5, 7, 3), top_down
+        assert np.array_equal(px.astype(np.uint8), rgb), top_down
+    # 32-bit BGRX: the filler byte must be dropped
+    px, nch = decode(make_bmp(rgb, 32))
+    assert nch == 3 and np.array_equal(px.astype(np.uint8), rgb)
+    # odd width exercises the 4-byte row padding path
+    odd = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    px, _ = decode(make_bmp(odd, 24))
+    assert np.array_equal(px.astype(np.uint8), odd)
+
+
+def test_bmp_palette_and_malformed(spark):
+    decode = multimodal._bmp_pixel_decoder()
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 5), dtype=np.uint8)
+    px, nch = decode(make_bmp(idx, 8, palette=pal))
+    assert nch == 1 and np.array_equal(px.astype(np.uint8), pal[idx])
+    good = make_bmp(idx, 8, palette=pal)
+    assert decode(good[: len(good) - 8]) is None   # truncated pixel rows
+    assert decode(b"BA" + good[2:]) is None        # bad magic
+    # RLE compression flag rejects
+    bad = bytearray(make_bmp(rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)))
+    bad[30] = 1  # BI_RLE8
+    assert decode(bytes(bad)) is None
+    # spark-path dispatch sanity
+    out = _decode_images(spark, [make_bmp(rng.integers(0, 256, (2, 2, 3), dtype=np.uint8))])
+    assert out[0]["n_channels"] == 3 and out[0]["width"] == 2
