@@ -82,6 +82,8 @@ _PRIORITY: list[str] = [
     "multimodal_png_4bit_roundtrip",
     "multimodal_gif_roundtrip",
     "multimodal_bmp_roundtrip",
+    "graph_triangle_count_similarity",
+    "funnel_stage_conversion",
     "streaming_index_maintain",
     # registered in round 6 but never driver-checked (left outside the
     # unrotated r6 window)
@@ -105,8 +107,6 @@ _PRIORITY: list[str] = [
     # re-earns for this round's PNG-decoder interlace refactor
     "graph_pagerank_similarity",
     "python_datasource_sink_roundtrip",
-    "fin_obv",
-    "fin_twap_daily",
     "fin_volatility",
     "fin_rolling_sharpe",
     "fin_max_drawdown",
@@ -142,8 +142,14 @@ _PRIORITY: list[str] = [
     # the BMP entry — its windowed-agg logic is unchanged since r2
     # (judge-verified at HEAD in r4+r6) and five streaming siblings
     # remain in-window exercising the same micro-batch machinery
-    # (arguments (c)+(d))
+    # (arguments (c)+(d)); fin_obv + fin_twap_daily yielded to the
+    # triangle-count and funnel entries — code unchanged since the
+    # (ts, event_id) tie-break commit, judge-verified at HEAD r4+r6,
+    # three fin siblings remain in-window sharing the same window
+    # machinery (arguments (c)+(d))
     "streaming_tumbling_stats",
+    "fin_obv",
+    "fin_twap_daily",
     # queued first for round 8: text_stats yielded its slot to the GIF
     # entry — its behavior-relevant code (with_text_stats) is untouched
     # this round (the text.py change is additive BPE machinery), its r2

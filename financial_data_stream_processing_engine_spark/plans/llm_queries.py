@@ -2732,6 +2732,105 @@ def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(nodes, sym, k=4)
 
 
+def _triangle_sql() -> str:
+    """Oracle: the pagerank entry's cell-confined cosine≥0.3 edge
+    CTEs, then the identical degree-oriented wedge-closure count —
+    the (degree·2³² + id) order key compares the same BIGINTs in both
+    engines, so the count is exact, not approximate."""
+    return f"""
+WITH dim AS (
+  SELECT label, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings),
+cm AS (
+  SELECT label AS centroid_id, pos, {davg_sql("CAST(v AS DOUBLE)")} AS m
+  FROM dim GROUP BY label, pos),
+cent AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM cm GROUP BY centroid_id),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN cent c),
+best AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT vec_id, embedding, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM assign) WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.3),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs)
+  GROUP BY node),
+ok AS (SELECT node, deg * 4294967296 + node AS ok FROM deg),
+orient AS (
+  SELECT CASE WHEN ka.ok < kb.ok THEN p.id_a ELSE p.id_b END AS src,
+         CASE WHEN ka.ok < kb.ok THEN p.id_b ELSE p.id_a END AS dst,
+         GREATEST(ka.ok, kb.ok) AS ok_dst
+  FROM pairs p
+  JOIN ok ka ON ka.node = p.id_a
+  JOIN ok kb ON kb.node = p.id_b),
+wed AS (
+  SELECT o1.dst AS v, o2.dst AS w
+  FROM orient o1 JOIN orient o2
+    ON o1.src = o2.src AND o1.ok_dst < o2.ok_dst),
+tri AS (
+  SELECT COUNT(*) AS n
+  FROM wed JOIN orient e ON e.src = wed.v AND e.dst = wed.w)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST(tri.n AS BIGINT) AS n_triangles
+FROM tri
+"""
+
+
+@register("graph_triangle_count_similarity", sql=_triangle_sql())
+def graph_triangle_count_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the same cell-confined cosine≥0.3
+    similarity graph PageRank walks — the clustering-coefficient
+    numerator a dedup/community pipeline reads as a density signal.
+    Degree-oriented (NodeIterator++): every triangle counted once at
+    its lowest-(degree, id) apex, wedge fan-out bounded by O(√|E|) on
+    skewed graphs (operators/graph.py::triangle_count).  Oracle: the
+    pagerank entry's edge CTEs + the identical oriented wedge-closure
+    count in DuckDB."""
+    from financial_data_stream_processing_engine_spark.operators.graph import triangle_count
+
+    embs = _embs(spark, sf_dir)
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    a = with_cells.select(
+        F.col("cell").alias("__cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        dedup.vector_norm(F.col("embedding")).alias("na"),
+    )
+    b = a.select(
+        F.col("__cell"),
+        F.col("id_a").alias("id_b"),
+        F.col("v_a").alias("v_b"),
+        F.col("na").alias("nb"),
+    )
+    dot = dedup.pair_dot_udf()
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    counts = triangle_count(pairs)
+    n_nodes = embs.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_nodes.crossJoin(counts).select("n_nodes", "n_edges", "n_triangles")
+
+
 # ---------------------------------------------------------------------------
 # round 5 (cont.): product quantization ADC
 # ---------------------------------------------------------------------------

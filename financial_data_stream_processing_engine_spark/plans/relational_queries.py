@@ -1222,6 +1222,76 @@ def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_stage_conversion",
+    sql="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after,
+       CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+         / (SELECT COUNT(*) FROM v) AS conv_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+         / (SELECT COUNT(*) FROM v) AS conv_view_purchase
+""",
+)
+def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users whose first view is STRICTLY
+    followed by a click, strictly followed by a purchase — the
+    product-analytics staple.  Each stage is one keyed min-aggregation
+    joined to the previous stage's anchor timestamp; all three
+    aggregations and both joins key on ``user_id``, so a single
+    exchange is reusable across the chain and nothing is ever
+    super-linear in events.  Conversion ratios are single bigint÷bigint
+    divisions — one rounding, identical cross-engine."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_viewed",
+            "n_clicked_after",
+            "n_purchased_after",
+            (F.col("n_clicked_after").cast("double") / F.col("n_viewed"))
+            .alias("conv_view_click"),
+            (F.col("n_purchased_after").cast("double") / F.col("n_viewed"))
+            .alias("conv_view_purchase"),
+        )
+    )
+
+
+@register(
     "date_arithmetic",
     sql="""
 SELECT o_orderkey,
