@@ -119,6 +119,18 @@ def triangle_count(
 
     Returns a single row (n_edges, n_triangles).
     """
+    e, _deg, tri_nodes = _oriented_triangles(edges, id_a, id_b)
+    tri = tri_nodes.agg(
+        (F.count(F.lit(1)) / F.lit(3)).cast("long").alias("n_triangles")
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+def _oriented_triangles(edges: DataFrame, id_a: str, id_b: str):
+    """Shared degree-orientation + wedge-closure core: returns
+    (canonical_edges, degrees(node, __deg), triangle_nodes(node)) with
+    THREE node rows per triangle — one per corner — so callers either
+    count/3 (global) or group by node (local counts)."""
     e = edges.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).localCheckpoint(eager=True)
@@ -142,10 +154,42 @@ def triangle_count(
     wedges = (
         o1.join(o2, "src")
         .filter(F.col("ok_v") < F.col("ok_w"))
-        .select("v", "w")
+        .select("src", "v", "w")
     )
     closing = orient.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    tris = wedges.join(closing, ["v", "w"])
+    tri_nodes = tris.select(
+        F.explode(F.array("src", "v", "w")).alias("node")
     )
-    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+    return e, deg, tri_nodes
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node local clustering coefficient over canonical undirected
+    edges: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2 —
+    the standard community-density signal, sharing the degree-oriented
+    wedge-closure core with :func:`triangle_count` (each closed wedge
+    emits its three corners; a groupBy turns corner rows into per-node
+    triangle counts, map-side combinable).  The only float op is the
+    single final division of two exact integers — identical
+    cross-engine.
+
+    Returns (node, degree, n_triangles, lcc) for every node with at
+    least one edge.
+    """
+    _e, deg, tri_nodes = _oriented_triangles(edges, id_a, id_b)
+    tcnt = tri_nodes.groupBy("node").agg(F.count(F.lit(1)).alias("__tri"))
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        F.col("__deg").alias("degree"),
+        F.coalesce(F.col("__tri"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("__deg") >= 2,
+            (F.coalesce(F.col("__tri"), F.lit(0)) * F.lit(2)).cast("double")
+            / (F.col("__deg") * (F.col("__deg") - F.lit(1))).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("lcc"),
+    )

@@ -71,10 +71,11 @@ def register(name: str, sql: str | None = None):
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
     # --- round-7 window (first 50 = the driver's check budget) ---
-    # Consolidation round (VERDICT r6 next-step #1): 3 new entries,
+    # Consolidation round (VERDICT r6 next-step #1): new entries,
     # then every entry with no driver row or a pre-r3 row.
-    # new this round: progressive-JPEG + Adam7-PNG roundtrips and the
-    # streaming CDC index-maintenance twin
+    # new this round: the codec-depth block (progressive/restart JPEG;
+    # Adam7 / 16-bit / 4-bit PNG; GIF; BMP), the graph-analytics pair,
+    # the funnel, and the streaming CDC index-maintenance twin
     "multimodal_jpeg_progressive_roundtrip",
     "multimodal_png_adam7_roundtrip",
     "multimodal_jpeg_restart_roundtrip",
@@ -83,6 +84,7 @@ _PRIORITY: list[str] = [
     "multimodal_gif_roundtrip",
     "multimodal_bmp_roundtrip",
     "graph_triangle_count_similarity",
+    "graph_clustering_coefficient",
     "funnel_stage_conversion",
     "streaming_index_maintain",
     # registered in round 6 but never driver-checked (left outside the
@@ -107,7 +109,6 @@ _PRIORITY: list[str] = [
     # re-earns for this round's PNG-decoder interlace refactor
     "graph_pagerank_similarity",
     "python_datasource_sink_roundtrip",
-    "fin_volatility",
     "fin_rolling_sharpe",
     "fin_max_drawdown",
     "multimodal_jpeg_roundtrip",
@@ -150,6 +151,7 @@ _PRIORITY: list[str] = [
     "streaming_tumbling_stats",
     "fin_obv",
     "fin_twap_daily",
+    "fin_volatility",
     # queued first for round 8: text_stats yielded its slot to the GIF
     # entry — its behavior-relevant code (with_text_stats) is untouched
     # this round (the text.py change is additive BPE machinery), its r2

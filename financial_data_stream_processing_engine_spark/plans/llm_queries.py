@@ -2831,6 +2831,73 @@ def graph_triangle_count_similarity(spark: SparkSession, sf_dir: str) -> DataFra
     return n_nodes.crossJoin(counts).select("n_nodes", "n_edges", "n_triangles")
 
 
+def _lcc_sql() -> str:
+    """Oracle: the triangle entry's CTEs, with the closed wedges
+    exploded into their three corners and grouped per node; the only
+    float op is the final exact-integer division."""
+    prefix = _triangle_sql()
+    prefix = prefix[: prefix.index("wed AS (")]
+    return f"""{prefix}wed AS (
+  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+  FROM orient o1 JOIN orient o2
+    ON o1.src = o2.src AND o1.ok_dst < o2.ok_dst),
+tris AS (
+  SELECT u, v, w FROM wed JOIN orient e ON e.src = wed.v AND e.dst = wed.w),
+corner AS (SELECT UNNEST([u, v, w]) AS node FROM tris),
+tc AS (SELECT node, COUNT(*) AS n FROM corner GROUP BY node)
+SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN CAST(COALESCE(tc.n, 0) * 2 AS DOUBLE)
+                   / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS lcc
+FROM deg d LEFT JOIN tc ON tc.node = d.node
+"""
+
+
+@register("graph_clustering_coefficient", sql=_lcc_sql())
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the similarity
+    graph: lcc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) — the density signal
+    that separates tight near-duplicate communities (lcc → 1) from
+    hub-and-spoke topic neighborhoods (lcc → 0), computed from the
+    same degree-oriented wedge-closure core as the triangle entry with
+    the closed wedges exploded per corner
+    (operators/graph.py::clustering_coefficient).  Per-node output
+    rows make this a value-dense driver check, not a single scalar."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    embs = _embs(spark, sf_dir)
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    a = with_cells.select(
+        F.col("cell").alias("__cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        dedup.vector_norm(F.col("embedding")).alias("na"),
+    )
+    b = a.select(
+        F.col("__cell"),
+        F.col("id_a").alias("id_b"),
+        F.col("v_a").alias("v_b"),
+        F.col("na").alias("nb"),
+    )
+    dot = dedup.pair_dot_udf()
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    return clustering_coefficient(pairs)
+
+
 # ---------------------------------------------------------------------------
 # round 5 (cont.): product quantization ADC
 # ---------------------------------------------------------------------------

@@ -26,3 +26,30 @@ def test_triangle_count_known_graphs(spark):
     pend = [(0, 1), (1, 2), (0, 2), (2, 3)]
     r = count(pend)
     assert (r["n_edges"], r["n_triangles"]) == (4, 1)
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    def lcc_map(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r["node"]: r for r in clustering_coefficient(df).collect()}
+
+    # K4: every node deg 3, 3 triangles each, lcc exactly 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = lcc_map(k4)
+    assert all(
+        (out[n]["degree"], out[n]["n_triangles"], out[n]["lcc"]) == (3, 3, 1.0)
+        for n in range(4)
+    )
+    # star: hub deg 5 lcc 0; leaves deg 1 lcc 0 (deg < 2 convention)
+    out = lcc_map([(0, i) for i in range(1, 6)])
+    assert out[0]["degree"] == 5 and out[0]["lcc"] == 0.0
+    assert out[1]["degree"] == 1 and out[1]["lcc"] == 0.0
+    # triangle + pendant: node 2 has deg 3, 1 triangle → lcc = 1/3
+    out = lcc_map([(0, 1), (1, 2), (0, 2), (2, 3)])
+    assert out[2]["n_triangles"] == 1
+    assert out[2]["lcc"] == 2.0 / 6.0
+    assert out[0]["lcc"] == 1.0 and out[3]["lcc"] == 0.0
