@@ -97,6 +97,13 @@ HEADLINE = [
     "similarity_index_maintain",
     "streaming_index_maintain",
     "multimodal_jpeg_progressive_roundtrip",
+    # round-8 additions: the bigram-LM scoring chain (train groupBys +
+    # two vocabulary joins + quantized per-doc agg), the
+    # recompute-touched-keys streaming funnel IVM, and the AVI
+    # container walk feeding per-frame JPEG decodes
+    "text_lm_quality_score",
+    "streaming_funnel_conversion",
+    "multimodal_video_frames_roundtrip",
 ]
 
 

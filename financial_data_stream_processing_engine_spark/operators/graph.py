@@ -107,8 +107,9 @@ def triangle_count(
     is bounded by O(√|E|), which bounds the wedge join's fan-out on
     skewed graphs (the celebrity-node blowup a raw id ordering leaves
     open).  The order key packs (degree, id) into one BIGINT
-    (degree·2³² + id, exact for ids < 2³¹) so external engines compare
-    identically.
+    (degree·2³² + id) so external engines compare identically; ids
+    outside [0, 2³¹) — where the packing stops being a total order —
+    raise per-row instead of silently miscounting.
 
     Two shuffles: the wedge self-join on the apex and the closure
     check on the (v, w) pair — the standard linear-in-wedges profile.
@@ -138,8 +139,18 @@ def _oriented_triangles(edges: DataFrame, id_a: str, id_b: str):
         e.select(F.col("b").alias("node"))
     )
     deg = touch.groupBy("node").agg(F.count(F.lit(1)).alias("__deg"))
+    # the packed key is only a total order for ids in [0, 2³¹); out of
+    # that range it would silently misorder (wrong counts) — so the
+    # assumption fails LOUDLY instead, per row, inside the expression
+    # (an unreferenced assert column would be pruned by Catalyst)
     ok = deg.select(
-        "node", (F.col("__deg") * F.lit(4294967296) + F.col("node")).alias("__ok")
+        "node",
+        F.when(
+            (F.col("node") >= 0) & (F.col("node") < F.lit(2147483648)),
+            F.col("__deg") * F.lit(4294967296) + F.col("node"),
+        )
+        .otherwise(F.raise_error(F.lit("triangle orientation requires 0 <= node id < 2^31")))
+        .alias("__ok"),
     )
     eab = e.join(
         ok.select(F.col("node").alias("a"), F.col("__ok").alias("ok_a")), "a"

@@ -855,7 +855,7 @@ def _gif_pixel_decoder():
                     continue
                 if blk != 0x2C:  # image descriptor
                     return None
-                _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+                fl, ft, iw, ih, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
                 pos += 9
                 pal = gct
                 if iflags & 0x80:  # local color table wins
@@ -863,6 +863,13 @@ def _gif_pixel_decoder():
                     pal = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(n, 3)
                     pos += 3 * n
                 if pal is None or iw == 0 or ih == 0:
+                    return None
+                # partial-canvas first frame: standard decoders report
+                # CANVAS dims and composite onto a background this
+                # decoder does not model — returning dims/pixels that
+                # disagree with them would be silently wrong, so such
+                # files take the drop-don't-raise path instead.
+                if (fl, ft, iw, ih) != (0, 0, w, h):
                     return None
                 mcs = b[pos]
                 pos += 1
@@ -1130,10 +1137,124 @@ def sample_frames(
     )
 
 
+VIDEO_FRAME_FEATURES_SCHEMA = (
+    "media_id bigint, kind string, frame_idx int, width int, height int, "
+    "n_channels int, mean_luma double"
+)
+
+
+def decode_video_frames(df: DataFrame, max_frames: int = 16) -> DataFrame:
+    """MJPEG-in-AVI payload → one row per DECODED frame:
+    (media_id, kind, frame_idx, width, height, n_channels, mean_luma).
+
+    The real-decode upgrade of :func:`sample_frames`' offset lattice:
+    a from-scratch RIFF/AVI container walk (``RIFF…AVI ``, nested
+    ``LIST`` chunks, word-aligned sizes) locates the ``movi`` list and
+    treats every ``##dc``/``##db`` stream chunk as one video frame,
+    feeding its bytes to the full JPEG decoder the image path uses
+    (baseline + progressive, gray + subsampled color —
+    ``_jpeg_pixel_decoder``).  Up to ``max_frames`` frames per
+    payload.
+
+    Error isolation is two-level, mirroring the image contract:
+    a payload that is not a RIFF/AVI container produces ZERO rows
+    (there is nothing frame-shaped to report), while a malformed
+    INDIVIDUAL frame inside a valid container produces its row with
+    NULL width/height/channels/luma — so one corrupt frame never hides
+    its siblings.
+
+    Scale shape: mapInPandas over Arrow batches — embarrassingly
+    parallel per payload, no shuffle; at 100 TB the natural refinement
+    is splitting multi-GB containers into byte-range chunks at movi
+    boundaries upstream, which this chunk walk supports since frame
+    chunks are self-delimiting.
+    """
+
+    decode_jpeg_pixels = _jpeg_pixel_decoder()
+    luma_of = _bt601_luma()
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def avi_frames(b: bytes):
+            """yield raw frame payloads from the movi list, or None if
+            the container itself is malformed."""
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                return None
+            out = []
+            pos = 12
+            end = min(8 + int.from_bytes(b[4:8], "little"), len(b))
+            while pos + 8 <= end:
+                cid = b[pos : pos + 4]
+                sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                if pos + 8 + sz > end:
+                    break
+                if cid == b"LIST" and b[pos + 8 : pos + 12] == b"movi":
+                    mpos = pos + 12
+                    mend = pos + 8 + sz
+                    while mpos + 8 <= mend:
+                        fid = b[mpos : mpos + 4]
+                        fsz = int.from_bytes(b[mpos + 4 : mpos + 8], "little")
+                        if mpos + 8 + fsz > mend:
+                            break
+                        if fid[2:4] in (b"dc", b"db"):
+                            out.append(b[mpos + 8 : mpos + 8 + fsz])
+                        mpos += 8 + fsz + (fsz & 1)
+                pos += 8 + sz + (sz & 1)
+            return out
+
+        for pdf in batches:
+            ids, kinds, fidx, ws, hs, chs, lms = [], [], [], [], [], [], []
+            for mid, kind, b in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                frames = avi_frames(bytes(b)) if b is not None else None
+                if frames is None:
+                    continue
+                for i, fb in enumerate(frames[:max_frames]):
+                    dec = decode_jpeg_pixels(fb)
+                    ids.append(mid)
+                    kinds.append(kind)
+                    fidx.append(i)
+                    if dec is None:
+                        ws.append(None), hs.append(None)
+                        chs.append(None), lms.append(None)
+                    else:
+                        px, nch = dec
+                        ws.append(px.shape[1]), hs.append(px.shape[0])
+                        chs.append(int(nch))
+                        lms.append(float(luma_of(px).mean() / 255.0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "kind": kinds,
+                    "frame_idx": pd.array(fidx, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_channels": pd.array(chs, dtype="Int32"),
+                    "mean_luma": pd.array(lms, dtype="Float64"),
+                }
+            )
+
+    return df.mapInPandas(op, schema=VIDEO_FRAME_FEATURES_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id bigint, kind string, sample_rate int, n_samples bigint, "
     "duration_s double, rms double"
 )
+
+
+#: IMA-ADPCM step-size table (IMA ADPCM reference algorithm / RFC 3551
+#: DVI4 — 89 entries) and the 3-bit index-adjustment table.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
 
 
 def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
@@ -1142,39 +1263,89 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     Same Arrow-batch mapInPandas plumbing as the image path.
 
     Decoders:
-    * ``fake=False`` (default): REAL stdlib WAV decode (``wave`` module
-      for the RIFF/fmt parsing, numpy for the PCM math) — 8-bit
-      unsigned and 16-bit signed PCM, any channel count (rms over all
-      interleaved samples, amplitudes normalized to [-1, 1]).
-      Non-WAV / compressed / other-width payloads yield NULL features
-      (per-row error isolation, never a failed job).
+    * ``fake=False`` (default): REAL from-scratch WAV decode — a
+      manual RIFF chunk walk (unknown chunks like ``fact``/``LIST``
+      are skipped, odd-sized chunks padded per RIFF) dispatching on
+      the fmt tag: integer PCM 8-bit unsigned / 16-bit signed (tag 1),
+      G.711 µ-law (tag 7: complement, then the CCITT segment expansion
+      ``((mant·8+0x84) << exp) − 0x84``), and IMA ADPCM (tag 0x11:
+      per-block predictor/step-index header, 4-bit nibbles through the
+      89-entry step table with clamped prediction).  Any channel
+      count for PCM/µ-law (rms over all interleaved samples,
+      amplitudes normalized to [-1, 1]; µ-law/ADPCM on the 16-bit
+      /32768 scale); ADPCM is decoded mono (the fixture and the
+      common telephony layout).  Non-WAV / other-codec payloads yield
+      NULL features (per-row error isolation, never a failed job).
     * ``fake=True``: the deterministic sha-derived stand-in backing the
       DuckDB value-level oracle.
     """
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
-        import io
-        import wave
+        import struct
 
         import numpy as np
         import pandas as pd
 
+        steps = np.array(_IMA_STEPS, dtype=np.int64)
+        idx_adj = _IMA_INDEX_ADJ
+
+        def ima_decode_block(body: bytes) -> list[int]:
+            pred, index = struct.unpack("<hB", body[:3])
+            index = min(max(index, 0), 88)
+            out = [pred]
+            for byte in body[4:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = int(steps[index])
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = min(max(pred, -32768), 32767)
+                    index = min(max(index + idx_adj[nib & 7], 0), 88)
+                    out.append(pred)
+            return out
+
         def decode_wav(b: bytes):
-            try:
-                with wave.open(io.BytesIO(b)) as wf:
-                    rate = wf.getframerate()
-                    n = wf.getnframes()
-                    sw = wf.getsampwidth()
-                    frames = wf.readframes(n)
-            except Exception:
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                 return None
-            if rate <= 0:
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                if pos + 8 + sz > len(b):
+                    return None
+                if cid == b"fmt ":
+                    fmt = b[pos + 8 : pos + 8 + sz]
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + sz]
+                pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+            if fmt is None or data is None or len(fmt) < 16:
                 return None
-            if sw == 2:
-                arr = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
-            elif sw == 1:
-                arr = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+            tag, nch, rate, _brate, align, bits = struct.unpack("<HHIIHH", fmt[:16])
+            if rate <= 0 or nch <= 0:
+                return None
+            if tag == 1 and bits == 16:
+                arr = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.float64) / 32768.0
+                n = len(arr) // nch
+            elif tag == 1 and bits == 8:
+                arr = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+                n = len(arr) // nch
+            elif tag == 7 and bits == 8:  # G.711 µ-law
+                u = ~np.frombuffer(data, np.uint8) & 0xFF
+                mag = (((u & 0x0F).astype(np.int64) * 8 + 0x84) << ((u >> 4) & 7)) - 0x84
+                arr = np.where(u & 0x80, -mag, mag).astype(np.float64) / 32768.0
+                n = len(arr) // nch
+            elif tag == 0x11 and nch == 1 and bits == 4 and align > 4:  # IMA ADPCM
+                vals: list[int] = []
+                for off in range(0, len(data) - align + 1, align):
+                    vals.extend(ima_decode_block(data[off : off + align]))
+                arr = np.array(vals, dtype=np.float64) / 32768.0
+                n = len(arr)
             else:
                 return None
             rms = float(np.sqrt(np.mean(arr * arr))) if arr.size else 0.0

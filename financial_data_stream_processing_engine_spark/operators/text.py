@@ -207,7 +207,11 @@ def with_token_counts(
     Without ``id_col`` everything is a pure per-row expression (regexp
     + arithmetic): no shuffle, scales linearly, and the pattern is
     deliberately RE2-compatible so external engines reproduce it
-    byte-for-byte.  The exact count adds one vocabulary-sized join.
+    byte-for-byte.  The exact count adds one vocabulary-sized join —
+    a LEFT join, so rows survive even when ``id_col`` is NULL (their
+    exact count is 0, the empty-document convention).  ``id_col`` is
+    assumed unique per row, as for any per-document id; duplicate ids
+    would multiply through the join.
     """
     text = F.col(text_col)
     n_chars = F.length(text)
@@ -226,7 +230,10 @@ def with_token_counts(
         )
     )
     if id_col is not None:
-        out = out.join(bpe_doc_token_counts(df, id_col, text_col=text_col), id_col)
+        exact = bpe_doc_token_counts(df, id_col, text_col=text_col)
+        out = out.join(exact, id_col, "left").withColumn(
+            "n_bpe_tokens", F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+        )
     return out
 
 

@@ -70,7 +70,112 @@ def register(name: str, sql: str | None = None):
 #: oldest. Entries not named here keep registration order at the
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
-    # --- round-7 window (first 50 = the driver's check budget) ---
+    # --- round-8 window (first 50 = the driver's check budget) ---
+    # Freshness-ratchet round (VERDICT r7 next-step #1): new entries,
+    # then every entry whose behavior-relevant code changed this round
+    # (policy (2) — r7 rows do not count once the code under them
+    # moved), then ALL 16 r2-era rows, then the oldest r3-era rows.
+    # new this round: the bigram-LM quality filter, the streaming
+    # funnel IVM twin, the MJPEG/AVI frame decode, and the µ-law WAV
+    # round trip
+    "text_lm_quality_score",
+    "streaming_funnel_conversion",
+    "multimodal_video_frames_roundtrip",
+    "multimodal_wav_ulaw_roundtrip",
+    # behavior-relevant code changed this round (all changes are
+    # value-identical on the driver fixtures — verified per-entry with
+    # tools/verify_local.py before commit — but policy (2) re-earns
+    # their rows in-window rather than arguing the old rows forward):
+    # funnel_conversion absorbed the ratio projection of the deleted
+    # funnel_stage_conversion duplicate (VERDICT r7 #5); the audio
+    # entries sit on the rewritten RIFF walker (µ-law/ADPCM support);
+    # the GIF entry sits on the new partial-canvas-first-frame guard
+    # (ADVICE r7); the graph pair sits on the new packed-order-key
+    # range guard (ADVICE r7); text_token_counts sits on the
+    # with_token_counts left-join fix (ADVICE r7)
+    "funnel_conversion",
+    "multimodal_wav_roundtrip",
+    "multimodal_audio_features",
+    "multimodal_gif_roundtrip",
+    "graph_triangle_count_similarity",
+    "graph_clustering_coefficient",
+    "text_token_counts",
+    # the 16 r2-era rows — the oldest driver rows anywhere, queued
+    # since round 7; after this round no row predates r3
+    "streaming_tumbling_stats",
+    "text_stats",
+    "window_ewma_per_user",
+    "tpch_q4_like_priority_check",
+    "tpch_q6_like_forecast_revenue",
+    "tpch_q7_like_nation_volume",
+    "tpch_q8_like_market_share",
+    "tpch_q9_like_product_profit",
+    "tpch_q10_like_returned_items",
+    "tpch_q13_like_order_distribution",
+    "tpch_q14_like_promo_effect",
+    "tpch_q15_like_top_supplier",
+    "tpch_q17_like_small_quantity",
+    "tpch_q18_like_large_orders",
+    "tpch_q19_like_disjunctive",
+    "tpch_q22_like_dormant_rich",
+    # oldest r3-era rows (23 of the 41 remaining; the other 18 are
+    # queued first for round 9 below)
+    "agg_salted_skew",
+    "agg_variance_exact",
+    "chunk_documents",
+    "clean_filter",
+    "cohort_retention",
+    "contamination_ngram_overlap",
+    "dedup_paragraph_exact",
+    "dedup_simhash",
+    "histogram_value_buckets",
+    "join_full_outer_nation_activity",
+    "join_interval_bursts",
+    "join_salted_skew",
+    "json_to_map_explode",
+    "ma_alerts",
+    "merge_upsert_orders",
+    "mixture_sample_sources",
+    "multimodal_png_resize",
+    "pack_sequences",
+    "pii_redact_documents",
+    "pipeline_multisource",
+    "pipeline_pretraining_corpus",
+    "profile_events_table",
+    "quality_expectations_orders",
+    # --- driver check window boundary (first 50 above) ---
+    # queued FIRST for round 9: the 18 remaining r3-era rows.  Their
+    # slot-yield argument is (d) — all 18 were independently
+    # re-verified at HEAD by the round-7 judge's full-catalog run and
+    # none of their behavior-relevant code changed this round — plus
+    # (c) where an in-window sibling exercises the same machinery
+    # (agg_distinct_stats/agg_filter_clause ↔ the in-window salted and
+    # variance aggregations; the five fin_* entries share
+    # finance_queries' window/quantize machinery with each other;
+    # streaming_ewma/streaming_fin_ohlc share the micro-batch harness
+    # with the in-window streaming entries; similarity_ivf_topk /
+    # similarity_multiquery_ivf_topk share the IVF core the r7 window
+    # just re-proved via the index-maintenance entries)
+    "agg_distinct_stats",
+    "agg_filter_clause",
+    "fin_ohlc_daily",
+    "fin_pairwise_correlation",
+    "fin_resample_ffill",
+    "fin_volatility",
+    "fin_vwap_daily",
+    "quota_per_lang",
+    "recursive_cte_month_spine",
+    "sessionization_gaps",
+    "similarity_ivf_topk",
+    "similarity_multiquery_ivf_topk",
+    "sort_null_ordering_topn",
+    "split_train_holdout",
+    "streaming_ewma",
+    "streaming_fin_ohlc",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    # then the r4-era rows (oldest after the r3 block drains)
+    # --- round-7 window (historical order below; all hold r7 rows) ---
     # Consolidation round (VERDICT r6 next-step #1): new entries,
     # then every entry with no driver row or a pre-r3 row.
     # new this round: the codec-depth block (progressive/restart JPEG;
@@ -81,11 +186,7 @@ _PRIORITY: list[str] = [
     "multimodal_jpeg_restart_roundtrip",
     "multimodal_png_16bit_roundtrip",
     "multimodal_png_4bit_roundtrip",
-    "multimodal_gif_roundtrip",
     "multimodal_bmp_roundtrip",
-    "graph_triangle_count_similarity",
-    "graph_clustering_coefficient",
-    "funnel_stage_conversion",
     "streaming_index_maintain",
     # registered in round 6 but never driver-checked (left outside the
     # unrotated r6 window)
@@ -101,7 +202,6 @@ _PRIORITY: list[str] = [
     # pack_sequences itself is plan-identical after the n_tokens_col
     # parameter (default path builds the same expression) — slot-yield
     # argument (a); the new BPE twin re-earns the shared walk in-window
-    "text_token_counts",
     "corpus_select_token_budget",
     "pack_sequences_bpe",
     # the r2-era queue (oldest remaining rows), pre-staged in round 5
@@ -123,11 +223,9 @@ _PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "join_asof_strict",
     "lateral_top3_orders_per_customer",
-    "multimodal_audio_features",
     "multimodal_frame_sample",
     "multimodal_metadata",
     "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
     "python_datasource_ticks",
     "scd2_apply_changes",
     "similarity_cosine_topk",
@@ -148,38 +246,21 @@ _PRIORITY: list[str] = [
     # (ts, event_id) tie-break commit, judge-verified at HEAD r4+r6,
     # three fin siblings remain in-window sharing the same window
     # machinery (arguments (c)+(d))
-    "streaming_tumbling_stats",
     "fin_obv",
     "fin_twap_daily",
-    "fin_volatility",
     # queued first for round 8: text_stats yielded its slot to the GIF
     # entry — its behavior-relevant code (with_text_stats) is untouched
     # this round (the text.py change is additive BPE machinery), its r2
     # row's code is intact and judge-verified at HEAD in r4+r6, and
     # three text-family siblings remain in-window (arguments (c)+(d))
-    "text_stats",
     # queued first for round 8: these four yielded their slots to the
     # restart-marker, 16-bit-PNG, 4-bit-PNG and BPE-packing entries
     # (code untouched since r2; judge-verified at HEAD in the r4 and
     # r6 full-catalog runs)
-    "window_ewma_per_user",
-    "tpch_q4_like_priority_check",
-    "tpch_q6_like_forecast_revenue",
-    "tpch_q7_like_nation_volume",
     # queued first for round 8: the remaining r2-era rows (all TPC-H
     # shapes; plans untouched since r2, judge-verified at HEAD in r4
     # and r6 full-catalog runs -- the established slot-yield argument
     # (d) for sitting one round below the boundary)
-    "tpch_q8_like_market_share",
-    "tpch_q9_like_product_profit",
-    "tpch_q10_like_returned_items",
-    "tpch_q13_like_order_distribution",
-    "tpch_q14_like_promo_effect",
-    "tpch_q15_like_top_supplier",
-    "tpch_q17_like_small_quantity",
-    "tpch_q18_like_large_orders",
-    "tpch_q19_like_disjunctive",
-    "tpch_q22_like_dormant_rich",
     # then the round-5 window (all 50 hold fresh r6 rows; unchanged
     # code this round)
     "tpch_q12_like_shipmode_priority",

@@ -525,3 +525,78 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _docs(spark, sf_dir), query_terms=("spark", "window", "merge"), k=10
     )
+
+
+def _lm_score_sql() -> str:
+    """DuckDB restatement of the bigram-LM quality score: train the
+    add-one counts model on the same doc_id%5=0 reference slice, score
+    every document's transitions, quantize each probability to the
+    1e-9 grid and sum exactly (functions/numeric.py rationale), then
+    bucket with the identical e-notation double literals."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import (
+        qcast_sql,
+        qint_sql,
+    )
+    from financial_data_stream_processing_engine_spark.operators.lm import LM_BUCKETS
+
+    (hi_name, hi), (mid_name, mid) = LM_BUCKETS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                               i -> struct_pack(u := t[i], v := t[i + 1]))) AS b
+  FROM toks),
+ref_bg AS (SELECT b.u AS u, b.v AS v FROM bg WHERE doc_id % 5 = 0),
+pc AS (SELECT u, v, COUNT(*) AS c_uv FROM ref_bg GROUP BY u, v),
+cc AS (SELECT u, COUNT(*) AS c_u FROM ref_bg GROUP BY u),
+vs AS (
+  SELECT COUNT(DISTINCT x.t) AS v_size
+  FROM (SELECT UNNEST(t) AS t FROM toks WHERE doc_id % 5 = 0) x
+  WHERE x.t <> ''),
+sc AS (
+  SELECT bg.doc_id,
+         CASE WHEN pc.c_uv IS NULL THEN 1 ELSE 0 END AS unseen,
+         CAST(COALESCE(pc.c_uv, 0) + 1 AS DOUBLE)
+           / CAST(COALESCE(cc.c_u, 0) + vs.v_size AS DOUBLE) AS p
+  FROM bg
+  LEFT JOIN pc ON bg.b.u = pc.u AND bg.b.v = pc.v
+  LEFT JOIN cc ON bg.b.u = cc.u
+  CROSS JOIN vs),
+per AS (
+  SELECT doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(unseen) AS n_unseen_bigrams,
+         {qcast_sql("SUM(" + qint_sql("p") + ")")} * 1e-09 AS sum_tp
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(per.n_unseen_bigrams, 0) AS BIGINT) AS n_unseen_bigrams,
+       CAST(per.sum_tp / per.n_bigrams AS DOUBLE) AS mean_tp,
+       COALESCE(CASE WHEN per.sum_tp / per.n_bigrams >= {hi!r} THEN '{hi_name}'
+                     WHEN per.sum_tp / per.n_bigrams >= {mid!r} THEN '{mid_name}'
+                     ELSE 'low' END, 'und') AS lm_bucket
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+@register("text_lm_quality_score", sql=_lm_score_sql())
+def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM perplexity-style quality filter (the CCNet/Gopher
+    recipe): train an add-one-smoothed bigram model on a trusted
+    reference slice (every fifth doc), score every document's mean
+    transition probability — the rational, engine-exact surrogate for
+    perplexity (same trade as the tfidf/BM25 rational idf) — and
+    bucket into CCNet-style terciles (operators/lm.py).
+
+    Plan: two map-side-combinable training groupBys over the reference
+    slice (vocabulary-sized results), then one explode + two
+    vocabulary-keyed joins (AQE-broadcast here; shuffle-join fallback
+    at 100 TB, linear in corpus bigrams) + one per-doc aggregation on
+    the 1e-9 quantized grid.  No Python anywhere — the whole path is
+    codegen'd expressions, and the score is bit-identical at any
+    parallelism."""
+    from financial_data_stream_processing_engine_spark.operators.lm import lm_quality_score
+
+    return lm_quality_score(_docs(spark, sf_dir))

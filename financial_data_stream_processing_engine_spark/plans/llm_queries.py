@@ -3514,3 +3514,238 @@ def streaming_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_vec_id",
         F.coalesce("touched", F.lit(False)).alias("touched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# µ-law WAV + MJPEG/AVI round trips (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _ulaw_oracle_sql() -> str:
+    """Restate the µ-law decode bitwise: per md5 byte, the G.711
+    segment expansion ((mant·8+0x84)·2^exp − 0x84) in exact integer
+    arithmetic (sign is RMS-irrelevant), squares summed as BIGINTs
+    (≤16·32124² < 2^53, exact), one division by the dyadic
+    16·32768² and a single SQRT rounding — the 8-bit-PCM WAV oracle's
+    argument on the 16-bit µ-law scale."""
+    mag = (
+        "((((255 - ({b})) % 16) * 8 + 132)"
+        " * (1 << (((255 - ({b})) // 16) % 8)) - 132)"
+    )
+    sq = f"({mag} * {mag})"
+    return f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'audio' AS kind,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(16 AS BIGINT) AS n_samples,
+       CAST(16 AS DOUBLE) / 8000.0 AS duration_s,
+       SQRT(CAST({_md5_sum(sq)} AS DOUBLE) / 17179869184.0) AS rms
+FROM b
+"""
+
+
+@register("multimodal_wav_ulaw_roundtrip", sql=_ulaw_oracle_sql())
+def multimodal_wav_ulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 µ-law WAV round trip: each doc's 16 md5 bytes are
+    written verbatim as µ-law code words in a hand-built RIFF file
+    (fmt tag 7, a ``fact`` chunk the walker must skip, 8 kHz mono) —
+    decode complements each byte and applies the CCITT segment
+    expansion (operators/multimodal.py::decode_audio_features).
+
+    Oracle strategy: the expansion is pure integer arithmetic, so
+    DuckDB recomputes every 16-bit magnitude exactly from the md5
+    bytes; squares and their sum stay below 2^53 (exact), the mean
+    divides by the dyadic 16·32768², and the single SQRT rounding
+    matches bitwise — the hash gate covers the RIFF walk (including
+    the fact-chunk skip), the complement, and the segment expansion.
+    IMA-ADPCM decode and the sign path are pinned by
+    tests/test_multimodal_codecs.py."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        def build(did) -> bytes:
+            data = hashlib.md5(str(did).encode()).digest()
+            fmt = struct.pack("<HHIIHHH", 7, 1, 8000, 8000, 1, 8, 0)
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"fact" + struct.pack("<II", 4, len(data))
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [build(d) for d in pdf["doc_id"]]}
+            )
+
+    wavs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        wavs, id_col="doc_id", payload=F.col("payload"),
+        kind="audio", mime="audio/basic",
+    )
+    return multimodal.decode_audio_features(media, fake=False)
+
+
+def _mjpeg_avi_generator():
+    """mapInPandas generator: doc_id → a minimal-but-well-formed AVI
+    (RIFF 'AVI ': LIST hdrl with avih + one vids/MJPG LIST strl, LIST
+    movi) containing FOUR 16×16 grayscale baseline JPEG frames; frame
+    f's four 8×8 blocks are md5(doc_id) bytes 4f..4f+3 — the
+    _md5_jpeg_generator fixture promoted to a video container.
+    Nested def so cloudpickle ships it by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = list(range(12))
+        dc_code = {}
+        code = 0
+        vi = 0
+        for ln in range(1, 17):
+            for _ in range(dc_bits[ln - 1]):
+                dc_code[dc_vals[vi]] = (ln, code)
+                code += 1
+                vi += 1
+            code <<= 1
+        ac_bits = [1] + [0] * 15
+        ac_vals = [0x00]
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, val: int, ln: int) -> None:
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((val >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc, self.n = 0, 0
+
+            def flush(self) -> bytes:
+                if self.n:
+                    self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                return bytes(self.out)
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        head = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        )
+
+        def jpeg(block_vals) -> bytes:
+            bw = BitWriter()
+            pred = 0
+            for c in block_vals:
+                dc = 8 * (int(c) - 128)
+                diff = dc - pred
+                pred = dc
+                size = diff.bit_length() if diff != 0 else 0
+                ln, cd = dc_code[size]
+                bw.put(cd, ln)
+                if size:
+                    bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+                bw.put(0, 1)  # EOB
+            return head + bw.flush() + b"\xff\xd9"
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+        def lst(ltype: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", ltype + body)
+
+        def build(did) -> bytes:
+            d = hashlib.md5(str(did).encode()).digest()
+            frames = [jpeg(d[4 * f : 4 * f + 4]) for f in range(4)]
+            avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0x10, 4, 0, 1, 0, 16, 16)
+            avih += b"\x00" * 16
+            strh = (
+                b"vidsMJPG"
+                + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 4, 0, 0, 0)
+                + struct.pack("<hhhh", 0, 0, 16, 16)
+            )
+            strf = struct.pack("<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+            hdrl = lst(b"hdrl", chunk(b"avih", avih)
+                       + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+            movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+            return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [build(d) for d in pdf["doc_id"]]}
+            )
+
+    return gen
+
+
+def _mjpeg_oracle_sql() -> str:
+    """Four rows per doc — frame f's mean luma is the mean of md5
+    bytes 4f..4f+3 (the DC-only constant-block exactness argument of
+    the baseline JPEG oracle, once per frame)."""
+    selects = []
+    for f in range(4):
+        mean = " + ".join(_hex_byte("m", 4 * f + k) for k in range(4))
+        selects.append(
+            f"""SELECT doc_id AS media_id, 'video' AS kind, CAST({f} AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       (CAST({mean} AS DOUBLE) / 4.0) / 255.0 AS mean_luma
+FROM b"""
+        )
+    u = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+{u}
+"""
+
+
+@register("multimodal_video_frames_roundtrip", sql=_mjpeg_oracle_sql())
+def multimodal_video_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame decode: each doc's payload is a well-formed
+    MJPEG AVI (RIFF container: hdrl with avih + vids/MJPG stream
+    headers, movi list of four '00dc' frame chunks) whose frames are
+    DC-only 16×16 baseline JPEGs of md5 bytes — the container walk
+    must parse nested word-aligned LIST chunks, find movi, and feed
+    each frame chunk to the full JPEG decoder
+    (operators/multimodal.py::decode_video_frames).  This retires the
+    offset-lattice placeholder story: frames are actually decoded,
+    per-frame, through the same codec the image entries certify.
+
+    Oracle strategy: the baseline-JPEG DC-only exactness argument,
+    once per frame — DuckDB states each frame's dims and exact mean
+    luma from the md5 bytes, so any corruption in the RIFF walk,
+    frame-chunk slicing, or the per-frame JPEG decode breaks the
+    hash.  Truncated containers, odd-sized (padded) chunks and
+    corrupt-single-frame isolation are pinned by
+    tests/test_multimodal_codecs.py."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _mjpeg_avi_generator()
+    avis = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        avis, id_col="doc_id", payload=F.col("payload"),
+        kind="video", mime="video/x-msvideo",
+    )
+    return multimodal.decode_video_frames(media, max_frames=8)

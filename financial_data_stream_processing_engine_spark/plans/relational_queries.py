@@ -1222,76 +1222,6 @@ def sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "funnel_stage_conversion",
-    sql="""
-WITH v AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id),
-c AS (
-  SELECT e.user_id, MIN(e.ts) AS t2
-  FROM events e JOIN v ON v.user_id = e.user_id
-  WHERE e.event_type = 'click' AND e.ts > v.t1
-  GROUP BY e.user_id),
-p AS (
-  SELECT e.user_id, MIN(e.ts) AS t3
-  FROM events e JOIN c ON c.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > c.t2
-  GROUP BY e.user_id)
-SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
-       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
-       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after,
-       CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
-         / (SELECT COUNT(*) FROM v) AS conv_view_click,
-       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-         / (SELECT COUNT(*) FROM v) AS conv_view_purchase
-""",
-)
-def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis: users whose first view is STRICTLY
-    followed by a click, strictly followed by a purchase — the
-    product-analytics staple.  Each stage is one keyed min-aggregation
-    joined to the previous stage's anchor timestamp; all three
-    aggregations and both joins key on ``user_id``, so a single
-    exchange is reusable across the chain and nothing is ever
-    super-linear in events.  Conversion ratios are single bigint÷bigint
-    divisions — one rounding, identical cross-engine."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
-    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_after"))
-    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_after"))
-    return (
-        nv.crossJoin(nc)
-        .crossJoin(np_)
-        .select(
-            "n_viewed",
-            "n_clicked_after",
-            "n_purchased_after",
-            (F.col("n_clicked_after").cast("double") / F.col("n_viewed"))
-            .alias("conv_view_click"),
-            (F.col("n_purchased_after").cast("double") / F.col("n_viewed"))
-            .alias("conv_view_purchase"),
-        )
-    )
-
-
-@register(
     "date_arithmetic",
     sql="""
 SELECT o_orderkey,
@@ -2751,9 +2681,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "funnel_conversion",
-    sql="""
+#: shared by the streaming IVM twin (plans/streaming_queries.py),
+#: which must converge to the identical three-stage result.
+_FUNNEL_SQL = """
 WITH v AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
   WHERE event_type = 'view' GROUP BY 1),
@@ -2765,22 +2695,31 @@ p AS (
   SELECT e.user_id, MIN(e.ts) AS t3
   FROM events e JOIN c ON e.user_id = c.user_id
   WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
-SELECT * FROM (
+SELECT stage_order, stage, n_users,
+       CAST(n_users AS DOUBLE)
+         / (SELECT COUNT(*) FROM v) AS conv_from_first
+FROM (
   SELECT CAST(1 AS INT) AS stage_order, 'view' AS stage,
          (SELECT COUNT(*) FROM v) AS n_users
   UNION ALL
   SELECT CAST(2 AS INT), 'click', (SELECT COUNT(*) FROM c)
   UNION ALL
   SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM p)) t
-""",
-)
-def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered three-stage funnel (view → later click → later
-    purchase): per-user earliest qualifying timestamp per stage, then
-    stage cardinalities.  Each stage is one user-keyed aggregation
-    joined to the previous stage's (small) survivor set — AQE
-    broadcasts the survivors; linear in events at any scale."""
-    ev = _t(spark, sf_dir, "events")
+"""
+
+
+def _funnel_anchors(ev: DataFrame) -> DataFrame:
+    """Per-user ordered-funnel anchors → (user_id, t1, t2, t3).
+
+    One row per user with at least one 'view'; t2/t3 NULL until a
+    strictly-later click / strictly-later-still purchase exists.  Each
+    stage is one user-keyed min-aggregation joined to the previous
+    stage's (small) survivor set — AQE broadcasts the survivors; all
+    three aggregations and both joins key on user_id, so one exchange
+    is reusable across the chain and nothing is super-linear in
+    events.  Anchors are a pure per-user function of that user's own
+    events — the property the streaming twin's recompute-touched-users
+    maintenance relies on."""
 
     def stage(df_prev, etype, t_prev, t_out):
         e = ev.where(F.col("event_type") == etype)
@@ -2796,19 +2735,42 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = stage(None, "view", None, "t1")
     c = stage(v, "click", "t1", "t2")
     p = stage(c, "purchase", "t2", "t3")
+    return v.join(c, "user_id", "left").join(p, "user_id", "left")
 
-    def stage_count(df, order, name):
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+
+def _funnel_report(anchors: DataFrame) -> DataFrame:
+    """Anchor table → the three (stage_order, stage, n_users,
+    conv_from_first) rows.  Conversion ratios are single
+    bigint÷bigint divisions — one rounding, identical cross-engine."""
+    counts = anchors.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+
+    def stage_row(order, name, col):
+        return counts.select(
             F.lit(order).cast("int").alias("stage_order"),
             F.lit(name).alias("stage"),
-            "n_users",
+            F.col(col).alias("n_users"),
+            (F.col(col).cast("double") / F.col("n1")).alias("conv_from_first"),
         )
 
     return (
-        stage_count(v, 1, "view")
-        .unionByName(stage_count(c, 2, "click"))
-        .unionByName(stage_count(p, 3, "purchase"))
+        stage_row(1, "view", "n1")
+        .unionByName(stage_row(2, "click", "n2"))
+        .unionByName(stage_row(3, "purchase", "n3"))
     )
+
+
+@register("funnel_conversion", sql=_FUNNEL_SQL)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → later click → later
+    purchase): per-user earliest qualifying timestamp per stage, then
+    stage cardinalities and the conversion ratio from the first stage
+    (the round-7 ``funnel_stage_conversion`` entry's ratio projection,
+    folded in here — one funnel entry, one proven plan).  See
+    :func:`_funnel_anchors` for the plan-shape argument."""
+    ev = _t(spark, sf_dir, "events")
+    return _funnel_report(_funnel_anchors(ev))
 
 
 @register(

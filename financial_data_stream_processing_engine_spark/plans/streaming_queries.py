@@ -1099,3 +1099,97 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.sum("_dec_sum").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "streaming_funnel_conversion",
+    sql=None,  # set below: shares the batch funnel entry's oracle verbatim
+)
+def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics LIVE: events arrive as a stream (3
+    deterministic event_id-sliced micro-batches, maxFilesPerTrigger=1
+    — users deliberately SPAN batches, so no per-batch funnel is ever
+    correct on its own) and ``foreachBatch`` maintains a per-user
+    anchor table by RECOMPUTE-TOUCHED-KEYS incremental view
+    maintenance: append the batch to the accumulated event state,
+    recompute the (t1, t2, t3) anchors ONLY for the users the batch
+    touched — anchors are a pure per-user function of that user's own
+    events (plans/relational_queries.py::_funnel_anchors), so
+    untouched users' rows are provably unchanged — and upsert them
+    into the versioned anchor state (atomic-by-rename epoch writes,
+    the re-runnable streaming-sink idempotence pattern).  The final
+    report aggregates the anchor table into the batch entry's exact
+    three-stage shape, so the batch funnel oracle (full recompute over
+    all events) certifies the streamed state bit-for-bit.
+
+    This is the OTHER maintenance family next to
+    ``streaming_ivm_orders_agg``'s additive-diff IVM: min-of-events
+    anchors are not additive under deletes/disorder, but they are
+    per-key recomputable — per-batch cost is the touched users'
+    histories, never the corpus.  At 100 TB the event state is
+    bucketed by user so the touched-key recompute is a
+    partition-pruned read, and the anchor upsert overwrites touched
+    user-buckets only (the IVF index-maintenance write pattern);
+    anchor state is users-sized, events-state reads are
+    touched-users-sized, and staleness is bounded by the trigger
+    interval."""
+    from financial_data_stream_processing_engine_spark.operators.scale import merge_upsert
+    from financial_data_stream_processing_engine_spark.plans.relational_queries import (
+        _funnel_anchors,
+        _funnel_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+    # ship the event log as 3 event_id-sliced files → 3 real
+    # micro-batches whose users overlap across batches
+    feed_dir = tempfile.mkdtemp(prefix="funnel_feed_")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+
+    ev_state = tempfile.mkdtemp(prefix="funnel_events_")
+    anchor_dir = tempfile.mkdtemp(prefix="funnel_anchors_")
+    _funnel_anchors(ev.limit(0)).write.mode("overwrite").parquet(f"{anchor_dir}/v0")
+    state = {"version": 0}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{ev_state}/data")
+        touched = batch_df.select("user_id").distinct()
+        history = spark.read.parquet(f"{ev_state}/data").join(
+            F.broadcast(touched), "user_id"
+        )
+        cur = spark.read.parquet(f"{anchor_dir}/v{state['version']}")
+        nxt = merge_upsert(cur, _funnel_anchors(history), keys=["user_id"])
+        nxt.write.mode("overwrite").parquet(f"{anchor_dir}/v{state['version'] + 1}")
+        state["version"] += 1
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = feed.writeStream.foreachBatch(apply_batch).start()
+    q.processAllAvailable()
+    q.stop()
+
+    anchors = spark.read.parquet(f"{anchor_dir}/v{state['version']}")
+    return _funnel_report(anchors)
+
+
+def _borrow_funnel_oracle() -> None:
+    from financial_data_stream_processing_engine_spark.plans.catalog import QUERIES
+    from financial_data_stream_processing_engine_spark.plans.relational_queries import (
+        _FUNNEL_SQL,
+    )
+    import dataclasses
+
+    QUERIES["streaming_funnel_conversion"] = dataclasses.replace(
+        QUERIES["streaming_funnel_conversion"], sql=_FUNNEL_SQL
+    )
+
+
+_borrow_funnel_oracle()

@@ -53,3 +53,17 @@ def test_clustering_coefficient_known_graphs(spark):
     assert out[2]["n_triangles"] == 1
     assert out[2]["lcc"] == 2.0 / 6.0
     assert out[0]["lcc"] == 1.0 and out[3]["lcc"] == 0.0
+
+
+def test_packed_order_key_rejects_out_of_range_ids(spark):
+    """ids outside [0, 2^31) would silently break the (degree, id)
+    packing's total order — the guard must fail loudly instead
+    (ADVICE r7)."""
+    import pytest
+
+    from financial_data_stream_processing_engine_spark.operators.graph import triangle_count
+
+    for bad in [[(-1, 2), (2, 3), (-1, 3)], [(1, 2**31), (1, 2)]]:
+        df = spark.createDataFrame(bad, "id_a long, id_b long")
+        with pytest.raises(Exception, match="2\\^31|USER_RAISED"):
+            triangle_count(df).collect()

@@ -583,3 +583,20 @@ def test_ivfpq_score_decomposition(spark, sf_dir):
     ivfpq = {r.vec_id: r for r in similarity.ivfpq_topk(embs, cent, q, k=10).collect()}
     r0 = ivfpq[0]
     assert abs(r0.score_adc - r0.dot_exact) < 1.0  # same-order reconstruction
+
+
+def test_token_counts_exact_path_keeps_null_id_rows(spark):
+    """with_token_counts(id_col=...) must not drop NULL-id rows — the
+    exact count joins back with a LEFT join and coalesces to 0
+    (ADVICE r7)."""
+    df = spark.createDataFrame(
+        [(1, "the batch order"), (None, "scan the row"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = text.with_token_counts(df, id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 3  # NULL id survives
+    by_text = {r["text"]: r for r in rows}
+    assert by_text["scan the row"]["n_bpe_tokens"] == 0  # unmatched → 0
+    assert by_text[""]["n_bpe_tokens"] == 0
+    assert by_text["the batch order"]["n_bpe_tokens"] > 0

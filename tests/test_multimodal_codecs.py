@@ -1362,3 +1362,194 @@ def test_bmp_palette_and_malformed(spark):
     # spark-path dispatch sanity
     out = _decode_images(spark, [make_bmp(rng.integers(0, 256, (2, 2, 3), dtype=np.uint8))])
     assert out[0]["n_channels"] == 3 and out[0]["width"] == 2
+
+
+# ---------------------------------------------------------------------------
+# round 8: µ-law + IMA-ADPCM WAV, MJPEG/AVI frame walk, GIF canvas guard
+# ---------------------------------------------------------------------------
+
+
+def _riff_wav(fmt_payload: bytes, data: bytes, extra_chunks: bytes = b"") -> bytes:
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+        + extra_chunks
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_ulaw_wav(codes: bytes, rate: int = 8000) -> bytes:
+    fmt = struct.pack("<HHIIHHH", 7, 1, rate, rate, 1, 8, 0)
+    fact = b"fact" + struct.pack("<II", 4, len(codes))
+    return _riff_wav(fmt, codes, extra_chunks=fact)
+
+
+def _ulaw_expand(byte: int) -> int:
+    u = ~byte & 0xFF
+    mag = (((u & 0x0F) * 8 + 0x84) << ((u >> 4) & 7)) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def _decode_audio(spark, payloads):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    media = df.select(
+        "media_id", F.lit("audio").alias("kind"), "payload",
+        F.lit(None).cast(multimodal.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    rows = multimodal.decode_audio_features(media, fake=False).collect()
+    return {r["media_id"]: r for r in rows}
+
+
+def test_wav_ulaw_reference_codewords(spark):
+    # canonical G.711 extremes: 0x00 → −32124, 0x80 → +32124,
+    # 0xFF / 0x7F → ±0 (the two zero codes)
+    assert _ulaw_expand(0x00) == -32124
+    assert _ulaw_expand(0x80) == 32124
+    assert _ulaw_expand(0xFF) == 0
+    assert _ulaw_expand(0x7F) == 0
+    codes = bytes([0x00, 0x80, 0xFF, 0x7F] + list(rng.integers(0, 256, 60)))
+    out = _decode_audio(spark, [make_ulaw_wav(codes, rate=16000)])
+    r = out[0]
+    assert (r["sample_rate"], r["n_samples"]) == (16000, 64)
+    vals = np.array([_ulaw_expand(c) for c in codes], np.float64) / 32768.0
+    assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(vals * vals))), abs=1e-15)
+    # odd-length data chunk exercises the RIFF pad byte in the walk
+    out = _decode_audio(spark, [make_ulaw_wav(codes[:7])])
+    assert out[0]["n_samples"] == 7
+
+
+def _ima_reference_decode(block: bytes) -> list[int]:
+    """independent straightforward IMA ADPCM loop (step tables from the
+    IMA spec) for cross-checking the operator's vectorized-ish path."""
+    steps = multimodal._IMA_STEPS
+    adj = multimodal._IMA_INDEX_ADJ
+    pred = int.from_bytes(block[:2], "little", signed=True)
+    index = min(max(block[2], 0), 88)
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = steps[index]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + adj[nib & 7]))
+            out.append(pred)
+    return out
+
+
+def test_wav_ima_adpcm_blocks(spark):
+    align = 12  # 4-byte header + 8 nibble bytes → 17 samples per block
+    blocks = []
+    for seed_pred, seed_idx in [(0, 0), (1000, 20), (-2000, 60), (32000, 88)]:
+        nibs = bytes(rng.integers(0, 256, align - 4, dtype=np.uint8))
+        blocks.append(struct.pack("<hBB", seed_pred, seed_idx, 0) + nibs)
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4055, align, 4, 2, 17)
+    wavb = _riff_wav(fmt, data)
+    out = _decode_audio(spark, [wavb])
+    r = out[0]
+    expect = [v for b in blocks for v in _ima_reference_decode(b)]
+    assert r["n_samples"] == len(expect) == 4 * 17
+    vals = np.array(expect, np.float64) / 32768.0
+    assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(vals * vals))), abs=1e-15)
+    # unsupported codec tag still yields NULLs, not an error
+    bad = _riff_wav(struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8), b"\x00" * 8)
+    assert _decode_audio(spark, [bad])[0]["rms"] is None
+
+
+def _avi_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+
+def make_avi(frames: list[bytes], with_hdrl: bool = True) -> bytes:
+    hdrl = b""
+    if with_hdrl:
+        avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0x10, len(frames), 0, 1, 0, 8, 8) + b"\x00" * 16
+        strh = b"vidsMJPG" + b"\x00" * 48
+        strf = struct.pack("<IiiHH4sIiiII", 40, 8, 8, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+        hdrl = _avi_chunk(b"LIST", b"hdrl" + _avi_chunk(b"avih", avih)
+                          + _avi_chunk(b"LIST", b"strl" + _avi_chunk(b"strh", strh)
+                                       + _avi_chunk(b"strf", strf)))
+    movi = _avi_chunk(b"LIST", b"movi" + b"".join(_avi_chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_video(spark, payloads, max_frames=16):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    media = df.select(
+        "media_id", F.lit("video").alias("kind"), "payload",
+        F.lit(None).cast(multimodal.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    rows = multimodal.decode_video_frames(media, max_frames=max_frames).collect()
+    out: dict[int, dict[int, object]] = {}
+    for r in rows:
+        out.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    return out
+
+
+def test_avi_mjpeg_frames_decode(spark):
+    cases = [(64, {1: 5}, 1), (-100, {3: -2, 17: 4}, 1), (7, {}, 2)]
+    frames = [_make_baseline_jpeg(dc, ac, q) for dc, ac, q in cases]
+    # at least one odd-length frame so the word-alignment pad is real
+    assert any(len(f) & 1 for f in frames) or frames.append(
+        _make_baseline_jpeg(3, {1: 1}, 1) + b""
+    ) is None
+    out = _decode_video(spark, [make_avi(frames)])
+    got = out[0]
+    assert sorted(got) == list(range(len(frames)))
+    for i, (dc, ac, q) in enumerate(cases):
+        r = got[i]
+        assert (r["width"], r["height"], r["n_channels"]) == (8, 8, 1)
+        exp = _reference_idct_block(dc, ac, q).mean() / 255.0
+        assert r["mean_luma"] == pytest.approx(exp, abs=1e-9), i
+
+
+def test_avi_error_isolation_and_caps(spark):
+    good = _make_baseline_jpeg(10, {1: 3}, 1)
+    corrupt = good[:20]  # valid SOI, truncated mid-segments
+    payloads = [
+        make_avi([good, corrupt, good]),        # corrupt middle frame
+        make_avi([good], with_hdrl=False),      # no hdrl: movi walk alone
+        make_avi([good])[:30],                  # truncated container
+        b"RIFF\x08\x00\x00\x00WAVE",            # RIFF but not AVI
+        b"not riff at all",
+    ]
+    out = _decode_video(spark, payloads)
+    assert sorted(out[0]) == [0, 1, 2]
+    assert out[0][1]["width"] is None and out[0][1]["mean_luma"] is None
+    assert out[0][0]["width"] == 8 and out[0][2]["width"] == 8
+    assert sorted(out.get(1, {})) == [0]
+    assert 2 not in out and 3 not in out and 4 not in out
+    # max_frames caps the emitted rows
+    capped = _decode_video(spark, [make_avi([good] * 5)], max_frames=2)
+    assert sorted(capped[0]) == [0, 1]
+
+
+def test_gif_partial_canvas_first_frame_rejected(spark):
+    decode = multimodal._gif_pixel_decoder()
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 6), dtype=np.uint8)
+    good = make_gif(idx, pal)
+    assert decode(good) is not None
+    # canvas larger than the (6,6) frame → dims would disagree with
+    # standard decoders' canvas reporting → drop, don't guess
+    bigger = good[:6] + struct.pack("<HH", 8, 8) + good[10:]
+    assert decode(bigger) is None
+    # frame offset within an equal-sized canvas → same contract
+    desc = 13 + 3 * 16  # header + global palette → image descriptor
+    assert good[desc] == 0x2C
+    offset = good[: desc + 1] + struct.pack("<HH", 1, 0) + good[desc + 5 :]
+    assert decode(offset) is None

@@ -1,7 +1,7 @@
 """Regenerate docs/COVERAGE.md's per-entry newest-driver-row table from
 the CORRECTNESS_r*.json history plus the current check window.
 
-Usage: python tools/gen_rows_table.py [--round N]
+Usage: python tools/gen_rows_table.py [--write]
 
 Prints the markdown table between the BEGIN/END markers; with
 ``--write`` it splices it into docs/COVERAGE.md in place.  An entry is
