@@ -104,6 +104,13 @@ HEADLINE = [
     "text_lm_quality_score",
     "streaming_funnel_conversion",
     "multimodal_video_frames_roundtrip",
+    # round-8 additions (late): the NB training+scoring chain (one
+    # vocabulary groupBy + one vocabulary join), the prefix-filter
+    # exact similarity self-join (df rank + prefix block + verify),
+    # and the twiddle-join DFT spectrum over decoded WAV samples
+    "text_nb_lang_classifier",
+    "dedup_prefix_jaccard",
+    "multimodal_audio_spectrum",
 ]
 
 

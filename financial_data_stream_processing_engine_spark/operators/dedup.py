@@ -25,7 +25,7 @@ from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from financial_data_stream_processing_engine_spark.operators.text import shingles
 
@@ -105,6 +105,91 @@ def ngram_jaccard_pairs(
         sh.join(sh2, (F.col("id_a") < F.col("id_b")) & length_ok)
         .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard >= num/den pairs via prefix filtering — the
+    AllPairs/PPJoin algorithm (Bayardo, Ma & Srikant, WWW'07;
+    Xiao et al., WWW'08), the scalable exact counterpart to both the
+    quadratic :func:`ngram_jaccard_pairs` and the probabilistic
+    MinHash-LSH path.  Output-identical to brute force, candidate
+    count bounded by shared RARE shingles instead of O(n²).
+
+    The filter: order every document's shingles by one GLOBAL total
+    order — ascending document frequency, shingle string as the
+    tie-break — and keep only the first ``|S| − ceil(θ·|S|) + 1`` as
+    blocking keys.  Soundness: J(A,B) ≥ θ implies (with θ = num/den)
+    ``|A∩B| ≥ θ·(|A|+|B|)/(1+θ) ≥ θ·max(|A|,|B|)`` (the second step
+    is the length filter ``min ≥ θ·max``, itself implied by J ≥ θ),
+    and two sets whose overlap is at least ``o`` must share a token
+    within their ``(|S|−o+1)``-prefixes under ANY common total order —
+    so every qualifying pair collides on some prefix shingle.  The
+    threshold is a RATIONAL num/den and the required overlap is
+    computed in integer arithmetic (``(num·|S| + den − 1) div den``):
+    a double ceil can land one above the exact rational (e.g.
+    ``ceil(0.07·100)`` = ceil(7.000000000000001) = 8, not 7), which
+    silently shortens the prefix below the sound length — the failure
+    is threshold-dependent and invisible until the one corpus that
+    hits it, exactly the class of bug exactness rules exist for.
+
+    Why the prefix keeps the RAREST shingles: candidates are generated
+    per shared prefix-shingle, so the self-join key distribution is
+    exactly the document-frequency tail — stopword-like shingles that
+    would explode a naive token-blocking join are pushed OUT of every
+    prefix by frequent-last ordering whenever a rarer shingle exists.
+
+    Plan: shingle document-frequency groupBy (vocabulary-sized,
+    map-side combinable) → per-doc frequency ranking (one window over
+    the doc key — partitions are document-sized) → prefix self-join on
+    the shingle key (+ id ordering + integer length filter) → distinct
+    candidate pairs → exact verify joining the full shingle arrays
+    back by id.  Four shuffles, all keyed and linear in their inputs;
+    no Python anywhere.
+
+    Returns (id_a, id_b, jaccard) — the same schema and, by the
+    soundness argument, the same rows as the brute-force oracle.
+    """
+    thr = float(threshold_num) / float(threshold_den)
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+        .where(F.col("sz") > 0)
+    )
+    flat = sh.select("id", "sz", F.explode("sh").alias("s"))
+    dfreq = flat.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "s")
+    ranked = flat.join(dfreq, ["s"]).withColumn("rn", F.row_number().over(w))
+    # required overlap o = ceil(num·sz / den), prefix keeps sz − o + 1
+    o = F.expr(f"({threshold_num} * sz + {threshold_den - 1}) DIV {threshold_den}")
+    pref = ranked.where(F.col("rn") <= F.col("sz") - o + 1).select("id", "sz", "s")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") * threshold_den >= F.col("b.sz") * threshold_num)
+            & (F.col("b.sz") * threshold_den >= F.col("a.sz") * threshold_num),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    arr_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    arr_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(arr_a, ["id_a"])
+        .join(arr_b, ["id_b"])
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(thr))
         .select("id_a", "id_b", "jaccard")
     )
 

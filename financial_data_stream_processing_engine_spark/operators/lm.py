@@ -171,3 +171,115 @@ def lm_quality_score(
     return with_lm_score(
         docs, pair_counts, context_counts, vocab, id_col=id_col, text_col=text_col
     )
+
+
+def nb_lang_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+    holdout: Column | None = None,
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier, counts-only and
+    engine-exact — the learned complement to the heuristic
+    ``text.with_language_id`` and the model pair of the bigram LM
+    above (fastText-style classifiers fill both the language-ID and
+    quality-filter roles in CCNet/LLaMA-era curation pipelines; NB is
+    the classic counts-based form whose every likelihood is a ratio of
+    two exact integers).
+
+    Model (binary, pos = ``label_col == pos_label``): add-one token
+    likelihoods trained on the non-holdout slice,
+
+        P(w | c) = (count(w, c) + 1) / (total_tokens_c + V).
+
+    Decision score: the per-document MEAN of
+    ``P(w|pos) − P(w|neg)`` over its tokens — each term is two
+    correctly-rounded IEEE divisions and one subtraction, summed
+    exactly on the 1e-9 grid (functions/numeric.py::qint), so the
+    score is bit-identical at any parallelism and in any engine.  This
+    is the equal-prior linear-probability decision rule: the rational
+    surrogate for the log-likelihood-ratio sign test, the same
+    transcendental-free trade the LM score above and the tf·idf/BM25
+    rational idf make (ln() differs at the last ulp between engines).
+    Out-of-vocabulary tokens score the smoothing-floor difference.
+
+    Returns one row per input document: (id, n_tokens,
+    n_oov_tokens, mean_delta, nb_pred, label_bin, is_holdout) —
+    ``nb_pred`` ∈ {pos_label, 'other', 'und'} ('und' when the document
+    has no tokens), ``label_bin`` the binarized true label, so
+    holdout accuracy is one filter+agg away.
+
+    Scale shape: training is one map-side-combinable groupBy over
+    train tokens (vocabulary-sized result) plus a 3-scalar totals row;
+    scoring is one explode + one vocabulary-keyed join (AQE broadcasts
+    the model here; at 100 TB the fallback is a shuffle join on the
+    token key, linear in corpus tokens) + one per-doc aggregation.  No
+    Python anywhere — the whole path is codegen'd expressions.
+    """
+    if holdout is None:
+        holdout = F.col(id_col) % 5 == 0
+    tok = docs.select(
+        F.col(id_col),
+        (F.col(label_col) == F.lit(pos_label)).alias("is_pos"),
+        holdout.alias("is_holdout"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+    ).where(F.col("t") != "")
+    train = tok.where(~F.col("is_holdout"))
+    word_counts = train.groupBy("t").agg(
+        F.sum(F.col("is_pos").cast("long")).alias("c_pos"),
+        F.sum((~F.col("is_pos")).cast("long")).alias("c_neg"),
+    )
+    totals = train.agg(
+        F.sum(F.col("is_pos").cast("long")).alias("tot_pos"),
+        F.sum((~F.col("is_pos")).cast("long")).alias("tot_neg"),
+        F.count_distinct("t").alias("v_size"),
+    )
+    p_pos = (F.coalesce(F.col("c_pos"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("tot_pos") + F.col("v_size")
+    ).cast("double")
+    p_neg = (F.coalesce(F.col("c_neg"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("tot_neg") + F.col("v_size")
+    ).cast("double")
+    scored = (
+        tok.join(word_counts, ["t"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.col("c_pos").isNull().cast("long").alias("oov"),
+            (p_pos - p_neg).alias("delta"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov_tokens"),
+        (F.sum(qint(F.col("delta"))).cast("double") * F.lit(1e-9)).alias("sum_delta"),
+    )
+    mean_delta = (F.col("sum_delta") / F.col("n_tokens")).alias("mean_delta")
+    return (
+        docs.select(
+            F.col(id_col),
+            (F.col(label_col) == F.lit(pos_label)).alias("is_pos"),
+            holdout.alias("is_holdout"),
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_oov_tokens"),
+            (F.col("sum_delta") / F.col("n_tokens")).cast("double").alias("mean_delta"),
+            F.when(F.col("n_tokens").isNull(), F.lit("und"))
+            .when(
+                F.col("sum_delta") / F.col("n_tokens") > 0, F.lit(pos_label)
+            )
+            .otherwise(F.lit("other"))
+            .alias("nb_pred"),
+            F.when(F.col("is_pos"), F.lit(pos_label))
+            .otherwise(F.lit("other"))
+            .alias("label_bin"),
+            F.col("is_holdout"),
+        )
+    )

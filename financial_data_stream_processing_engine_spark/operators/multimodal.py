@@ -1257,6 +1257,86 @@ _IMA_STEPS = (
 _IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
 
 
+def _wav_sample_decoder():
+    """Factory → ``decode(b) -> (rate, nch, samples) | None`` where
+    ``samples`` is the float64 interleaved stream normalized to
+    [-1, 1] — the shared RIFF/WAVE walk behind the features, samples
+    and spectrum operators.  Manual chunk walk (unknown chunks like
+    ``fact``/``LIST`` skipped, odd-sized chunks padded per RIFF),
+    dispatching on the fmt tag: integer PCM 8-bit unsigned / 16-bit
+    signed (tag 1), G.711 µ-law (tag 7: complement, then the CCITT
+    segment expansion ``((mant·8+0x84) << exp) − 0x84``), and IMA
+    ADPCM (tag 0x11: per-block predictor/step-index header, 4-bit
+    nibbles through the 89-entry step table with clamped prediction,
+    decoded mono).  µ-law/ADPCM amplitudes are on the 16-bit /32768
+    scale.  Nested defs so cloudpickle ships everything by value.
+    """
+    import struct
+
+    import numpy as np
+
+    steps = np.array(_IMA_STEPS, dtype=np.int64)
+    idx_adj = _IMA_INDEX_ADJ
+
+    def ima_decode_block(body: bytes) -> list[int]:
+        pred, index = struct.unpack("<hB", body[:3])
+        index = min(max(index, 0), 88)
+        out = [pred]
+        for byte in body[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = int(steps[index])
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = min(max(pred, -32768), 32767)
+                index = min(max(index + idx_adj[nib & 7], 0), 88)
+                out.append(pred)
+        return out
+
+    def decode(b: bytes):
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if pos + 8 + sz > len(b):
+                return None
+            if cid == b"fmt ":
+                fmt = b[pos + 8 : pos + 8 + sz]
+            elif cid == b"data":
+                data = b[pos + 8 : pos + 8 + sz]
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        tag, nch, rate, _brate, align, bits = struct.unpack("<HHIIHH", fmt[:16])
+        if rate <= 0 or nch <= 0:
+            return None
+        if tag == 1 and bits == 16:
+            arr = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.float64) / 32768.0
+        elif tag == 1 and bits == 8:
+            arr = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif tag == 7 and bits == 8:  # G.711 µ-law
+            u = ~np.frombuffer(data, np.uint8) & 0xFF
+            mag = (((u & 0x0F).astype(np.int64) * 8 + 0x84) << ((u >> 4) & 7)) - 0x84
+            arr = np.where(u & 0x80, -mag, mag).astype(np.float64) / 32768.0
+        elif tag == 0x11 and nch == 1 and bits == 4 and align > 4:  # IMA ADPCM
+            vals: list[int] = []
+            for off in range(0, len(data) - align + 1, align):
+                vals.extend(ima_decode_block(data[off : off + align]))
+            arr = np.array(vals, dtype=np.float64) / 32768.0
+        else:
+            return None
+        return int(rate), int(nch), arr
+
+    return decode
+
+
 def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """audio payload → (sample_rate, n_samples, duration_s, rms).
 
@@ -1280,74 +1360,20 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
       DuckDB value-level oracle.
     """
 
+    decode_samples = _wav_sample_decoder()
+
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
-        import struct
 
         import numpy as np
         import pandas as pd
 
-        steps = np.array(_IMA_STEPS, dtype=np.int64)
-        idx_adj = _IMA_INDEX_ADJ
-
-        def ima_decode_block(body: bytes) -> list[int]:
-            pred, index = struct.unpack("<hB", body[:3])
-            index = min(max(index, 0), 88)
-            out = [pred]
-            for byte in body[4:]:
-                for nib in (byte & 0x0F, byte >> 4):
-                    step = int(steps[index])
-                    diff = step >> 3
-                    if nib & 1:
-                        diff += step >> 2
-                    if nib & 2:
-                        diff += step >> 1
-                    if nib & 4:
-                        diff += step
-                    pred = pred - diff if nib & 8 else pred + diff
-                    pred = min(max(pred, -32768), 32767)
-                    index = min(max(index + idx_adj[nib & 7], 0), 88)
-                    out.append(pred)
-            return out
-
         def decode_wav(b: bytes):
-            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            dec = decode_samples(b)
+            if dec is None:
                 return None
-            pos, fmt, data = 12, None, None
-            while pos + 8 <= len(b):
-                cid = b[pos : pos + 4]
-                sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
-                if pos + 8 + sz > len(b):
-                    return None
-                if cid == b"fmt ":
-                    fmt = b[pos + 8 : pos + 8 + sz]
-                elif cid == b"data":
-                    data = b[pos + 8 : pos + 8 + sz]
-                pos += 8 + sz + (sz & 1)  # chunks are word-aligned
-            if fmt is None or data is None or len(fmt) < 16:
-                return None
-            tag, nch, rate, _brate, align, bits = struct.unpack("<HHIIHH", fmt[:16])
-            if rate <= 0 or nch <= 0:
-                return None
-            if tag == 1 and bits == 16:
-                arr = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.float64) / 32768.0
-                n = len(arr) // nch
-            elif tag == 1 and bits == 8:
-                arr = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
-                n = len(arr) // nch
-            elif tag == 7 and bits == 8:  # G.711 µ-law
-                u = ~np.frombuffer(data, np.uint8) & 0xFF
-                mag = (((u & 0x0F).astype(np.int64) * 8 + 0x84) << ((u >> 4) & 7)) - 0x84
-                arr = np.where(u & 0x80, -mag, mag).astype(np.float64) / 32768.0
-                n = len(arr) // nch
-            elif tag == 0x11 and nch == 1 and bits == 4 and align > 4:  # IMA ADPCM
-                vals: list[int] = []
-                for off in range(0, len(data) - align + 1, align):
-                    vals.extend(ima_decode_block(data[off : off + align]))
-                arr = np.array(vals, dtype=np.float64) / 32768.0
-                n = len(arr)
-            else:
-                return None
+            rate, nch, arr = dec
+            n = len(arr) // nch
             rms = float(np.sqrt(np.mean(arr * arr))) if arr.size else 0.0
             return int(rate), int(n), n / rate, rms
 
@@ -1379,3 +1405,120 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_SAMPLES_SCHEMA = (
+    "media_id bigint, kind string, sample_rate int, samples array<double>"
+)
+
+
+def decode_audio_samples(df: DataFrame, max_samples: int = 256) -> DataFrame:
+    """audio payload → (sample_rate, samples array<double>): the first
+    ``max_samples`` of the normalized interleaved stream, NULL for
+    undecodable payloads (per-row error isolation).
+
+    The decode step is the analysis seam: everything DOWNSTREAM of
+    this operator (spectra, statistics, windows over samples) is plain
+    relational algebra over (media_id, pos, sample) — JVM-side,
+    codegen'd, shuffle-free until an aggregation asks for one.  The
+    ``max_samples`` cap bounds the row width (a 10-minute 48 kHz file
+    is ~29 M samples; analysis windows are not), mirroring how
+    ``sample_frames`` bounds video work per row.  Shares the RIFF/PCM/
+    µ-law/ADPCM walk with :func:`decode_audio_features` via
+    ``_wav_sample_decoder``.
+    """
+
+    decode_samples = _wav_sample_decoder()
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rates, samps = [], []
+            for b in pdf["payload"]:
+                dec = decode_samples(bytes(b)) if b is not None else None
+                if dec is None:
+                    rates.append(None), samps.append(None)
+                else:
+                    rates.append(dec[0])
+                    samps.append([float(x) for x in dec[2][:max_samples]])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "samples": samps,
+                }
+            )
+
+    return df.mapInPandas(op, schema=AUDIO_SAMPLES_SCHEMA)
+
+
+def _dft_twiddles(n_fft: int, bins: tuple[int, ...]) -> list[tuple[int, int, float, float]]:
+    """(pos, k, cos, sin) rows of the DFT basis — Python-computed
+    doubles, the SAME constants the oracle embeds as literals."""
+    import math
+
+    return [
+        (pos, k, math.cos(2.0 * math.pi * k * pos / n_fft),
+         math.sin(2.0 * math.pi * k * pos / n_fft))
+        for k in bins
+        for pos in range(n_fft)
+    ]
+
+
+def audio_power_spectrum(
+    samples_df: DataFrame,
+    n_fft: int = 16,
+    bins: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Goertzel-style DFT power at selected frequency bins over the
+    first ``n_fft`` decoded samples → (media_id, k, re_sum, im_sum,
+    power) with ``power_k = (Σ xₙcos(2πkn/N))² + (Σ xₙsin(2πkn/N))²``.
+
+    Entirely JVM-side: posexplode of the sample array, a broadcast
+    join against the ``n_fft × |bins|``-row twiddle-factor table, and
+    one per-(media, bin) aggregation — the frequency-domain feature
+    extraction is plain relational algebra, no Python in the hot path
+    (the only Python anywhere was the upstream decode seam).  At scale
+    the plan is one shuffle keyed on (media_id, k), map-side
+    combinable, linear in total samples.
+
+    Exactness: each product ``x·cos`` is one IEEE rounding of
+    Python-computed double constants; per-group sums quantize to the
+    1e-9 grid and sum exactly (functions/numeric.py::qint) so results
+    are bit-identical at any parallelism and reproducible in any
+    engine that can state the same constants.  Media with fewer than
+    ``n_fft`` samples are excluded (a partial window is a different
+    statistic, not a smaller one).
+    """
+    from pyspark.sql import SparkSession
+
+    from financial_data_stream_processing_engine_spark.functions.numeric import qint
+
+    spark = SparkSession.getActiveSession() or samples_df.sparkSession
+    tw = spark.createDataFrame(
+        _dft_twiddles(n_fft, bins), "pos int, k int, cosv double, sinv double"
+    )
+    s = (
+        samples_df.where(F.size("samples") >= n_fft)
+        .select(
+            "media_id",
+            F.posexplode(F.slice("samples", 1, n_fft)).alias("pos", "x"),
+        )
+    )
+    joined = s.join(F.broadcast(tw), ["pos"])
+    grid = F.lit(1e-9)
+    agg = joined.groupBy("media_id", "k").agg(
+        (F.sum(qint(F.col("x") * F.col("cosv"))).cast("double") * grid).alias("re_sum"),
+        (F.sum(qint(F.col("x") * F.col("sinv"))).cast("double") * grid).alias("im_sum"),
+    )
+    return agg.select(
+        "media_id",
+        "k",
+        "re_sum",
+        "im_sum",
+        (F.col("re_sum") * F.col("re_sum") + F.col("im_sum") * F.col("im_sum")).alias(
+            "power"
+        ),
+    )

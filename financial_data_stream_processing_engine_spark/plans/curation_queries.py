@@ -600,3 +600,83 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_stream_processing_engine_spark.operators.lm import lm_quality_score
 
     return lm_quality_score(_docs(spark, sf_dir))
+
+
+def _nb_classifier_sql() -> str:
+    """DuckDB restatement of the NB classifier: identical train slice
+    (doc_id%5≠0), identical add-one likelihood ratios, identical 1e-9
+    quantized-grid summation — every arithmetic step stated in the
+    same IEEE order as the Spark plan (operators/lm.py rationale)."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import (
+        qcast_sql,
+        qint_sql,
+    )
+
+    return f"""
+WITH tk AS (
+  SELECT doc_id, (lang = 'en') AS is_pos, (doc_id % 5 = 0) AS is_holdout,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents),
+tok AS (SELECT * FROM tk WHERE t <> ''),
+wc AS (
+  SELECT t, SUM(CAST(is_pos AS BIGINT)) AS c_pos,
+         SUM(CAST(NOT is_pos AS BIGINT)) AS c_neg
+  FROM tok WHERE NOT is_holdout GROUP BY t),
+tot AS (
+  SELECT SUM(CAST(is_pos AS BIGINT)) AS tot_pos,
+         SUM(CAST(NOT is_pos AS BIGINT)) AS tot_neg,
+         COUNT(DISTINCT t) AS v_size
+  FROM tok WHERE NOT is_holdout),
+sc AS (
+  SELECT tok.doc_id,
+         CASE WHEN wc.c_pos IS NULL THEN 1 ELSE 0 END AS oov,
+         CAST(COALESCE(wc.c_pos, 0) + 1 AS DOUBLE)
+           / CAST(tot.tot_pos + tot.v_size AS DOUBLE)
+         - CAST(COALESCE(wc.c_neg, 0) + 1 AS DOUBLE)
+           / CAST(tot.tot_neg + tot.v_size AS DOUBLE) AS delta
+  FROM tok LEFT JOIN wc ON tok.t = wc.t CROSS JOIN tot),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(oov) AS n_oov_tokens,
+         {qcast_sql("SUM(" + qint_sql("delta") + ")")} * 1e-09 AS sum_delta
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.n_oov_tokens, 0) AS BIGINT) AS n_oov_tokens,
+       CAST(per.sum_delta / per.n_tokens AS DOUBLE) AS mean_delta,
+       CASE WHEN per.n_tokens IS NULL THEN 'und'
+            WHEN per.sum_delta / per.n_tokens > 0 THEN 'en'
+            ELSE 'other' END AS nb_pred,
+       CASE WHEN d.lang = 'en' THEN 'en' ELSE 'other' END AS label_bin,
+       (d.doc_id % 5 = 0) AS is_holdout
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+@register("text_nb_lang_classifier", sql=_nb_classifier_sql())
+def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned document classifier: multinomial Naive Bayes with
+    add-one smoothing, trained on the labeled slice (doc_id%5≠0,
+    binary en-vs-other on the lang column), scoring EVERY document by
+    the mean per-token likelihood difference — the counts-only,
+    engine-exact stand-in for the fastText-style classifiers that fill
+    the language-ID and quality-filter roles in CCNet/LLaMA-era
+    curation stacks (operators/lm.py::nb_lang_classifier).  The
+    heuristic ``text_language_id`` and this entry bracket the two ways
+    real pipelines assign languages: rules vs learned model.  The
+    fixture's synthetic text is drawn from one shared vocabulary, so
+    its lang labels are token-independent and holdout accuracy here
+    sits at the class prior — the oracle gates the MODEL ARITHMETIC
+    (counts, smoothing, grid summation, decision rule), and
+    learnability is golden-tested on a separable corpus in
+    tests/test_lm.py, the same split text_language_id uses.
+
+    Plan: one map-side-combinable training groupBy (vocabulary-sized)
+    + a 3-scalar totals row, then explode + one vocabulary-keyed join
+    (AQE-broadcast here, shuffle-join fallback at 100 TB — linear in
+    corpus tokens) + per-doc aggregation on the 1e-9 quantized grid.
+    No Python anywhere."""
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        nb_lang_classifier,
+    )
+
+    return nb_lang_classifier(_docs(spark, sf_dir))

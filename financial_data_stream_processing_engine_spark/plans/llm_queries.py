@@ -203,6 +203,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_prefix_jaccard", sql=_EXACT_PAIRS_SQL)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard ≥ 0.8 pairs via prefix filtering
+    (AllPairs/PPJoin) — the scalable exact path between the quadratic
+    ``dedup_ngram_jaccard`` and the probabilistic ``dedup_minhash_lsh``:
+    candidates only for documents sharing a RARE shingle within their
+    frequency-ordered prefixes, provably lossless, threshold held as
+    the rational 4/5 so required-overlap ceilings stay in integer
+    arithmetic — a double ``ceil(θ·|S|)`` can land one above the exact
+    rational and silently shorten the prefix below soundness
+    (operators/dedup.py::prefix_filter_jaccard_pairs).
+
+    Oracle = the brute-force all-pairs SQL: prefix filtering is an
+    output-identical PLAN change, so any pair the blocking wrongly
+    drops (or any unsound prefix shortening) is a row mismatch here.
+    """
+    return dedup.prefix_filter_jaccard_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold_num=4,
+        threshold_den=5,
+    )
+
+
 @register("dedup_minhash_lsh", sql=_EXACT_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) near-dup pairs, exact-verified.
@@ -3749,3 +3775,90 @@ def multimodal_video_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         kind="video", mime="video/x-msvideo",
     )
     return multimodal.decode_video_frames(media, max_frames=8)
+
+
+def _audio_spectrum_sql(n_fft: int = 16, bins: tuple[int, ...] = (1, 2, 3)) -> str:
+    """DuckDB reconstruction of the DFT power spectrum: recompute the
+    md5 PCM samples, join the SAME Python-computed twiddle doubles
+    (dlit_sql round-trips each bit-exactly), and restate the identical
+    product → 1e-9-grid quantize → exact sum → power arithmetic.  Any
+    divergence anywhere in the RIFF walk, PCM normalization, twiddle
+    table or aggregation order is a value-hash mismatch."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import (
+        dlit_sql,
+        qcast_sql,
+        qint_sql,
+    )
+    from financial_data_stream_processing_engine_spark.operators.multimodal import (
+        _dft_twiddles,
+    )
+
+    samp = ", ".join(
+        f"struct_pack(pos := {i}, x := CAST({_hex_byte('m', i)} - 128 AS DOUBLE)"
+        " / 128.0e0)"
+        for i in range(n_fft)
+    )
+    tw = ", ".join(
+        f"struct_pack(pos := {pos}, k := {k}, cosv := {dlit_sql(c)},"
+        f" sinv := {dlit_sql(s)})"
+        for (pos, k, c, s) in _dft_twiddles(n_fft, bins)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+samp AS (SELECT doc_id, UNNEST([{samp}]) AS s FROM b),
+tw AS (SELECT UNNEST([{tw}]) AS w),
+agg AS (
+  SELECT doc_id AS media_id, w.k AS k,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.cosv") + ")")} * 1e-09 AS re_sum,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.sinv") + ")")} * 1e-09 AS im_sum
+  FROM samp, tw WHERE s.pos = w.pos
+  GROUP BY doc_id, w.k)
+SELECT media_id, CAST(k AS INT) AS k, re_sum, im_sum,
+       re_sum * re_sum + im_sum * im_sum AS power
+FROM agg
+"""
+
+
+@register("multimodal_audio_spectrum", sql=_audio_spectrum_sql())
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features, JVM-side: decode each doc's
+    16-sample 8-bit-PCM WAV (the wav_roundtrip fixture) into a sample
+    ARRAY (operators/multimodal.py::decode_audio_samples — the Python
+    decode seam), then compute DFT power at bins k=1,2,3 as plain
+    relational algebra: posexplode + broadcast twiddle-table join +
+    one map-side-combinable aggregation on the 1e-9 quantized grid
+    (::audio_power_spectrum).  The analysis leaves Python entirely —
+    tone detection / spectral filtering over a 100 TB audio corpus is
+    one shuffle keyed on (media, bin), linear in samples.
+
+    Oracle: full reconstruction — md5 sample bytes, the identical
+    twiddle doubles as VARCHAR-bridged literals, the identical
+    quantize-sum-square chain (see _audio_spectrum_sql)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import hashlib
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(1)
+                    wf.setframerate(8000)
+                    wf.writeframes(hashlib.md5(str(did).encode()).digest())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        wavs, id_col="doc_id", payload=F.col("payload"),
+        kind="audio", mime="audio/wav",
+    )
+    samples = multimodal.decode_audio_samples(media, max_samples=16)
+    return multimodal.audio_power_spectrum(samples, n_fft=16, bins=(1, 2, 3))

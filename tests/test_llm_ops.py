@@ -600,3 +600,55 @@ def test_token_counts_exact_path_keeps_null_id_rows(spark):
     assert by_text["scan the row"]["n_bpe_tokens"] == 0  # unmatched → 0
     assert by_text[""]["n_bpe_tokens"] == 0
     assert by_text["the batch order"]["n_bpe_tokens"] > 0
+
+
+def test_prefix_filter_matches_brute_force_on_fixture(spark, sf_dir):
+    """AllPairs prefix filtering is provably lossless — the operator
+    must reproduce the quadratic brute-force pair set EXACTLY on the
+    fixture corpus (which contains planted near-duplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    assert got == truth
+
+
+def test_prefix_filter_odd_threshold_randomized(spark):
+    """Soundness sweep at the 7/100 threshold — the one whose double
+    ceil(0.07·100) rounds UP past the exact integer (7.000…001 → 8)
+    and would shorten prefixes below the sound length if the operator
+    ever left integer arithmetic.  Seeded random corpus with heavy
+    shared blocks exercises many (size, overlap) configurations."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        length = rng.randint(3, 40)
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(length)]
+        rows.append((i, " ".join(toks)))
+    # planted exact and near duplicates
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1] + " extra tail tokens here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.07).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, n=2, threshold_num=7, threshold_den=100
+        ).collect()
+    }
+    assert truth, "randomized corpus should produce qualifying pairs"
+    assert got == truth

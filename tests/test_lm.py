@@ -73,3 +73,71 @@ def test_empty_and_whitespace_docs(spark):
     # "   " splits into empty-string tokens → transitions exist and are
     # scored like any unseen token (deterministic, same in the oracle)
     assert got[2]["n_bigrams"] > 0
+
+
+def _nb(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = lm.nb_lang_classifier(df, **kw)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_nb_hand_computed_likelihood_deltas(spark):
+    # train slice = ids not divisible by 5:
+    #   id 1 "a a b" (en)  → pos tokens a,a,b  (tot_pos=3)
+    #   id 2 "b c"   (de)  → neg tokens b,c    (tot_neg=2)   V={a,b,c}=3
+    # per-token deltas:
+    #   a: 3/6 − 1/5 =  0.3
+    #   b: 2/6 − 2/5 = −0.0666…
+    #   c: 1/6 − 2/5 = −0.2333…
+    #   OOV: 1/6 − 1/5 = −0.0333…
+    rows = [
+        (1, "a a b", "en"),
+        (2, "b c", "de"),
+        (0, "a b", "fr"),   # holdout: mean(0.3, −0.0666…) > 0 → 'en'
+        (5, "d", "en"),     # holdout, OOV-only → 'other'
+        (10, "", "en"),     # holdout, no tokens → 'und'
+    ]
+    got = _nb(spark, rows)
+    r0 = got[0]
+    assert r0["is_holdout"] and r0["label_bin"] == "other"
+    assert r0["n_tokens"] == 2 and r0["n_oov_tokens"] == 0
+    assert r0["mean_delta"] == pytest.approx((0.3 - 1 / 15) / 2, abs=2e-9)
+    assert r0["nb_pred"] == "en"
+    r5 = got[5]
+    assert r5["n_oov_tokens"] == 1 and r5["nb_pred"] == "other"
+    assert r5["mean_delta"] == pytest.approx(1 / 6 - 1 / 5, abs=2e-9)
+    r10 = got[10]
+    assert r10["n_tokens"] == 0 and r10["nb_pred"] == "und"
+    assert r10["mean_delta"] is None and r10["label_bin"] == "en"
+    # train docs are scored too (model sees its own slice)
+    assert got[1]["nb_pred"] == "en" and got[1]["label_bin"] == "en"
+
+
+def test_nb_learns_a_separable_corpus(spark):
+    """Learnability golden test (the fixture's synthetic text carries
+    no lang signal, so — like text_language_id — accuracy is pinned on
+    a handcrafted corpus): two 'languages' drawing from overlapping
+    but differently-weighted vocabularies; the trained model must
+    classify the held-out slice ≥90% correctly."""
+    import random
+
+    rng = random.Random(7)
+    en_vocab = ["the", "quick", "brown", "fox", "jumps", "lazy", "dog", "and"]
+    xx_vocab = ["der", "schnelle", "braune", "fuchs", "springt", "faul", "und"]
+    rows = []
+    for i in range(200):
+        pos = i % 2 == 0
+        main = en_vocab if pos else xx_vocab
+        other = xx_vocab if pos else en_vocab
+        toks = [
+            main[rng.randrange(len(main))]
+            if rng.random() < 0.8
+            else other[rng.randrange(len(other))]
+            for _ in range(12)
+        ]
+        rows.append((i, " ".join(toks), "en" if pos else "de"))
+    got = _nb(spark, rows)
+    hold = [r for r in got.values() if r["is_holdout"]]
+    acc = sum(r["nb_pred"] == r["label_bin"] for r in hold) / len(hold)
+    assert len(hold) == 40
+    assert acc >= 0.9, f"holdout accuracy {acc:.2f}"

@@ -1553,3 +1553,72 @@ def test_gif_partial_canvas_first_frame_rejected(spark):
     assert good[desc] == 0x2C
     offset = good[: desc + 1] + struct.pack("<HH", 1, 0) + good[desc + 5 :]
     assert decode(offset) is None
+
+
+def _make_pcm8_wav(samples: bytes, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(rate)
+        wf.writeframes(samples)
+    return buf.getvalue()
+
+
+def _samples_df(spark, payloads, **kw):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    media = df.select(
+        "media_id", F.lit("audio").alias("kind"), "payload",
+        F.lit(None).cast(multimodal.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    return multimodal.decode_audio_samples(media, **kw)
+
+
+def test_audio_samples_decode_cap_and_error_isolation(spark):
+    raw = bytes(range(40))
+    rows = {
+        r["media_id"]: r
+        for r in _samples_df(
+            spark,
+            [_make_pcm8_wav(raw), b"not a riff file", _make_pcm8_wav(raw[:5])],
+            max_samples=16,
+        ).collect()
+    }
+    good = rows[0]
+    assert good["sample_rate"] == 8000 and len(good["samples"]) == 16
+    assert good["samples"] == [(b - 128.0) / 128.0 for b in raw[:16]]
+    assert rows[1]["samples"] is None and rows[1]["sample_rate"] is None
+    assert len(rows[2]["samples"]) == 5  # shorter than the cap: kept as-is
+
+
+def test_audio_power_spectrum_matches_numpy_dft(spark):
+    rng_l = np.random.default_rng(11)
+    payloads = [bytes(rng_l.integers(0, 256, 16, dtype=np.uint8)) for _ in range(4)]
+    sdf = _samples_df(spark, [_make_pcm8_wav(p) for p in payloads], max_samples=16)
+    out = multimodal.audio_power_spectrum(sdf, n_fft=16, bins=(1, 2, 3, 5))
+    got = {(r["media_id"], r["k"]): r for r in out.collect()}
+    assert len(got) == 4 * 4
+    for mid, p in enumerate(payloads):
+        x = (np.frombuffer(p, np.uint8).astype(np.float64) - 128.0) / 128.0
+        for k in (1, 2, 3, 5):
+            n = np.arange(16)
+            re = float(np.sum(x * np.cos(2 * np.pi * k * n / 16)))
+            im = float(np.sum(x * np.sin(2 * np.pi * k * n / 16)))
+            r = got[(mid, k)]
+            # 1e-9-grid quantization puts each 16-term sum within 1.6e-8
+            assert r["re_sum"] == pytest.approx(re, abs=2e-8)
+            assert r["im_sum"] == pytest.approx(im, abs=2e-8)
+            assert r["power"] == pytest.approx(re * re + im * im, abs=1e-6)
+
+
+def test_audio_power_spectrum_excludes_short_and_null(spark):
+    sdf = _samples_df(
+        spark,
+        [_make_pcm8_wav(bytes(range(16))), _make_pcm8_wav(bytes(range(8))), b"junk"],
+        max_samples=16,
+    )
+    out = multimodal.audio_power_spectrum(sdf, n_fft=16, bins=(1,))
+    ids = {r["media_id"] for r in out.collect()}
+    assert ids == {0}  # 8-sample window and undecodable payload excluded
