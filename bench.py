@@ -111,6 +111,12 @@ HEADLINE = [
     "text_nb_lang_classifier",
     "dedup_prefix_jaccard",
     "multimodal_audio_spectrum",
+    # round-8 additions (later): BPE merge training (k vocab-sized
+    # rounds after one corpus groupBy), the TIFF decode path, and the
+    # data-dependent k-core peel
+    "text_bpe_train",
+    "multimodal_tiff_roundtrip",
+    "graph_kcore_similarity",
 ]
 
 

@@ -204,3 +204,51 @@ def clustering_coefficient(
             / (F.col("__deg") * (F.col("__deg") - F.lit(1))).cast("double"),
         ).otherwise(F.lit(0.0)).alias("lcc"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 40,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling → the maximal induced
+    subgraph where every node keeps degree ≥ k; returns
+    (node, core_deg) for its members, core_deg the degree INSIDE the
+    core.  The standard graph-density pruning before community /
+    centrality analysis: pendant chains and sparse fringe peel away,
+    cycles and cliques survive.
+
+    Per round: one degree aggregation + two semi-joins dropping edges
+    with a peeled endpoint — everything linear in \\|E\\|, nothing
+    super-linear materialized (the module contract).  Each round's
+    edge set is ``localCheckpoint``-ed (the pagerank/kmeans lineage
+    rule).  Convergence is detected by survivor COUNT equality, which
+    here implies SET equality: peeling is monotone (alive sets only
+    ever shrink), so equal cardinality is equal membership — one
+    bounded driver scalar per round, the connected_components
+    precedent.  A graph needing more than ``max_rounds`` peels raises
+    rather than silently returning a non-core (the same loud-failure
+    contract as the triangle order-key range guard above).
+    """
+    e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")).localCheckpoint()
+    prev_n = -1
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("id_a").alias("node"))
+            .unionAll(e.select(F.col("id_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        alive = deg.where(F.col("core_deg") >= k).localCheckpoint()
+        n = alive.count()
+        if n == prev_n:
+            return alive
+        prev_n = n
+        e = (
+            e.join(alive.select(F.col("node").alias("id_a")), "id_a", "semi")
+            .join(alive.select(F.col("node").alias("id_b")), "id_b", "semi")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"k-core peel did not converge within {max_rounds} rounds")

@@ -969,6 +969,125 @@ def _bmp_pixel_decoder():
     return decode_pixels
 
 
+def _tiff_pixel_decoder():
+    """Build a stdlib+numpy TIFF 6.0 baseline decoder as a NESTED
+    function (shipped by value, like the other codec decoders).
+
+    Scope: both byte orders (II little / MM big — TIFF is the one
+    interchange format where endianness is data, not platform), the
+    first IFD's tag walk (BYTE/SHORT/LONG values, inline when ≤4
+    bytes else offset-addressed), strip-based layout (any
+    RowsPerStrip), 8-bit grayscale (PhotometricInterpretation 0
+    WhiteIsZero and 1 BlackIsZero) and 8-bit-per-sample RGB,
+    Compression 1 (none) and 32773 (PackBits: literal runs n<128,
+    replicate runs n>128, 128 = no-op).  Out of scope (LZW/JPEG-in-
+    TIFF, tiles, planar config 2, palette TIFF, 1/4/16-bit) returns
+    None → NULL features, per-row error isolation.
+
+    Returns ``decode_pixels(b) -> (px, nch) | None`` with ``px`` of
+    shape (h, w, nch) float64 in 0..255 (WhiteIsZero inverted to the
+    BlackIsZero scale so luma means compare across photometrics).
+    """
+    import struct
+
+    import numpy as np
+
+    def decode_pixels(b: bytes):
+        if len(b) < 8:
+            return None
+        if b[:2] == b"II":
+            e = "<"
+        elif b[:2] == b"MM":
+            e = ">"
+        else:
+            return None
+
+        def rd(fmt, off, n=1):
+            sz = struct.calcsize(e + fmt * n)
+            if off + sz > len(b):
+                raise ValueError("truncated")
+            return struct.unpack(e + fmt * n, b[off : off + sz])
+
+        try:
+            magic, ifd_off = rd("H", 2)[0], rd("I", 4)[0]
+            if magic != 42:
+                return None
+            (n_tags,) = rd("H", ifd_off)
+            tags = {}
+            for i in range(n_tags):
+                toff = ifd_off + 2 + 12 * i
+                tag, typ, cnt = rd("H", toff)[0], rd("H", toff + 2)[0], rd("I", toff + 4)[0]
+                if typ not in (1, 3, 4):
+                    continue  # RATIONAL/ASCII tags are irrelevant here
+                fmt, unit = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}[typ]
+                if unit * cnt <= 4:
+                    tags[tag] = rd(fmt, toff + 8, cnt)
+                else:
+                    tags[tag] = rd(fmt, rd("I", toff + 8)[0], cnt)
+            w = tags.get(256, (0,))[0]
+            h = tags.get(257, (0,))[0]
+            if w <= 0 or h <= 0 or w * h > 1 << 22:
+                return None
+            spp = tags.get(277, (1,))[0]
+            bits = tags.get(258, (8,) * spp)
+            comp = tags.get(259, (1,))[0]
+            photo = tags.get(262, (1,))[0]
+            offs = tags.get(273)
+            byte_counts = tags.get(279)
+            rps = tags.get(278, (h,))[0] or h
+            if offs is None or byte_counts is None or len(offs) != len(byte_counts):
+                return None
+            if spp not in (1, 3) or any(x != 8 for x in bits[:spp]):
+                return None
+            if comp not in (1, 32773):
+                return None
+            if (spp == 1 and photo not in (0, 1)) or (spp == 3 and photo != 2):
+                return None
+            expected = [
+                min(rps, h - y0) * w * spp for y0 in range(0, h, rps)
+            ]
+            if len(offs) != len(expected):
+                return None
+            raw = bytearray()
+            for (off, bc), need_rows in zip(zip(offs, byte_counts), expected):
+                if off + bc > len(b):
+                    return None
+                chunk = b[off : off + bc]
+                if comp == 32773:
+                    out = bytearray()
+                    i = 0
+                    while i < len(chunk):
+                        n = chunk[i]
+                        i += 1
+                        if n < 128:
+                            if i + n + 1 > len(chunk):
+                                return None
+                            out += chunk[i : i + n + 1]
+                            i += n + 1
+                        elif n > 128:
+                            if i >= len(chunk):
+                                return None
+                            out += bytes([chunk[i]]) * (257 - n)
+                            i += 1
+                        # n == 128: per spec, a no-op
+                    chunk = bytes(out)
+                if len(chunk) < need_rows:
+                    return None
+                raw += chunk[:need_rows]
+            px = (
+                np.frombuffer(bytes(raw), np.uint8)
+                .reshape(h, w, spp)
+                .astype(np.float64)
+            )
+            if spp == 1 and photo == 0:  # WhiteIsZero → invert
+                px = 255.0 - px
+            return px, spp
+        except (ValueError, struct.error, IndexError):
+            return None
+
+    return decode_pixels
+
+
 def _bt601_luma():
     """Nested luma helper (shipped by value like the decoder)."""
 
@@ -1008,6 +1127,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     decode_jpeg_pixels = _jpeg_pixel_decoder()
     decode_gif_pixels = _gif_pixel_decoder()
     decode_bmp_pixels = _bmp_pixel_decoder()
+    decode_tiff_pixels = _tiff_pixel_decoder()
     luma_of = _bt601_luma()
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -1022,6 +1142,8 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 dec = decode_gif_pixels(b)
             elif len(b) >= 2 and b[:2] == b"BM":
                 dec = decode_bmp_pixels(b)
+            elif len(b) >= 4 and b[:4] in (b"II*\x00", b"MM\x00*"):
+                dec = decode_tiff_pixels(b)
             else:
                 dec = decode_png_pixels(b)
             if dec is None:

@@ -644,3 +644,132 @@ ptok AS (
   UNION ALL
   SELECT piece, CAST(1 AS BIGINT) AS ntok FROM vocab
   WHERE NOT regexp_full_match(piece, '[a-z]+'))"""
+
+
+def bpe_train_merges(
+    df: DataFrame, k: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """LEARN a BPE merges table from the corpus (Sennrich, Haddow &
+    Birch 2016) — the training half of the tokenizer story whose
+    applying half is :func:`bpe_tokenize_pieces`: k greedy rounds of
+    merge-the-most-frequent-adjacent-pair over the word-frequency
+    vocabulary.
+
+    → (rank, left_tok, right_tok, pair_count): merge i+1 is learned
+    AFTER merge i is applied, so composite operands reference earlier
+    outputs — exactly the well-formedness property
+    ``DEFAULT_BPE_MERGES`` documents and real merges.txt files have.
+
+    Scale design (the word-cache argument, now for TRAINING): the
+    corpus is touched ONCE — one explode + map-side-combinable groupBy
+    building the ``[a-z]+`` word-frequency table — and every training
+    round after that runs on the VOCABULARY (|distinct words| ~10⁶–10⁷
+    at web scale, never corpus rows): one adjacent-pair explode +
+    groupBy per round, weighted by word frequency (overlapping
+    adjacencies counted, per the reference ``get_stats``), one
+    1-row argmax collect (count DESC, then (left, right) lexicographic
+    — fully deterministic), and one single-pass left-to-right
+    non-overlapping ``replace`` applying the merge (the exact
+    semantics of the reference's ``re.sub`` merge pass).  Each round's
+    vocabulary is ``localCheckpoint``-ed: k rounds of lineage over a
+    re-derived frame would otherwise re-execute the whole prefix per
+    round (the kmeans_train/pagerank precedent).  This is how
+    production vocabularies are actually trained — GPT-2's BPE was
+    learned from word frequencies, not raw text passes.
+
+    Oracle: :func:`bpe_train_sql_ctes` unrolls the same k rounds in
+    DuckDB (MATERIALIZED per-round CTEs — each round is referenced
+    more than once downstream, and un-materialized inlining is
+    exponential in k).
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.lit("|"), F.regexp_replace("piece", "(.)", "$1|")
+        ).alias("toks"),
+        "cnt",
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        pairs = (
+            vocab.select(
+                F.split(F.expr("trim(BOTH '|' FROM toks)"), "\\|").alias("l"), "cnt"
+            )
+            .select(
+                # size(l) == 1 must yield NO pairs: Spark's
+                # sequence(1, 0) DESCENDS instead of being empty
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(l) >= 2 THEN"
+                        " transform(sequence(1, size(l) - 1),"
+                        " j -> struct(element_at(l, j) AS a,"
+                        " element_at(l, j + 1) AS b))"
+                        " ELSE array() END"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pc"])
+        merges.append((rank, a, b, pc))
+        vocab = vocab.select(
+            F.replace(
+                F.col("toks"), F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("toks"),
+            "cnt",
+        ).localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left_tok string, right_tok string, pair_count bigint"
+    )
+
+
+def bpe_train_sql_ctes(k: int = 10) -> str:
+    """DuckDB restatement of :func:`bpe_train_merges`: the word-
+    frequency table once, then k unrolled rounds of pair-count →
+    deterministic argmax → single-pass merge, each MATERIALIZED (the
+    round CTEs fan out and DuckDB's default inlining would replan an
+    exponentially growing tree).  Returns a complete query ending in
+    the (rank, left_tok, right_tok, pair_count) union."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT piece, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS piece
+        FROM documents)
+  GROUP BY piece),
+v0 AS MATERIALIZED (
+  SELECT '|' || REGEXP_REPLACE(piece, '(.)', '\\1|', 'g') AS toks, cnt
+  FROM w0)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT l[j] AS a, l[j + 1] AS b, SUM(cnt) AS pc
+  FROM (SELECT STRING_SPLIT(TRIM(toks, '|'), '|') AS l, cnt FROM v{i}),
+       UNNEST(GENERATE_SERIES(1, LEN(l) - 1)) AS t(j)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (SELECT a, b, pc FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
+v{i + 1} AS MATERIALIZED (
+  SELECT REPLACE(v.toks, '|' || b.a || '|' || b.b || '|',
+                 '|' || b.a || b.b || '|') AS toks, v.cnt
+  FROM v{i} v CROSS JOIN b{i} b)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS rank, a AS left_tok, b AS right_tok,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(k)
+    )
+    return "WITH " + ",".join(parts) + "\n" + union

@@ -86,6 +86,12 @@ _PRIORITY: list[str] = [
     "text_nb_lang_classifier",
     "dedup_prefix_jaccard",
     "multimodal_audio_spectrum",
+    # late round-8 new entries: BPE merge TRAINING (the learning half
+    # of the tokenizer story), TIFF as the sixth dispatch format, and
+    # k-core peeling as the third iterative-graph shape
+    "text_bpe_train",
+    "multimodal_tiff_roundtrip",
+    "graph_kcore_similarity",
     # behavior-relevant code changed this round (all changes are
     # value-identical on the driver fixtures — verified per-entry with
     # tools/verify_local.py before commit — but policy (2) re-earns
@@ -142,11 +148,22 @@ _PRIORITY: list[str] = [
     "ma_alerts",
     "merge_upsert_orders",
     "mixture_sample_sources",
+    "pii_redact_documents",
+    # --- driver check window boundary (first 50 above) ---
+    # Three more staged r3 rows yielded to the late round-8 entries:
+    # multimodal_png_resize (argument (b): the decode_image_features
+    # dispatch gained a TIFF branch this round — untaken on every
+    # non-TIFF fixture — and ALL 12 image entries were re-verified
+    # value-identical per-entry post-change; png_resize's own
+    # decode_image_resized path is untouched), pack_sequences
+    # (argument (c): in-window pack_sequences_bpe exercises the same
+    # sharded packing recurrence on exact costs), pipeline_multisource
+    # (argument (c): in-window ma_alerts + clean_filter exercise its
+    # clean→MA→alert stages; its source-union plumbing is pinned by
+    # tests/test_compat_core.py).
     "multimodal_png_resize",
     "pack_sequences",
-    "pii_redact_documents",
     "pipeline_multisource",
-    # --- driver check window boundary (first 50 above) ---
     # queued FIRST for round 9: the 21 remaining r3-era rows — the
     # last three below yielded their staged round-8 slots to the three
     # late-round-8 new entries (new entries outrank old rows, policy

@@ -3862,3 +3862,256 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     samples = multimodal.decode_audio_samples(media, max_samples=16)
     return multimodal.audio_power_spectrum(samples, n_fft=16, bins=(1, 2, 3))
+
+
+@register("text_bpe_train", sql=text.bpe_train_sql_ctes(10))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE merges table from the corpus — the learning half of
+    the tokenizer story (``text_bpe_tokenize`` applies a fixed table;
+    this entry derives one): 10 greedy Sennrich rounds over the
+    word-frequency vocabulary, returning (rank, left_tok, right_tok,
+    pair_count) in learned order (operators/text.py::bpe_train_merges).
+
+    The corpus is scanned once (word-frequency groupBy); every round
+    after that is vocabulary-sized — one pair-count shuffle, a 1-row
+    deterministic argmax collect, a single-pass merge — which is why
+    real vocabularies train from frequency tables at any corpus scale.
+    Oracle: the identical 10 rounds unrolled as MATERIALIZED DuckDB
+    CTEs (::bpe_train_sql_ctes); any divergence in pair counting
+    (overlaps included), tie-breaking, or merge-pass semantics
+    desynchronizes every later round's counts and mismatches."""
+    return text.bpe_train_merges(_docs(spark, sf_dir), k=10)
+
+
+def _md5_tiff_generator():
+    """mapInPandas generator: doc_id → a 4×4 8-bit grayscale TIFF whose
+    16 pixels are the md5(doc_id) digest bytes, cycling through four
+    real encoder layouts by doc_id so ONE oracle certifies every
+    decode path on identical pixel values:
+
+      doc_id%4==0  II (little-endian), uncompressed, one strip
+      doc_id%4==1  MM (big-endian), uncompressed, TWO strips (rps=2,
+                   offset/count arrays offset-addressed)
+      doc_id%4==2  II, PackBits-compressed strip
+      doc_id%4==3  MM, PhotometricInterpretation 0 (WhiteIsZero) with
+                   pre-inverted sample bytes — decode re-inverts, so
+                   the luma equals the other variants'
+
+    Nested def so cloudpickle ships it by value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        def packbits(s: bytes) -> bytes:
+            out = bytearray()
+            i = 0
+            while i < len(s):
+                j = i
+                while j + 1 < len(s) and s[j + 1] == s[j] and j - i < 127:
+                    j += 1
+                if j > i:  # replicate run of 2+
+                    out += bytes([257 - (j - i + 1), s[i]])
+                    i = j + 1
+                else:
+                    k = i
+                    while (
+                        k < len(s) and k - i < 128
+                        and not (k + 1 < len(s) and s[k] == s[k + 1])
+                    ):
+                        k += 1
+                    out += bytes([k - i - 1]) + s[i:k]
+                    i = k
+            return bytes(out)
+
+        def build(did: int) -> bytes:
+            data = hashlib.md5(str(did).encode()).digest()
+            variant = did % 4
+            e = "<" if variant in (0, 2) else ">"
+            photo = 0 if variant == 3 else 1
+            if variant == 3:
+                data = bytes(255 - x for x in data)
+            if variant == 1:
+                strips = [data[:8], data[8:]]
+                rps = 2
+            elif variant == 2:
+                strips = [packbits(data)]
+                rps = 4
+            else:
+                strips = [data]
+                rps = 4
+            comp = 32773 if variant == 2 else 1
+            n_strips = len(strips)
+            ntags = 9
+            ifd_off = 8
+            arrays_off = ifd_off + 2 + 12 * ntags + 4
+            if n_strips > 1:
+                so_off = arrays_off
+                sc_off = so_off + 4 * n_strips
+                data_off = sc_off + 4 * n_strips
+            else:
+                data_off = arrays_off
+            offs, pos = [], data_off
+            for s in strips:
+                offs.append(pos)
+                pos += len(s)
+
+            def short_val(v):
+                return struct.pack(e + "HH", v, 0)
+
+            def long_val(v):
+                return struct.pack(e + "I", v)
+
+            def tag(t, typ, cnt, val):
+                return struct.pack(e + "HHI", t, typ, cnt) + val
+
+            tags = [
+                tag(256, 3, 1, short_val(4)),
+                tag(257, 3, 1, short_val(4)),
+                tag(258, 3, 1, short_val(8)),
+                tag(259, 3, 1, short_val(comp)),
+                tag(262, 3, 1, short_val(photo)),
+                tag(273, 4, n_strips,
+                    long_val(offs[0] if n_strips == 1 else so_off)),
+                tag(277, 3, 1, short_val(1)),
+                tag(278, 3, 1, short_val(rps)),
+                tag(279, 4, n_strips,
+                    long_val(len(strips[0]) if n_strips == 1 else sc_off)),
+            ]
+            out = (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+            out += struct.pack(e + "H", ntags) + b"".join(tags)
+            out += struct.pack(e + "I", 0)  # no next IFD
+            if n_strips > 1:
+                out += struct.pack(e + "I" * n_strips, *offs)
+                out += struct.pack(e + "I" * n_strips, *[len(s) for s in strips])
+            out += b"".join(strips)
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": [build(int(d)) for d in pdf["doc_id"]]}
+            )
+
+    return gen
+
+
+@register(
+    "multimodal_tiff_roundtrip",
+    sql=f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       (CAST({_md5_sum("({b})")} AS DOUBLE) / 16.0) / 255.0 AS mean_luma
+FROM b
+""",
+)
+def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF codec round trip — the sixth image format in the
+    shared magic dispatch, and the one where ENDIANNESS is data: each
+    doc's 4×4 grayscale TIFF cycles by doc_id through II/MM byte
+    order, one- and two-strip layouts (offset-addressed strip
+    arrays), PackBits compression, and WhiteIsZero photometric with
+    pre-inverted samples (operators/multimodal.py::_tiff_pixel_decoder
+    — IFD tag walk, inline-vs-offset values, strip reassembly,
+    PackBits runs, photometric normalization).  All four variants
+    decode to the SAME md5 pixel bytes, so the single md5 oracle
+    certifies every path bitwise; layout-sensitive behavior
+    (truncation, bad magic, RGB, strip math) is pinned by
+    tests/test_multimodal_codecs.py.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _md5_tiff_generator()
+    tiffs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        tiffs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/tiff",
+    )
+    return multimodal.decode_image_features(media, fake=False)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 12) -> str:
+    """Oracle: the triangle entry's cell-confined edge CTEs, then the
+    k-core peel UNROLLED ``rounds`` times — each round MATERIALIZED
+    (rounds reference their predecessor more than once; DuckDB's
+    default CTE inlining would replan an exponentially growing tree).
+    Peeling is monotone, so once the fixpoint is reached every further
+    unrolled round is the identity and the final round equals the true
+    k-core — the comparison against Spark's iterate-to-convergence
+    peel therefore certifies BOTH that the fixpoint is correct and
+    that it is reached within ``rounds``."""
+    prefix = _triangle_sql()
+    prefix = prefix[: prefix.index("deg AS (")]
+    parts = [
+        """a0 AS MATERIALIZED (
+  SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs)"""
+    ]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN {prev} x ON x.node = p.id_a
+  JOIN {prev} y ON y.node = p.id_b),
+d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT id_a AS node FROM e{i} UNION ALL SELECT id_b FROM e{i})
+  GROUP BY node),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"""
+        )
+        prev = f"a{i}"
+    return (
+        prefix
+        + ",".join(parts)
+        + f"""
+SELECT a.node, CAST(d.deg AS BIGINT) AS core_deg
+FROM a{rounds} a JOIN d{rounds} d USING (node)
+"""
+    )
+
+
+@register("graph_kcore_similarity", sql=_kcore_sql(2, 12))
+def graph_kcore_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the cell-confined cosine≥0.3 similarity graph — the
+    density pruning a community/centrality pipeline applies before
+    heavier analysis: iterative peeling drops pendant and isolated
+    vectors until every survivor keeps ≥2 in-core neighbours
+    (operators/graph.py::kcore).  A third iterative-algorithm shape
+    beside min-label propagation (data-dependent round count,
+    monotone-shrinking state) and fixed-k PageRank: convergence is a
+    per-round bounded driver scalar, and the count-equality test is
+    sound precisely BECAUSE peeling is monotone.  Oracle: the same
+    peel unrolled as MATERIALIZED DuckDB CTEs past the fixpoint, so
+    the driver comparison certifies the fixpoint AND that Spark's
+    iteration reached it."""
+    from financial_data_stream_processing_engine_spark.operators.graph import kcore
+
+    embs = _embs(spark, sf_dir)
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    a = with_cells.select(
+        F.col("cell").alias("__cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        dedup.vector_norm(F.col("embedding")).alias("na"),
+    )
+    b = a.select(
+        F.col("__cell"),
+        F.col("id_a").alias("id_b"),
+        F.col("v_a").alias("v_b"),
+        F.col("na").alias("nb"),
+    )
+    dot = dedup.pair_dot_udf()
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    return kcore(pairs, k=2)

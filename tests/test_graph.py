@@ -67,3 +67,42 @@ def test_packed_order_key_rejects_out_of_range_ids(spark):
         df = spark.createDataFrame(bad, "id_a long, id_b long")
         with pytest.raises(Exception, match="2\\^31|USER_RAISED"):
             triangle_count(df).collect()
+
+
+def test_kcore_handcrafted_structures(spark):
+    from financial_data_stream_processing_engine_spark.operators.graph import kcore
+
+    edges = [
+        # 4-clique (3-core) with a pendant chain that peels away
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (6, 7),
+        # triangle: 2-core but not 3-core
+        (10, 11), (11, 12), (10, 12),
+        # 4-cycle: 2-core
+        (20, 21), (21, 22), (22, 23), (23, 20),
+        # star: peels entirely at k=2
+        (30, 31), (30, 32), (30, 33),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got2 = {r["node"]: r["core_deg"] for r in kcore(df, k=2).collect()}
+    assert set(got2) == {1, 2, 3, 4, 10, 11, 12, 20, 21, 22, 23}
+    assert got2[1] == 3 and got2[10] == 2 and got2[20] == 2
+    got3 = {r["node"]: r["core_deg"] for r in kcore(df, k=3).collect()}
+    assert set(got3) == {1, 2, 3, 4} and all(d == 3 for d in got3.values())
+    # k above the max core: everything peels, empty result
+    assert kcore(df, k=5).count() == 0
+
+
+def test_kcore_long_chain_needs_many_rounds(spark):
+    from financial_data_stream_processing_engine_spark.operators.graph import kcore
+
+    # a path graph peels one endpoint pair per round — the worst case
+    # for round counts; a triangle at one end survives
+    path = [(i, i + 1) for i in range(12)] + [(12, 13), (13, 14), (12, 14)]
+    df = spark.createDataFrame(path, "id_a long, id_b long")
+    got = {r["node"] for r in kcore(df, k=2).collect()}
+    assert got == {12, 13, 14}
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_rounds=3)

@@ -141,3 +141,80 @@ def test_nb_learns_a_separable_corpus(spark):
     acc = sum(r["nb_pred"] == r["label_bin"] for r in hold) / len(hold)
     assert len(hold) == 40
     assert acc >= 0.9, f"holdout accuracy {acc:.2f}"
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed trainer must reproduce a from-scratch Sennrich
+    loop (overlapping pair counts, deterministic tie-breaks, single-
+    pass merges) on a corpus exercising cascaded merges and ties."""
+    import re
+    from collections import Counter
+
+    from financial_data_stream_processing_engine_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    texts = [
+        "the scan was slow slow slow",
+        "order the batch then scan the batch",
+        "hash join beats sort merge join here",
+        "the the the window value key",
+        "scan order scan order scan",
+        "aaa aaaa aa",  # overlapping-adjacency counting
+    ]
+
+    def reference(texts, k):
+        vocab = Counter()
+        for t in texts:
+            for w in re.findall("[a-z]+", t.lower()):
+                vocab[w] += 1
+        words = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(k):
+            pairs = Counter()
+            for w, toks in words.items():
+                for i in range(len(toks) - 1):
+                    pairs[(toks[i], toks[i + 1])] += vocab[w]
+            if not pairs:
+                break
+            (a, b), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((a, b, cnt))
+            for w, toks in words.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                words[w] = out
+        return merges
+
+    k = 8
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["left_tok"], r["right_tok"], r["pair_count"])
+        for r in bpe_train_merges(df, k=k).orderBy("rank").collect()
+    ]
+    assert got == reference(texts, k)
+
+
+def test_bpe_train_stops_when_pairs_exhausted(spark):
+    from financial_data_stream_processing_engine_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    # single-char words only: no adjacent pairs ever exist
+    df = spark.createDataFrame([(0, "a b c a")], "doc_id long, text string")
+    assert bpe_train_merges(df, k=5).count() == 0
+    # one two-char word: exactly one learnable merge
+    df2 = spark.createDataFrame([(0, "ab ab c")], "doc_id long, text string")
+    rows = bpe_train_merges(df2, k=5).collect()
+    assert [(r["left_tok"], r["right_tok"], r["pair_count"]) for r in rows] == [
+        ("a", "b", 2)
+    ]

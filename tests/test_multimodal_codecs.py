@@ -1622,3 +1622,149 @@ def test_audio_power_spectrum_excludes_short_and_null(spark):
     out = multimodal.audio_power_spectrum(sdf, n_fft=16, bins=(1,))
     ids = {r["media_id"] for r in out.collect()}
     assert ids == {0}  # 8-sample window and undecodable payload excluded
+
+
+def _make_tiff(px, endian="<", packbits=False, photo=None, rows_per_strip=None):
+    """Hand-built TIFF writer (both endians, strips, PackBits)."""
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    if px.ndim == 2:
+        px = px[:, :, None]
+    data = px.astype(np.uint8).tobytes()
+    rps = rows_per_strip or h
+    row_bytes = w * spp
+    strips = [
+        data[y0 * row_bytes : (y0 + min(rps, h - y0)) * row_bytes]
+        for y0 in range(0, h, rps)
+    ]
+    if packbits:
+        def pack(s: bytes) -> bytes:
+            out = bytearray()
+            i = 0
+            while i < len(s):
+                j = i
+                while j + 1 < len(s) and s[j + 1] == s[j] and j - i < 127:
+                    j += 1
+                if j > i:
+                    out += bytes([257 - (j - i + 1), s[i]])
+                    i = j + 1
+                else:
+                    k = i
+                    while (k < len(s) and k - i < 128
+                           and not (k + 1 < len(s) and s[k] == s[k + 1])):
+                        k += 1
+                    out += bytes([k - i - 1]) + s[i:k]
+                    i = k
+            return bytes(out)
+        strips = [pack(s) for s in strips]
+    e = endian
+    photo = photo if photo is not None else (1 if spp == 1 else 2)
+    ntags = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * ntags + 4
+    extra = b""
+    bits_val_off = None
+    if spp == 3:
+        bits_val_off = data_off
+        extra += struct.pack(e + "HHH", 8, 8, 8)
+    arrays_off = data_off + len(extra)
+    n_strips = len(strips)
+    if n_strips > 1:
+        so_off = arrays_off
+        sc_off = so_off + 4 * n_strips
+        strip_data_off = sc_off + 4 * n_strips
+    else:
+        strip_data_off = arrays_off
+    offs, pos = [], strip_data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if n_strips > 1:
+        extra += struct.pack(e + "I" * n_strips, *offs)
+        extra += struct.pack(e + "I" * n_strips, *[len(s) for s in strips])
+
+    def tag(t, typ, cnt, val):
+        return struct.pack(e + "HHI", t, typ, cnt) + val
+
+    def short_val(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(e + "I", v)
+
+    tags = [
+        tag(256, 3, 1, short_val(w)),
+        tag(257, 3, 1, short_val(h)),
+        tag(258, 3, spp, short_val(8) if spp == 1 else long_val(bits_val_off)),
+        tag(259, 3, 1, short_val(32773 if packbits else 1)),
+        tag(262, 3, 1, short_val(photo)),
+        tag(273, 4, n_strips, long_val(offs[0] if n_strips == 1 else so_off)),
+        tag(277, 3, 1, short_val(spp)),
+        tag(278, 3, 1, short_val(rps)),
+        tag(279, 4, n_strips,
+            long_val(len(strips[0]) if n_strips == 1 else sc_off)),
+    ]
+    out = (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", ntags) + b"".join(tags) + struct.pack(e + "I", 0)
+    out += extra + b"".join(strips)
+    return out
+
+
+def test_tiff_variants_roundtrip(spark):
+    decode = multimodal._tiff_pixel_decoder()
+    rng_t = np.random.default_rng(5)
+    gray = rng_t.integers(0, 256, (4, 4), dtype=np.uint8)
+    rgb = rng_t.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+    runs = np.repeat(rng_t.integers(0, 256, (4, 2), dtype=np.uint8), [3, 1], axis=1)
+    for name, px, kw in [
+        ("gray-II", gray, {}),
+        ("gray-MM", gray, {"endian": ">"}),
+        ("gray-white0", gray, {"photo": 0}),
+        ("rgb-II", rgb, {}),
+        ("rgb-MM-strips", rgb, {"endian": ">", "rows_per_strip": 2}),
+        ("gray-packbits", runs, {"packbits": True}),
+        ("rgb-strips-pb", rgb, {"rows_per_strip": 2, "packbits": True}),
+    ]:
+        dec = decode(_make_tiff(px, **kw))
+        assert dec is not None, name
+        got, nch = dec
+        want = px if px.ndim == 3 else px[:, :, None]
+        if kw.get("photo") == 0:
+            want = 255 - want
+        assert got.shape == want.shape and (got == want).all(), name
+
+
+def test_tiff_rejection_paths(spark):
+    decode = multimodal._tiff_pixel_decoder()
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    good = _make_tiff(gray)
+    assert decode(good) is not None
+    assert decode(b"XX\x2a\x00") is None          # bad byte-order mark
+    assert decode(b"II\x2b\x00\x08\x00\x00\x00") is None  # BigTIFF magic
+    assert decode(good[:30]) is None              # truncated IFD
+    assert decode(good[:-5]) is None              # truncated strip data
+    # unsupported compression tag (LZW = 5)
+    bad = bytearray(_make_tiff(gray))
+    # compression tag value sits in tag 259's value field; patch it
+    idx = bad.find(struct.pack("<HHI", 259, 3, 1))
+    bad[idx + 8 : idx + 10] = struct.pack("<H", 5)
+    assert decode(bytes(bad)) is None
+
+
+def test_tiff_in_unified_dispatch(spark):
+    """The shared image-features dispatch must route TIFF magic to the
+    TIFF decoder, both endians."""
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    payloads = [_make_tiff(gray), _make_tiff(gray, endian=">")]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    media = df.select(
+        "media_id", F.lit("image").alias("kind"), "payload",
+        F.lit(None).cast(multimodal.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    rows = {r["media_id"]: r for r in
+            multimodal.decode_image_features(media, fake=False).collect()}
+    for i in (0, 1):
+        assert (rows[i]["width"], rows[i]["height"], rows[i]["n_channels"]) == (4, 4, 1)
+        assert rows[i]["mean_luma"] == pytest.approx(gray.mean() / 255.0, abs=1e-15)
