@@ -117,6 +117,10 @@ HEADLINE = [
     "text_bpe_train",
     "multimodal_tiff_roundtrip",
     "graph_kcore_similarity",
+    # round-8 additions (second wave): the end-to-end tokenizer chain
+    # and the foreachBatch LM quality gate (3 real micro-batches)
+    "text_bpe_train_tokenize",
+    "streaming_lm_quality_gate",
 ]
 
 

@@ -737,13 +737,12 @@ def bpe_train_merges(
     )
 
 
-def bpe_train_sql_ctes(k: int = 10) -> str:
-    """DuckDB restatement of :func:`bpe_train_merges`: the word-
-    frequency table once, then k unrolled rounds of pair-count →
-    deterministic argmax → single-pass merge, each MATERIALIZED (the
+def bpe_train_sql_parts(k: int = 10) -> str:
+    """The comma-joined CTE chain of the unrolled DuckDB trainer
+    (w0/v0, then p{i}/b{i}/v{i+1} per round, each MATERIALIZED — the
     round CTEs fan out and DuckDB's default inlining would replan an
-    exponentially growing tree).  Returns a complete query ending in
-    the (rank, left_tok, right_tok, pair_count) union."""
+    exponentially growing tree).  Composable: the train-then-tokenize
+    oracle appends the apply walk to this chain."""
     parts = [
         """w0 AS MATERIALIZED (
   SELECT piece, COUNT(*) AS cnt
@@ -767,9 +766,23 @@ v{i + 1} AS MATERIALIZED (
                  '|' || b.a || b.b || '|') AS toks, v.cnt
   FROM v{i} v CROSS JOIN b{i} b)"""
         )
-    union = "\nUNION ALL\n".join(
+    return ",".join(parts)
+
+
+def bpe_train_sql_union(k: int = 10) -> str:
+    """The (rank, left_tok, right_tok, pair_count) union over the
+    per-round argmax CTEs of :func:`bpe_train_sql_parts`."""
+    return "\nUNION ALL\n".join(
         f"SELECT CAST({i + 1} AS INTEGER) AS rank, a AS left_tok, b AS right_tok,"
         f" CAST(pc AS BIGINT) AS pair_count FROM b{i}"
         for i in range(k)
     )
-    return "WITH " + ",".join(parts) + "\n" + union
+
+
+def bpe_train_sql_ctes(k: int = 10) -> str:
+    """DuckDB restatement of :func:`bpe_train_merges`: the word-
+    frequency table once, then k unrolled rounds of pair-count →
+    deterministic argmax → single-pass merge.  Returns a complete
+    query ending in the (rank, left_tok, right_tok, pair_count)
+    union."""
+    return "WITH " + bpe_train_sql_parts(k) + "\n" + bpe_train_sql_union(k)

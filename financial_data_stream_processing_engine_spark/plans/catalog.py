@@ -92,6 +92,11 @@ _PRIORITY: list[str] = [
     "text_bpe_train",
     "multimodal_tiff_roundtrip",
     "graph_kcore_similarity",
+    # late round-8 new entries (second wave): the tokenizer chain end
+    # to end (learn merges, then tokenize under them), and the LM
+    # quality filter as a live foreachBatch gate
+    "text_bpe_train_tokenize",
+    "streaming_lm_quality_gate",
     # behavior-relevant code changed this round (all changes are
     # value-identical on the driver fixtures — verified per-entry with
     # tools/verify_local.py before commit — but policy (2) re-earns
@@ -143,13 +148,19 @@ _PRIORITY: list[str] = [
     "histogram_value_buckets",
     "join_full_outer_nation_activity",
     "join_interval_bursts",
-    "join_salted_skew",
     "json_to_map_explode",
     "ma_alerts",
-    "merge_upsert_orders",
     "mixture_sample_sources",
     "pii_redact_documents",
     # --- driver check window boundary (first 50 above) ---
+    # Two more staged r3 rows yielded to the second-wave entries:
+    # merge_upsert_orders (argument (c): in-window
+    # streaming_funnel_conversion calls operators/scale.py::
+    # merge_upsert every micro-batch), join_salted_skew (argument (d):
+    # judge-verified at HEAD in the r7 session's full-catalog run;
+    # its salting code is unchanged since).
+    "merge_upsert_orders",
+    "join_salted_skew",
     # Three more staged r3 rows yielded to the late round-8 entries:
     # multimodal_png_resize (argument (b): the decode_image_features
     # dispatch gained a TIFF branch this round — untaken on every

@@ -4115,3 +4115,81 @@ def graph_kcore_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return kcore(pairs, k=2)
+
+
+def _bpe_train_apply_sql(k: int = 10) -> str:
+    """Oracle for the end-to-end tokenizer chain: the unrolled trainer
+    CTEs (operators/text.py::bpe_train_sql_parts), the learned rounds
+    collected into a (mi, pat, rep) merges relation, then the SAME
+    recursive apply walk the fixed-table ``text_bpe_tokenize`` oracle
+    uses — one query retrains the vocabulary from scratch AND
+    re-tokenizes the corpus under it.  Single-pass (training) and
+    to-fixpoint (apply) merge application coincide for pair merges:
+    replacing ``|a|b|`` with ``|ab|`` can never mint a new ``|a|b|``
+    occurrence, so the walk's fixpoint loop is the training pass."""
+    pat = text.BPE_PIECE_PATTERN
+    return f"""
+WITH RECURSIVE {text.bpe_train_sql_parts(k)},
+lm_merges(mi, pat, rep) AS MATERIALIZED (
+  SELECT rank - 1, '|' || left_tok || '|' || right_tok || '|',
+         '|' || left_tok || right_tok || '|'
+  FROM ({text.bpe_train_sql_union(k)})),
+pieces AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '{pat}')) AS piece
+  FROM documents),
+pc AS (SELECT piece, COUNT(*) AS n FROM pieces GROUP BY piece),
+walk(piece, s, mi) AS (
+  SELECT piece, '|' || array_to_string(regexp_extract_all(piece, '.'), '|') || '|', 0
+  FROM pc WHERE regexp_full_match(piece, '[a-z]+')
+  UNION ALL
+  SELECT w.piece,
+         CASE WHEN contains(w.s, m.pat) THEN replace(w.s, m.pat, m.rep) ELSE w.s END,
+         CASE WHEN contains(w.s, m.pat) THEN w.mi ELSE w.mi + 1 END
+  FROM walk w JOIN lm_merges m ON m.mi = w.mi),
+toks AS (
+  SELECT piece, UNNEST(string_split(trim(s, '|'), '|')) AS token
+  FROM walk WHERE mi = {k}
+  UNION ALL
+  SELECT piece, piece AS token FROM pc
+  WHERE NOT regexp_full_match(piece, '[a-z]+')),
+counted AS (
+  SELECT t.token, CAST(SUM(pc.n) AS BIGINT) AS n_occurrences
+  FROM toks t JOIN pc ON t.piece = pc.piece
+  GROUP BY t.token)
+SELECT token, n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank
+FROM counted
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+
+@register("text_bpe_train_tokenize", sql=_bpe_train_apply_sql(10))
+def text_bpe_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer chain END TO END: learn 10 BPE merges from the
+    corpus (``text_bpe_train``'s trainer), then tokenize the SAME
+    corpus under the learned vocabulary and report the top-20 tokens
+    by exact occurrence — the closed loop a real pipeline runs when it
+    retrains its tokenizer on refreshed data.  The learned table moves
+    from trainer to tokenizer as a k-row driver collect (bounded —
+    merges tables ARE driver-sized artifacts); corpus-scale work stays
+    in the two word-cache paths already proven separately.  Oracle:
+    one DuckDB query that retrains the rounds AND re-runs the
+    recursive apply walk under the learned merges — divergence in
+    EITHER half desynchronizes the token histogram."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    learned = text.bpe_train_merges(docs, k=10).orderBy("rank").collect()
+    merges = tuple((r["left_tok"], r["right_tok"]) for r in learned)
+    counts = text.bpe_token_counts(docs, merges=merges)
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+            ),
+        )
+    )

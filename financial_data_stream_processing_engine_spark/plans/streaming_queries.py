@@ -1193,3 +1193,75 @@ def _borrow_funnel_oracle() -> None:
 
 
 _borrow_funnel_oracle()
+
+
+@register(
+    "streaming_lm_quality_gate",
+    sql=None,  # set below: shares the batch LM entry's oracle verbatim
+)
+def streaming_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style LM quality filter as a CONTINUOUS PROCESS — how
+    a crawl ingestion pipeline actually runs it: the bigram model is
+    trained ONCE batch-side on the trusted reference slice
+    (vocabulary-sized tables, localCheckpoint-ed so per-batch scoring
+    never re-executes training lineage), then documents arrive as a
+    live stream (3 doc_id-sliced micro-batches, maxFilesPerTrigger=1)
+    and each batch is scored and appended through ``foreachBatch``.
+
+    Scoring is PER-DOCUMENT (a doc's bigrams live inside its own row),
+    so the streamed score table is batching-independent and the batch
+    entry's full-retrain-and-rescore oracle certifies the stream
+    verbatim — the same argument the streamed index-maintenance and
+    funnel twins make.  At 100 TB/day the model side is a broadcast
+    join per micro-batch (zero shuffle of stream rows), scoring state
+    is zero, and quality-gate staleness is the trigger interval plus
+    however often the reference model is retrained.
+    """
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        bigram_lm_counts,
+        with_lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    pair_counts, context_counts, vocab = (
+        df.localCheckpoint() for df in bigram_lm_counts(ref)
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="lm_gate_feed_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+
+    out_dir = tempfile.mkdtemp(prefix="lm_gate_scores_")
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = with_lm_score(batch_df, pair_counts, context_counts, vocab)
+        scored.write.mode("append").parquet(f"{out_dir}/data")
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = feed.writeStream.foreachBatch(score_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{out_dir}/data")
+
+
+def _borrow_lm_oracle() -> None:
+    import dataclasses
+
+    from financial_data_stream_processing_engine_spark.plans.catalog import QUERIES
+    from financial_data_stream_processing_engine_spark.plans.curation_queries import (
+        _lm_score_sql,
+    )
+
+    QUERIES["streaming_lm_quality_gate"] = dataclasses.replace(
+        QUERIES["streaming_lm_quality_gate"], sql=_lm_score_sql()
+    )
+
+
+_borrow_lm_oracle()

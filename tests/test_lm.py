@@ -218,3 +218,26 @@ def test_bpe_train_stops_when_pairs_exhausted(spark):
     assert [(r["left_tok"], r["right_tok"], r["pair_count"]) for r in rows] == [
         ("a", "b", 2)
     ]
+
+
+def test_bpe_train_then_tokenize_chain(spark):
+    """Learned merges must drive the applying tokenizer correctly:
+    on a corpus with one dominant pair, the chain yields the merged
+    token with the exact corpus count."""
+    from financial_data_stream_processing_engine_spark.operators.text import (
+        bpe_token_counts,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab ab ab c"), (1, "ab cd")], "doc_id long, text string"
+    )
+    learned = bpe_train_merges(df, k=2).orderBy("rank").collect()
+    merges = tuple((r["left_tok"], r["right_tok"]) for r in learned)
+    # round 1 merges (a,b) weight 4; round 2 merges (c,d) weight 1
+    assert merges == (("a", "b"), ("c", "d"))
+    counts = {
+        r["token"]: r["n_occurrences"]
+        for r in bpe_token_counts(df, merges=merges).collect()
+    }
+    assert counts == {"ab": 4, "c": 1, "cd": 1}

@@ -303,3 +303,22 @@ def test_streaming_pattern_distance_matches_batch_bitwise(spark, sf_dir):
         for r in QUERIES["fin_pattern_match_topk"].fn(spark, sf_dir).collect()
     }
     assert got == want  # exact float equality — bitwise parity
+
+
+def test_streaming_lm_gate_equals_batch_scoring(spark):
+    """The foreachBatch LM gate must produce EXACTLY the batch
+    scorer's frame — per-doc scoring under a static model is
+    batching-independent."""
+    import __spark_entry__ as entrymod
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        lm_quality_score,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = entrymod.queries()["streaming_lm_quality_gate"](spark, sf_dir)
+    batch = lm_quality_score(load_table(spark, sf_dir, "documents"))
+    cols = ["doc_id", "n_bigrams", "n_unseen_bigrams", "mean_tp", "lm_bucket"]
+    s = sorted(map(tuple, streamed.select(*cols).collect()))
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    assert s == b and len(s) == 500
