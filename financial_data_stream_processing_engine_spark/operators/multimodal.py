@@ -1043,6 +1043,11 @@ def _tiff_pixel_decoder():
                 return None
             if (spp == 1 and photo not in (0, 1)) or (spp == 3 and photo != 2):
                 return None
+            # PlanarConfiguration (284) defaults to 1 (chunky); planar
+            # (2) stores per-channel planes — silently misdecoded as
+            # interleaved if not rejected here
+            if tags.get(284, (1,))[0] != 1:
+                return None
             expected = [
                 min(rps, h - y0) * w * spp for y0 in range(0, h, rps)
             ]
@@ -1244,8 +1249,10 @@ def sample_frames(
     """'Video' payload → one row per sampled frame offset.
 
     Frame sampling without decoding: pure built-in expressions generate
-    the offset lattice (sequence + explode); a real pipeline would feed
-    the (payload, frame_offset) pairs to a decoder UDF downstream.
+    the offset lattice (sequence + explode) — the cheap planning step
+    that decides WHICH frames to touch before any byte is decoded.
+    The real decode downstream of this plan is
+    :func:`decode_video_frames` (RIFF/AVI walk → per-frame JPEG).
     """
     n = F.coalesce(F.length("payload"), F.lit(0))
     offsets = F.slice(

@@ -1768,3 +1768,22 @@ def test_tiff_in_unified_dispatch(spark):
     for i in (0, 1):
         assert (rows[i]["width"], rows[i]["height"], rows[i]["n_channels"]) == (4, 4, 1)
         assert rows[i]["mean_luma"] == pytest.approx(gray.mean() / 255.0, abs=1e-15)
+
+
+def test_tiff_planar_config_rejected(spark):
+    """PlanarConfiguration 2 stores per-channel PLANES; decoding it as
+    chunky silently produces scrambled pixels — must take the NULL
+    path instead."""
+    decode = multimodal._tiff_pixel_decoder()
+    rgb = np.arange(45, dtype=np.uint8).reshape(5, 3, 3)
+    good = _make_tiff(rgb)
+    assert decode(good) is not None
+    # repurpose the RowsPerStrip tag slot as PlanarConfiguration=2
+    # (inserting a tag would shift every absolute offset by 12;
+    # RowsPerStrip then defaults to h, so the layout stays valid)
+    b = bytearray(good)
+    idx = bytes(b).find(struct.pack("<HHI", 278, 3, 1))
+    b[idx : idx + 2] = struct.pack("<H", 284)
+    b[idx + 8 : idx + 10] = struct.pack("<H", 2)
+    # (RowsPerStrip now absent → defaults to h, layout still valid)
+    assert decode(bytes(b)) is None
