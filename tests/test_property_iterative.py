@@ -1,0 +1,118 @@
+"""Property tests for the round-8 iterative operators: k-core peeling
+and BPE merge training must reproduce from-scratch Python references
+on randomized inputs (not just the handcrafted menagerie / fixture).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from financial_data_stream_processing_engine_spark.operators.graph import kcore
+from financial_data_stream_processing_engine_spark.operators.text import (
+    bpe_train_merges,
+)
+
+
+def _py_kcore(edges, k):
+    alive = {n for e in edges for n in e}
+    es = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n in alive if deg.get(n, 0) >= k}
+        if keep == alive:
+            return {n: deg.get(n, 0) for n in alive}
+        alive = keep
+        es = {(a, b) for a, b in es if a in alive and b in alive}
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_nodes=st.integers(min_value=4, max_value=25),
+    n_edges=st.integers(min_value=3, max_value=60),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kcore_matches_reference_peel(spark, seed, n_nodes, n_edges, k):
+    rng = random.Random(seed)
+    edges = set()
+    for _ in range(n_edges):
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    if not edges:
+        edges = {(0, 1)}
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r["node"]: r["core_deg"] for r in kcore(df, k=k).collect()}
+    assert got == _py_kcore(edges, k)
+
+
+def _py_bpe_train(texts, k):
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(k):
+        pairs = Counter()
+        for w, toks in words.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b, cnt))
+        for w, toks in words.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=1, max_value=8),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_train_matches_reference_on_random_corpora(spark, seed, n_docs, k):
+    rng = random.Random(seed)
+    # small alphabet → dense pair collisions → tie-breaks exercised;
+    # repeated chars → overlapping-adjacency counting exercised
+    alphabet = "abc"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 10))
+        )
+        for _ in range(n_docs)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["left_tok"], r["right_tok"], r["pair_count"])
+        for r in bpe_train_merges(df, k=k).orderBy("rank").collect()
+    ]
+    assert got == _py_bpe_train(texts, k)
