@@ -121,6 +121,8 @@ HEADLINE = [
     # and the foreachBatch LM quality gate (3 real micro-batches)
     "text_bpe_train_tokenize",
     "streaming_lm_quality_gate",
+    # round-8 addition (third wave): the binned unkeyed proximity join
+    "join_proximity_binned",
 ]
 
 

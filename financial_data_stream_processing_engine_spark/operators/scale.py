@@ -277,3 +277,62 @@ def cdc_apply_to_sum_count(
         )
         .filter(F.col("n") > 0)
     )
+
+
+def binned_proximity_pairs(
+    df: DataFrame,
+    ts_micros_col: str = "us",
+    id_col: str = "event_id",
+    radius_micros: int = 150_000_000,
+) -> DataFrame:
+    """All pairs of rows within ``radius_micros`` of each other in time
+    — with NO equi-key — via BIN BUCKETING, the standard rewrite that
+    turns an unkeyed temporal theta join into an equi-join (the same
+    trick range-join optimizers apply internally): bin width
+    w = 2·radius, the probe side keeps its own bin, the build side
+    explodes to (bin−1, bin, bin+1), and the equi-join on the bin key
+    plus the exact |Δt| ≤ radius residual recovers every qualifying
+    pair.
+
+    Losslessness: |t_a − t_b| ≤ radius < w ⟹ bin(t_b) ∈
+    {bin(t_a)−1, bin(t_a), bin(t_a)+1}.  Duplicate-freeness: the probe
+    row's bin is a single value, so at most ONE of the build row's
+    three exploded bins can match — no distinct needed.  All
+    arithmetic is integer microseconds (exact in any engine).
+
+    Returns (id_a, id_b, bin, gap_us) with id_a < id_b and ``bin`` the
+    probe (id_a) row's bin.  At scale: 3× map-side row expansion on
+    one side, ONE equi-join shuffle keyed on the bin — candidates per
+    bin are density², confined to genuinely co-temporal rows, where
+    the naive unkeyed theta join is a cartesian.
+    """
+    w = 2 * radius_micros
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(ts_micros_col).alias("us_a"),
+        F.expr(f"{ts_micros_col} DIV {w}").alias("bin"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(ts_micros_col).alias("us_b"),
+        F.explode(
+            F.expr(
+                f"array({ts_micros_col} DIV {w} - 1,"
+                f" {ts_micros_col} DIV {w},"
+                f" {ts_micros_col} DIV {w} + 1)"
+            )
+        ).alias("bin"),
+    )
+    return (
+        a.join(b, ["bin"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= radius_micros)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "bin",
+            F.abs(F.col("us_a") - F.col("us_b")).alias("gap_us"),
+        )
+    )

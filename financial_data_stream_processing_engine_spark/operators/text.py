@@ -668,19 +668,31 @@ def bpe_train_merges(
     groupBy per round, weighted by word frequency (overlapping
     adjacencies counted, per the reference ``get_stats``), one
     1-row argmax collect (count DESC, then (left, right) lexicographic
-    — fully deterministic), and one single-pass left-to-right
-    non-overlapping ``replace`` applying the merge (the exact
-    semantics of the reference's ``re.sub`` merge pass).  Each round's
-    vocabulary is ``localCheckpoint``-ed: k rounds of lineage over a
-    re-derived frame would otherwise re-execute the whole prefix per
-    round (the kmeans_train/pagerank precedent).  This is how
-    production vocabularies are actually trained — GPT-2's BPE was
-    learned from word frequencies, not raw text passes.
+    — fully deterministic), and the merge applied by the SAME
+    replace-to-fixpoint walk :func:`bpe_tokenize_pieces` uses
+    (delimiter-string ``replace`` repeated until the pair is absent).
+    One pass is NOT enough: adjacent occurrences share their boundary
+    delimiter (``|a|b|a|b|b|`` leaves ``|ab|a|b|b|`` after one pass —
+    a divergence our own property sweep caught), so each round loops
+    replace-and-recheck; the recheck is a bounded ``limit(1).count()``
+    and rounds almost always converge in one or two passes.  Trainer
+    and tokenizer thereby share ONE merge-application semantic — the
+    self-consistency a retrain-then-retokenize pipeline needs.  (The
+    walk coincides with the reference's single zero-width ``re.sub``
+    pass everywhere except same-symbol runs ≥5 of an (x,x) merge,
+    where re-scanning regroups the run's tail — a documented
+    deterministic variant.)  Each round's vocabulary is
+    ``localCheckpoint``-ed: k rounds of lineage over a re-derived
+    frame would otherwise re-execute the whole prefix per round (the
+    kmeans_train/pagerank precedent).  This is how production
+    vocabularies are actually trained — GPT-2's BPE was learned from
+    word frequencies, not raw text passes.
 
     Oracle: :func:`bpe_train_sql_ctes` unrolls the same k rounds in
     DuckDB (MATERIALIZED per-round CTEs — each round is referenced
     more than once downstream, and un-materialized inlining is
-    exponential in k).
+    exponential in k — plus one small recursive walk per round for
+    the fixpoint application).
     """
     words = (
         df.select(
@@ -725,12 +737,16 @@ def bpe_train_merges(
             break
         a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pc"])
         merges.append((rank, a, b, pc))
-        vocab = vocab.select(
-            F.replace(
-                F.col("toks"), F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
-            ).alias("toks"),
-            "cnt",
-        ).localCheckpoint()
+        pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
+        while True:
+            vocab = vocab.select(
+                F.replace(F.col("toks"), F.lit(pat), F.lit(rep)).alias("toks"),
+                "cnt",
+            ).localCheckpoint()
+            # fixpoint check: adjacent occurrences share their boundary
+            # '|', so one replace pass can leave pattern instances
+            if vocab.where(F.col("toks").contains(pat)).limit(1).count() == 0:
+                break
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left_tok string, right_tok string, pair_count bigint"
@@ -739,10 +755,12 @@ def bpe_train_merges(
 
 def bpe_train_sql_parts(k: int = 10) -> str:
     """The comma-joined CTE chain of the unrolled DuckDB trainer
-    (w0/v0, then p{i}/b{i}/v{i+1} per round, each MATERIALIZED — the
-    round CTEs fan out and DuckDB's default inlining would replan an
-    exponentially growing tree).  Composable: the train-then-tokenize
-    oracle appends the apply walk to this chain."""
+    (w0/v0, then p{i}/b{i}/mw{i}/v{i+1} per round — counts, argmax,
+    recursive fixpoint merge walk, next vocabulary; non-recursive CTEs
+    MATERIALIZED because the round CTEs fan out and DuckDB's default
+    inlining would replan an exponentially growing tree).  Must be
+    wrapped in ``WITH RECURSIVE``.  Composable: the train-then-
+    tokenize oracle appends the apply walk to this chain."""
     parts = [
         """w0 AS MATERIALIZED (
   SELECT piece, COUNT(*) AS cnt
@@ -760,11 +778,19 @@ v0 AS MATERIALIZED (
   FROM (SELECT STRING_SPLIT(TRIM(toks, '|'), '|') AS l, cnt FROM v{i}),
        UNNEST(GENERATE_SERIES(1, LEN(l) - 1)) AS t(j)
   GROUP BY 1, 2),
-b{i} AS MATERIALIZED (SELECT a, b, pc FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
-v{i + 1} AS MATERIALIZED (
-  SELECT REPLACE(v.toks, '|' || b.a || '|' || b.b || '|',
-                 '|' || b.a || b.b || '|') AS toks, v.cnt
-  FROM v{i} v CROSS JOIN b{i} b)"""
+b{i} AS MATERIALIZED (
+  SELECT a, b, '|' || a || '|' || b || '|' AS pat,
+         '|' || a || b || '|' AS rep, pc
+  FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
+mw{i}(toks, cnt, st) AS (
+  SELECT toks, cnt, 0 FROM v{i}
+  UNION ALL
+  SELECT CASE WHEN contains(w.toks, b.pat)
+              THEN replace(w.toks, b.pat, b.rep) ELSE w.toks END,
+         w.cnt,
+         CASE WHEN contains(w.toks, b.pat) THEN 0 ELSE 1 END
+  FROM mw{i} w, b{i} b WHERE w.st = 0),
+v{i + 1} AS MATERIALIZED (SELECT toks, cnt FROM mw{i} WHERE st = 1)"""
         )
     return ",".join(parts)
 
@@ -782,7 +808,9 @@ def bpe_train_sql_union(k: int = 10) -> str:
 def bpe_train_sql_ctes(k: int = 10) -> str:
     """DuckDB restatement of :func:`bpe_train_merges`: the word-
     frequency table once, then k unrolled rounds of pair-count →
-    deterministic argmax → single-pass merge.  Returns a complete
-    query ending in the (rank, left_tok, right_tok, pair_count)
-    union."""
-    return "WITH " + bpe_train_sql_parts(k) + "\n" + bpe_train_sql_union(k)
+    deterministic argmax → merge applied by a per-round recursive
+    replace-to-fixpoint walk (``mw{i}``: a row re-replaces while the
+    pattern is present, then exits with st = 1 — the trainer-side twin
+    of the apply oracle's merge walk).  Returns a complete query
+    ending in the (rank, left_tok, right_tok, pair_count) union."""
+    return "WITH RECURSIVE " + bpe_train_sql_parts(k) + "\n" + bpe_train_sql_union(k)

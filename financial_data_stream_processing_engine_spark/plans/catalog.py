@@ -97,6 +97,9 @@ _PRIORITY: list[str] = [
     # quality filter as a live foreachBatch gate
     "text_bpe_train_tokenize",
     "streaming_lm_quality_gate",
+    # late round-8 new entry (third wave): the unkeyed temporal
+    # proximity join rewritten as a binned equi-join
+    "join_proximity_binned",
     # behavior-relevant code changed this round (all changes are
     # value-identical on the driver fixtures — verified per-entry with
     # tools/verify_local.py before commit — but policy (2) re-earns
@@ -148,11 +151,16 @@ _PRIORITY: list[str] = [
     "histogram_value_buckets",
     "join_full_outer_nation_activity",
     "join_interval_bursts",
-    "json_to_map_explode",
     "ma_alerts",
     "mixture_sample_sources",
     "pii_redact_documents",
     # --- driver check window boundary (first 50 above) ---
+    # One more staged r3 row yielded to the third-wave entry:
+    # json_to_map_explode (argument (d): judge-verified at HEAD in the
+    # r7 session's full-catalog run; its map-explode code is unchanged
+    # since, and sibling json_extract_props holds an r7 row on the
+    # same JSON machinery).
+    "json_to_map_explode",
     # Two more staged r3 rows yielded to the second-wave entries:
     # merge_upsert_orders (argument (c): in-window
     # streaming_funnel_conversion calls operators/scale.py::

@@ -4123,10 +4123,12 @@ def _bpe_train_apply_sql(k: int = 10) -> str:
     collected into a (mi, pat, rep) merges relation, then the SAME
     recursive apply walk the fixed-table ``text_bpe_tokenize`` oracle
     uses — one query retrains the vocabulary from scratch AND
-    re-tokenizes the corpus under it.  Single-pass (training) and
-    to-fixpoint (apply) merge application coincide for pair merges:
-    replacing ``|a|b|`` with ``|ab|`` can never mint a new ``|a|b|``
-    occurrence, so the walk's fixpoint loop is the training pass."""
+    re-tokenizes the corpus under it.  Training and apply share ONE
+    merge-application semantic: the replace-to-fixpoint walk (a
+    single delimiter-string pass is NOT equivalent — adjacent
+    occurrences share their boundary ``|``, the bug our property
+    sweep caught), so the learned table and the tokenization are
+    mutually consistent by construction."""
     pat = text.BPE_PIECE_PATTERN
     return f"""
 WITH RECURSIVE {text.bpe_train_sql_parts(k)},

@@ -3543,3 +3543,48 @@ def approx_setops_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_setops_report(
         tagged, "tag", F.col("l_orderkey").cast("string"), k=256
     )
+
+
+@register(
+    "join_proximity_binned",
+    sql="""
+WITH pts AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+pairs AS (
+  SELECT a.event_id AS id_a, b.event_id AS id_b,
+         a.us // 300000000 AS bin, ABS(a.us - b.us) AS gap_us
+  FROM pts a JOIN pts b
+    ON a.event_id < b.event_id AND ABS(a.us - b.us) <= 150000000)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+FROM pairs GROUP BY bin
+""",
+)
+def join_proximity_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global temporal proximity self-join with NO equi-key — every
+    event pair within ±150 s across ALL users (cross-user coincidence
+    detection), rewritten from an unkeyed theta join into an equi-join
+    by BIN BUCKETING (operators/scale.py::binned_proximity_pairs):
+    probe side keeps its 300 s bin, build side explodes to bin±1, one
+    equi-join shuffle on the bin key, exact integer-µs residual.  The
+    catalog's other interval joins all carry an equi-key (user_id /
+    price band); this is the shape where naive Catalyst planning is a
+    cartesian with a filter, and binning is THE scale answer (what
+    range-join optimizer hints do internally).  Reported per probe-bin
+    as exact integer aggregates.  Oracle: the brute-force theta join
+    (DuckDB plans it as an IEJoin — tractable at oracle scale), same
+    integer arithmetic.
+    """
+    from financial_data_stream_processing_engine_spark.operators import scale
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    pairs = scale.binned_proximity_pairs(
+        ev, ts_micros_col="us", id_col="event_id", radius_micros=150_000_000
+    )
+    return pairs.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )

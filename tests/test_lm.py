@@ -144,9 +144,10 @@ def test_nb_learns_a_separable_corpus(spark):
 
 
 def test_bpe_train_matches_pure_python_reference(spark):
-    """The distributed trainer must reproduce a from-scratch Sennrich
-    loop (overlapping pair counts, deterministic tie-breaks, single-
-    pass merges) on a corpus exercising cascaded merges and ties."""
+    """The distributed trainer must reproduce a from-scratch reference
+    loop (overlapping pair counts, deterministic tie-breaks,
+    replace-to-fixpoint merges) on a corpus exercising cascaded
+    merges and ties."""
     import re
     from collections import Counter
 
@@ -181,16 +182,14 @@ def test_bpe_train_matches_pure_python_reference(spark):
                 pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
             )
             merges.append((a, b, cnt))
+            # replace-to-fixpoint — the trainer/tokenizer-shared merge
+            # semantic (see test_property_iterative.py)
+            pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
             for w, toks in words.items():
-                out, i = [], 0
-                while i < len(toks):
-                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(toks[i])
-                        i += 1
-                words[w] = out
+                s = "|" + "|".join(toks) + "|"
+                while pat in s:
+                    s = s.replace(pat, rep)
+                words[w] = s.strip("|").split("|")
         return merges
 
     k = 8

@@ -258,3 +258,40 @@ def test_kmv_sketch_rank_limit_runs_partial_before_exchange(spark, sf_dir):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_binned_proximity_equals_brute_force(spark):
+    """Bin bucketing must be lossless and duplicate-free, including
+    pairs that straddle a bin boundary and exact-radius gaps."""
+    import random
+
+    from financial_data_stream_processing_engine_spark.operators.scale import (
+        binned_proximity_pairs,
+    )
+
+    rng = random.Random(13)
+    w = 1000  # radius 500 µs for the test
+    pts = [(i, rng.randrange(0, 20_000)) for i in range(60)]
+    # force boundary cases: a straddling pair and an exact-radius pair
+    pts += [(100, 999), (101, 1001), (102, 3000), (103, 3500)]
+    df = spark.createDataFrame(pts, "event_id long, us long")
+    got = {
+        (r["id_a"], r["id_b"], r["gap_us"])
+        for r in binned_proximity_pairs(
+            df, ts_micros_col="us", id_col="event_id", radius_micros=500
+        ).collect()
+    }
+    want = {
+        (a, b, abs(ta - tb))
+        for (a, ta) in pts
+        for (b, tb) in pts
+        if a < b and abs(ta - tb) <= 500
+    }
+    assert (100, 101, 2) in want and (102, 103, 500) in want
+    assert got == want
+    # duplicate-freeness is part of the set equality above, but also
+    # assert no multiset inflation
+    n_rows = binned_proximity_pairs(
+        df, ts_micros_col="us", id_col="event_id", radius_micros=500
+    ).count()
+    assert n_rows == len(want)

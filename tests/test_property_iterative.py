@@ -73,16 +73,16 @@ def _py_bpe_train(texts, k):
             break
         (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         merges.append((a, b, cnt))
+        # replace-to-fixpoint application — the ONE merge semantic the
+        # trainer shares with bpe_tokenize_pieces (a single delimiter-
+        # string pass misses adjacent occurrences that share their
+        # boundary '|': this sweep caught exactly that divergence)
+        pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
         for w, toks in words.items():
-            out, i = [], 0
-            while i < len(toks):
-                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(toks[i])
-                    i += 1
-            words[w] = out
+            s = "|" + "|".join(toks) + "|"
+            while pat in s:
+                s = s.replace(pat, rep)
+            words[w] = s.strip("|").split("|")
     return merges
 
 
