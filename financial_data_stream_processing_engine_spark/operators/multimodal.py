@@ -979,9 +979,13 @@ def _tiff_pixel_decoder():
     bytes else offset-addressed), strip-based layout (any
     RowsPerStrip), 8-bit grayscale (PhotometricInterpretation 0
     WhiteIsZero and 1 BlackIsZero) and 8-bit-per-sample RGB,
-    Compression 1 (none) and 32773 (PackBits: literal runs n<128,
-    replicate runs n>128, 128 = no-op).  Out of scope (LZW/JPEG-in-
-    TIFF, tiles, planar config 2, palette TIFF, 1/4/16-bit) returns
+    Compression 1 (none), 5 (LZW — the variant most real scanned
+    TIFFs use: MSB-first bit packing, ClearCode 256 / EOI 257,
+    9→12-bit codes with the spec's EARLY code-width change, one code
+    before the GIF rule; per-strip independent streams) and 32773
+    (PackBits: literal runs n<128, replicate runs n>128, 128 =
+    no-op).  Out of scope (JPEG-in-TIFF, tiles, planar config 2,
+    palette TIFF, 1/4/16-bit, LZW horizontal predictor) returns
     None → NULL features, per-row error isolation.
 
     Returns ``decode_pixels(b) -> (px, nch) | None`` with ``px`` of
@@ -991,6 +995,46 @@ def _tiff_pixel_decoder():
     import struct
 
     import numpy as np
+
+    def lzw_decode(data: bytes, max_out: int):
+        """TIFF-variant LZW: MSB-first codes, early width change
+        (grow when the table reaches 2^width − 1, one code earlier
+        than GIF's LSB-first variant in _gif_pixel_decoder)."""
+        CLEAR, EOI = 256, 257
+        out = bytearray()
+        nbits = len(data) * 8
+        bitpos = 0
+        width = 9
+        table: list[bytes] = []
+        prev = b""
+        while bitpos + width <= nbits and len(out) < max_out:
+            code = 0
+            for _ in range(width):
+                code = (code << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+                bitpos += 1
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = b""
+                continue
+            if code == EOI:
+                break
+            if not table:
+                return None  # stream must open with ClearCode
+            if code < len(table):
+                entry = table[code]
+                if prev:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and prev:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        return bytes(out[:max_out])
 
     def decode_pixels(b: bytes):
         if len(b) < 8:
@@ -1039,8 +1083,10 @@ def _tiff_pixel_decoder():
                 return None
             if spp not in (1, 3) or any(x != 8 for x in bits[:spp]):
                 return None
-            if comp not in (1, 32773):
+            if comp not in (1, 5, 32773):
                 return None
+            if comp == 5 and tags.get(317, (1,))[0] != 1:
+                return None  # horizontal-predictor LZW out of scope
             if (spp == 1 and photo not in (0, 1)) or (spp == 3 and photo != 2):
                 return None
             # PlanarConfiguration (284) defaults to 1 (chunky); planar
@@ -1058,7 +1104,12 @@ def _tiff_pixel_decoder():
                 if off + bc > len(b):
                     return None
                 chunk = b[off : off + bc]
-                if comp == 32773:
+                if comp == 5:
+                    dec = lzw_decode(chunk, need_rows)
+                    if dec is None:
+                        return None
+                    chunk = dec
+                elif comp == 32773:
                     out = bytearray()
                     i = 0
                     while i < len(chunk):

@@ -3885,17 +3885,20 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _md5_tiff_generator():
     """mapInPandas generator: doc_id → a 4×4 8-bit grayscale TIFF whose
-    16 pixels are the md5(doc_id) digest bytes, cycling through four
+    16 pixels are the md5(doc_id) digest bytes, cycling through five
     real encoder layouts by doc_id so ONE oracle certifies every
     decode path on identical pixel values:
 
-      doc_id%4==0  II (little-endian), uncompressed, one strip
-      doc_id%4==1  MM (big-endian), uncompressed, TWO strips (rps=2,
+      doc_id%5==0  II (little-endian), uncompressed, one strip
+      doc_id%5==1  MM (big-endian), uncompressed, TWO strips (rps=2,
                    offset/count arrays offset-addressed)
-      doc_id%4==2  II, PackBits-compressed strip
-      doc_id%4==3  MM, PhotometricInterpretation 0 (WhiteIsZero) with
+      doc_id%5==2  II, PackBits-compressed strip
+      doc_id%5==3  MM, PhotometricInterpretation 0 (WhiteIsZero) with
                    pre-inverted sample bytes — decode re-inverts, so
                    the luma equals the other variants'
+      doc_id%5==4  II, LZW-compressed strip (MSB-first, ClearCode/EOI;
+                   width growth and table resets are pytest territory
+                   — a 16-byte strip stays at 9-bit codes)
 
     Nested def so cloudpickle ships it by value."""
 
@@ -3904,6 +3907,48 @@ def _md5_tiff_generator():
         import struct
 
         import pandas as pd
+
+        def lzw(s: bytes) -> bytes:
+            CLEAR, EOI = 256, 257
+            out = bytearray()
+            acc = nacc = 0
+            width = 9
+
+            def put(code):
+                nonlocal acc, nacc
+                acc = (acc << width) | code
+                nacc += width
+                while nacc >= 8:
+                    out.append((acc >> (nacc - 8)) & 0xFF)
+                    nacc -= 8
+
+            table = {bytes([i]): i for i in range(256)}
+            nextcode = 258
+            put(CLEAR)
+            w = b""
+            for ch in s:
+                c = bytes([ch])
+                if w + c in table:
+                    w = w + c
+                    continue
+                put(table[w])
+                table[w + c] = nextcode
+                nextcode += 1
+                # encoder table runs one entry ahead of the decoder's,
+                # which grows at (1<<width)-1 — mirror point 1<<width
+                if nextcode == (1 << width) and width < 12:
+                    width += 1
+                if nextcode >= 4093:  # near-full: spec ClearCode reset
+                    put(CLEAR)
+                    table = {bytes([i]): i for i in range(256)}
+                    nextcode, width = 258, 9
+                w = c
+            if w:
+                put(table[w])
+            put(EOI)
+            if nacc:
+                out.append((acc << (8 - nacc)) & 0xFF)
+            return bytes(out)
 
         def packbits(s: bytes) -> bytes:
             out = bytearray()
@@ -3928,8 +3973,8 @@ def _md5_tiff_generator():
 
         def build(did: int) -> bytes:
             data = hashlib.md5(str(did).encode()).digest()
-            variant = did % 4
-            e = "<" if variant in (0, 2) else ">"
+            variant = did % 5
+            e = "<" if variant in (0, 2, 4) else ">"
             photo = 0 if variant == 3 else 1
             if variant == 3:
                 data = bytes(255 - x for x in data)
@@ -3939,10 +3984,13 @@ def _md5_tiff_generator():
             elif variant == 2:
                 strips = [packbits(data)]
                 rps = 4
+            elif variant == 4:
+                strips = [lzw(data)]
+                rps = 4
             else:
                 strips = [data]
                 rps = 4
-            comp = 32773 if variant == 2 else 1
+            comp = {2: 32773, 4: 5}.get(variant, 1)
             n_strips = len(strips)
             ntags = 9
             ifd_off = 8
@@ -4013,14 +4061,16 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared magic dispatch, and the one where ENDIANNESS is data: each
     doc's 4×4 grayscale TIFF cycles by doc_id through II/MM byte
     order, one- and two-strip layouts (offset-addressed strip
-    arrays), PackBits compression, and WhiteIsZero photometric with
-    pre-inverted samples (operators/multimodal.py::_tiff_pixel_decoder
+    arrays), PackBits AND LZW compression (MSB-first early-change
+    codes — the variant most real scanned TIFFs use), and WhiteIsZero
+    photometric with pre-inverted samples (operators/multimodal.py::_tiff_pixel_decoder
     — IFD tag walk, inline-vs-offset values, strip reassembly,
-    PackBits runs, photometric normalization).  All four variants
+    PackBits runs, photometric normalization).  All five variants
     decode to the SAME md5 pixel bytes, so the single md5 oracle
     certifies every path bitwise; layout-sensitive behavior
-    (truncation, bad magic, RGB, strip math) is pinned by
-    tests/test_multimodal_codecs.py.
+    (truncation, bad magic, RGB, strip math, LZW code-width growth
+    and ClearCode table resets up to 64 KB strips, predictor-tag
+    rejection) is pinned by tests/test_multimodal_codecs.py.
     """
     docs = _docs(spark, sf_dir).select("doc_id")
     gen = _md5_tiff_generator()

@@ -1787,3 +1787,119 @@ def test_tiff_planar_config_rejected(spark):
     b[idx + 8 : idx + 10] = struct.pack("<H", 2)
     # (RowsPerStrip now absent → defaults to h, layout still valid)
     assert decode(bytes(b)) is None
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Reference TIFF-variant LZW encoder (MSB-first, early change,
+    ClearCode reset near table-full) used to exercise the decoder."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nacc = 0
+    width = 9
+
+    def put(code):
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nextcode = 258
+    put(CLEAR)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w = w + c
+            continue
+        put(table[w])
+        table[w + c] = nextcode
+        nextcode += 1
+        # the encoder table runs one entry ahead of the decoder's,
+        # which grows at (1<<width)-1 — so the mirror point is 1<<width
+        if nextcode == (1 << width) and width < 12:
+            width += 1
+        if nextcode >= 4093:
+            put(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            nextcode, width = 258, 9
+        w = c
+    if w:
+        put(table[w])
+    put(EOI)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _make_tiff_lzw(px_bytes: bytes, w: int, h: int, predictor: int | None = None) -> bytes:
+    s = _lzw_encode_tiff(px_bytes)
+    e = "<"
+    ntags = 9 + (1 if predictor is not None else 0)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * ntags + 4
+
+    def sv(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def lv(v):
+        return struct.pack(e + "I", v)
+
+    def tag(t, typ, cnt, val):
+        return struct.pack(e + "HHI", t, typ, cnt) + val
+
+    tags = [
+        tag(256, 3, 1, sv(w)), tag(257, 3, 1, sv(h)), tag(258, 3, 1, sv(8)),
+        tag(259, 3, 1, sv(5)), tag(262, 3, 1, sv(1)),
+        tag(273, 4, 1, lv(data_off)), tag(277, 3, 1, sv(1)),
+        tag(278, 3, 1, sv(h)), tag(279, 4, 1, lv(len(s))),
+    ]
+    if predictor is not None:
+        tags.append(tag(317, 3, 1, sv(predictor)))
+        tags.sort(key=lambda t: struct.unpack(e + "H", t[:2])[0])
+    return (
+        (b"II") + struct.pack(e + "HI", 42, ifd_off)
+        + struct.pack(e + "H", ntags) + b"".join(tags)
+        + struct.pack(e + "I", 0) + s
+    )
+
+
+def test_tiff_lzw_roundtrip_widths_and_resets(spark):
+    """LZW decode across code-width growth (9→12 bits) and mid-stream
+    ClearCode table resets — 16 B to 64 KB strips round trip exactly."""
+    decode = multimodal._tiff_pixel_decoder()
+    rng_l = np.random.default_rng(17)
+    import random as _random
+
+    rng = _random.Random(2)
+    for n in (16, 256, 1024, 8192, 65536):
+        data = bytearray()
+        while len(data) < n:
+            if rng.random() < 0.5:
+                data += bytes([rng.randrange(256)]) * rng.randint(1, 9)
+            else:
+                data += bytes(rng.randrange(256) for _ in range(rng.randint(1, 9)))
+        data = bytes(data[:n])
+        dec = decode(_make_tiff_lzw(data, 16, n // 16))
+        assert dec is not None, n
+        assert dec[0].astype(np.uint8).tobytes() == data, n
+    # malformed stream: garbage that does not open with ClearCode
+    junk = _make_tiff_lzw(bytes(range(16)), 16, 1)
+    body = bytearray(junk)
+    body[-len(_lzw_encode_tiff(bytes(range(16)))):] = b"\x00" * len(
+        _lzw_encode_tiff(bytes(range(16)))
+    )
+    assert decode(bytes(body)) is None
+
+
+def test_tiff_lzw_predictor_rejected(spark):
+    """Predictor 2 (horizontal differencing) changes sample semantics;
+    decoding it as plain LZW yields wrong pixels — must return None."""
+    decode = multimodal._tiff_pixel_decoder()
+    data = bytes(range(16))
+    assert decode(_make_tiff_lzw(data, 16, 1)) is not None
+    assert decode(_make_tiff_lzw(data, 16, 1, predictor=2)) is None
+    # predictor 1 (none) is explicitly fine
+    assert decode(_make_tiff_lzw(data, 16, 1, predictor=1)) is not None
