@@ -135,6 +135,19 @@ def _oriented_triangles(edges: DataFrame, id_a: str, id_b: str):
     e = edges.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).localCheckpoint(eager=True)
+    deg, tris = _closed_triangles(e)
+    tri_nodes = tris.select(F.explode(F.array("src", "v", "w")).alias("node"))
+    return e, deg, tri_nodes
+
+
+def _closed_triangles(e: DataFrame):
+    """Degree-oriented triangle enumeration over a canonical
+    (``a`` < ``b``) edge frame: returns (degrees(node, __deg),
+    tris(src, v, w)) with ONE row per distinct triangle.  The wedge
+    core shared by the node-exploding callers (triangle_count /
+    clustering_coefficient via :func:`_oriented_triangles`) and the
+    per-EDGE support peel (:func:`ktruss`), which re-runs it each
+    round on a shrinking edge set."""
     touch = e.select(F.col("a").alias("node")).unionByName(
         e.select(F.col("b").alias("node"))
     )
@@ -169,10 +182,7 @@ def _oriented_triangles(edges: DataFrame, id_a: str, id_b: str):
     )
     closing = orient.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tris = wedges.join(closing, ["v", "w"])
-    tri_nodes = tris.select(
-        F.explode(F.array("src", "v", "w")).alias("node")
-    )
-    return e, deg, tri_nodes
+    return deg, tris
 
 
 def clustering_coefficient(
@@ -252,3 +262,74 @@ def kcore(
             .localCheckpoint()
         )
     raise RuntimeError(f"k-core peel did not converge within {max_rounds} rounds")
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 40,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """k-truss decomposition by edge-support peeling → the maximal
+    subgraph where every EDGE closes ≥ k−2 triangles inside the
+    subgraph (Cohen's truss definition) — the cohesion refinement one
+    step above :func:`kcore`'s degree pruning: a hub with many pendant
+    neighbours survives a 2-core but keeps no 3-truss edge, while a
+    near-duplicate clique keeps all of its edges, so truss membership
+    separates genuinely dense communities from star topologies that
+    merely LOOK dense by degree.
+
+    Per round: one degree-oriented triangle enumeration over the
+    surviving edges (:func:`_closed_triangles` — linear in wedges,
+    O(√|E|) fan-out on skewed graphs), each triangle exploded into its
+    three canonical (min, max) edges, one map-side-combinable per-edge
+    support aggregation, and one filter dropping edges with support
+    < k−2.  Dropping an edge can only LOWER other edges' support, so
+    the edge set shrinks monotonically and the count-equality
+    convergence test is sound (the :func:`kcore` argument verbatim);
+    each round's survivors are ``localCheckpoint``-ed (the pagerank
+    lineage rule).  A graph needing more than ``max_rounds`` peels
+    raises loudly rather than returning a non-truss.
+
+    Returns (src, dst, support) for the surviving canonical edges —
+    ``support`` the in-truss triangle count of the edge (≥ k−2), so
+    trussness-per-edge is readable straight off the result.
+    """
+    t = k - 2
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    prev_n = -1
+    for _ in range(max_rounds):
+        _deg, tris = _closed_triangles(e)
+        tri_edges = tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("src", "v").alias("ea"), F.greatest("src", "v").alias("eb")
+                    ),
+                    F.struct(
+                        F.least("src", "w").alias("ea"), F.greatest("src", "w").alias("eb")
+                    ),
+                    F.struct(
+                        F.least("v", "w").alias("ea"), F.greatest("v", "w").alias("eb")
+                    ),
+                )
+            ).alias("ed")
+        ).select(F.col("ed.ea").alias("a"), F.col("ed.eb").alias("b"))
+        sup = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        kept = (
+            e.join(sup, ["a", "b"], "left")
+            .select("a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
+            .where(F.col("support") >= t)
+            .localCheckpoint()
+        )
+        n = kept.count()
+        if n == prev_n:
+            return kept.select(
+                F.col("a").alias(src),
+                F.col("b").alias(dst),
+                F.col("support").cast("long").alias("support"),
+            )
+        prev_n = n
+        e = kept.select("a", "b").localCheckpoint()
+    raise RuntimeError(f"k-truss peel did not converge within {max_rounds} rounds")

@@ -220,13 +220,65 @@ def nb_lang_classifier(
     """
     if holdout is None:
         holdout = F.col(id_col) % 5 == 0
-    tok = docs.select(
+    word_counts, totals = nb_train(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        label_col=label_col,
+        pos_label=pos_label,
+        holdout=holdout,
+    )
+    return nb_score(
+        docs,
+        word_counts,
+        totals,
+        id_col=id_col,
+        text_col=text_col,
+        label_col=label_col,
+        pos_label=pos_label,
+        holdout=holdout,
+    )
+
+
+def _nb_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    pos_label: str,
+    holdout: Column,
+) -> DataFrame:
+    """(id, is_pos, is_holdout, t) token rows — the shared tokenize
+    step of training and scoring (lower + space split, empties out)."""
+    return docs.select(
         F.col(id_col),
         (F.col(label_col) == F.lit(pos_label)).alias("is_pos"),
         holdout.alias("is_holdout"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
     ).where(F.col("t") != "")
-    train = tok.where(~F.col("is_holdout"))
+
+
+def nb_train(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+    holdout: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The training half of :func:`nb_lang_classifier`: one map-side-
+    combinable groupBy over the non-holdout token stream → the
+    vocabulary-sized ``word_counts(t, c_pos, c_neg)`` model plus the
+    3-scalar ``totals(tot_pos, tot_neg, v_size)`` row.  Factored out
+    so the streaming gate can train ONCE batch-side (localCheckpoint
+    the two frames) and score micro-batches under the static model —
+    the same train-once/score-continuously split as the bigram LM's
+    ``bigram_lm_counts``/``with_lm_score`` pair."""
+    if holdout is None:
+        holdout = F.col(id_col) % 5 == 0
+    train = _nb_tokens(docs, id_col, text_col, label_col, pos_label, holdout).where(
+        ~F.col("is_holdout")
+    )
     word_counts = train.groupBy("t").agg(
         F.sum(F.col("is_pos").cast("long")).alias("c_pos"),
         F.sum((~F.col("is_pos")).cast("long")).alias("c_neg"),
@@ -236,6 +288,28 @@ def nb_lang_classifier(
         F.sum((~F.col("is_pos")).cast("long")).alias("tot_neg"),
         F.count_distinct("t").alias("v_size"),
     )
+    return word_counts, totals
+
+
+def nb_score(
+    docs: DataFrame,
+    word_counts: DataFrame,
+    totals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+    holdout: Column | None = None,
+) -> DataFrame:
+    """The scoring half of :func:`nb_lang_classifier`: explode the
+    documents' tokens, join the vocabulary-keyed model, aggregate the
+    per-token likelihood differences per document on the 1e-9 grid.
+    Scoring is PER-DOCUMENT (a doc's tokens live inside its own rows),
+    so the result is batching-independent under a static model — the
+    property the streaming gate's shared-oracle argument rests on."""
+    if holdout is None:
+        holdout = F.col(id_col) % 5 == 0
+    tok = _nb_tokens(docs, id_col, text_col, label_col, pos_label, holdout)
     p_pos = (F.coalesce(F.col("c_pos"), F.lit(0)) + F.lit(1)).cast("double") / (
         F.col("tot_pos") + F.col("v_size")
     ).cast("double")

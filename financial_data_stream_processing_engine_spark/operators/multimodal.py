@@ -982,10 +982,13 @@ def _tiff_pixel_decoder():
     Compression 1 (none), 5 (LZW — the variant most real scanned
     TIFFs use: MSB-first bit packing, ClearCode 256 / EOI 257,
     9→12-bit codes with the spec's EARLY code-width change, one code
-    before the GIF rule; per-strip independent streams) and 32773
+    before the GIF rule; per-strip independent streams) — plain or
+    under Predictor 2 (horizontal differencing, the default pairing
+    of common TIFF writers: each row stores per-channel deltas,
+    undone here by a per-row cumulative sum mod 256) — and 32773
     (PackBits: literal runs n<128, replicate runs n>128, 128 =
     no-op).  Out of scope (JPEG-in-TIFF, tiles, planar config 2,
-    palette TIFF, 1/4/16-bit, LZW horizontal predictor) returns
+    palette TIFF, 1/4/16-bit, float Predictor 3) returns
     None → NULL features, per-row error isolation.
 
     Returns ``decode_pixels(b) -> (px, nch) | None`` with ``px`` of
@@ -1085,8 +1088,12 @@ def _tiff_pixel_decoder():
                 return None
             if comp not in (1, 5, 32773):
                 return None
-            if comp == 5 and tags.get(317, (1,))[0] != 1:
-                return None  # horizontal-predictor LZW out of scope
+            # Predictor (317): 1 = none, 2 = horizontal differencing
+            # (only meaningful — and only accepted — under LZW, the
+            # pairing real writers emit); 3 (float) stays out of scope
+            pred = tags.get(317, (1,))[0]
+            if pred not in (1, 2) or (pred == 2 and comp != 5):
+                return None
             if (spp == 1 and photo not in (0, 1)) or (spp == 3 and photo != 2):
                 return None
             # PlanarConfiguration (284) defaults to 1 (chunky); planar
@@ -1130,11 +1137,13 @@ def _tiff_pixel_decoder():
                 if len(chunk) < need_rows:
                     return None
                 raw += chunk[:need_rows]
-            px = (
-                np.frombuffer(bytes(raw), np.uint8)
-                .reshape(h, w, spp)
-                .astype(np.float64)
-            )
+            arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+            if pred == 2:
+                # undo horizontal differencing: rows never cross strip
+                # boundaries, so one whole-image per-row cumsum (mod
+                # 256, per channel) restores the samples exactly
+                arr = (np.cumsum(arr.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
+            px = arr.astype(np.float64)
             if spp == 1 and photo == 0:  # WhiteIsZero → invert
                 px = 255.0 - px
             return px, spp
@@ -1695,6 +1704,91 @@ def audio_power_spectrum(
     )
     return agg.select(
         "media_id",
+        "k",
+        "re_sum",
+        "im_sum",
+        (F.col("re_sum") * F.col("re_sum") + F.col("im_sum") * F.col("im_sum")).alias(
+            "power"
+        ),
+    )
+
+
+def audio_stft(
+    samples_df: DataFrame,
+    n_fft: int = 16,
+    hop: int = 8,
+    bins: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Windowed short-time DFT power — the spectrogram
+    generalization of :func:`audio_power_spectrum`: frame ``f`` covers
+    samples ``[f·hop, f·hop + n_fft)`` (rectangular window; ``hop <
+    n_fft`` overlaps frames, the standard STFT layout), and each
+    frame's power at bin ``k`` is the same ``re² + im²`` statistic the
+    whole-signal spectrum computes → one row per (media_id, frame_idx,
+    k).  Time-frequency features (onset detection, per-window tone
+    energy, silence trimming for audio curation) read straight off
+    this relation.
+
+    Plan shape: posexplode the sample array, expand each sample to the
+    frames containing it (a ``sequence`` + ``explode`` — at most
+    ``⌈n_fft/hop⌉`` frame rows per sample, a CONSTANT overlap factor,
+    never a join), subtract the frame origin to get the within-frame
+    position, broadcast-join the same ``n_fft × |bins|`` twiddle table
+    (one table for ALL frames — the basis is frame-invariant), and one
+    map-side-combinable aggregation keyed (media, frame, bin).  Still
+    zero Python past the decode seam, still one shuffle, linear in
+    total samples × overlap.
+
+    Exactness: identical to the spectrum — products of stated double
+    constants, per-group sums on the 1e-9 grid
+    (functions/numeric.py::qint), bit-identical at any parallelism.
+    Only COMPLETE frames are emitted (``n_frames = ⌊(n_samples −
+    n_fft)/hop⌋ + 1``); media shorter than ``n_fft`` are excluded —
+    the partial-window rule of the spectrum, per frame.
+    """
+    from pyspark.sql import SparkSession
+
+    from financial_data_stream_processing_engine_spark.functions.numeric import qint
+
+    spark = SparkSession.getActiveSession() or samples_df.sparkSession
+    tw = spark.createDataFrame(
+        _dft_twiddles(n_fft, bins), "fpos int, k int, cosv double, sinv double"
+    )
+    base = samples_df.where(F.size("samples") >= n_fft).select(
+        "media_id",
+        (F.floor((F.size("samples") - F.lit(n_fft)) / F.lit(hop)) + 1)
+        .cast("int")
+        .alias("n_frames"),
+        F.posexplode("samples").alias("pos", "x"),
+    )
+    # frames containing sample pos: f·hop ≤ pos < f·hop + n_fft, f a
+    # full frame — guard the empty range explicitly (Spark's
+    # sequence(1, 0) DESCENDS instead of returning an empty array)
+    f_lo = F.greatest(
+        F.lit(0), F.ceil((F.col("pos") - F.lit(n_fft - 1)) / F.lit(hop)).cast("int")
+    )
+    f_hi = F.least(
+        F.col("n_frames") - F.lit(1), F.floor(F.col("pos") / F.lit(hop)).cast("int")
+    )
+    frames = base.select(
+        "media_id",
+        "pos",
+        "x",
+        F.explode(
+            F.when(f_lo <= f_hi, F.sequence(f_lo, f_hi)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("frame_idx"),
+    ).withColumn("fpos", (F.col("pos") - F.col("frame_idx") * F.lit(hop)).cast("int"))
+    joined = frames.join(F.broadcast(tw), ["fpos"])
+    grid = F.lit(1e-9)
+    agg = joined.groupBy("media_id", "frame_idx", "k").agg(
+        (F.sum(qint(F.col("x") * F.col("cosv"))).cast("double") * grid).alias("re_sum"),
+        (F.sum(qint(F.col("x") * F.col("sinv"))).cast("double") * grid).alias("im_sum"),
+    )
+    return agg.select(
+        "media_id",
+        "frame_idx",
         "k",
         "re_sum",
         "im_sum",

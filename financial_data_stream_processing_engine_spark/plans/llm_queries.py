@@ -3973,7 +3973,7 @@ def _md5_tiff_generator():
 
         def build(did: int) -> bytes:
             data = hashlib.md5(str(did).encode()).digest()
-            variant = did % 5
+            variant = did % 6
             e = "<" if variant in (0, 2, 4) else ">"
             photo = 0 if variant == 3 else 1
             if variant == 3:
@@ -3987,12 +3987,22 @@ def _md5_tiff_generator():
             elif variant == 4:
                 strips = [lzw(data)]
                 rps = 4
+            elif variant == 5:
+                # LZW + Predictor 2: each 4-byte row stores horizontal
+                # deltas mod 256 (first sample absolute)
+                rows = [data[i * 4 : (i + 1) * 4] for i in range(4)]
+                diffed = b"".join(
+                    bytes([r[0]] + [(r[j] - r[j - 1]) % 256 for j in range(1, 4)])
+                    for r in rows
+                )
+                strips = [lzw(diffed)]
+                rps = 4
             else:
                 strips = [data]
                 rps = 4
-            comp = {2: 32773, 4: 5}.get(variant, 1)
+            comp = {2: 32773, 4: 5, 5: 5}.get(variant, 1)
             n_strips = len(strips)
-            ntags = 9
+            ntags = 10 if variant == 5 else 9
             ifd_off = 8
             arrays_off = ifd_off + 2 + 12 * ntags + 4
             if n_strips > 1:
@@ -4028,6 +4038,8 @@ def _md5_tiff_generator():
                 tag(279, 4, n_strips,
                     long_val(len(strips[0]) if n_strips == 1 else sc_off)),
             ]
+            if variant == 5:
+                tags.append(tag(317, 3, 1, short_val(2)))  # Predictor 2
             out = (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
             out += struct.pack(e + "H", ntags) + b"".join(tags)
             out += struct.pack(e + "I", 0)  # no next IFD
@@ -4062,15 +4074,19 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's 4×4 grayscale TIFF cycles by doc_id through II/MM byte
     order, one- and two-strip layouts (offset-addressed strip
     arrays), PackBits AND LZW compression (MSB-first early-change
-    codes — the variant most real scanned TIFFs use), and WhiteIsZero
-    photometric with pre-inverted samples (operators/multimodal.py::_tiff_pixel_decoder
+    codes — the variant most real scanned TIFFs use), LZW under
+    Predictor 2 (horizontal differencing — the default pairing of
+    common TIFF writers, undone by a per-row cumsum mod 256), and
+    WhiteIsZero photometric with pre-inverted samples
+    (operators/multimodal.py::_tiff_pixel_decoder
     — IFD tag walk, inline-vs-offset values, strip reassembly,
-    PackBits runs, photometric normalization).  All five variants
-    decode to the SAME md5 pixel bytes, so the single md5 oracle
-    certifies every path bitwise; layout-sensitive behavior
-    (truncation, bad magic, RGB, strip math, LZW code-width growth
-    and ClearCode table resets up to 64 KB strips, predictor-tag
-    rejection) is pinned by tests/test_multimodal_codecs.py.
+    PackBits runs, predictor reversal, photometric normalization).
+    All six variants decode to the SAME md5 pixel bytes, so the
+    single md5 oracle certifies every path bitwise; layout-sensitive
+    behavior (truncation, bad magic, RGB, strip math, LZW code-width
+    growth and ClearCode table resets up to 64 KB strips,
+    predictor-2 delta round trips, float-predictor rejection) is
+    pinned by tests/test_multimodal_codecs.py.
     """
     docs = _docs(spark, sf_dir).select("doc_id")
     gen = _md5_tiff_generator()
@@ -4245,3 +4261,223 @@ def text_bpe_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _stft_wav_generator():
+    """64-sample 8-bit-PCM WAV per doc — four md5 digests (of doc_id,
+    doc_id:1, doc_id:2, doc_id:3) concatenated, so the oracle can
+    restate every sample from SQL MD5 calls.  Same wave-module write
+    path as the 16-sample spectrum fixture."""
+
+    def gen(batches):
+        import hashlib
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                pcm = b"".join(
+                    hashlib.md5((str(did) + suf).encode()).digest()
+                    for suf in ("", ":1", ":2", ":3")
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(1)
+                    wf.setframerate(8000)
+                    wf.writeframes(pcm)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return gen
+
+
+def _audio_stft_sql(
+    n_samples: int = 64,
+    n_fft: int = 16,
+    hop: int = 8,
+    bins: tuple[int, ...] = (1, 2, 3),
+) -> str:
+    """DuckDB reconstruction of the windowed STFT: recompute the four
+    md5 digests' PCM samples, embed one (absolute_pos, frame, k, cos,
+    sin) row per frame-basis element — the SAME Python doubles the
+    Spark twiddle table carries, frame-shifted by f·hop — and restate
+    the identical product → 1e-9 quantize → exact sum → power chain
+    per (doc, frame, bin).  Any divergence in the frame lattice, the
+    within-frame position arithmetic or the aggregation is a
+    value-hash mismatch."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import (
+        dlit_sql,
+        qcast_sql,
+        qint_sql,
+    )
+    from financial_data_stream_processing_engine_spark.operators.multimodal import (
+        _dft_twiddles,
+    )
+
+    n_frames = (n_samples - n_fft) // hop + 1
+    m_cols = ", ".join(
+        "MD5(CAST(doc_id AS VARCHAR)) AS m0"
+        if i == 0
+        else f"MD5(CAST(doc_id AS VARCHAR) || ':{i}') AS m{i}"
+        for i in range(n_samples // 16)
+    )
+    samp = ", ".join(
+        f"struct_pack(pos := {i}, x := CAST({_hex_byte(f'm{i // 16}', i % 16)}"
+        " - 128 AS DOUBLE) / 128.0e0)"
+        for i in range(n_samples)
+    )
+    tw = ", ".join(
+        f"struct_pack(pos := {f * hop + pos}, f := {f}, k := {k},"
+        f" cosv := {dlit_sql(c)}, sinv := {dlit_sql(s)})"
+        for f in range(n_frames)
+        for (pos, k, c, s) in _dft_twiddles(n_fft, bins)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, {m_cols} FROM documents),
+samp AS (SELECT doc_id, UNNEST([{samp}]) AS s FROM b),
+tw AS (SELECT UNNEST([{tw}]) AS w),
+agg AS (
+  SELECT doc_id AS media_id, w.f AS frame_idx, w.k AS k,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.cosv") + ")")} * 1e-09 AS re_sum,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.sinv") + ")")} * 1e-09 AS im_sum
+  FROM samp, tw WHERE s.pos = w.pos
+  GROUP BY doc_id, w.f, w.k)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, CAST(k AS INT) AS k,
+       re_sum, im_sum, re_sum * re_sum + im_sum * im_sum AS power
+FROM agg
+"""
+
+
+@register("multimodal_audio_stft", sql=_audio_stft_sql())
+def multimodal_audio_stft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-time spectrogram — the WINDOWED generalization of
+    ``multimodal_audio_spectrum`` and the standard time-frequency
+    feature for audio curation (onset/silence detection, per-window
+    tone energy): decode each doc's 64-sample 8-bit-PCM WAV (four md5
+    digests) through the shared RIFF walk
+    (operators/multimodal.py::decode_audio_samples), then compute DFT
+    power at bins k=1,2,3 over SEVEN overlapping 16-sample frames
+    (hop 8) entirely JVM-side — posexplode, a constant-factor
+    sequence-explode assigning each sample to the ≤2 frames containing
+    it, one broadcast twiddle join (one table for ALL frames — the
+    basis is frame-invariant), one map-side-combinable aggregation
+    keyed (media, frame, bin) on the 1e-9 grid
+    (::audio_stft).  21 value-dense rows per doc.
+
+    Oracle: full reconstruction — md5 samples, the identical
+    frame-shifted twiddle doubles as literals, the identical
+    quantize-sum-square chain (see _audio_stft_sql)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    wavs = docs.mapInPandas(_stft_wav_generator(), schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        wavs, id_col="doc_id", payload=F.col("payload"),
+        kind="audio", mime="audio/wav",
+    )
+    samples = multimodal.decode_audio_samples(media, max_samples=64)
+    return multimodal.audio_stft(samples, n_fft=16, hop=8, bins=(1, 2, 3))
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
+    """Oracle: the triangle entry's cell-confined edge CTEs, then the
+    k-truss peel UNROLLED ``rounds`` times — per round one degree
+    orientation + wedge closure (the _triangle_sql machinery over the
+    CURRENT edge set), the triangles exploded into canonical edges,
+    per-edge support counts, and the support-≥-k−2 filter.  Every
+    round is MATERIALIZED (each references its predecessor many
+    times; DuckDB's default inlining would replan an exponentially
+    growing tree — the k-core lesson).  Peeling is monotone, so past
+    the fixpoint each unrolled round is the identity and the final
+    round equals the true k-truss with its in-truss supports — the
+    comparison certifies the fixpoint AND that Spark's iteration
+    reached it."""
+    t = k - 2
+    prefix = _triangle_sql()
+    prefix = prefix[: prefix.index("deg AS (")]
+    parts = ["e0 AS MATERIALIZED (SELECT id_a, id_b FROM pairs)"]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""dg{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT id_a AS node FROM {prev} UNION ALL SELECT id_b FROM {prev})
+  GROUP BY node),
+ok{i} AS MATERIALIZED (SELECT node, deg * 4294967296 + node AS ok FROM dg{i}),
+orn{i} AS MATERIALIZED (
+  SELECT CASE WHEN ka.ok < kb.ok THEN p.id_a ELSE p.id_b END AS src,
+         CASE WHEN ka.ok < kb.ok THEN p.id_b ELSE p.id_a END AS dst,
+         GREATEST(ka.ok, kb.ok) AS ok_dst
+  FROM {prev} p
+  JOIN ok{i} ka ON ka.node = p.id_a
+  JOIN ok{i} kb ON kb.node = p.id_b),
+tri{i} AS MATERIALIZED (
+  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+  FROM orn{i} o1 JOIN orn{i} o2
+    ON o1.src = o2.src AND o1.ok_dst < o2.ok_dst
+  JOIN orn{i} e ON e.src = o1.dst AND e.dst = o2.dst),
+te{i} AS MATERIALIZED (
+  SELECT LEAST(u, v) AS id_a, GREATEST(u, v) AS id_b FROM tri{i}
+  UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM tri{i}
+  UNION ALL SELECT LEAST(v, w), GREATEST(v, w) FROM tri{i}),
+sp{i} AS MATERIALIZED (
+  SELECT id_a, id_b, COUNT(*) AS support FROM te{i} GROUP BY id_a, id_b),
+e{i} AS MATERIALIZED (
+  SELECT e.id_a, e.id_b, COALESCE(s.support, 0) AS support
+  FROM {prev} e LEFT JOIN sp{i} s USING (id_a, id_b)
+  WHERE COALESCE(s.support, 0) >= {t})"""
+        )
+        prev = f"e{i}"
+    return (
+        prefix
+        + ",".join(parts)
+        + f"""
+SELECT id_a, id_b, CAST(support AS BIGINT) AS support FROM e{rounds}
+"""
+    )
+
+
+@register("graph_ktruss_similarity", sql=_ktruss_sql(3, 8))
+def graph_ktruss_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the cell-confined cosine≥0.3 similarity graph — the
+    COHESION refinement one step above the k-core entry's degree
+    pruning: every surviving edge must close ≥1 triangle inside the
+    surviving subgraph, so hub-and-spoke neighborhoods that pass a
+    2-core dissolve while near-duplicate communities keep their edges
+    (operators/graph.py::ktruss, reusing the degree-oriented
+    wedge-closure core of the triangle/lcc entries per peel round).
+    Returns the surviving canonical edges WITH their in-truss
+    support — a value-dense per-edge check, not a scalar.  Oracle:
+    the same peel unrolled past the fixpoint as MATERIALIZED DuckDB
+    CTEs (see _ktruss_sql)."""
+    from financial_data_stream_processing_engine_spark.operators.graph import ktruss
+
+    embs = _embs(spark, sf_dir)
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    a = with_cells.select(
+        F.col("cell").alias("__cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        dedup.vector_norm(F.col("embedding")).alias("na"),
+    )
+    b = a.select(
+        F.col("__cell"),
+        F.col("id_a").alias("id_b"),
+        F.col("v_a").alias("v_b"),
+        F.col("na").alias("nb"),
+    )
+    dot = dedup.pair_dot_udf()
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    return ktruss(pairs, k=3)

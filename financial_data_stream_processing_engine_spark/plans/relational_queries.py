@@ -2773,6 +2773,68 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _funnel_report(_funnel_anchors(ev))
 
 
+#: conversion horizon of the windowed funnel (days after the user's
+#: anchor 'view'); 3 days splits the fixture meaningfully (150 viewers
+#: → 115 in-window clickers → 65 in-window purchasers at sf0.01,
+#: where the unwindowed funnel converts everyone).
+_FUNNEL_WINDOW_DAYS = 3
+
+_FUNNEL_WINDOWED_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+SELECT stage_order, stage, n_users,
+       CAST(n_users AS DOUBLE)
+         / (SELECT COUNT(*) FROM v) AS conv_from_first
+FROM (
+  SELECT CAST(1 AS INT) AS stage_order, 'view' AS stage,
+         (SELECT COUNT(*) FROM v) AS n_users
+  UNION ALL
+  SELECT CAST(2 AS INT), 'click',
+         (SELECT COUNT(*) FROM c JOIN v USING (user_id)
+          WHERE c.t2 <= v.t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY)
+  UNION ALL
+  SELECT CAST(3 AS INT), 'purchase',
+         (SELECT COUNT(*) FROM p JOIN v USING (user_id)
+          WHERE p.t3 <= v.t1 + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY)) t
+"""
+
+
+@register("funnel_conversion_windowed", sql=_FUNNEL_WINDOWED_SQL)
+def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOWED funnel — conversion counts only when the canonical
+    view → click → purchase chain completes within ``_FUNNEL_WINDOW_DAYS``
+    of the user's anchor view, the standard product-analytics shape
+    ("converted within k days") the unwindowed entry can't distinguish
+    on a fixture where everyone eventually converts.  Semantics: the
+    anchors are the SAME earliest-qualifying chain
+    (:func:`_funnel_anchors` — untouched); the window is one predicate
+    per stage on the anchor frame (``t2 ≤ t1 + k`` / ``t3 ≤ t1 + k``,
+    monotonicity ``t1 < t2 < t3`` makes the per-stage predicates
+    mutually consistent), so the whole variant is a NULL-ing
+    projection between the proven anchor plan and the proven report
+    aggregation — zero new shuffles, timestamp-exact arithmetic (µs
+    integers + an exact day interval) on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    anchors = _funnel_anchors(ev)
+    horizon = F.col("t1") + F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
+    windowed = anchors.select(
+        "user_id",
+        "t1",
+        F.when(F.col("t2") <= horizon, F.col("t2")).alias("t2"),
+        F.when(F.col("t3") <= horizon, F.col("t3")).alias("t3"),
+    )
+    return _funnel_report(windowed)
+
+
 @register(
     "merge_upsert_orders",
     sql="""

@@ -1265,3 +1265,74 @@ def _borrow_lm_oracle() -> None:
 
 
 _borrow_lm_oracle()
+
+
+@register(
+    "streaming_nb_gate",
+    sql=None,  # set below: shares the batch NB entry's oracle verbatim
+)
+def streaming_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned NB classifier as a CONTINUOUS GATE — the
+    ``streaming_lm_quality_gate`` pattern applied to the second model
+    family: the add-one NB token model is trained ONCE batch-side on
+    the labeled non-holdout slice (operators/lm.py::nb_train — both
+    model frames are vocabulary-sized and localCheckpoint-ed so
+    per-batch scoring never re-executes training lineage), then
+    documents arrive as a live stream (3 doc_id-sliced micro-batches,
+    maxFilesPerTrigger=1) and each batch is scored and appended
+    through ``foreachBatch`` (::nb_score).
+
+    Scoring is PER-DOCUMENT (a doc's tokens live inside its own
+    rows), so the streamed score table is batching-independent and
+    the batch entry's full retrain-and-rescore oracle certifies the
+    stream verbatim — the LM-gate argument, applied to the classifier
+    that fills the language-ID role in CCNet-style ingestion.  At
+    scale the model is a broadcast (or token-keyed shuffle) join per
+    micro-batch, scoring state is zero, and classifier staleness is
+    the trigger interval plus the model retrain cadence.
+    """
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    word_counts, totals = (df.localCheckpoint() for df in nb_train(docs))
+
+    feed_dir = tempfile.mkdtemp(prefix="nb_gate_feed_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+
+    out_dir = tempfile.mkdtemp(prefix="nb_gate_scores_")
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = nb_score(batch_df, word_counts, totals)
+        scored.write.mode("append").parquet(f"{out_dir}/data")
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = feed.writeStream.foreachBatch(score_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{out_dir}/data")
+
+
+def _borrow_nb_oracle() -> None:
+    import dataclasses
+
+    from financial_data_stream_processing_engine_spark.plans.catalog import QUERIES
+    from financial_data_stream_processing_engine_spark.plans.curation_queries import (
+        _nb_classifier_sql,
+    )
+
+    QUERIES["streaming_nb_gate"] = dataclasses.replace(
+        QUERIES["streaming_nb_gate"], sql=_nb_classifier_sql()
+    )
+
+
+_borrow_nb_oracle()

@@ -64,6 +64,51 @@ def test_funnel_requires_stage_order(spark, sf_dir):
     assert out == {"view": 2, "click": 2, "purchase": 1}
 
 
+def test_funnel_windowed_horizon_gates_each_stage(spark, sf_dir):
+    """The windowed funnel counts a stage only when the canonical
+    chain completes within the 3-day horizon of the anchor view:
+    user 1 converts fully in-window, user 2's click lands in-window
+    but the purchase is a day late, user 3's first click is already
+    past the horizon (a later in-window purchase CANNOT rescue it —
+    anchors are the earliest-qualifying chain), and the boundary
+    user 4 clicks exactly AT t1+3d (inclusive)."""
+    from financial_data_stream_processing_engine_spark.plans import catalog
+
+    catalog.load_all()
+    rows = [
+        (0, BASE, 1, "view", 1.0, "{}"),
+        (1, BASE + dt.timedelta(days=1), 1, "click", 1.0, "{}"),
+        (2, BASE + dt.timedelta(days=2), 1, "purchase", 1.0, "{}"),
+        (3, BASE, 2, "view", 1.0, "{}"),
+        (4, BASE + dt.timedelta(days=2), 2, "click", 1.0, "{}"),
+        (5, BASE + dt.timedelta(days=4), 2, "purchase", 1.0, "{}"),
+        (6, BASE, 3, "view", 1.0, "{}"),
+        (7, BASE + dt.timedelta(days=5), 3, "click", 1.0, "{}"),
+        (8, BASE + dt.timedelta(days=5, minutes=1), 3, "purchase", 1.0, "{}"),
+        (9, BASE, 4, "view", 1.0, "{}"),
+        (10, BASE + dt.timedelta(days=3), 4, "click", 1.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    ev = spark.createDataFrame(rows, schema)
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="funnel_win_fixture_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["stage"]: (r["n_users"], r["conv_from_first"])
+        for r in catalog.QUERIES["funnel_conversion_windowed"].fn(spark, d).collect()
+    }
+    assert got == {
+        "view": (4, 1.0),
+        "click": (3, 0.75),  # users 1, 2, 4 (4 exactly at the bound)
+        "purchase": (1, 0.25),  # user 1 only
+    }
+
+
 def test_cohort_retention_offsets(spark):
     from financial_data_stream_processing_engine_spark.plans import catalog
 

@@ -106,3 +106,51 @@ def test_kcore_long_chain_needs_many_rounds(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         kcore(df, k=2, max_rounds=3)
+
+
+def test_ktruss_handcrafted_structures(spark):
+    from financial_data_stream_processing_engine_spark.operators.graph import ktruss
+
+    edges = [
+        # two triangles sharing edge (1,2): all five edges 3-truss;
+        # the shared edge closes 2 triangles, the others 1
+        (1, 2), (1, 3), (2, 3), (1, 4), (2, 4),
+        # pendant edge off the cluster: closes nothing, peels
+        (4, 5),
+        # 4-cycle: a 2-core with ZERO triangles — the structure that
+        # separates truss from core (kcore keeps it, ktruss drops it)
+        (20, 21), (21, 22), (22, 23), (23, 20),
+        # star: peels entirely
+        (30, 31), (30, 32), (30, 33),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["support"] for r in ktruss(df, k=3).collect()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1, (1, 4): 1, (2, 4): 1}
+    # K4 at k=4: every edge closes exactly 2 in-truss triangles
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got4 = {
+        (r["id_a"], r["id_b"]): r["support"]
+        for r in ktruss(spark.createDataFrame(k4, "id_a long, id_b long"), k=4).collect()
+    }
+    assert set(got4) == set(k4) and all(s == 2 for s in got4.values())
+
+
+def test_ktruss_cascade_and_max_rounds(spark):
+    """Removing low-support edges lowers neighbours' support — the
+    peel must cascade: K4 minus one edge has a support-2 edge in round
+    one, but dropping the four support-1 edges strands it."""
+    import pytest as _pytest
+
+    from financial_data_stream_processing_engine_spark.operators.graph import ktruss
+
+    k4m = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    df = spark.createDataFrame(k4m, "id_a long, id_b long")
+    # k=3 keeps everything (both triangles share (1,2))
+    assert ktruss(df, k=3).count() == 5
+    # k=4: round 1 drops the support-1 edges, round 2 strands (1,2)
+    assert ktruss(df, k=4).count() == 0
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        ktruss(df, k=4, max_rounds=2)
+    # triangle-free graph at the weakest truss: empty, converges fast
+    path = spark.createDataFrame([(i, i + 1) for i in range(5)], "id_a long, id_b long")
+    assert ktruss(path, k=3).count() == 0

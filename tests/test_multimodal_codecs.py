@@ -1624,6 +1624,56 @@ def test_audio_power_spectrum_excludes_short_and_null(spark):
     assert ids == {0}  # 8-sample window and undecodable payload excluded
 
 
+def test_audio_stft_matches_numpy_per_frame(spark):
+    """Every (frame, bin) cell of the overlapping STFT must equal the
+    per-frame numpy DFT of samples [f·hop, f·hop+n_fft)."""
+    rng_l = np.random.default_rng(23)
+    payloads = [bytes(rng_l.integers(0, 256, 40, dtype=np.uint8)) for _ in range(3)]
+    sdf = _samples_df(spark, [_make_pcm8_wav(p) for p in payloads], max_samples=40)
+    out = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=(1, 2, 3))
+    got = {(r["media_id"], r["frame_idx"], r["k"]): r for r in out.collect()}
+    n_frames = (40 - 16) // 8 + 1  # 4 full frames; no partial frame 4
+    assert len(got) == 3 * n_frames * 3
+    n = np.arange(16)
+    for mid, p in enumerate(payloads):
+        x = (np.frombuffer(p, np.uint8).astype(np.float64) - 128.0) / 128.0
+        for f in range(n_frames):
+            seg = x[f * 8 : f * 8 + 16]
+            for k in (1, 2, 3):
+                re = float(np.sum(seg * np.cos(2 * np.pi * k * n / 16)))
+                im = float(np.sum(seg * np.sin(2 * np.pi * k * n / 16)))
+                r = got[(mid, f, k)]
+                assert r["re_sum"] == pytest.approx(re, abs=2e-8)
+                assert r["im_sum"] == pytest.approx(im, abs=2e-8)
+                assert r["power"] == pytest.approx(re * re + im * im, abs=1e-6)
+
+
+def test_audio_stft_frame_lattice_edges(spark):
+    """Frame accounting: exactly n_fft samples → one frame; one sample
+    short of the next hop boundary → still the same frame count (no
+    partial frames); shorter-than-n_fft media excluded; non-overlapping
+    hop == n_fft tiles the signal."""
+    payloads = [
+        _make_pcm8_wav(bytes(range(16))),   # 1 frame at hop 8
+        _make_pcm8_wav(bytes(range(23))),   # still 1 (next frame needs 24)
+        _make_pcm8_wav(bytes(range(24))),   # 2 frames
+        _make_pcm8_wav(bytes(range(15))),   # excluded
+    ]
+    sdf = _samples_df(spark, payloads, max_samples=32)
+    out = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=(1,))
+    frames = {}
+    for r in out.collect():
+        frames.setdefault(r["media_id"], set()).add(r["frame_idx"])
+    assert frames == {0: {0}, 1: {0}, 2: {0, 1}}
+    # hop == n_fft: disjoint tiling — 24 samples hold one complete
+    # 16-tile, never a padded partial
+    out16 = multimodal.audio_stft(sdf, n_fft=16, hop=16, bins=(1,))
+    tiled = {}
+    for r in out16.collect():
+        tiled.setdefault(r["media_id"], set()).add(r["frame_idx"])
+    assert tiled == {0: {0}, 1: {0}, 2: {0}}  # 24 samples: one 16-tile
+
+
 def _make_tiff(px, endian="<", packbits=False, photo=None, rows_per_strip=None):
     """Hand-built TIFF writer (both endians, strips, PackBits)."""
     h, w = px.shape[:2]
@@ -1894,12 +1944,39 @@ def test_tiff_lzw_roundtrip_widths_and_resets(spark):
     assert decode(bytes(body)) is None
 
 
-def test_tiff_lzw_predictor_rejected(spark):
-    """Predictor 2 (horizontal differencing) changes sample semantics;
-    decoding it as plain LZW yields wrong pixels — must return None."""
+def test_tiff_lzw_predictor2_roundtrip(spark):
+    """Predictor 2 (horizontal differencing) under LZW: per-row
+    mod-256 deltas must cumsum back to the original samples exactly —
+    including rows whose running sums wrap past 255 — on several
+    row/column shapes."""
+    decode = multimodal._tiff_pixel_decoder()
+    rng = np.random.default_rng(5)
+    for w, h in ((16, 1), (4, 4), (7, 5)):
+        data = bytes(rng.integers(0, 256, w * h, dtype=np.uint8))
+        rows = [data[r * w : (r + 1) * w] for r in range(h)]
+        diffed = b"".join(
+            bytes([r[0]] + [(r[j] - r[j - 1]) % 256 for j in range(1, w)])
+            for r in rows
+        )
+        dec = decode(_make_tiff_lzw(diffed, w, h, predictor=2))
+        assert dec is not None, (w, h)
+        assert dec[0].astype(np.uint8).tobytes() == data, (w, h)
+
+
+def test_tiff_predictor_scope(spark):
+    """Predictor 1 (none) is fine, float predictor 3 stays rejected,
+    and predictor 2 paired with anything but LZW is rejected rather
+    than silently mis-decoded."""
     decode = multimodal._tiff_pixel_decoder()
     data = bytes(range(16))
     assert decode(_make_tiff_lzw(data, 16, 1)) is not None
-    assert decode(_make_tiff_lzw(data, 16, 1, predictor=2)) is None
-    # predictor 1 (none) is explicitly fine
     assert decode(_make_tiff_lzw(data, 16, 1, predictor=1)) is not None
+    assert decode(_make_tiff_lzw(data, 16, 1, predictor=3)) is None
+    # rewrite the Compression tag (259) from LZW to none: the pred=2
+    # check fires before any strip is touched, so the stale body is
+    # irrelevant to the rejection
+    t = bytes(_make_tiff_lzw(data, 16, 1, predictor=2))
+    pat = struct.pack("<HHIHH", 259, 3, 1, 5, 0)
+    rep = struct.pack("<HHIHH", 259, 3, 1, 1, 0)
+    assert t.count(pat) == 1
+    assert decode(t.replace(pat, rep)) is None

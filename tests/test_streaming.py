@@ -322,3 +322,25 @@ def test_streaming_lm_gate_equals_batch_scoring(spark):
     s = sorted(map(tuple, streamed.select(*cols).collect()))
     b = sorted(map(tuple, batch.select(*cols).collect()))
     assert s == b and len(s) == 500
+
+
+def test_streaming_nb_gate_equals_batch_classifier(spark):
+    """The foreachBatch NB gate must produce EXACTLY the batch
+    classifier's frame — per-doc scoring under the static
+    localCheckpoint-ed model is batching-independent."""
+    import __spark_entry__ as entrymod
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        nb_lang_classifier,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = entrymod.queries()["streaming_nb_gate"](spark, sf_dir)
+    batch = nb_lang_classifier(load_table(spark, sf_dir, "documents"))
+    cols = [
+        "doc_id", "n_tokens", "n_oov_tokens", "mean_delta",
+        "nb_pred", "label_bin", "is_holdout",
+    ]
+    s = sorted(map(tuple, streamed.select(*cols).collect()))
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    assert s == b and len(s) == 500
