@@ -1,6 +1,7 @@
-"""Property tests for the round-8 iterative operators: k-core peeling
-and BPE merge training must reproduce from-scratch Python references
-on randomized inputs (not just the handcrafted menagerie / fixture).
+"""Property tests for the iterative operators: k-core peeling, k-truss
+edge-support peeling and BPE merge training must reproduce from-scratch
+Python references on randomized inputs (not just the handcrafted
+menagerie / fixture).
 """
 
 from __future__ import annotations
@@ -8,10 +9,11 @@ from __future__ import annotations
 import random
 import re
 from collections import Counter
+from itertools import combinations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-from financial_data_stream_processing_engine_spark.operators.graph import kcore
+from financial_data_stream_processing_engine_spark.operators.graph import kcore, ktruss
 from financial_data_stream_processing_engine_spark.operators.text import (
     bpe_train_merges,
 )
@@ -55,6 +57,56 @@ def test_kcore_matches_reference_peel(spark, seed, n_nodes, n_edges, k):
     df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
     got = {r["node"]: r["core_deg"] for r in kcore(df, k=k).collect()}
     assert got == _py_kcore(edges, k)
+
+
+def _py_ktruss(edges, k):
+    """Reference edge-support peel: brute-force triangle enumeration
+    per round (combinations over the adjacency sets), drop edges with
+    support < k-2 until stable; returns {edge: in-truss support}."""
+    es = set(edges)
+    t = k - 2
+    while True:
+        adj: dict[int, set[int]] = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: 0 for e in es}
+        for u, v, w in (
+            tri
+            for tri in combinations(sorted(adj), 3)
+            if tri[1] in adj[tri[0]] and tri[2] in adj[tri[0]] and tri[2] in adj[tri[1]]
+        ):
+            for e in ((u, v), (u, w), (v, w)):
+                sup[e] += 1
+        keep = {e for e in es if sup[e] >= t}
+        if keep == es:
+            return sup
+        es = keep
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_nodes=st.integers(min_value=4, max_value=18),
+    n_edges=st.integers(min_value=3, max_value=60),
+    k=st.integers(min_value=3, max_value=5),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ktruss_matches_reference_peel(spark, seed, n_nodes, n_edges, k):
+    rng = random.Random(seed)
+    edges = set()
+    for _ in range(n_edges):
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    if not edges:
+        edges = {(0, 1)}
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["support"] for r in ktruss(df, k=k).collect()}
+    assert got == _py_ktruss(edges, k)
 
 
 def _py_bpe_train(texts, k):
