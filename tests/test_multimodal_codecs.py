@@ -1963,6 +1963,56 @@ def test_tiff_lzw_predictor2_roundtrip(spark):
         assert dec[0].astype(np.uint8).tobytes() == data, (w, h)
 
 
+def test_tiff_predictor2_two_strip_rows_reset(spark):
+    """Differencing restarts at every ROW, so strip boundaries are
+    transparent: a two-strip LZW+predictor-2 image must decode to the
+    same pixels as its single-strip twin."""
+    decode = multimodal._tiff_pixel_decoder()
+    rng = np.random.default_rng(7)
+    w, h = 4, 4
+    data = bytes(rng.integers(0, 256, w * h, dtype=np.uint8))
+    rows = [data[r * w : (r + 1) * w] for r in range(h)]
+    diffed = [
+        bytes([r[0]] + [(r[j] - r[j - 1]) % 256 for j in range(1, w)]) for r in rows
+    ]
+    strips = [_lzw_encode_tiff(b"".join(diffed[:2])), _lzw_encode_tiff(b"".join(diffed[2:]))]
+    e = "<"
+    ntags = 10
+    ifd_off = 8
+    arrays_off = ifd_off + 2 + 12 * ntags + 4
+    so_off, sc_off = arrays_off, arrays_off + 8
+    data_off = sc_off + 8
+    offs = [data_off, data_off + len(strips[0])]
+
+    def sv(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def lv(v):
+        return struct.pack(e + "I", v)
+
+    def tag(t, typ, cnt, val):
+        return struct.pack(e + "HHI", t, typ, cnt) + val
+
+    tags = [
+        tag(256, 3, 1, sv(w)), tag(257, 3, 1, sv(h)), tag(258, 3, 1, sv(8)),
+        tag(259, 3, 1, sv(5)), tag(262, 3, 1, sv(1)),
+        tag(273, 4, 2, lv(so_off)), tag(277, 3, 1, sv(1)),
+        tag(278, 3, 1, sv(2)), tag(279, 4, 2, lv(sc_off)),
+        tag(317, 3, 1, sv(2)),
+    ]
+    payload = (
+        b"II" + struct.pack(e + "HI", 42, ifd_off)
+        + struct.pack(e + "H", ntags) + b"".join(tags)
+        + struct.pack(e + "I", 0)
+        + struct.pack(e + "II", *offs)
+        + struct.pack(e + "II", *[len(s) for s in strips])
+        + b"".join(strips)
+    )
+    dec = decode(payload)
+    assert dec is not None
+    assert dec[0].astype(np.uint8).tobytes() == data
+
+
 def test_tiff_predictor_scope(spark):
     """Predictor 1 (none) is fine, float predictor 3 stays rejected,
     and predictor 2 paired with anything but LZW is rejected rather
