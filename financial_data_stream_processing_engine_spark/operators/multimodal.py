@@ -1645,9 +1645,14 @@ def decode_audio_samples(df: DataFrame, max_samples: int = 256) -> DataFrame:
 
 def _dft_twiddles(n_fft: int, bins: tuple[int, ...]) -> list[tuple[int, int, float, float]]:
     """(pos, k, cos, sin) rows of the DFT basis — Python-computed
-    doubles, the SAME constants the oracle embeds as literals."""
+    doubles, the SAME constants the oracle embeds as literals.  A
+    repeated bin would silently DOUBLE that bin's sums through the
+    join (one sample row matches two identical twiddle rows), so the
+    assumption fails loudly instead."""
     import math
 
+    if len(set(bins)) != len(bins):
+        raise ValueError(f"duplicate DFT bins: {bins}")
     return [
         (pos, k, math.cos(2.0 * math.pi * k * pos / n_fft),
          math.sin(2.0 * math.pi * k * pos / n_fft))

@@ -1674,6 +1674,67 @@ def test_audio_stft_frame_lattice_edges(spark):
     assert tiled == {0: {0}, 1: {0}, 2: {0}}  # 24 samples: one 16-tile
 
 
+def test_audio_stft_frame0_equals_whole_signal_spectrum(spark):
+    """Cross-operator consistency law: for media of exactly n_fft
+    samples the STFT has one frame whose cells must equal the
+    whole-signal spectrum's BITWISE (same twiddles, same quantized
+    summation — not just approximately)."""
+    rng_l = np.random.default_rng(31)
+    payloads = [bytes(rng_l.integers(0, 256, 16, dtype=np.uint8)) for _ in range(3)]
+    sdf = _samples_df(spark, [_make_pcm8_wav(p) for p in payloads], max_samples=16)
+    stft = {
+        (r["media_id"], r["k"]): (r["re_sum"], r["im_sum"], r["power"])
+        for r in multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=(1, 2, 3)).collect()
+    }
+    spec = {
+        (r["media_id"], r["k"]): (r["re_sum"], r["im_sum"], r["power"])
+        for r in multimodal.audio_power_spectrum(sdf, n_fft=16, bins=(1, 2, 3)).collect()
+    }
+    assert stft == spec  # exact float equality, frame_idx 0 only
+
+
+def test_dft_twiddles_reject_duplicate_bins(spark):
+    """A repeated bin would silently double that bin's sums through
+    the twiddle join — both spectrum operators must refuse it."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        multimodal._dft_twiddles(16, (1, 2, 1))
+
+
+def test_audio_stft_random_geometries_match_numpy(spark):
+    """Randomized sweep over (n_fft, hop, signal length) — frame
+    lattice and per-frame values must match the numpy reference for
+    overlapping, tiling and sparse (hop > n_fft) geometries alike."""
+    import random as _random
+
+    rng = _random.Random(41)
+    rng_l = np.random.default_rng(43)
+    for _ in range(6):
+        n_fft = rng.choice((4, 8, 12, 16))
+        hop = rng.choice((2, 3, 4, 8, 16, 20))
+        n = rng.randint(n_fft, 60)
+        bins = tuple(sorted({1, max(1, n_fft // 2 - 1)}))
+        p = bytes(rng_l.integers(0, 256, n, dtype=np.uint8))
+        sdf = _samples_df(spark, [_make_pcm8_wav(p)], max_samples=n)
+        got = {
+            (r["frame_idx"], r["k"]): (r["re_sum"], r["im_sum"])
+            for r in multimodal.audio_stft(sdf, n_fft=n_fft, hop=hop, bins=bins).collect()
+        }
+        x = (np.frombuffer(p, np.uint8).astype(np.float64) - 128.0) / 128.0
+        n_frames = (n - n_fft) // hop + 1
+        idx = np.arange(n_fft)
+        want_keys = {(f, k) for f in range(n_frames) for k in bins}
+        assert set(got) == want_keys, (n_fft, hop, n)
+        for f in range(n_frames):
+            seg = x[f * hop : f * hop + n_fft]
+            for k in bins:
+                re = float(np.sum(seg * np.cos(2 * np.pi * k * idx / n_fft)))
+                im = float(np.sum(seg * np.sin(2 * np.pi * k * idx / n_fft)))
+                assert got[(f, k)][0] == pytest.approx(re, abs=2e-8), (n_fft, hop, n, f, k)
+                assert got[(f, k)][1] == pytest.approx(im, abs=2e-8), (n_fft, hop, n, f, k)
+
+
 def _make_tiff(px, endian="<", packbits=False, photo=None, rows_per_strip=None):
     """Hand-built TIFF writer (both endians, strips, PackBits)."""
     h, w = px.shape[:2]
