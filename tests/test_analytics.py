@@ -109,6 +109,66 @@ def test_funnel_windowed_horizon_gates_each_stage(spark, sf_dir):
     }
 
 
+def test_funnel_windowed_matches_reference_on_random_events(spark):
+    """Randomized sweep: the windowed funnel's stage counts must match
+    a from-scratch Python reference (earliest-qualifying anchor chain,
+    then the 3-day horizon predicates) on dense random event logs."""
+    import random
+    import tempfile
+
+    from financial_data_stream_processing_engine_spark.plans import catalog
+
+    catalog.load_all()
+    rng = random.Random(97)
+    horizon = dt.timedelta(days=3)
+    for _ in range(4):
+        rows = []
+        for eid in range(rng.randint(20, 80)):
+            rows.append(
+                (
+                    eid,
+                    BASE + dt.timedelta(minutes=rng.randint(0, 60 * 24 * 8)),
+                    rng.randint(1, 8),
+                    rng.choice(("view", "click", "purchase", "other")),
+                    1.0,
+                    "{}",
+                )
+            )
+        # python reference
+        by_user: dict[int, list] = {}
+        for eid, ts, uid, et, _v, _p in rows:
+            by_user.setdefault(uid, []).append((ts, et))
+        n1 = n2 = n3 = 0
+        for evs in by_user.values():
+            t1 = min((ts for ts, et in evs if et == "view"), default=None)
+            if t1 is None:
+                continue
+            n1 += 1
+            t2 = min((ts for ts, et in evs if et == "click" and ts > t1), default=None)
+            t3 = (
+                min((ts for ts, et in evs if et == "purchase" and ts > t2), default=None)
+                if t2 is not None
+                else None
+            )
+            if t2 is not None and t2 <= t1 + horizon:
+                n2 += 1
+            if t3 is not None and t3 <= t1 + horizon:
+                n3 += 1
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        d = tempfile.mkdtemp(prefix="funnel_win_prop_")
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{d}/events.parquet"
+        )
+        got = {
+            r["stage"]: r["n_users"]
+            for r in catalog.QUERIES["funnel_conversion_windowed"].fn(spark, d).collect()
+        }
+        assert got == {"view": n1, "click": n2, "purchase": n3}
+
+
 def test_cohort_retention_offsets(spark):
     from financial_data_stream_processing_engine_spark.plans import catalog
 
