@@ -295,9 +295,18 @@ def ktruss(
     Returns (src, dst, support) for the surviving canonical edges —
     ``support`` the in-truss triangle count of the edge (≥ k−2), so
     trussness-per-edge is readable straight off the result.
+
+    Input edges are re-canonicalized (least, greatest) here because the
+    per-round support join keys on the canonical form — a reversed
+    input edge would otherwise silently match no support row and peel.
+    Duplicate edge ROWS remain the caller's contract (they would
+    inflate triangle multiplicity), the same undirected-simple-graph
+    precondition :func:`triangle_count` and :func:`kcore` state.
     """
     t = k - 2
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    e = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).localCheckpoint()
     prev_n = -1
     for _ in range(max_rounds):
         _deg, tris = _closed_triangles(e)
@@ -331,5 +340,5 @@ def ktruss(
                 F.col("support").cast("long").alias("support"),
             )
         prev_n = n
-        e = kept.select("a", "b").localCheckpoint()
+        e = kept.select("a", "b")  # kept is already checkpointed
     raise RuntimeError(f"k-truss peel did not converge within {max_rounds} rounds")

@@ -330,7 +330,6 @@ def nb_score(
         F.sum("oov").alias("n_oov_tokens"),
         (F.sum(qint(F.col("delta"))).cast("double") * F.lit(1e-9)).alias("sum_delta"),
     )
-    mean_delta = (F.col("sum_delta") / F.col("n_tokens")).alias("mean_delta")
     return (
         docs.select(
             F.col(id_col),

@@ -1755,6 +1755,12 @@ def audio_stft(
 
     from financial_data_stream_processing_engine_spark.functions.numeric import qint
 
+    if n_fft <= 0 or hop <= 0:
+        # Spark's non-ANSI division would turn hop=0 into NULL frame
+        # bounds and an EMPTY result — indistinguishable from "all
+        # media too short"; the typo fails loudly instead (the
+        # duplicate-bin rule in _dft_twiddles).
+        raise ValueError(f"n_fft and hop must be positive, got {n_fft}, {hop}")
     spark = SparkSession.getActiveSession() or samples_df.sparkSession
     tw = spark.createDataFrame(
         _dft_twiddles(n_fft, bins), "fpos int, k int, cosv double, sinv double"

@@ -2708,24 +2708,19 @@ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)"""
     return ",\n".join(lines) + f"\nSELECT node, r AS rank FROM r{k}"
 
 
-@register("graph_pagerank_similarity", sql=_pagerank_sql(4))
-def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (4 iterations, damping 0.85) over the undirected
-    cosine≥0.3 similarity graph confined to coarse centroid cells
-    (the SemDeDup quantizer bound keeps edge enumeration linear) — the centrality signal a
-    dedup pipeline uses to pick the most-connected representative, and
-    a second iterative-algorithm shape beside connected_components
-    (operators/graph.py::pagerank).  Oracle: the full recursion
-    unrolled in SQL with the same quantized-integer neighbor sums, so
-    every iteration is bit-identical cross-engine."""
-    from financial_data_stream_processing_engine_spark.operators.graph import pagerank
-
+def _similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell-confined cosine≥0.3 similarity edge list (id_a < id_b)
+    ALL five graph entries analyze: Lloyd centroids per label, nearest-
+    cell assignment, within-cell pairs only (the coarse-quantizer bound
+    that makes SemDeDup linear bounds edge enumeration here — all-pairs
+    generation was measured 3.5× the whole pagerank entry's runtime at
+    sf0.1), exact-cosine filter.  ONE definition keeps the five Spark
+    entries and their shared oracle prefix (_triangle_sql's ``pairs``
+    CTE) in sync — a threshold or tie-break change lands everywhere or
+    nowhere."""
     embs = _embs(spark, sf_dir)
     centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
     with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
-    # within-cell pairs only: the same coarse-quantizer bound that makes
-    # SemDeDup linear bounds the edge enumeration here — all-pairs edge
-    # generation was measured 3.5x the whole entry's runtime at sf0.1
     a = with_cells.select(
         F.col("cell").alias("__cell"),
         F.col("vec_id").alias("id_a"),
@@ -2739,7 +2734,7 @@ def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").alias("nb"),
     )
     dot = dedup.pair_dot_udf()
-    pairs = (
+    return (
         a.join(b, "__cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -2749,12 +2744,27 @@ def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.3)
         .select("id_a", "id_b")
     )
+
+
+@register("graph_pagerank_similarity", sql=_pagerank_sql(4))
+def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (4 iterations, damping 0.85) over the undirected
+    cosine≥0.3 similarity graph confined to coarse centroid cells
+    (the SemDeDup quantizer bound keeps edge enumeration linear) — the centrality signal a
+    dedup pipeline uses to pick the most-connected representative, and
+    a second iterative-algorithm shape beside connected_components
+    (operators/graph.py::pagerank).  Oracle: the full recursion
+    unrolled in SQL with the same quantized-integer neighbor sums, so
+    every iteration is bit-identical cross-engine."""
+    from financial_data_stream_processing_engine_spark.operators.graph import pagerank
+
+    pairs = _similarity_pairs(spark, sf_dir)
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    nodes = embs.select(F.col("vec_id").alias("node"))
+    nodes = _embs(spark, sf_dir).select(F.col("vec_id").alias("node"))
     return pagerank(nodes, sym, k=4)
 
 
@@ -2826,34 +2836,8 @@ def graph_triangle_count_similarity(spark: SparkSession, sf_dir: str) -> DataFra
     count in DuckDB."""
     from financial_data_stream_processing_engine_spark.operators.graph import triangle_count
 
-    embs = _embs(spark, sf_dir)
-    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
-    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
-    a = with_cells.select(
-        F.col("cell").alias("__cell"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("v_a"),
-        dedup.vector_norm(F.col("embedding")).alias("na"),
-    )
-    b = a.select(
-        F.col("__cell"),
-        F.col("id_a").alias("id_b"),
-        F.col("v_a").alias("v_b"),
-        F.col("na").alias("nb"),
-    )
-    dot = dedup.pair_dot_udf()
-    pairs = (
-        a.join(b, "__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
-        )
-        .filter(F.col("cos") >= 0.3)
-        .select("id_a", "id_b")
-    )
-    counts = triangle_count(pairs)
-    n_nodes = embs.agg(F.count(F.lit(1)).alias("n_nodes"))
+    counts = triangle_count(_similarity_pairs(spark, sf_dir))
+    n_nodes = _embs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_nodes"))
     return n_nodes.crossJoin(counts).select("n_nodes", "n_edges", "n_triangles")
 
 
@@ -2895,33 +2879,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustering_coefficient,
     )
 
-    embs = _embs(spark, sf_dir)
-    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
-    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
-    a = with_cells.select(
-        F.col("cell").alias("__cell"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("v_a"),
-        dedup.vector_norm(F.col("embedding")).alias("na"),
-    )
-    b = a.select(
-        F.col("__cell"),
-        F.col("id_a").alias("id_b"),
-        F.col("v_a").alias("v_b"),
-        F.col("na").alias("nb"),
-    )
-    dot = dedup.pair_dot_udf()
-    pairs = (
-        a.join(b, "__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
-        )
-        .filter(F.col("cos") >= 0.3)
-        .select("id_a", "id_b")
-    )
-    return clustering_coefficient(pairs)
+    return clustering_coefficient(_similarity_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -4154,33 +4112,7 @@ def graph_kcore_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration reached it."""
     from financial_data_stream_processing_engine_spark.operators.graph import kcore
 
-    embs = _embs(spark, sf_dir)
-    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
-    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
-    a = with_cells.select(
-        F.col("cell").alias("__cell"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("v_a"),
-        dedup.vector_norm(F.col("embedding")).alias("na"),
-    )
-    b = a.select(
-        F.col("__cell"),
-        F.col("id_a").alias("id_b"),
-        F.col("v_a").alias("v_b"),
-        F.col("na").alias("nb"),
-    )
-    dot = dedup.pair_dot_udf()
-    pairs = (
-        a.join(b, "__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
-        )
-        .filter(F.col("cos") >= 0.3)
-        .select("id_a", "id_b")
-    )
-    return kcore(pairs, k=2)
+    return kcore(_similarity_pairs(spark, sf_dir), k=2)
 
 
 def _bpe_train_apply_sql(k: int = 10) -> str:
@@ -4454,30 +4386,4 @@ def graph_ktruss_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs (see _ktruss_sql)."""
     from financial_data_stream_processing_engine_spark.operators.graph import ktruss
 
-    embs = _embs(spark, sf_dir)
-    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
-    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
-    a = with_cells.select(
-        F.col("cell").alias("__cell"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("v_a"),
-        dedup.vector_norm(F.col("embedding")).alias("na"),
-    )
-    b = a.select(
-        F.col("__cell"),
-        F.col("id_a").alias("id_b"),
-        F.col("v_a").alias("v_b"),
-        F.col("na").alias("nb"),
-    )
-    dot = dedup.pair_dot_udf()
-    pairs = (
-        a.join(b, "__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("na") * F.col("nb")),
-        )
-        .filter(F.col("cos") >= 0.3)
-        .select("id_a", "id_b")
-    )
-    return ktruss(pairs, k=3)
+    return ktruss(_similarity_pairs(spark, sf_dir), k=3)

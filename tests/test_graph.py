@@ -154,3 +154,16 @@ def test_ktruss_cascade_and_max_rounds(spark):
     # triangle-free graph at the weakest truss: empty, converges fast
     path = spark.createDataFrame([(i, i + 1) for i in range(5)], "id_a long, id_b long")
     assert ktruss(path, k=3).count() == 0
+
+
+def test_ktruss_accepts_non_canonical_edge_orientation(spark):
+    """Reversed input edges must canonicalize, not silently peel: the
+    per-round support join keys on (least, greatest) pairs, so an
+    un-normalized (2,1) edge would match no support row without the
+    re-canonicalization step."""
+    from financial_data_stream_processing_engine_spark.operators.graph import ktruss
+
+    reversed_tri = [(2, 1), (3, 1), (3, 2)]
+    df = spark.createDataFrame(reversed_tri, "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["support"] for r in ktruss(df, k=3).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}

@@ -1702,6 +1702,17 @@ def test_dft_twiddles_reject_duplicate_bins(spark):
         multimodal._dft_twiddles(16, (1, 2, 1))
 
 
+def test_audio_stft_rejects_nonpositive_geometry(spark):
+    """hop=0 would NULL the frame bounds under Spark's non-ANSI
+    division and return an EMPTY frame silently — must raise."""
+    import pytest as _pytest
+
+    sdf = _samples_df(spark, [_make_pcm8_wav(bytes(range(16)))], max_samples=16)
+    for n_fft, hop in ((16, 0), (0, 8), (16, -4)):
+        with _pytest.raises(ValueError, match="positive"):
+            multimodal.audio_stft(sdf, n_fft=n_fft, hop=hop, bins=(1,))
+
+
 def test_audio_stft_random_geometries_match_numpy(spark):
     """Randomized sweep over (n_fft, hop, signal length) — frame
     lattice and per-frame values must match the numpy reference for
