@@ -32,6 +32,18 @@ def test_star_join_broadcasts_every_dimension(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
 
 
+def test_stft_plan_broadcasts_twiddles_single_shuffle(spark, sf_dir, queries):
+    """The STFT must stay one broadcast twiddle join + ONE keyed
+    exchange for the (media, frame, bin) aggregation — a shuffle join
+    on the twiddle table or a second exchange means the frame-lattice
+    explode regressed into something join-shaped."""
+    plan = plan_of(queries, "multimodal_audio_stft", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_flagship_ma_plan_has_single_exchange(spark, sf_dir, queries):
     plan = plan_of(queries, "ma_alerts", spark, sf_dir)
     # one hash-partitioning exchange for the per-user window; anything
