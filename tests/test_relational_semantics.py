@@ -77,3 +77,23 @@ def test_winsorize_keeps_values_exactly_at_the_bounds(spark):
     assert got[19] == (19.0, False) # exactly p95: kept
     assert got[20] == (19.0, True)  # above p95: clipped down
     assert all(not c for i, (_v, c) in got.items() if 1 <= i <= 19)
+
+
+def test_range_bands_are_halfopen_and_exhaustive_only_inside(spark):
+    """Band membership is lo ≤ x < hi: a price exactly at a shared
+    boundary (935.0) belongs to the UPPER band only (no double count),
+    and prices outside every band (899.99, 1000.0) drop out of the
+    join entirely — the inner-join-as-filter semantics."""
+    prices = [900.0, 934.99, 935.0, 969.99, 970.0, 999.99, 1000.0, 899.99]
+    rows = [(i, float(p)) for i, p in enumerate(prices)]
+    got = {
+        r["band"]: r["n_parts"]
+        for r in _run(
+            spark,
+            "join_range_price_bands",
+            "part",
+            rows,
+            "p_partkey long, p_retailprice double",
+        )
+    }
+    assert got == {"low": 2, "mid": 2, "high": 2}  # 1000.0 and 899.99 dropped
