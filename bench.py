@@ -130,6 +130,11 @@ HEADLINE = [
     "multimodal_audio_stft",
     "graph_ktruss_similarity",
     "streaming_nb_gate",
+    # round-10 additions: the broadcast filterbank aggregation over
+    # the STFT, and the truss peel chained into min-label community
+    # propagation
+    "multimodal_audio_melbands",
+    "graph_truss_communities",
 ]
 
 
@@ -182,6 +187,11 @@ def main() -> int:
     # window, losing the headline total — VERDICT r8 next-step #5).
     line = json.dumps(payload, separators=(",", ":"))
     (REPO / "BENCH_LATEST.json").write_text(line + "\n")
+    # A total-only line FIRST (VERDICT r9 next-step #6): any capture
+    # window that truncates the long per-query line still sees one
+    # complete, parseable JSON headline.
+    total_only = {k: payload[k] for k in ("metric", "value", "unit", "sf")}
+    print(json.dumps(total_only, separators=(",", ":")), flush=True)
     print(line, flush=True)
     return 0
 

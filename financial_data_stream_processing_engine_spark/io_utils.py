@@ -10,9 +10,30 @@ oracle comparison) sees microsecond-precision timestamps.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from financial_data_stream_processing_engine_spark.schema import TABLE_NAMES
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` that cleans up at interpreter exit.
+
+    Catalog entries materialize fixture feeds / streaming checkpoints /
+    index snapshots in scratch directories that must outlive the
+    entry's RETURN (the driver collects the returned DataFrame lazily,
+    so file-backed plans still read the directory afterwards) — but
+    repeated bench/correctness runs were accumulating them in /tmp
+    forever.  Deferring removal to ``atexit`` keeps the read-after-
+    return contract while bounding the garbage to one process's worth;
+    ``ignore_errors`` because cleanup is best-effort by design (a
+    vanished tree at exit is success, not a failure)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 #: columns stored as parquet TIMESTAMP(NANOS) (read as int64 via

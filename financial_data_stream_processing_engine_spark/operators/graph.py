@@ -342,3 +342,42 @@ def ktruss(
         prev_n = n
         e = kept.select("a", "b")  # kept is already checkpointed
     raise RuntimeError(f"k-truss peel did not converge within {max_rounds} rounds")
+
+
+def truss_communities(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 40,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Community labels over the k-truss: peel to the k-truss
+    (:func:`ktruss`), then label its connected components by iterative
+    min-label propagation (operators/dedup.py::connected_components —
+    the same linear-per-round machinery the dedup cluster entry runs;
+    truss-confined components are the classic dense-community
+    extraction, e.g. Cohen 2008: trusses split exactly where
+    communities touch only through weak ties, so the component ids ARE
+    community ids).  Composition of two proven iterative cores — the
+    peel shrinks monotonically, the propagation converges in diameter
+    rounds, both ``localCheckpoint`` per round and carry only bounded
+    convergence scalars to the driver.
+
+    Returns (node, community, n_members) for every node keeping a
+    truss edge — community the min reachable node id inside the truss,
+    n_members its size (one extra map-side-combinable count + one
+    same-keyed join; the size frame is at most one row per community,
+    so AQE broadcasts it when small and shuffles it when a pathological
+    graph makes it wide — no hint forces the wrong strategy at scale)."""
+    from financial_data_stream_processing_engine_spark.operators.dedup import (
+        connected_components,
+    )
+
+    kept = ktruss(edges, k=k, max_rounds=max_rounds, src=src, dst=dst)
+    comp = connected_components(kept, id_a=src, id_b=dst).select(
+        "node", F.col("component").alias("community")
+    )
+    sizes = comp.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return comp.join(sizes, ["community"]).select("node", "community", "n_members")

@@ -317,7 +317,11 @@ def nb_score(
         F.col("tot_neg") + F.col("v_size")
     ).cast("double")
     scored = (
-        tok.join(word_counts, ["t"], "left")
+        # the model is vocabulary-sized (bounded by the training
+        # corpus's distinct tokens, not the scored corpus), so the
+        # broadcast hint makes per-doc/per-batch scoring fully
+        # map-side — no shuffle of the scored tokens at any scale
+        tok.join(F.broadcast(word_counts), ["t"], "left")
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,

@@ -982,10 +982,13 @@ def _tiff_pixel_decoder():
     Compression 1 (none), 5 (LZW — the variant most real scanned
     TIFFs use: MSB-first bit packing, ClearCode 256 / EOI 257,
     9→12-bit codes with the spec's EARLY code-width change, one code
-    before the GIF rule; per-strip independent streams) — plain or
-    under Predictor 2 (horizontal differencing, the default pairing
-    of common TIFF writers: each row stores per-channel deltas,
-    undone here by a per-row cumulative sum mod 256) — and 32773
+    before the GIF rule; per-strip independent streams), 8 Deflate
+    (Adobe zlib streams per strip — the PNG path's stdlib inflate;
+    the legacy pre-standard code 32946 is the same bytestream and
+    accepted too) — LZW and Deflate plain or under Predictor 2
+    (horizontal differencing, the default pairing of common TIFF
+    writers: each row stores per-channel deltas, undone here by a
+    per-row cumulative sum mod 256) — and 32773
     (PackBits: literal runs n<128, replicate runs n>128, 128 =
     no-op).  Out of scope (JPEG-in-TIFF, tiles, planar config 2,
     palette TIFF, 1/4/16-bit, float Predictor 3) returns
@@ -996,6 +999,7 @@ def _tiff_pixel_decoder():
     BlackIsZero scale so luma means compare across photometrics).
     """
     import struct
+    import zlib
 
     import numpy as np
 
@@ -1086,13 +1090,14 @@ def _tiff_pixel_decoder():
                 return None
             if spp not in (1, 3) or any(x != 8 for x in bits[:spp]):
                 return None
-            if comp not in (1, 5, 32773):
+            if comp not in (1, 5, 8, 32946, 32773):
                 return None
             # Predictor (317): 1 = none, 2 = horizontal differencing
-            # (only meaningful — and only accepted — under LZW, the
-            # pairing real writers emit); 3 (float) stays out of scope
+            # (only meaningful — and only accepted — under LZW or
+            # Deflate, the pairings real writers emit); 3 (float)
+            # stays out of scope
             pred = tags.get(317, (1,))[0]
-            if pred not in (1, 2) or (pred == 2 and comp != 5):
+            if pred not in (1, 2) or (pred == 2 and comp not in (5, 8, 32946)):
                 return None
             if (spp == 1 and photo not in (0, 1)) or (spp == 3 and photo != 2):
                 return None
@@ -1116,6 +1121,14 @@ def _tiff_pixel_decoder():
                     if dec is None:
                         return None
                     chunk = dec
+                elif comp in (8, 32946):
+                    # Deflate: one whole zlib stream per strip; a
+                    # corrupt stream isolates to this row (None), it
+                    # never raises past the codec seam
+                    try:
+                        chunk = zlib.decompress(chunk)
+                    except zlib.error:
+                        return None
                 elif comp == 32773:
                     out = bytearray()
                     i = 0
@@ -1806,4 +1819,107 @@ def audio_stft(
         (F.col("re_sum") * F.col("re_sum") + F.col("im_sum") * F.col("im_sum")).alias(
             "power"
         ),
+    )
+
+
+def mel_band_weights(
+    n_fft: int = 16,
+    sr: int = 8000,
+    bins: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
+    n_bands: int = 3,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> list[tuple[int, int, float]]:
+    """(k, band, weight) rows of a triangular mel filterbank over DFT
+    bins — HTK mel scale ``m(f) = 2595·log10(1 + f/700)``, ``n_bands``
+    triangles with apexes equally spaced in mel between ``fmin`` and
+    ``fmax`` (default Nyquist).  Python-computed doubles, the SAME
+    constants the oracle embeds as literals (the twiddle-table
+    contract of :func:`_dft_twiddles`).  Zero weights are dropped (a
+    zero row would be join noise, not information); a band whose
+    triangle captures NO bin raises — silently empty bands would make
+    the downstream energy relation structurally missing rows."""
+    import math
+
+    if fmax is None:
+        fmax = sr / 2.0
+    if n_bands <= 0 or not 0.0 <= fmin < fmax:
+        raise ValueError(f"bad mel band spec: n_bands={n_bands}, [{fmin}, {fmax})")
+
+    def mel(f: float) -> float:
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m: float) -> float:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    lo_m, hi_m = mel(fmin), mel(fmax)
+    pts = [imel(lo_m + (hi_m - lo_m) * i / (n_bands + 1)) for i in range(n_bands + 2)]
+    rows: list[tuple[int, int, float]] = []
+    seen_bands: set[int] = set()
+    for band in range(n_bands):
+        lo, c, hi = pts[band], pts[band + 1], pts[band + 2]
+        for k in bins:
+            f = k * sr / n_fft
+            if lo < f <= c:
+                w = (f - lo) / (c - lo)
+            elif c < f < hi:
+                w = (hi - f) / (hi - c)
+            else:
+                continue
+            if w > 0.0:
+                rows.append((k, band, w))
+                seen_bands.add(band)
+    missing = set(range(n_bands)) - seen_bands
+    if missing:
+        raise ValueError(
+            f"mel bands {sorted(missing)} capture no DFT bin for n_fft={n_fft}, "
+            f"sr={sr}, bins={bins} — widen the band or add bins"
+        )
+    return rows
+
+
+def audio_melbands(
+    stft_df: DataFrame,
+    weights: list[tuple[int, int, float]],
+) -> DataFrame:
+    """Triangular filterbank energies over an STFT power relation —
+    the standard audio-curation feature one aggregation downstream of
+    :func:`audio_stft` (speech/music discrimination, silence trimming,
+    band-limited noise detection all read banded energies, not raw
+    bins): ``energy(media, frame, band) = Σ_k w[band,k] ·
+    power(media, frame, k)``.
+
+    Plan shape: ONE broadcast join of the (k, band, weight) table
+    (|bins|·overlap rows, frame-invariant like the twiddle table) onto
+    the (media, frame, bin) relation, then one map-side-combinable
+    aggregation keyed (media, frame, band) — no new shuffle beyond the
+    keyed agg, linear in STFT rows × the constant band overlap.  Bins
+    no triangle covers drop out at the join (inner — they carry zero
+    weight by construction).
+
+    Exactness: ``power·w`` is one IEEE rounding of two stated doubles;
+    per-group sums quantize to the 1e-9 grid and sum exactly
+    (functions/numeric.py::qint) — bit-identical at any parallelism,
+    reproducible in any engine stating the same constants."""
+    from pyspark.sql import SparkSession
+
+    from financial_data_stream_processing_engine_spark.functions.numeric import qint
+
+    spark = SparkSession.getActiveSession() or stft_df.sparkSession
+    if len({(k, b) for k, b, _ in weights}) != len(weights):
+        # a duplicated (k, band) row would silently double that bin's
+        # contribution through the join — fail loudly instead (the
+        # duplicate-bin rule of _dft_twiddles)
+        raise ValueError("duplicate (k, band) weight rows")
+    wt = spark.createDataFrame(weights, "k int, band int, w double")
+    grid = F.lit(1e-9)
+    return (
+        stft_df.join(F.broadcast(wt), ["k"])
+        .groupBy("media_id", "frame_idx", "band")
+        .agg(
+            (F.sum(qint(F.col("power") * F.col("w"))).cast("double") * grid).alias(
+                "energy"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+        )
     )

@@ -70,91 +70,46 @@ def register(name: str, sql: str | None = None):
 #: oldest. Entries not named here keep registration order at the
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
-    # --- round-9 window (first 50 = the driver's check budget) ---
-    # Freshness-ratchet round (VERDICT r8 next-step #1): drain ALL 27
-    # remaining r3-era rows plus the 18 oldest r4-era rows, so after
-    # this round no driver row predates r4 and the 213+4-entry catalog
-    # cycles on a 4-round horizon.  New entries capped at 4 (+1
-    # changed-behavior re-earn) to keep >=45 refresh slots.
-    # new this round: the windowed STFT spectrogram (frame-lattice
-    # twiddle join), the k-truss edge-support peel, the NB classifier
-    # as a live foreachBatch gate, and the windowed funnel
-    "multimodal_audio_stft",
-    "graph_ktruss_similarity",
-    "streaming_nb_gate",
-    "funnel_conversion_windowed",
+    # --- round-10 window (first 50 = the driver's check budget) ---
+    # Freshness-cycle round (VERDICT r9 next-step #1): drain the 25
+    # remaining r4-era rows FIRST, then the 22 oldest r6-era rows, so
+    # after this round no driver row predates r6 and the catalog
+    # cycles on the standing 4-round horizon.  New entries capped at
+    # 2 (+1 changed-behavior re-earn) to keep 47 refresh slots.
+    # new this round: triangular mel-filterbank energies over the r9
+    # STFT, and truss-confined community labels chaining the r9
+    # k-truss peel with the dedup family's connected components
+    "multimodal_audio_melbands",
+    "graph_truss_communities",
     # behavior-relevant code changed this round (policy (2)): the TIFF
-    # fixture gained a sixth variant (LZW + Predictor 2) and the
-    # decoder the matching per-row cumsum branch — the entry re-earns
-    # its row in-window
+    # fixture gained a seventh variant (Deflate/Compression 8 under
+    # Predictor 2) and the decoder the matching zlib-inflate branch —
+    # the entry re-earns its row in-window
     "multimodal_tiff_roundtrip",
-    # NOT re-entered despite same-file edits (documented yields): the
-    # other 5 multimodal image entries + wav/audio/video entries sit on
-    # decoders whose code paths are untouched (the predictor branch is
-    # taken only under TIFF tag 317=2, absent from every other
-    # fixture) — argument (b), re-verified value-identical per-entry
-    # with tools/verify_local.py post-change; graph triangle/lcc/kcore
-    # sit on the _oriented_triangles refactor whose extracted
-    # _closed_triangles core builds the IDENTICAL plan (argument (a),
-    # plus per-entry re-verification); text_nb_lang_classifier sits on
-    # the nb_train/nb_score factoring whose composition is the same
-    # expression tree (argument (a), plus per-entry re-verification);
-    # in-window siblings additionally exercise every one of those
-    # changed paths (argument (c): tiff entry -> decoder dispatch,
-    # ktruss -> _closed_triangles, streaming_nb_gate -> nb_train+nb_score).
-    # the 27 remaining r3-era rows (VERDICT r8 "missing" #1, queued
-    # since round 8) — after these, the r3 block is fully drained
-    "pipeline_pretraining_corpus",
-    "profile_events_table",
-    "quality_expectations_orders",
-    "multimodal_png_resize",
-    "pack_sequences",
-    "pipeline_multisource",
-    "merge_upsert_orders",
-    "join_salted_skew",
-    "json_to_map_explode",
-    "agg_distinct_stats",
-    "agg_filter_clause",
-    "fin_ohlc_daily",
-    "fin_pairwise_correlation",
-    "fin_resample_ffill",
-    "fin_volatility",
-    "fin_vwap_daily",
-    "quota_per_lang",
-    "recursive_cte_month_spine",
-    "sessionization_gaps",
-    "similarity_ivf_topk",
-    "similarity_multiquery_ivf_topk",
-    "sort_null_ordering_topn",
-    "split_train_holdout",
-    "streaming_ewma",
-    "streaming_fin_ohlc",
-    "text_repetition_stats",
-    "tfidf_top_terms",
-    # the 18 oldest r4-era rows (the verdict-named dedup/fin/TPC-H/
-    # window-frame/join families first)
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "dedup_cluster_canonical",
-    "fin_macd",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_like_shipping_priority",
-    "tpch_q5_like_regional_volume",
-    "window_distribution_funcs",
-    "window_lag_lead_events",
-    "window_range_frame",
-    "window_rank_orders",
-    "window_running_totals",
-    "window_topk_per_group",
-    "winsorize_events_value",
-    "join_star_revenue_by_region",
-    "join_semi_active_customers",
-    "join_range_price_bands",
-    "join_asof_last_purchase",
-    # --- driver check window boundary (first 50 above) ---
-    # queued FIRST for round 10: the 25 remaining r4-era rows — after
-    # those, the whole catalog sits on r5+ rows and the standing
-    # 4-round rotation horizon holds
+    # NOT re-entered despite same-file edits (documented yields):
+    # (a) graph_ktruss_similarity: _ktruss_sql was refactored to share
+    #     its unrolled CTEs with the new communities oracle, but the
+    #     generated SQL is BYTE-IDENTICAL (asserted by
+    #     tests/test_plans.py::test_ktruss_sql_refactor_identical) and
+    #     the Spark plan untouched — argument (a); the in-window
+    #     communities entry additionally runs the same peel (arg (c)).
+    # (b) every entry in the three plans modules sits on the
+    #     tempfile.mkdtemp -> io_utils.scratch_dir swap (ADVICE r9):
+    #     same mkdtemp call + an atexit rmtree registration — fixture
+    #     lifecycle only, plan- and value-identical (argument (a));
+    #     the full-catalog verify_local re-stamp covers it.
+    # (c) streaming_nb_gate / text_nb_lang_classifier sit on the
+    #     nb_score vocabulary-join broadcast HINT (VERDICT r9 #8): the
+    #     plan changes by design (shuffle join -> broadcast join), the
+    #     VALUES are batching/plan-independent — argument (b),
+    #     re-verified value-identical per-entry with verify_local
+    #     post-change at sf0.001 and sf0.01.
+    # (d) the non-TIFF multimodal entries sit on an untaken decoder
+    #     branch (zlib inflate fires only under TIFF tag 259 in
+    #     {8, 32946}, absent from every other fixture) — argument (b),
+    #     same shape as the r9 predictor-branch yield.
+    # the 25 remaining r4-era rows (VERDICT r9 "missing" #1) — after
+    # these, the r4 block is fully drained
     "agg_argminmax_bool_bit",
     "agg_percentiles",
     "cdc_orders_diff",
@@ -180,7 +135,63 @@ _PRIORITY: list[str] = [
     "tpch_q20_like_surplus_suppliers",
     "tpch_q21_like_waiting_suppliers",
     "tpch_q2_like_min_cost_supplier",
-    # then everything else (r5+-era rows) in registration order — the
+    # the 22 oldest r6-era rows (the verdict-named sketch/ANN/
+    # bucketed-layout/fin and streaming families first; the r6 scalar
+    # family and the rest follow in round 11)
+    "approx_heavy_hitters",
+    "approx_distinct_hll",
+    "approx_quantiles_hdr",
+    "approx_setops_kmv",
+    "dedup_semantic_kmeans",
+    "similarity_pq_adc_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ivf_kmeans_topk",
+    "join_bucketed_zero_shuffle",
+    "layout_partition_prune",
+    "fin_bollinger_bands",
+    "fin_rsi_cutler",
+    "fin_zscore_anomalies",
+    "streaming_zscore_alerts",
+    "streaming_heavy_hitters",
+    "streaming_similarity_topk",
+    "streaming_ivm_orders_agg",
+    "streaming_session_timeout_flush",
+    "streaming_distinct_hll",
+    "streaming_static_enrich",
+    "streaming_quantiles_hdr",
+    "streaming_pattern_match_topk",
+    # --- driver check window boundary (first 50 above) ---
+    # queued FIRST for round 11: the 28 remaining r6-era rows — after
+    # those, every row sits on r7+ and the 4-round horizon is steady
+    "rollup_returnflag_status",
+    "cube_status_priority",
+    "grouping_sets_events",
+    "join_anti_no_big_order",
+    "topn_orders_global",
+    "set_ops_customers",
+    "string_functions",
+    "date_functions",
+    "math_functions",
+    "conditional_tiers",
+    "array_functions_documents",
+    "pivot_qty_by_status",
+    "unpivot_rates",
+    "explode_tokens",
+    "scalar_subquery_max_order",
+    "date_arithmetic",
+    "sample_hash_deterministic",
+    "roundtrip_csv",
+    "roundtrip_json",
+    "agg_string_concat",
+    "set_intersect_all",
+    "multimodal_jpeg_color_roundtrip",
+    "multimodal_jpeg_420_roundtrip",
+    "tpch_q12_like_shipmode_priority",
+    "join_fuzzy_names_editdist1",
+    "text_bm25_topk",
+    "fin_pattern_match_topk",
+    "similarity_recall_report",
+    # then everything else (r7+-era rows) in registration order — the
     # load_all() tail rule keeps them enumerable without naming each
 ]
 
@@ -199,7 +210,13 @@ def load_all() -> None:
         tpch_derived,
     )
 
-    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    # a typo in the hand-maintained rotation list would otherwise
+    # silently demote an entry out of the driver's 50-slot check
+    # window — fail loudly instead
+    unknown = [n for n in _PRIORITY if n not in QUERIES]
+    if unknown:
+        raise AssertionError(f"_PRIORITY names not in QUERIES: {unknown}")
+    ordered = {n: QUERIES[n] for n in _PRIORITY}
     ordered.update((n, q) for n, q in QUERIES.items() if n not in ordered)
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from financial_data_stream_processing_engine_spark.functions.numeric import davg_sql, qcast_sql, qint_sql
-from financial_data_stream_processing_engine_spark.io_utils import load_table
+from financial_data_stream_processing_engine_spark.io_utils import load_table, scratch_dir
 from financial_data_stream_processing_engine_spark.operators import dedup, multimodal, similarity, text
 from financial_data_stream_processing_engine_spark.plans.catalog import register
 
@@ -3373,7 +3373,6 @@ def similarity_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match proves maintained == rebuilt while touching only the
     right cells (the pytest twin additionally pins that untouched
     partition FILES are byte-identical)."""
-    import tempfile
 
     from financial_data_stream_processing_engine_spark.operators.scale import (
         merge_upsert,
@@ -3383,7 +3382,7 @@ def similarity_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     old = embs.select("vec_id", "embedding")
     cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
-    idx = tempfile.mkdtemp(prefix="ivf_maint_")
+    idx = scratch_dir(prefix="ivf_maint_")
     similarity.save_ivf_index(old, cent, idx, vec_col="embedding")
 
     upd = old.filter(F.col("vec_id") % 13 == 1).select(
@@ -3433,7 +3432,6 @@ def streaming_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     story: index staleness bounded by the trigger interval, per-batch
     cost bounded by the cells that batch touches
     (operators/similarity.py::maintain_ivf_index)."""
-    import tempfile
 
     from financial_data_stream_processing_engine_spark.operators.scale import (
         merge_upsert,
@@ -3443,7 +3441,7 @@ def streaming_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     old = embs.select("vec_id", "embedding")
     cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
-    idx = tempfile.mkdtemp(prefix="ivf_stream_maint_")
+    idx = scratch_dir(prefix="ivf_stream_maint_")
     similarity.save_ivf_index(old, cent, idx, vec_col="embedding")
 
     upd = old.filter(F.col("vec_id") % 13 == 1).select(
@@ -3459,7 +3457,7 @@ def streaming_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = table_diff(old, new_v, keys=["vec_id"], compare_cols=["embedding"])
 
     # ship the change feed as 3 key-sliced files → 3 real micro-batches
-    feed_dir = tempfile.mkdtemp(prefix="ivf_cdc_feed_")
+    feed_dir = scratch_dir(prefix="ivf_cdc_feed_")
     for i in range(3):
         (
             diff.filter(F.col("vec_id") % 3 == i)
@@ -3467,7 +3465,7 @@ def streaming_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append")
             .parquet(feed_dir)
         )
-    touched_dir = tempfile.mkdtemp(prefix="ivf_touched_")
+    touched_dir = scratch_dir(prefix="ivf_touched_")
 
     def apply_delta(batch_df: DataFrame, epoch_id: int) -> None:
         t = similarity.maintain_ivf_index(
@@ -3843,26 +3841,31 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _md5_tiff_generator():
     """mapInPandas generator: doc_id → a 4×4 8-bit grayscale TIFF whose
-    16 pixels are the md5(doc_id) digest bytes, cycling through five
+    16 pixels are the md5(doc_id) digest bytes, cycling through seven
     real encoder layouts by doc_id so ONE oracle certifies every
     decode path on identical pixel values:
 
-      doc_id%5==0  II (little-endian), uncompressed, one strip
-      doc_id%5==1  MM (big-endian), uncompressed, TWO strips (rps=2,
+      doc_id%7==0  II (little-endian), uncompressed, one strip
+      doc_id%7==1  MM (big-endian), uncompressed, TWO strips (rps=2,
                    offset/count arrays offset-addressed)
-      doc_id%5==2  II, PackBits-compressed strip
-      doc_id%5==3  MM, PhotometricInterpretation 0 (WhiteIsZero) with
+      doc_id%7==2  II, PackBits-compressed strip
+      doc_id%7==3  MM, PhotometricInterpretation 0 (WhiteIsZero) with
                    pre-inverted sample bytes — decode re-inverts, so
                    the luma equals the other variants'
-      doc_id%5==4  II, LZW-compressed strip (MSB-first, ClearCode/EOI;
+      doc_id%7==4  II, LZW-compressed strip (MSB-first, ClearCode/EOI;
                    width growth and table resets are pytest territory
                    — a 16-byte strip stays at 9-bit codes)
+      doc_id%7==5  II, LZW under Predictor 2 (horizontal differencing)
+      doc_id%7==6  II, Deflate (Compression 8, zlib strip) under
+                   Predictor 2 — the predictor composes with both
+                   entropy coders through the same cumsum reversal
 
     Nested def so cloudpickle ships it by value."""
 
     def gen(batches):
         import hashlib
         import struct
+        import zlib
 
         import pandas as pd
 
@@ -3931,8 +3934,8 @@ def _md5_tiff_generator():
 
         def build(did: int) -> bytes:
             data = hashlib.md5(str(did).encode()).digest()
-            variant = did % 6
-            e = "<" if variant in (0, 2, 4) else ">"
+            variant = did % 7
+            e = "<" if variant in (0, 2, 4, 5, 6) else ">"
             photo = 0 if variant == 3 else 1
             if variant == 3:
                 data = bytes(255 - x for x in data)
@@ -3945,22 +3948,23 @@ def _md5_tiff_generator():
             elif variant == 4:
                 strips = [lzw(data)]
                 rps = 4
-            elif variant == 5:
-                # LZW + Predictor 2: each 4-byte row stores horizontal
-                # deltas mod 256 (first sample absolute)
+            elif variant in (5, 6):
+                # Predictor 2: each 4-byte row stores horizontal
+                # deltas mod 256 (first sample absolute), entropy-coded
+                # by LZW (variant 5) or a zlib Deflate stream (6)
                 rows = [data[i * 4 : (i + 1) * 4] for i in range(4)]
                 diffed = b"".join(
                     bytes([r[0]] + [(r[j] - r[j - 1]) % 256 for j in range(1, 4)])
                     for r in rows
                 )
-                strips = [lzw(diffed)]
+                strips = [lzw(diffed) if variant == 5 else zlib.compress(diffed)]
                 rps = 4
             else:
                 strips = [data]
                 rps = 4
-            comp = {2: 32773, 4: 5, 5: 5}.get(variant, 1)
+            comp = {2: 32773, 4: 5, 5: 5, 6: 8}.get(variant, 1)
             n_strips = len(strips)
-            ntags = 10 if variant == 5 else 9
+            ntags = 10 if variant in (5, 6) else 9
             ifd_off = 8
             arrays_off = ifd_off + 2 + 12 * ntags + 4
             if n_strips > 1:
@@ -3996,7 +4000,7 @@ def _md5_tiff_generator():
                 tag(279, 4, n_strips,
                     long_val(len(strips[0]) if n_strips == 1 else sc_off)),
             ]
-            if variant == 5:
+            if variant in (5, 6):
                 tags.append(tag(317, 3, 1, short_val(2)))  # Predictor 2
             out = (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
             out += struct.pack(e + "H", ntags) + b"".join(tags)
@@ -4031,19 +4035,23 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared magic dispatch, and the one where ENDIANNESS is data: each
     doc's 4×4 grayscale TIFF cycles by doc_id through II/MM byte
     order, one- and two-strip layouts (offset-addressed strip
-    arrays), PackBits AND LZW compression (MSB-first early-change
+    arrays), PackBits, LZW compression (MSB-first early-change
     codes — the variant most real scanned TIFFs use), LZW under
     Predictor 2 (horizontal differencing — the default pairing of
-    common TIFF writers, undone by a per-row cumsum mod 256), and
+    common TIFF writers, undone by a per-row cumsum mod 256),
+    Deflate (Compression 8: zlib strip streams — the remaining
+    common real-world variant, routed through the same stdlib
+    inflate the PNG path trusts) under the same predictor, and
     WhiteIsZero photometric with pre-inverted samples
     (operators/multimodal.py::_tiff_pixel_decoder
     — IFD tag walk, inline-vs-offset values, strip reassembly,
     PackBits runs, predictor reversal, photometric normalization).
-    All six variants decode to the SAME md5 pixel bytes, so the
+    All seven variants decode to the SAME md5 pixel bytes, so the
     single md5 oracle certifies every path bitwise; layout-sensitive
     behavior (truncation, bad magic, RGB, strip math, LZW code-width
     growth and ClearCode table resets up to 64 KB strips,
-    predictor-2 delta round trips, float-predictor rejection) is
+    predictor-2 delta round trips, plain and legacy-32946 Deflate,
+    corrupt-zlib isolation, float-predictor rejection) is
     pinned by tests/test_multimodal_codecs.py.
     """
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -4313,19 +4321,137 @@ def multimodal_audio_stft(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_stft(samples, n_fft=16, hop=8, bins=(1, 2, 3))
 
 
-def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
-    """Oracle: the triangle entry's cell-confined edge CTEs, then the
-    k-truss peel UNROLLED ``rounds`` times — per round one degree
-    orientation + wedge closure (the _triangle_sql machinery over the
-    CURRENT edge set), the triangles exploded into canonical edges,
-    per-edge support counts, and the support-≥-k−2 filter.  Every
-    round is MATERIALIZED (each references its predecessor many
-    times; DuckDB's default inlining would replan an exponentially
-    growing tree — the k-core lesson).  Peeling is monotone, so past
-    the fixpoint each unrolled round is the identity and the final
-    round equals the true k-truss with its in-truss supports — the
-    comparison certifies the fixpoint AND that Spark's iteration
-    reached it."""
+def _audio_melbands_sql(
+    n_samples: int = 64,
+    n_fft: int = 16,
+    hop: int = 8,
+    sr: int = 8000,
+    bins: tuple[int, ...] = tuple(range(1, 8)),
+    n_bands: int = 3,
+) -> str:
+    """DuckDB reconstruction of the mel-band energies: the STFT
+    reconstruction chain (md5 PCM samples, frame-shifted twiddle
+    doubles, quantize-sum-square — the _audio_stft_sql argument,
+    restated over the melband entry's wider bin set), then ONE more
+    weighted aggregation joining the SAME Python-computed triangular
+    filterbank doubles (operators/multimodal.py::mel_band_weights —
+    dlit_sql round-trips each bit-exactly) per (doc, frame, band).
+    Any divergence in the filterbank geometry, the weight constants
+    or the final quantized sum is a value-hash mismatch."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import (
+        dlit_sql,
+        qcast_sql,
+        qint_sql,
+    )
+    from financial_data_stream_processing_engine_spark.operators.multimodal import (
+        _dft_twiddles,
+        mel_band_weights,
+    )
+
+    n_frames = (n_samples - n_fft) // hop + 1
+    m_cols = ", ".join(
+        "MD5(CAST(doc_id AS VARCHAR)) AS m0"
+        if i == 0
+        else f"MD5(CAST(doc_id AS VARCHAR) || ':{i}') AS m{i}"
+        for i in range(n_samples // 16)
+    )
+    samp = ", ".join(
+        f"struct_pack(pos := {i}, x := CAST({_hex_byte(f'm{i // 16}', i % 16)}"
+        " - 128 AS DOUBLE) / 128.0e0)"
+        for i in range(n_samples)
+    )
+    tw = ", ".join(
+        f"struct_pack(pos := {f * hop + pos}, f := {f}, k := {k},"
+        f" cosv := {dlit_sql(c)}, sinv := {dlit_sql(s)})"
+        for f in range(n_frames)
+        for (pos, k, c, s) in _dft_twiddles(n_fft, bins)
+    )
+    wt = ", ".join(
+        f"struct_pack(k := {k}, band := {band}, w := {dlit_sql(w)})"
+        for (k, band, w) in mel_band_weights(n_fft, sr, bins, n_bands)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, {m_cols} FROM documents),
+samp AS (SELECT doc_id, UNNEST([{samp}]) AS s FROM b),
+tw AS (SELECT UNNEST([{tw}]) AS w),
+agg AS (
+  SELECT doc_id AS media_id, w.f AS frame_idx, w.k AS k,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.cosv") + ")")} * 1e-09 AS re_sum,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.sinv") + ")")} * 1e-09 AS im_sum
+  FROM samp, tw WHERE s.pos = w.pos
+  GROUP BY doc_id, w.f, w.k),
+pw AS (
+  SELECT media_id, frame_idx, k,
+         re_sum * re_sum + im_sum * im_sum AS power
+  FROM agg),
+wtb AS (SELECT UNNEST([{wt}]) AS m)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(m.band AS INT) AS band,
+       {qcast_sql("SUM(" + qint_sql("pw.power * m.w") + ")")} * 1e-09 AS energy,
+       CAST(COUNT(*) AS BIGINT) AS n_bins
+FROM pw JOIN wtb ON pw.k = m.k
+GROUP BY media_id, frame_idx, m.band
+"""
+
+
+@register("multimodal_audio_melbands", sql=_audio_melbands_sql())
+def multimodal_audio_melbands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangular mel-filterbank energies over the STFT — the actual
+    audio-curation feature one aggregation downstream of the r9
+    spectrogram (speech/music discrimination, silence trimming and
+    band-limited-noise detection read banded energies, not raw bins):
+    decode each doc's 64-sample WAV through the shared RIFF walk,
+    compute the windowed DFT power at bins k=1..7 over seven
+    overlapping 16-sample frames (operators/multimodal.py::audio_stft
+    — same constant-factor frame lattice, ONE broadcast twiddle
+    table), then broadcast-join the 11-row HTK-mel triangular weight
+    table (::mel_band_weights) and aggregate ``Σ w·power`` per
+    (media, frame, band) on the 1e-9 grid (::audio_melbands).  21
+    value-dense rows per doc; still zero Python past the decode seam,
+    still one map-side-combinable shuffle per aggregation.
+
+    Oracle: full reconstruction — md5 samples, the identical
+    frame-shifted twiddle AND filterbank doubles as literals, the
+    identical quantize-sum chains (see _audio_melbands_sql)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    wavs = docs.mapInPandas(_stft_wav_generator(), schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        wavs, id_col="doc_id", payload=F.col("payload"),
+        kind="audio", mime="audio/wav",
+    )
+    samples = multimodal.decode_audio_samples(media, max_samples=64)
+    stft = multimodal.audio_stft(samples, n_fft=16, hop=8, bins=tuple(range(1, 8)))
+    return multimodal.audio_melbands(
+        stft,
+        multimodal.mel_band_weights(
+            n_fft=16, sr=8000, bins=tuple(range(1, 8)), n_bands=3
+        ),
+    )
+
+
+def _ktruss_unrolled_ctes(k: int = 3, rounds: int = 8) -> tuple[str, str]:
+    """Shared WITH-clause builder for the k-truss oracles: the
+    triangle entry's cell-confined edge CTEs, then the peel UNROLLED
+    ``rounds`` times — per round one degree orientation + wedge
+    closure (the _triangle_sql machinery over the CURRENT edge set),
+    the triangles exploded into canonical edges, per-edge support
+    counts, and the support-≥-k−2 filter.  Every round is MATERIALIZED
+    (each references its predecessor many times; DuckDB's default
+    inlining would replan an exponentially growing tree — the k-core
+    lesson).  Peeling is monotone, so past the fixpoint each unrolled
+    round is the identity and the final round equals the true k-truss
+    with its in-truss supports — the comparison certifies the fixpoint
+    AND that Spark's iteration reached it.
+
+    ``rounds=8`` is NOT arbitrary: the sf0.001/sf0.01 fixtures'
+    measured peel depth is ≤ 3 rounds (tests/test_graph.py::
+    test_ktruss_oracle_unroll_depth_covers_fixtures runs the Spark
+    peel with ``max_rounds=8`` against both fixture similarity graphs
+    and fails LOUDLY if a fixture change ever needs more), so 8 is the
+    fixpoint plus five identity rounds of headroom.  A denser future
+    fixture that trips that test must raise ``rounds`` here in step.
+
+    Returns (with_clause, final_edge_cte_name)."""
     t = k - 2
     prefix = _triangle_sql()
     prefix = prefix[: prefix.index("deg AS (")]
@@ -4362,11 +4488,47 @@ e{i} AS MATERIALIZED (
   WHERE COALESCE(s.support, 0) >= {t})"""
         )
         prev = f"e{i}"
+    return prefix + ",".join(parts), f"e{rounds}"
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
+    """Oracle: the unrolled peel (see :func:`_ktruss_unrolled_ctes`),
+    final round's surviving edges with their in-truss supports."""
+    ctes, last = _ktruss_unrolled_ctes(k, rounds)
     return (
-        prefix
-        + ",".join(parts)
+        ctes
         + f"""
-SELECT id_a, id_b, CAST(support AS BIGINT) AS support FROM e{rounds}
+SELECT id_a, id_b, CAST(support AS BIGINT) AS support FROM {last}
+"""
+    )
+
+
+def _truss_communities_sql(k: int = 3, rounds: int = 8) -> str:
+    """Oracle: the same unrolled peel, then community labels by
+    RECURSIVE transitive closure over the surviving truss edges (the
+    dedup_cluster_canonical closure pattern — tractable at oracle
+    scale; the Spark side is the linear-per-round min-label
+    propagation that survives 100 TB), min reachable id per node +
+    one member count per label."""
+    ctes, last = _ktruss_unrolled_ctes(k, rounds)
+    # the closure CTE needs the RECURSIVE keyword on the WITH that
+    # opens the whole chain (DuckDB scopes it per-statement)
+    ctes = ctes.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        ctes
+        + f""",
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM {last}
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM {last}),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT reach.node, s.dst FROM reach JOIN sym s ON s.src = reach.r),
+comp AS (SELECT node, MIN(r) AS community FROM reach GROUP BY node),
+cs AS (SELECT community, COUNT(*) AS n_members FROM comp GROUP BY community)
+SELECT c.node, c.community, CAST(cs.n_members AS BIGINT) AS n_members
+FROM comp c JOIN cs USING (community)
 """
     )
 
@@ -4387,3 +4549,27 @@ def graph_ktruss_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_stream_processing_engine_spark.operators.graph import ktruss
 
     return ktruss(_similarity_pairs(spark, sf_dir), k=3)
+
+
+@register("graph_truss_communities", sql=_truss_communities_sql(3, 8))
+def graph_truss_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-community extraction over the similarity graph — the
+    composition that closes the graph story: peel to the 3-truss
+    (every surviving edge closes a triangle inside the survivors, so
+    weak ties between communities dissolve), then label the truss's
+    connected components by iterative min-label propagation
+    (operators/graph.py::truss_communities, chaining the r9 ktruss
+    peel with the dedup family's connected_components).  Returns
+    (node, community, n_members) — which dense cluster each surviving
+    doc belongs to and how big it is, the per-doc signal a curation
+    pipeline reads to cap near-duplicate community contributions.
+
+    Oracle: the same peel unrolled past the fixpoint as MATERIALIZED
+    CTEs, then a RECURSIVE transitive closure over the surviving
+    edges (see _truss_communities_sql) — closure at oracle scale,
+    linear label propagation at corpus scale."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        truss_communities,
+    )
+
+    return truss_communities(_similarity_pairs(spark, sf_dir), k=3)

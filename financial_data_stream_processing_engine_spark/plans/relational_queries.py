@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from financial_data_stream_processing_engine_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
-from financial_data_stream_processing_engine_spark.io_utils import load_table
+from financial_data_stream_processing_engine_spark.io_utils import load_table, scratch_dir
 from financial_data_stream_processing_engine_spark.operators.asof import asof_join
 from financial_data_stream_processing_engine_spark.plans.catalog import register
 
@@ -1313,10 +1313,9 @@ def roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + source round-trip: write the events projection as
     CSV, read it back with an explicit schema; oracle = the original
     table (proves the format path is lossless for these types)."""
-    import tempfile
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
-    d = tempfile.mkdtemp(prefix="roundtrip_csv_")
+    d = scratch_dir(prefix="roundtrip_csv_")
     ev.write.mode("overwrite").option("header", "true").csv(d)
     return spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, value double"
@@ -1331,10 +1330,9 @@ SELECT event_id, user_id, ts, event_type, value FROM events
 )
 def roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON sink + source round-trip including µs timestamps."""
-    import tempfile
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
-    d = tempfile.mkdtemp(prefix="roundtrip_json_")
+    d = scratch_dir(prefix="roundtrip_json_")
     # default timestampFormat truncates to milliseconds; keep the full µs
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
     ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(d)
@@ -3087,16 +3085,15 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     and metadata.  The file-count assertions run on the driver against
     the filesystem, not the data.
     """
-    import tempfile
     from pathlib import Path
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    frag_dir = tempfile.mkdtemp(prefix="compact_in_")
+    frag_dir = scratch_dir(prefix="compact_in_")
     ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
     n_frag = len(list(Path(frag_dir).glob("part-*.parquet")))
-    compact_dir = tempfile.mkdtemp(prefix="compact_out_")
+    compact_dir = scratch_dir(prefix="compact_out_")
     spark.read.parquet(frag_dir).repartition(4).write.mode("overwrite").parquet(
         compact_dir
     )
@@ -3125,10 +3122,9 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-lived ingestion dataset depends on (columns appear over time;
     old files never rewrite).
     """
-    import tempfile
 
     ev = _t(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="schema_evo_")
+    d = scratch_dir(prefix="schema_evo_")
     v1 = ev.where(F.col("event_id") % 2 == 0).select("event_id", "value")
     v2 = ev.where(F.col("event_id") % 2 == 1).select(
         "event_id", "value", F.lit("v2").alias("batch_tag")
@@ -3201,13 +3197,12 @@ def python_datasource_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     shards, rename-on-commit atomicity — then read back and proven
     lossless against the original table.  Doubles survive exactly
     because json emits the shortest round-trip repr."""
-    import tempfile
 
     from financial_data_stream_processing_engine_spark.sources.tick_datasource import register_sink
 
     register_sink(spark)
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    d = tempfile.mkdtemp(prefix="jsonl_sink_") + "/out"
+    d = scratch_dir(prefix="jsonl_sink_") + "/out"
     ev.write.format("jsonl_dir").option("path", d).mode("append").save()
     return spark.read.schema("event_id bigint, user_id bigint, value double").json(d)
 
@@ -3341,11 +3336,10 @@ def join_bucketed_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst from broadcasting the (fixture-tiny) dimension so the
     plan exercised is the one that matters at scale.  Results are
     layout-independent, so the plain-join oracle certifies values."""
-    import tempfile
     import uuid
 
     sfx = uuid.uuid4().hex[:10]
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    base = scratch_dir(prefix="bucketed_")
     names = {}
     for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         tname = f"bkt_{tbl}_{sfx}"
@@ -3393,7 +3387,6 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory-derived string, so it is recast to match the source
     schema; values are layout-independent, certified by the plain
     oracle."""
-    import tempfile
 
     # always load through _t: it pins the session timezone the ts→date
     # cast below depends on, even when the partitioned copy is cached
@@ -3401,7 +3394,7 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "evt_by_type")
     d = _PART_DIRS.get(key)
     if d is None:
-        d = tempfile.mkdtemp(prefix="evt_by_type_")
+        d = scratch_dir(prefix="evt_by_type_")
         src.write.partitionBy("event_type").mode("overwrite").parquet(d)
         _PART_DIRS[key] = d
     ev = spark.read.parquet(d)

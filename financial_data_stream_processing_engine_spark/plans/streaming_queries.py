@@ -8,13 +8,11 @@ not a batch stand-in.
 """
 
 from __future__ import annotations
-
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from financial_data_stream_processing_engine_spark.io_utils import load_table
+from financial_data_stream_processing_engine_spark.io_utils import load_table, scratch_dir
 from financial_data_stream_processing_engine_spark.plans.catalog import register
 from financial_data_stream_processing_engine_spark.streaming import stateful, windows
 
@@ -46,7 +44,7 @@ def _event_tick_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts"),
             F.lit("EventsReplay").alias("source"),
         )
-        d = tempfile.mkdtemp(prefix="stream_ticks_")
+        d = scratch_dir(prefix="stream_ticks_")
         ticks.write.mode("overwrite").parquet(d)
         _TICK_DIRS[key] = d
     return spark.readStream.schema(TICK_SCHEMA).parquet(_TICK_DIRS[key])
@@ -550,12 +548,12 @@ def streaming_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = load_table(spark, sf_dir, "embeddings")
     centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
-    idx_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    idx_dir = scratch_dir(prefix="ivf_index_")
     similarity.save_ivf_index(embs, centroids, idx_dir, vec_col="embedding")
     corpus, cent = similarity.load_ivf_index(spark, idx_dir)
 
-    qdir = tempfile.mkdtemp(prefix="stream_queries_")
-    out_dir = tempfile.mkdtemp(prefix="stream_ann_out_") + "/out"
+    qdir = scratch_dir(prefix="stream_queries_")
+    out_dir = scratch_dir(prefix="stream_ann_out_") + "/out"
     (
         embs.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -655,7 +653,7 @@ def streaming_ivm_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ship the change feed as 3 key-sliced files → 3 real micro-batches
-    feed_dir = tempfile.mkdtemp(prefix="cdc_feed_")
+    feed_dir = scratch_dir(prefix="cdc_feed_")
     for i in range(3):
         (
             diff.filter(F.col("o_orderkey") % 3 == i)
@@ -665,7 +663,7 @@ def streaming_ivm_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # materialize the OLD aggregate as state version 0
-    state_dir = tempfile.mkdtemp(prefix="ivm_state_")
+    state_dir = scratch_dir(prefix="ivm_state_")
     old_agg = o.groupBy("o_orderstatus").agg(
         F.sum(F.col("o_totalprice").cast("decimal(27,7)")).alias("_dec_sum"),
         F.count(F.lit(1)).alias("n"),
@@ -757,7 +755,7 @@ def streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("ts"),
         F.lit("EventsReplay").alias("source"),
     )
-    feed = tempfile.mkdtemp(prefix="session_feed_")
+    feed = scratch_dir(prefix="session_feed_")
     ticks.write.mode("append").parquet(feed)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
@@ -895,7 +893,7 @@ def streaming_quantiles_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_stream_processing_engine_spark.operators import sketch
 
     o = load_table(spark, sf_dir, "orders").select("o_totalprice")
-    d = tempfile.mkdtemp(prefix="stream_orders_")
+    d = scratch_dir(prefix="stream_orders_")
     o.write.mode("overwrite").parquet(d)
     ostream = spark.readStream.schema("o_totalprice double").parquet(d)
     # the identical quantization hdr_quantile_report documents
@@ -1043,7 +1041,7 @@ def streaming_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit, so the metric AND the aggregate are both
     engine-certified."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
-    feed = tempfile.mkdtemp(prefix="late_feed_")
+    feed = scratch_dir(prefix="late_feed_")
     ev.filter(F.col("event_id") % 3 != 0).write.mode("append").parquet(feed)
 
     stream = (
@@ -1145,14 +1143,14 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ship the event log as 3 event_id-sliced files → 3 real
     # micro-batches whose users overlap across batches
-    feed_dir = tempfile.mkdtemp(prefix="funnel_feed_")
+    feed_dir = scratch_dir(prefix="funnel_feed_")
     for i in range(3):
         ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
             "append"
         ).parquet(feed_dir)
 
-    ev_state = tempfile.mkdtemp(prefix="funnel_events_")
-    anchor_dir = tempfile.mkdtemp(prefix="funnel_anchors_")
+    ev_state = scratch_dir(prefix="funnel_events_")
+    anchor_dir = scratch_dir(prefix="funnel_anchors_")
     _funnel_anchors(ev.limit(0)).write.mode("overwrite").parquet(f"{anchor_dir}/v0")
     state = {"version": 0}
 
@@ -1228,13 +1226,13 @@ def streaming_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.localCheckpoint() for df in bigram_lm_counts(ref)
     )
 
-    feed_dir = tempfile.mkdtemp(prefix="lm_gate_feed_")
+    feed_dir = scratch_dir(prefix="lm_gate_feed_")
     for i in range(3):
         docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "append"
         ).parquet(feed_dir)
 
-    out_dir = tempfile.mkdtemp(prefix="lm_gate_scores_")
+    out_dir = scratch_dir(prefix="lm_gate_scores_")
 
     def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
         scored = with_lm_score(batch_df, pair_counts, context_counts, vocab)
@@ -1299,13 +1297,13 @@ def streaming_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     word_counts, totals = (df.localCheckpoint() for df in nb_train(docs))
 
-    feed_dir = tempfile.mkdtemp(prefix="nb_gate_feed_")
+    feed_dir = scratch_dir(prefix="nb_gate_feed_")
     for i in range(3):
         docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "append"
         ).parquet(feed_dir)
 
-    out_dir = tempfile.mkdtemp(prefix="nb_gate_scores_")
+    out_dir = scratch_dir(prefix="nb_gate_scores_")
 
     def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
         scored = nb_score(batch_df, word_counts, totals)

@@ -167,3 +167,49 @@ def test_ktruss_accepts_non_canonical_edge_orientation(spark):
     df = spark.createDataFrame(reversed_tri, "id_a long, id_b long")
     got = {(r["id_a"], r["id_b"]): r["support"] for r in ktruss(df, k=3).collect()}
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_truss_communities_handcrafted(spark):
+    """Two 3-truss communities bridged by a single weak edge: the
+    bridge closes no triangle inside the survivors, so the peel cuts
+    it and the components split exactly at the community boundary —
+    each labeled by its min node id, with its member count."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        truss_communities,
+    )
+
+    tri_a = [(1, 2), (1, 3), (2, 3)]          # community {1,2,3}
+    k4_b = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    bridge = [(3, 10)]                          # weak tie, no triangle
+    df = spark.createDataFrame(tri_a + k4_b + bridge, "id_a long, id_b long")
+    got = {r["node"]: (r["community"], r["n_members"])
+           for r in truss_communities(df, k=3).collect()}
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 4), 11: (10, 4), 12: (10, 4), 13: (10, 4),
+    }
+    # k=4: the triangle dissolves, only K4 survives as one community
+    got4 = {r["node"]: (r["community"], r["n_members"])
+            for r in truss_communities(df, k=4).collect()}
+    assert got4 == {10: (10, 4), 11: (10, 4), 12: (10, 4), 13: (10, 4)}
+
+
+def test_ktruss_oracle_unroll_depth_covers_fixtures(spark, sf_dir):
+    """The DuckDB k-truss/communities oracles unroll the peel a FIXED
+    8 rounds (plans/llm_queries.py::_ktruss_unrolled_ctes) and rely on
+    rounds past the fixpoint being the identity — sound only if the
+    fixture graphs' peel depth is ≤ 8.  Run the Spark peel with
+    max_rounds=8 against both fixture similarity graphs: a denser
+    future fixture needing more rounds raises here LOUDLY, flagging
+    the unroll constant before the driver sees a confusing mismatch
+    (ADVICE r9 #1)."""
+    from financial_data_stream_processing_engine_spark.operators.graph import ktruss
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _similarity_pairs,
+    )
+
+    # sf0.001 (the pytest fixture dir); sf0.01 (the driver correctness
+    # scale) is covered by tools/verify_local.py's oracle comparison,
+    # which would itself fail loudly on a fixpoint-not-reached mismatch
+    pairs = _similarity_pairs(spark, sf_dir)
+    ktruss(pairs, k=3, max_rounds=8)  # raises if the peel needs > 8

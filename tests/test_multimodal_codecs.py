@@ -1746,6 +1746,76 @@ def test_audio_stft_random_geometries_match_numpy(spark):
                 assert got[(f, k)][1] == pytest.approx(im, abs=2e-8), (n_fft, hop, n, f, k)
 
 
+def test_mel_band_weights_geometry(spark):
+    """Filterbank shape laws: weights in (0, 1], every band captures
+    ≥1 bin, each band's weights rise to the apex then fall (triangle),
+    and an over-split filterbank (some band catching no bin) fails
+    LOUDLY instead of silently dropping output rows."""
+    import pytest as _pytest
+
+    w = multimodal.mel_band_weights(n_fft=16, sr=8000, bins=tuple(range(1, 8)), n_bands=3)
+    assert all(0.0 < x <= 1.0 for _, _, x in w)
+    bands = {}
+    for k, b, x in w:
+        bands.setdefault(b, []).append((k, x))
+    assert set(bands) == {0, 1, 2}
+    for b, rows in bands.items():
+        xs = [x for _, x in sorted(rows)]
+        apex = xs.index(max(xs))
+        assert xs[: apex + 1] == sorted(xs[: apex + 1]), b
+        assert xs[apex:] == sorted(xs[apex:], reverse=True), b
+    # mel apexes skew low: band 0 must sit on lower bins than band 2
+    assert min(k for k, _ in bands[0]) < min(k for k, _ in bands[2])
+    with _pytest.raises(ValueError, match="capture"):
+        multimodal.mel_band_weights(n_fft=16, sr=8000, bins=(1, 2), n_bands=8)
+    with _pytest.raises(ValueError, match="band spec"):
+        multimodal.mel_band_weights(n_fft=16, sr=8000, n_bands=0)
+
+
+def test_audio_melbands_matches_numpy(spark):
+    """Band energies must equal the numpy weighted sum of per-frame
+    DFT powers under the same filterbank, per (media, frame, band)."""
+    rng_l = np.random.default_rng(47)
+    bins = tuple(range(1, 8))
+    weights = multimodal.mel_band_weights(n_fft=16, sr=8000, bins=bins, n_bands=3)
+    payloads = [bytes(rng_l.integers(0, 256, 64, dtype=np.uint8)) for _ in range(3)]
+    sdf = _samples_df(spark, [_make_pcm8_wav(p) for p in payloads], max_samples=64)
+    stft = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=bins)
+    out = multimodal.audio_melbands(stft, weights)
+    got = {(r["media_id"], r["frame_idx"], r["band"]): r for r in out.collect()}
+    n_frames = (64 - 16) // 8 + 1
+    assert len(got) == 3 * n_frames * 3
+    idx = np.arange(16)
+    by_band = {}
+    for k, b, x in weights:
+        by_band.setdefault(b, []).append((k, x))
+    for mid, p in enumerate(payloads):
+        x = (np.frombuffer(p, np.uint8).astype(np.float64) - 128.0) / 128.0
+        for f in range(n_frames):
+            seg = x[f * 8 : f * 8 + 16]
+            pw = {
+                k: float(np.sum(seg * np.cos(2 * np.pi * k * idx / 16))) ** 2
+                + float(np.sum(seg * np.sin(2 * np.pi * k * idx / 16))) ** 2
+                for k in bins
+            }
+            for b, rows in by_band.items():
+                want = sum(w * pw[k] for k, w in rows)
+                r = got[(mid, f, b)]
+                assert r["energy"] == pytest.approx(want, abs=1e-5), (mid, f, b)
+                assert r["n_bins"] == len(rows), (mid, f, b)
+
+
+def test_audio_melbands_rejects_duplicate_weight_rows(spark):
+    """A duplicated (k, band) weight row would silently double that
+    bin's contribution through the join — must raise."""
+    import pytest as _pytest
+
+    sdf = _samples_df(spark, [_make_pcm8_wav(bytes(range(16)))], max_samples=16)
+    stft = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=(1,))
+    with _pytest.raises(ValueError, match="duplicate"):
+        multimodal.audio_melbands(stft, [(1, 0, 0.5), (1, 0, 0.25)])
+
+
 def _make_tiff(px, endian="<", packbits=False, photo=None, rows_per_strip=None):
     """Hand-built TIFF writer (both endians, strips, PackBits)."""
     h, w = px.shape[:2]
@@ -2087,8 +2157,8 @@ def test_tiff_predictor2_two_strip_rows_reset(spark):
 
 def test_tiff_predictor_scope(spark):
     """Predictor 1 (none) is fine, float predictor 3 stays rejected,
-    and predictor 2 paired with anything but LZW is rejected rather
-    than silently mis-decoded."""
+    and predictor 2 paired with anything but LZW/Deflate is rejected
+    rather than silently mis-decoded."""
     decode = multimodal._tiff_pixel_decoder()
     data = bytes(range(16))
     assert decode(_make_tiff_lzw(data, 16, 1)) is not None
@@ -2102,3 +2172,95 @@ def test_tiff_predictor_scope(spark):
     rep = struct.pack("<HHIHH", 259, 3, 1, 1, 0)
     assert t.count(pat) == 1
     assert decode(t.replace(pat, rep)) is None
+
+
+def _make_tiff_strip(strip: bytes, w: int, h: int, comp: int,
+                     predictor: int | None = None) -> bytes:
+    """Single-strip grayscale TIFF around an already-encoded strip —
+    the _make_tiff_lzw layout with the Compression code a parameter."""
+    e = "<"
+    ntags = 9 + (1 if predictor is not None else 0)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * ntags + 4
+
+    def sv(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def lv(v):
+        return struct.pack(e + "I", v)
+
+    def tag(t, typ, cnt, val):
+        return struct.pack(e + "HHI", t, typ, cnt) + val
+
+    tags = [
+        tag(256, 3, 1, sv(w)), tag(257, 3, 1, sv(h)), tag(258, 3, 1, sv(8)),
+        tag(259, 3, 1, sv(comp)), tag(262, 3, 1, sv(1)),
+        tag(273, 4, 1, lv(data_off)), tag(277, 3, 1, sv(1)),
+        tag(278, 3, 1, sv(h)), tag(279, 4, 1, lv(len(strip))),
+    ]
+    if predictor is not None:
+        tags.append(tag(317, 3, 1, sv(predictor)))
+        tags.sort(key=lambda t: struct.unpack(e + "H", t[:2])[0])
+    return (
+        b"II" + struct.pack(e + "HI", 42, ifd_off)
+        + struct.pack(e + "H", ntags) + b"".join(tags)
+        + struct.pack(e + "I", 0) + strip
+    )
+
+
+def test_tiff_deflate_roundtrip(spark):
+    """Compression 8 (Adobe Deflate) and the legacy pre-standard code
+    32946: zlib strip streams round trip exactly, plain and under
+    Predictor 2; a corrupt zlib stream isolates to None."""
+    import zlib
+
+    decode = multimodal._tiff_pixel_decoder()
+    rng = np.random.default_rng(11)
+    for w, h in ((16, 1), (4, 4), (7, 5), (16, 64)):
+        data = bytes(rng.integers(0, 256, w * h, dtype=np.uint8))
+        for comp in (8, 32946):
+            dec = decode(_make_tiff_strip(zlib.compress(data), w, h, comp))
+            assert dec is not None, (w, h, comp)
+            assert dec[0].astype(np.uint8).tobytes() == data, (w, h, comp)
+        # predictor 2 under deflate: per-row mod-256 deltas cumsum back
+        rows = [data[r * w : (r + 1) * w] for r in range(h)]
+        diffed = b"".join(
+            bytes([r[0]] + [(r[j] - r[j - 1]) % 256 for j in range(1, w)])
+            for r in rows
+        )
+        dec = decode(_make_tiff_strip(zlib.compress(diffed), w, h, 8, predictor=2))
+        assert dec is not None, (w, h)
+        assert dec[0].astype(np.uint8).tobytes() == data, (w, h)
+    # corrupt zlib stream → None (per-row isolation), never an exception
+    good = zlib.compress(bytes(range(16)))
+    assert decode(_make_tiff_strip(good[:-3] + b"\x00\x00\x00", 16, 1, 8)) is None
+    assert decode(_make_tiff_strip(b"\xff" * 20, 16, 1, 8)) is None
+    # truncated inflate output (valid stream, too few bytes) → None
+    assert decode(_make_tiff_strip(zlib.compress(bytes(8)), 16, 1, 8)) is None
+
+
+def test_tiff_fixture_variant_deflate_matches_md5(spark):
+    """The catalog generator's variant 6 (Deflate + Predictor 2) must
+    decode to the md5 pixel bytes like every other variant — the
+    single-oracle contract of multimodal_tiff_roundtrip."""
+    import hashlib
+
+    import pandas as pd
+
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _md5_tiff_generator,
+    )
+
+    gen = _md5_tiff_generator()
+    decode = multimodal._tiff_pixel_decoder()
+    # doc_ids 0..13 cover every variant twice
+    pdf = pd.DataFrame({"doc_id": list(range(14))})
+    (out,) = list(gen([pdf]))
+    for did, payload in zip(out["doc_id"], out["payload"]):
+        dec = decode(payload)
+        assert dec is not None, did
+        px, nch = dec
+        assert nch == 1 and px.shape == (4, 4, 1), did
+        assert px.astype(np.uint8).tobytes() == hashlib.md5(
+            str(did).encode()
+        ).digest(), did

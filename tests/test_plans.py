@@ -307,3 +307,50 @@ def test_binned_proximity_equals_brute_force(spark):
         df, ts_micros_col="us", id_col="event_id", radius_micros=500
     ).count()
     assert n_rows == len(want)
+
+
+def test_ktruss_sql_refactor_identical():
+    """The r10 refactor that extracted _ktruss_unrolled_ctes (shared
+    with the truss-communities oracle) must keep graph_ktruss_similarity's
+    oracle BYTE-IDENTICAL to its r9 text — that identity is the
+    documented window-yield argument for not re-earning the entry's
+    driver row.  The pinned digest is sha256 of the r9 oracle string
+    (verified equal against the pre-refactor HEAD at extraction time);
+    an INTENTIONAL oracle change must update both the digest and the
+    entry's place in the rotation window."""
+    import hashlib
+
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _ktruss_sql,
+    )
+
+    got = hashlib.sha256(_ktruss_sql(3, 8).encode()).hexdigest()
+    assert got == "6694ba0edfd2168c0befe7ee101bc7ac92582c1d62456e0f8377a2f2d460ae64"
+
+
+def test_melbands_plan_two_broadcasts_two_shuffles(spark, sf_dir, queries):
+    """Mel bands = the STFT plan + ONE broadcast filterbank join + ONE
+    more keyed aggregation: exactly two broadcast joins (twiddles,
+    weights) and exactly two hash exchanges ((media,frame,bin) then
+    (media,frame,band)).  A shuffle join on either constant table or a
+    third exchange is a scale regression."""
+    plan = plan_of(queries, "multimodal_audio_melbands", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_catalog_priority_names_must_exist():
+    """A typo in the hand-maintained _PRIORITY rotation list would
+    silently demote an entry out of the driver's 50-slot window —
+    load_all must refuse unknown names loudly (ADVICE r9 #3)."""
+    catalog.load_all()
+    bogus = "no_such_entry_xyz"
+    catalog._PRIORITY.append(bogus)
+    try:
+        with pytest.raises(AssertionError, match=bogus):
+            catalog.load_all()
+    finally:
+        catalog._PRIORITY.remove(bogus)
+    catalog.load_all()  # restored list loads clean
