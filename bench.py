@@ -131,10 +131,14 @@ HEADLINE = [
     "graph_ktruss_similarity",
     "streaming_nb_gate",
     # round-10 additions: the broadcast filterbank aggregation over
-    # the STFT, and the truss peel chained into min-label community
-    # propagation
+    # the STFT, the truss peel chained into min-label community
+    # propagation, the per-batch additive NB model merge with
+    # dual-model staleness scoring, and the modularity aggregation
+    # over the truss partition
     "multimodal_audio_melbands",
     "graph_truss_communities",
+    "streaming_nb_model_cdc",
+    "graph_truss_modularity",
 ]
 
 

@@ -381,3 +381,80 @@ def truss_communities(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
     return comp.join(sizes, ["community"]).select("node", "community", "n_members")
+
+
+def partition_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-community Newman modularity contributions of a node
+    partition over an undirected simple graph — THE standard
+    community-quality score: ``q_c = e_c/m − (d_c/(2m))²`` with ``m``
+    the graph's edge count, ``e_c`` the community's intra edges and
+    ``d_c`` its members' degree sum; ``Q = Σ_c q_c``.  Nodes without a
+    row in ``labels(node, community)`` are their own singleton
+    community (``e_c = 0``) — the convention that makes Q compare
+    across partitions covering different node subsets (e.g. truss
+    communities, which label only truss survivors).
+
+    Plan shape: degrees by one map-side-combinable count, labels
+    attached to the edge list by two node-keyed joins (the labels
+    frame is node-sized — AQE broadcasts it when small, shuffles when
+    not), per-community aggregation, and the exact 1-row ``m`` frame
+    cross-joined.  Everything linear in \\|E\\|.
+
+    Exactness: every aggregate is an exact BIGINT; ``q_contrib`` is
+    three IEEE ops on exactly-representable integers (two divisions,
+    one multiply, one subtract in a fixed shape) — bit-identical in
+    any engine stating the same expression.
+
+    Returns (community, n_members, is_labeled, intra_edges,
+    degree_sum, q_contrib), ``is_labeled`` false exactly for the
+    singleton rows."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    touch = e.select(F.col("a").alias("node")).unionByName(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = touch.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    lab = deg.join(
+        labels.select("node", "community"), ["node"], "left"
+    ).select(
+        "node",
+        "__deg",
+        F.coalesce(F.col("community"), F.col("node")).alias("community"),
+        F.col("community").isNotNull().alias("__labeled"),
+    )
+    ns = lab.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.bool_or("__labeled").alias("is_labeled"),
+        F.sum("__deg").cast("long").alias("degree_sum"),
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("community").alias("__ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("community").alias("__cb"))
+    intra = (
+        e.join(la, ["a"])
+        .join(lb, ["b"])
+        .where(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__intra"))
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    half = F.col("degree_sum").cast("double") / (F.col("__m") * F.lit(2)).cast("double")
+    return (
+        ns.join(intra, ["community"], "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_members",
+            "is_labeled",
+            F.coalesce(F.col("__intra"), F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            (
+                F.coalesce(F.col("__intra"), F.lit(0)).cast("double")
+                / F.col("__m").cast("double")
+                - half * half
+            ).alias("q_contrib"),
+        )
+    )

@@ -72,15 +72,20 @@ def register(name: str, sql: str | None = None):
 _PRIORITY: list[str] = [
     # --- round-10 window (first 50 = the driver's check budget) ---
     # Freshness-cycle round (VERDICT r9 next-step #1): drain the 25
-    # remaining r4-era rows FIRST, then the 22 oldest r6-era rows, so
+    # remaining r4-era rows FIRST, then the 20 oldest r6-era rows, so
     # after this round no driver row predates r6 and the catalog
     # cycles on the standing 4-round horizon.  New entries capped at
-    # 2 (+1 changed-behavior re-earn) to keep 47 refresh slots.
+    # 4 (+1 changed-behavior re-earn) to keep 45 refresh slots.
     # new this round: triangular mel-filterbank energies over the r9
-    # STFT, and truss-confined community labels chaining the r9
-    # k-truss peel with the dedup family's connected components
+    # STFT; truss-confined community labels chaining the r9 k-truss
+    # peel with the dedup family's connected components; CDC for the
+    # NB model itself (additive per-batch count merges certified
+    # against from-scratch retrains, staleness measured per doc); and
+    # Newman modularity of the truss partition
     "multimodal_audio_melbands",
     "graph_truss_communities",
+    "streaming_nb_model_cdc",
+    "graph_truss_modularity",
     # behavior-relevant code changed this round (policy (2)): the TIFF
     # fixture gained a seventh variant (Deflate/Compression 8 under
     # Predictor 2) and the decoder the matching zlib-inflate branch —
@@ -158,11 +163,12 @@ _PRIORITY: list[str] = [
     "streaming_session_timeout_flush",
     "streaming_distinct_hll",
     "streaming_static_enrich",
+    # --- driver check window boundary (first 50 above) ---
+    # queued FIRST for round 11: the 30 remaining r6-era rows (the two
+    # yielded to this round's extra new entries lead) — after those,
+    # every row sits on r7+ and the 4-round horizon is steady
     "streaming_quantiles_hdr",
     "streaming_pattern_match_topk",
-    # --- driver check window boundary (first 50 above) ---
-    # queued FIRST for round 11: the 28 remaining r6-era rows — after
-    # those, every row sits on r7+ and the 4-round horizon is steady
     "rollup_returnflag_status",
     "cube_status_priority",
     "grouping_sets_events",

@@ -4573,3 +4573,83 @@ def graph_truss_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return truss_communities(_similarity_pairs(spark, sf_dir), k=3)
+
+
+def _truss_modularity_sql(k: int = 3, rounds: int = 8) -> str:
+    """Oracle: the unrolled peel + the communities entry's RECURSIVE
+    closure, then Newman's per-community modularity arithmetic over
+    the ORIGINAL pairs relation — all aggregates exact BIGINTs, the
+    final ``q_c = e_c/m − (d_c/2m)²`` stated in the same fixed IEEE
+    shape as the Spark expression (two divisions, one multiply, one
+    subtract — bit-identical on exactly-representable counts)."""
+    ctes, last = _ktruss_unrolled_ctes(k, rounds)
+    ctes = ctes.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        ctes
+        + f""",
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM {last}
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM {last}),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT reach.node, s.dst FROM reach JOIN sym s ON s.src = reach.r),
+comp AS (SELECT node, MIN(r) AS community FROM reach GROUP BY node),
+degn AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs)
+  GROUP BY node),
+lab AS (
+  SELECT d.node, d.deg, COALESCE(c.community, d.node) AS community,
+         c.community IS NOT NULL AS labeled
+  FROM degn d LEFT JOIN comp c ON c.node = d.node),
+mm AS (SELECT COUNT(*) AS m FROM pairs),
+ns AS (
+  SELECT community, COUNT(*) AS n_members, BOOL_OR(labeled) AS is_labeled,
+         SUM(deg) AS degree_sum
+  FROM lab GROUP BY community),
+ie AS (
+  SELECT la.community, COUNT(*) AS intra
+  FROM pairs p
+  JOIN lab la ON la.node = p.id_a
+  JOIN lab lb ON lb.node = p.id_b
+  WHERE la.community = lb.community
+  GROUP BY la.community)
+SELECT ns.community, CAST(ns.n_members AS BIGINT) AS n_members,
+       ns.is_labeled,
+       CAST(COALESCE(ie.intra, 0) AS BIGINT) AS intra_edges,
+       CAST(ns.degree_sum AS BIGINT) AS degree_sum,
+       CAST(COALESCE(ie.intra, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+       - (CAST(ns.degree_sum AS DOUBLE) / CAST(mm.m * 2 AS DOUBLE))
+         * (CAST(ns.degree_sum AS DOUBLE) / CAST(mm.m * 2 AS DOUBLE)) AS q_contrib
+FROM ns LEFT JOIN ie USING (community) CROSS JOIN mm
+"""
+    )
+
+
+@register("graph_truss_modularity", sql=_truss_modularity_sql(3, 8))
+def graph_truss_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the truss-community partition — the
+    community-QUALITY score that closes the loop on community
+    extraction (is the partition the truss found actually denser than
+    chance?): nodes outside the truss are singleton communities, every
+    community contributes ``q_c = e_c/m − (d_c/(2m))²`` measured over
+    the ORIGINAL similarity graph, and ``Q = Σ q_c`` is one sum away
+    (operators/graph.py::{truss_communities, partition_modularity}).
+    Per-community rows keep the result value-dense: member counts,
+    intra-edge counts, degree sums (all exact integers) and the float
+    contribution (three IEEE ops on exact counts — bit-identical
+    cross-engine).
+
+    Oracle: the shared unrolled peel + recursive closure, then the
+    identical modularity arithmetic in DuckDB (see
+    _truss_modularity_sql)."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        partition_modularity,
+        truss_communities,
+    )
+
+    pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
+    comm = truss_communities(pairs, k=3).select("node", "community")
+    return partition_modularity(pairs, comm)

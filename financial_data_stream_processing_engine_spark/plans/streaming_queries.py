@@ -1334,3 +1334,212 @@ def _borrow_nb_oracle() -> None:
 
 
 _borrow_nb_oracle()
+
+
+def _nb_model_cdc_sql() -> str:
+    """Oracle for the model-CDC gate: THREE full retrain-and-score
+    chains (one per slice s, trained on slices ≤ s excluding holdout,
+    scoring slice s's docs) plus the final-model chain scoring every
+    doc — each the `_nb_classifier_sql` arithmetic verbatim, so the
+    value gate certifies that Spark's ADDITIVE per-batch count merge
+    equals a from-scratch retrain at every model version (counts are
+    mergeable; the oracle never merges, it retrains)."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import (
+        qcast_sql,
+        qint_sql,
+    )
+
+    qsum = qcast_sql("SUM(" + qint_sql("delta") + ")") + " * 1e-09"
+    parts = []
+    for s in range(3):
+        parts.append(
+            f"""wc{s} AS (
+  SELECT t, SUM(CAST(is_pos AS BIGINT)) AS c_pos,
+         SUM(CAST(NOT is_pos AS BIGINT)) AS c_neg
+  FROM tok WHERE NOT is_holdout AND slice <= {s} GROUP BY t),
+tot{s} AS (
+  SELECT SUM(CAST(is_pos AS BIGINT)) AS tot_pos,
+         SUM(CAST(NOT is_pos AS BIGINT)) AS tot_neg,
+         COUNT(DISTINCT t) AS v_size
+  FROM tok WHERE NOT is_holdout AND slice <= {s}),
+sc{s} AS (
+  SELECT tok.doc_id,
+         CASE WHEN wc{s}.c_pos IS NULL THEN 1 ELSE 0 END AS oov,
+         CAST(COALESCE(wc{s}.c_pos, 0) + 1 AS DOUBLE)
+           / CAST(tot{s}.tot_pos + tot{s}.v_size AS DOUBLE)
+         - CAST(COALESCE(wc{s}.c_neg, 0) + 1 AS DOUBLE)
+           / CAST(tot{s}.tot_neg + tot{s}.v_size AS DOUBLE) AS delta
+  FROM tok LEFT JOIN wc{s} ON tok.t = wc{s}.t CROSS JOIN tot{s}
+  WHERE tok.slice = {s}),
+per{s} AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(oov) AS n_oov,
+         {qsum} AS sum_delta
+  FROM sc{s} GROUP BY doc_id)"""
+        )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, (lang = 'en') AS is_pos, (doc_id % 5 = 0) AS is_holdout,
+         (doc_id % 3) AS slice,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents),
+tok AS (SELECT * FROM tk WHERE t <> ''),
+{",".join(parts)},
+scf AS (
+  SELECT tok.doc_id,
+         CASE WHEN wc2.c_pos IS NULL THEN 1 ELSE 0 END AS oov,
+         CAST(COALESCE(wc2.c_pos, 0) + 1 AS DOUBLE)
+           / CAST(tot2.tot_pos + tot2.v_size AS DOUBLE)
+         - CAST(COALESCE(wc2.c_neg, 0) + 1 AS DOUBLE)
+           / CAST(tot2.tot_neg + tot2.v_size AS DOUBLE) AS delta
+  FROM tok LEFT JOIN wc2 ON tok.t = wc2.t CROSS JOIN tot2),
+perf AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(oov) AS n_oov,
+         {qsum} AS sum_delta
+  FROM scf GROUP BY doc_id),
+roll AS (
+  SELECT * FROM per0 UNION ALL SELECT * FROM per1 UNION ALL SELECT * FROM per2)
+SELECT d.doc_id,
+       CAST(d.doc_id % 3 AS INT) AS model_slice,
+       CAST(COALESCE(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_oov, 0) AS BIGINT) AS n_oov_roll,
+       CAST(COALESCE(f.n_oov, 0) AS BIGINT) AS n_oov_final,
+       CAST(r.sum_delta / r.n_tokens AS DOUBLE) AS mean_delta_roll,
+       CAST(f.sum_delta / f.n_tokens AS DOUBLE) AS mean_delta_final,
+       CASE WHEN r.n_tokens IS NULL THEN 'und'
+            WHEN r.sum_delta / r.n_tokens > 0 THEN 'en'
+            ELSE 'other' END AS pred_roll,
+       CASE WHEN f.n_tokens IS NULL THEN 'und'
+            WHEN f.sum_delta / f.n_tokens > 0 THEN 'en'
+            ELSE 'other' END AS pred_final,
+       (CASE WHEN r.n_tokens IS NULL THEN 'und'
+             WHEN r.sum_delta / r.n_tokens > 0 THEN 'en'
+             ELSE 'other' END
+        <> CASE WHEN f.n_tokens IS NULL THEN 'und'
+                WHEN f.sum_delta / f.n_tokens > 0 THEN 'en'
+                ELSE 'other' END) AS pred_flipped
+FROM documents d
+LEFT JOIN roll r ON d.doc_id = r.doc_id
+LEFT JOIN perf f ON d.doc_id = f.doc_id
+"""
+
+
+@register("streaming_nb_model_cdc", sql=_nb_model_cdc_sql())
+def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC for the MODEL ITSELF — the retrain half of the
+    `streaming_nb_gate` story: NB word counts are additively
+    mergeable, so the model is maintained INCREMENTALLY per
+    micro-batch (each batch's token counts merge into a versioned
+    vocabulary-sized state by one groupBy-sum; totals and v_size
+    derive from the merged relation — tot_pos/tot_neg as column sums,
+    v_size as its row count), and every batch's docs are scored TWICE:
+    under the rolling model as of their arrival, and under the final
+    model — the per-doc deltas measure classifier STALENESS (slice 2's
+    rolling model IS the final model, so its staleness is identically
+    zero, a self-check the oracle enforces).
+
+    Batch boundaries are content-derived (doc_id % 3, one slice per
+    file via maxFilesPerTrigger=1, file mtimes staggered so the file
+    source's timestamp order is deterministic) and the closure asserts
+    slices arrive in order — an out-of-order batch raises loudly
+    rather than silently merging the wrong model version.
+
+    At 100 TB this is the honest retrain cadence: per-batch cost is
+    O(|batch tokens| + |vocabulary|) — the merge touches the
+    model-sized state only, NEVER the accumulated corpus (the oracle
+    retrains from scratch at every version precisely to certify the
+    merge's equivalence; see _nb_model_cdc_sql)."""
+    import os
+    import time
+
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    final_wc, final_tot = (df.localCheckpoint() for df in nb_train(docs))
+
+    feed_dir = scratch_dir(prefix="nb_cdc_feed_")
+    t0 = time.time() - 100
+    stamped: set[str] = set()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+        # stagger mtimes so the file source's oldest-first order is the
+        # slice order even on coarse-mtime filesystems: stamp each
+        # slice's (new) files once, strictly increasing per slice
+        for f in os.listdir(feed_dir):
+            p = os.path.join(feed_dir, f)
+            if f.endswith(".parquet") and p not in stamped:
+                os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                stamped.add(p)
+
+    state_dir = scratch_dir(prefix="nb_cdc_model_")
+    out_dir = scratch_dir(prefix="nb_cdc_scores_")
+    expected = [0]
+
+    def merge_and_score(batch_df: DataFrame, epoch_id: int) -> None:
+        slices = [
+            r[0]
+            for r in batch_df.select((F.col("doc_id") % 3).alias("s")).distinct().collect()
+        ]
+        if not slices:
+            return
+        if len(slices) != 1 or slices[0] != expected[0]:
+            # a multi-slice batch or out-of-order arrival would merge
+            # the wrong model version — fail loudly, never score stale
+            raise RuntimeError(
+                f"expected slice {expected[0]} alone, got {sorted(slices)}"
+            )
+        sl = expected[0]
+        # additive maintenance: batch counts merge into the model state
+        batch_counts, _ = nb_train(batch_df)
+        if sl == 0:
+            merged = batch_counts
+        else:
+            prev = spark.read.parquet(f"{state_dir}/v{sl - 1}")
+            merged = (
+                prev.unionByName(batch_counts)
+                .groupBy("t")
+                .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
+            )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{sl}")
+        model = spark.read.parquet(f"{state_dir}/v{sl}")
+        totals = model.agg(
+            F.sum("c_pos").alias("tot_pos"),
+            F.sum("c_neg").alias("tot_neg"),
+            F.count(F.lit(1)).alias("v_size"),
+        )
+        roll = nb_score(batch_df, model, totals).select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_oov_tokens").alias("n_oov_roll"),
+            F.col("mean_delta").alias("mean_delta_roll"),
+            F.col("nb_pred").alias("pred_roll"),
+        )
+        fin = nb_score(batch_df, final_wc, final_tot).select(
+            "doc_id",
+            F.col("n_oov_tokens").alias("n_oov_final"),
+            F.col("mean_delta").alias("mean_delta_final"),
+            F.col("nb_pred").alias("pred_final"),
+        )
+        out = (
+            roll.join(fin, "doc_id")
+            .withColumn("model_slice", F.lit(sl).cast("int"))
+            .withColumn(
+                "pred_flipped", F.col("pred_roll") != F.col("pred_final")
+            )
+        )
+        out.write.mode("append").parquet(f"{out_dir}/data")
+        expected[0] += 1
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = feed.writeStream.foreachBatch(merge_and_score).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{out_dir}/data")

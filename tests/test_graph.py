@@ -1,6 +1,8 @@
 """Graph-operator unit tests (pagerank has oracle + star/stability
 tests elsewhere; this file pins triangle counting on known graphs)."""
 
+import pytest
+
 
 def test_triangle_count_known_graphs(spark):
     from financial_data_stream_processing_engine_spark.operators.graph import triangle_count
@@ -213,3 +215,71 @@ def test_ktruss_oracle_unroll_depth_covers_fixtures(spark, sf_dir):
     # which would itself fail loudly on a fixpoint-not-reached mismatch
     pairs = _similarity_pairs(spark, sf_dir)
     ktruss(pairs, k=3, max_rounds=8)  # raises if the peel needs > 8
+
+
+def test_partition_modularity_handcrafted(spark):
+    """Modularity arithmetic on a hand-checked graph: triangle {1,2,3}
+    + K4 {10..13} + bridge (3,10) + an isolated pair (20,21) whose
+    endpoints stay singletons (the pair closes no triangle, so the
+    truss labels neither; its edge is INTER-community by the singleton
+    convention).  m = 11; every count and each q_c checked exactly."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        partition_modularity,
+        truss_communities,
+    )
+
+    edges = (
+        [(1, 2), (1, 3), (2, 3)]
+        + [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+        + [(3, 10), (20, 21)]
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = truss_communities(df, k=3).select("node", "community")
+    got = {r["community"]: r for r in partition_modularity(df, labels).collect()}
+    m = 11.0
+    # community 1 = {1,2,3}: 3 intra edges, degrees 2+2+3 (node 3 has
+    # the bridge) = 7; community 10 = {10..13}: 6 intra, degrees
+    # 4+3+3+3 = 13; singletons 20, 21: 0 intra, degree 1 each
+    assert set(got) == {1, 10, 20, 21}
+    c1, c10 = got[1], got[10]
+    assert (c1["n_members"], c1["intra_edges"], c1["degree_sum"], c1["is_labeled"]) == (3, 3, 7, True)
+    assert (c10["n_members"], c10["intra_edges"], c10["degree_sum"], c10["is_labeled"]) == (4, 6, 13, True)
+    for s in (20, 21):
+        r = got[s]
+        assert (r["n_members"], r["intra_edges"], r["degree_sum"], r["is_labeled"]) == (1, 0, 1, False)
+        assert r["q_contrib"] == 0.0 / m - (1.0 / (2 * m)) ** 2
+    assert c1["q_contrib"] == 3.0 / m - (7.0 / (2 * m)) ** 2
+    assert c10["q_contrib"] == 6.0 / m - (13.0 / (2 * m)) ** 2
+    # the partition's Q: sum of contributions, positive (denser than chance)
+    q = sum(r["q_contrib"] for r in got.values())
+    assert q == pytest.approx(
+        3 / m - (7 / (2 * m)) ** 2 + 6 / m - (13 / (2 * m)) ** 2 - 2 * (1 / (2 * m)) ** 2
+    )
+    assert q > 0.3
+
+
+def test_partition_modularity_perfect_and_null_partitions(spark):
+    """Law checks: two disjoint cliques labeled by their components
+    give the textbook Q = 1 − Σ(d_c/2m)²; putting EVERY node in ONE
+    community gives Q = 0 exactly (e_c/m = 1, (d_c/2m)² = 1)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        partition_modularity,
+    )
+
+    tri_a = [(0, 1), (1, 2), (0, 2)]
+    tri_b = [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(tri_a + tri_b, "id_a long, id_b long")
+    labels = spark.createDataFrame(
+        [(n, 0) for n in (0, 1, 2)] + [(n, 10) for n in (10, 11, 12)],
+        "node long, community long",
+    )
+    rows = partition_modularity(df, labels).collect()
+    q = sum(r["q_contrib"] for r in rows)
+    assert q == pytest.approx(1 - 2 * (6 / 12) ** 2)  # = 0.5
+    one = spark.createDataFrame(
+        [(n, 0) for n in (0, 1, 2, 10, 11, 12)], "node long, community long"
+    )
+    rows1 = partition_modularity(df, one).collect()
+    assert len(rows1) == 1 and rows1[0]["q_contrib"] == 0.0

@@ -344,3 +344,58 @@ def test_streaming_nb_gate_equals_batch_classifier(spark):
     s = sorted(map(tuple, streamed.select(*cols).collect()))
     b = sorted(map(tuple, batch.select(*cols).collect()))
     assert s == b and len(s) == 500
+
+
+def test_streaming_nb_model_cdc_merge_equals_retrain(spark):
+    """The model-CDC gate's ADDITIVE per-batch count merge must equal
+    a from-scratch retrain at every model version: rebuild each
+    slice's rolling scores batch-side (train on slices ≤ s, score
+    slice s) plus the final-model scores, and compare the streamed
+    frame EXACTLY.  Slice 2's rolling model IS the final model, so its
+    staleness columns must agree identically."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        nb_score,
+        nb_train,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = entrymod.queries()["streaming_nb_model_cdc"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    fwc, ftot = nb_train(docs)
+    want = []
+    for s in range(3):
+        seen = docs.filter(F.col("doc_id") % 3 <= s)
+        batch = docs.filter(F.col("doc_id") % 3 == s)
+        wc, tot = nb_train(seen)
+        roll = {
+            r["doc_id"]: r for r in nb_score(batch, wc, tot).collect()
+        }
+        fin = {r["doc_id"]: r for r in nb_score(batch, fwc, ftot).collect()}
+        for did, r in roll.items():
+            f = fin[did]
+            want.append(
+                (
+                    did, s, r["n_tokens"], r["n_oov_tokens"], f["n_oov_tokens"],
+                    r["mean_delta"], f["mean_delta"], r["nb_pred"], f["nb_pred"],
+                    r["nb_pred"] != f["nb_pred"],
+                )
+            )
+    cols = [
+        "doc_id", "model_slice", "n_tokens", "n_oov_roll", "n_oov_final",
+        "mean_delta_roll", "mean_delta_final", "pred_roll", "pred_final",
+        "pred_flipped",
+    ]
+    got = sorted(map(tuple, streamed.select(*cols).collect()))
+    assert got == sorted(want) and len(got) == 500
+    # slice 2's rolling model is the final model: staleness ≡ 0 there,
+    # and earlier slices can only have MORE OOV under the smaller vocab
+    for row in streamed.collect():
+        if row["model_slice"] == 2:
+            assert row["mean_delta_roll"] == row["mean_delta_final"]
+            assert row["n_oov_roll"] == row["n_oov_final"]
+            assert not row["pred_flipped"]
+        assert row["n_oov_roll"] >= row["n_oov_final"]
