@@ -283,3 +283,68 @@ def test_partition_modularity_perfect_and_null_partitions(spark):
     )
     rows1 = partition_modularity(df, one).collect()
     assert len(rows1) == 1 and rows1[0]["q_contrib"] == 0.0
+
+
+def test_partition_modularity_random_sweep_matches_reference(spark):
+    """Randomized sweep: on random graphs with random partial
+    partitions (some nodes deliberately unlabeled → singletons), every
+    per-community row must match a pure-Python reference BITWISE —
+    same counts, same fixed-shape IEEE arithmetic."""
+    import random as _random
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        partition_modularity,
+    )
+
+    rng = _random.Random(73)
+    for trial in range(5):
+        n = rng.randint(6, 18)
+        nodes = list(range(n))
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for _ in range(rng.randint(n, 3 * n))
+                for a, b in [rng.sample(nodes, 2)]
+            }
+        )
+        n_comm = rng.randint(1, 4)
+        labeled = {
+            v: rng.randrange(n_comm) for v in nodes if rng.random() < 0.7
+        }
+        touched = sorted({v for e in edges for v in e})
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        lab_rows = [(v, c) for v, c in labeled.items()]
+        labels = spark.createDataFrame(lab_rows or [(None, None)], "node long, community long")
+        if not lab_rows:
+            labels = labels.where("node IS NOT NULL")
+        got = {
+            r["community"]: (
+                r["n_members"], r["is_labeled"], r["intra_edges"],
+                r["degree_sum"], r["q_contrib"],
+            )
+            for r in partition_modularity(df, labels).collect()
+        }
+        m = len(edges)
+        lab = {v: labeled.get(v, v) for v in touched}
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        want: dict[int, list] = {}
+        for v in touched:
+            c = lab[v]
+            w = want.setdefault(c, [0, False, 0, 0])
+            w[0] += 1
+            w[1] = w[1] or (v in labeled)
+            w[3] += deg[v]
+        for a, b in edges:
+            if lab[a] == lab[b]:
+                want[lab[a]][2] += 1
+        expect = {
+            c: (
+                nm, il, intra, ds,
+                intra / m - (ds / (2 * m)) * (ds / (2 * m)),
+            )
+            for c, (nm, il, intra, ds) in want.items()
+        }
+        assert got == expect, (trial, n, m)

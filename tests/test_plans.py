@@ -354,3 +354,13 @@ def test_catalog_priority_names_must_exist():
     finally:
         catalog._PRIORITY.remove(bogus)
     catalog.load_all()  # restored list loads clean
+
+
+def test_truss_modularity_plan_no_cartesian_on_data(spark, sf_dir, queries):
+    """The modularity joins must stay keyed: label and degree joins on
+    the node key, intra-edge counting on the edge endpoints — the only
+    nested-loop join allowed is the 1-row broadcast of the exact m
+    frame.  A data-sized CartesianProduct is a scale regression."""
+    plan = plan_of(queries, "graph_truss_modularity", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row m frame
