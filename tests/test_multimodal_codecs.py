@@ -2264,3 +2264,57 @@ def test_tiff_fixture_variant_deflate_matches_md5(spark):
         assert px.astype(np.uint8).tobytes() == hashlib.md5(
             str(did).encode()
         ).digest(), did
+
+
+def test_audio_melbands_random_geometries_match_numpy(spark):
+    """Randomized sweep over (n_fft, sr, n_bands): band energies must
+    match the numpy weighted power sums for every geometry the
+    filterbank accepts, and each triangle's captured bins must be a
+    CONTIGUOUS run (mel triangles over a linear bin grid cannot skip a
+    bin)."""
+    import random as _random
+
+    rng = _random.Random(59)
+    rng_l = np.random.default_rng(61)
+    trials = 0
+    while trials < 5:
+        n_fft = rng.choice((8, 16, 32))
+        sr = rng.choice((4000, 8000, 16000))
+        n_bands = rng.randint(2, 4)
+        bins = tuple(range(1, n_fft // 2))
+        try:
+            weights = multimodal.mel_band_weights(
+                n_fft=n_fft, sr=sr, bins=bins, n_bands=n_bands
+            )
+        except ValueError:
+            continue  # over-split filterbank for this geometry: rejected loudly
+        trials += 1
+        by_band: dict[int, list] = {}
+        for k, b, x in weights:
+            by_band.setdefault(b, []).append((k, x))
+        for b, rows in by_band.items():
+            ks = sorted(k for k, _ in rows)
+            assert ks == list(range(ks[0], ks[-1] + 1)), (n_fft, sr, n_bands, b)
+        n = n_fft * 2
+        hop = n_fft // 2
+        p = bytes(rng_l.integers(0, 256, n, dtype=np.uint8))
+        sdf = _samples_df(spark, [_make_pcm8_wav(p)], max_samples=n)
+        stft = multimodal.audio_stft(sdf, n_fft=n_fft, hop=hop, bins=bins)
+        got = {
+            (r["frame_idx"], r["band"]): r["energy"]
+            for r in multimodal.audio_melbands(stft, weights).collect()
+        }
+        x = (np.frombuffer(p, np.uint8).astype(np.float64) - 128.0) / 128.0
+        n_frames = (n - n_fft) // hop + 1
+        idx = np.arange(n_fft)
+        assert len(got) == n_frames * len(by_band), (n_fft, sr, n_bands)
+        for f in range(n_frames):
+            seg = x[f * hop : f * hop + n_fft]
+            pw = {
+                k: float(np.sum(seg * np.cos(2 * np.pi * k * idx / n_fft))) ** 2
+                + float(np.sum(seg * np.sin(2 * np.pi * k * idx / n_fft))) ** 2
+                for k in bins
+            }
+            for b, rows in by_band.items():
+                want = sum(w * pw[k] for k, w in rows)
+                assert got[(f, b)] == pytest.approx(want, abs=1e-5), (n_fft, f, b)
