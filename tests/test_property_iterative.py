@@ -109,6 +109,60 @@ def test_ktruss_matches_reference_peel(spark, seed, n_nodes, n_edges, k):
     assert got == _py_ktruss(edges, k)
 
 
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_nodes=st.integers(min_value=4, max_value=18),
+    n_edges=st.integers(min_value=3, max_value=60),
+    k=st.integers(min_value=3, max_value=4),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_truss_communities_match_reference_labels(spark, seed, n_nodes, n_edges, k):
+    """Composition sweep: community labels over random graphs must
+    equal the reference peel's survivors labeled by union-find — min
+    reachable id per node, exact member counts (skipped trivially when
+    the truss is empty, which the reference detects too)."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        truss_communities,
+    )
+
+    rng = random.Random(seed)
+    edges = set()
+    for _ in range(n_edges):
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    if not edges:
+        edges = {(0, 1)}
+    surv = list(_py_ktruss(edges, k))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in surv:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_lab = {v: find(v) for e in surv for v in e}
+    sizes: dict[int, int] = {}
+    for v, c in want_lab.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    want = {v: (c, sizes[c]) for v, c in want_lab.items()}
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {
+        r["node"]: (r["community"], r["n_members"])
+        for r in truss_communities(df, k=k).collect()
+    }
+    assert got == want
+
+
 def _py_bpe_train(texts, k):
     vocab = Counter()
     for t in texts:
