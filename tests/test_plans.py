@@ -364,3 +364,25 @@ def test_truss_modularity_plan_no_cartesian_on_data(spark, sf_dir, queries):
     plan = plan_of(queries, "graph_truss_modularity", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row m frame
+
+
+def test_nb_score_vocabulary_join_broadcasts(spark, sf_dir):
+    """The NB scoring join on the vocabulary-sized model must stay a
+    broadcast (VERDICT r9 #8): token-side scoring is then fully
+    map-side per micro-batch.  The one allowed shuffle join is the
+    final doc-keyed re-attach of docs to their per-doc aggregates —
+    both sides corpus-sized, a broadcast there would be wrong at
+    scale."""
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wc, tot = (d.localCheckpoint() for d in nb_train(docs))
+    plan = (
+        nb_score(docs, wc, tot)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
