@@ -191,12 +191,13 @@ def main() -> int:
     # window, losing the headline total — VERDICT r8 next-step #5).
     line = json.dumps(payload, separators=(",", ":"))
     (REPO / "BENCH_LATEST.json").write_text(line + "\n")
-    # A total-only line FIRST (VERDICT r9 next-step #6): any capture
-    # window that truncates the long per-query line still sees one
-    # complete, parseable JSON headline.
+    # The total-only line LAST (VERDICT r10 next-step #3): the driver
+    # keeps a 2000-char *tail* of stdout, so only the final line is
+    # guaranteed to survive truncation — the ~2 KB per-query line goes
+    # first, the short parseable JSON headline goes last.
     total_only = {k: payload[k] for k in ("metric", "value", "unit", "sf")}
-    print(json.dumps(total_only, separators=(",", ":")), flush=True)
     print(line, flush=True)
+    print(json.dumps(total_only, separators=(",", ":")), flush=True)
     return 0
 
 

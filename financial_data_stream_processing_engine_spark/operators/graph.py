@@ -410,6 +410,13 @@ def partition_modularity(
     one multiply, one subtract in a fixed shape) — bit-identical in
     any engine stating the same expression.
 
+    Empty edge frame (m = 0, ADVICE r10): the ``/m`` divisions never
+    execute — every output row descends from an edge endpoint
+    (``touch`` → ``deg`` → ``ns``), so an empty ``edges`` yields an
+    EMPTY result frame, not NaN/Inf rows; there is no divide-by-zero
+    path to guard and no cross-engine IEEE-division divergence to
+    worry about (tests/test_operators_graph.py pins this).
+
     Returns (community, n_members, is_labeled, intra_edges,
     degree_sum, q_contrib), ``is_labeled`` false exactly for the
     singleton rows."""

@@ -140,9 +140,10 @@ _PRIORITY: list[str] = [
     "tpch_q20_like_surplus_suppliers",
     "tpch_q21_like_waiting_suppliers",
     "tpch_q2_like_min_cost_supplier",
-    # the 22 oldest r6-era rows (the verdict-named sketch/ANN/
-    # bucketed-layout/fin and streaming families first; the r6 scalar
-    # family and the rest follow in round 11)
+    # the 20 oldest r6-era rows (22 planned by VERDICT r9, 2 yielded
+    # to the extra new entries — ADVICE r10 count fix; the verdict-
+    # named sketch/ANN/bucketed-layout/fin and streaming families
+    # first, the r6 scalar family and the rest follow in round 11)
     "approx_heavy_hitters",
     "approx_distinct_hll",
     "approx_quantiles_hdr",

@@ -285,6 +285,20 @@ def test_partition_modularity_perfect_and_null_partitions(spark):
     assert len(rows1) == 1 and rows1[0]["q_contrib"] == 0.0
 
 
+def test_partition_modularity_empty_edges_is_empty_not_nan(spark):
+    """ADVICE r10: m = 0 (empty edge frame) must NOT surface NaN/Inf
+    q_contrib rows — every output row descends from an edge endpoint,
+    so the result is EMPTY by construction and the /m divisions never
+    execute (pinned here so the invariant can't silently regress)."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        partition_modularity,
+    )
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    labels = spark.createDataFrame([(1, 0), (2, 0)], "node long, community long")
+    assert partition_modularity(edges, labels).collect() == []
+
+
 def test_partition_modularity_random_sweep_matches_reference(spark):
     """Randomized sweep: on random graphs with random partial
     partitions (some nodes deliberately unlabeled → singletons), every
