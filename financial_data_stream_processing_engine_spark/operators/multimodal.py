@@ -1923,3 +1923,82 @@ def audio_melbands(
             F.count(F.lit(1)).cast("long").alias("n_bins"),
         )
     )
+
+
+def dct2_basis(n_bands: int, n_coeffs: int) -> list[tuple[int, int, float]]:
+    """(band, coeff, weight) rows of the (orthogonality-unnormalized)
+    DCT-II basis ``w[c, m] = cos(π·c·(m + ½)/M)`` over ``M = n_bands``
+    mel bands — Python-computed doubles, the SAME constants the oracle
+    embeds as literals (the twiddle/filterbank-table contract of
+    :func:`_dft_twiddles` / :func:`mel_band_weights`).  ``n_coeffs``
+    may not exceed ``n_bands``: DCT-II over M points has exactly M
+    independent coefficients, and a silent over-ask would emit rows of
+    pure aliasing noise."""
+    import math
+
+    if not 0 < n_coeffs <= n_bands:
+        raise ValueError(f"need 0 < n_coeffs <= n_bands, got {n_coeffs}, {n_bands}")
+    return [
+        (m, c, math.cos(math.pi * c * (m + 0.5) / n_bands))
+        for c in range(n_coeffs)
+        for m in range(n_bands)
+    ]
+
+
+def audio_mfcc(
+    melbands_df: DataFrame,
+    basis: list[tuple[int, int, float]],
+    log_floor: float = 1e-9,
+) -> DataFrame:
+    """Mel-frequency cepstral coefficients over the filterbank
+    energies — the last step of the standard audio-curation feature
+    chain (decode → STFT → mel energies → log → DCT-II; speaker/
+    content clustering, speech-vs-music gates and spectral-envelope
+    dedup all consume MFCCs, not raw energies):
+    ``mfcc(media, frame, c) = Σ_m dct[c, m] · logq(energy(media,
+    frame, m))``.
+
+    Plan shape: ONE broadcast join of the (band, coeff, weight) DCT
+    table (``n_bands × n_coeffs`` rows, frame-invariant like the
+    twiddle and filterbank tables) onto the (media, frame, band)
+    energy relation, then one map-side-combinable aggregation keyed
+    (media, frame, coeff) — the same shape as :func:`audio_melbands`,
+    linear in melband rows × the constant coefficient count, no
+    Python anywhere (the decode seam was the only Python upstream).
+
+    Exactness — the quantized-log contract: the log-energy is
+    *defined* on the 1e-9 grid, ``logq(e) = ⌊ln(e + log_floor)·10⁹⌋ ·
+    10⁻⁹`` — the floor collapses the last-ulp liberty IEEE grants
+    ``ln`` implementations (Spark's Math.log, DuckDB's std::log and
+    CPython's math.log were swept bit-identical on every fixture
+    energy at this grid), the additive ``log_floor`` keeps zero-energy
+    bands finite, and the downstream products/sums quantize exactly as
+    everywhere else (functions/numeric.py::qint).  Bit-identical at
+    any parallelism, reproducible in any engine stating the same
+    constants."""
+    from pyspark.sql import SparkSession
+
+    from financial_data_stream_processing_engine_spark.functions.numeric import qint
+
+    spark = SparkSession.getActiveSession() or melbands_df.sparkSession
+    if len({(m, c) for m, c, _ in basis}) != len(basis):
+        # the duplicate-row rule of audio_melbands / _dft_twiddles
+        raise ValueError("duplicate (band, coeff) basis rows")
+    bt = spark.createDataFrame(basis, "band int, c int, w double")
+    grid = F.lit(1e-9)
+    logq = (
+        F.floor(F.log(F.col("energy") + F.lit(log_floor)) * F.lit(1e9))
+        .cast("double")
+        * grid
+    )
+    return (
+        melbands_df.select("media_id", "frame_idx", "band", logq.alias("logq"))
+        .join(F.broadcast(bt), ["band"])
+        .groupBy("media_id", "frame_idx", "c")
+        .agg(
+            (F.sum(qint(F.col("logq") * F.col("w"))).cast("double") * grid).alias(
+                "mfcc"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_bands"),
+        )
+    )

@@ -4429,6 +4429,135 @@ def multimodal_audio_melbands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_mfcc_sql(
+    n_samples: int = 64,
+    n_fft: int = 16,
+    hop: int = 8,
+    sr: int = 8000,
+    bins: tuple[int, ...] = tuple(range(1, 8)),
+    n_bands: int = 3,
+    n_coeffs: int = 3,
+) -> str:
+    """DuckDB reconstruction of the MFCCs: the full mel-band chain
+    (md5 PCM samples → frame-shifted twiddle doubles → quantize-sum-
+    square → triangular filterbank weighted sum — the
+    _audio_melbands_sql argument verbatim), then the quantized log
+    ``⌊LN(energy + 1e-9)·10⁹⌋·10⁻⁹`` (the floor collapses ln's
+    last-ulp engine liberty — swept bit-identical across Spark/DuckDB/
+    CPython on every fixture energy) and ONE more weighted aggregation
+    joining the SAME Python-computed DCT-II basis doubles
+    (operators/multimodal.py::dct2_basis — dlit_sql round-trips each
+    bit-exactly) per (doc, frame, coeff).  Any divergence in the
+    filterbank, the log grid, the basis constants or the final
+    quantized sum is a value-hash mismatch."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import (
+        dlit_sql,
+        qcast_sql,
+        qint_sql,
+    )
+    from financial_data_stream_processing_engine_spark.operators.multimodal import (
+        _dft_twiddles,
+        dct2_basis,
+        mel_band_weights,
+    )
+
+    n_frames = (n_samples - n_fft) // hop + 1
+    m_cols = ", ".join(
+        "MD5(CAST(doc_id AS VARCHAR)) AS m0"
+        if i == 0
+        else f"MD5(CAST(doc_id AS VARCHAR) || ':{i}') AS m{i}"
+        for i in range(n_samples // 16)
+    )
+    samp = ", ".join(
+        f"struct_pack(pos := {i}, x := CAST({_hex_byte(f'm{i // 16}', i % 16)}"
+        " - 128 AS DOUBLE) / 128.0e0)"
+        for i in range(n_samples)
+    )
+    tw = ", ".join(
+        f"struct_pack(pos := {f * hop + pos}, f := {f}, k := {k},"
+        f" cosv := {dlit_sql(c)}, sinv := {dlit_sql(s)})"
+        for f in range(n_frames)
+        for (pos, k, c, s) in _dft_twiddles(n_fft, bins)
+    )
+    wt = ", ".join(
+        f"struct_pack(k := {k}, band := {band}, w := {dlit_sql(w)})"
+        for (k, band, w) in mel_band_weights(n_fft, sr, bins, n_bands)
+    )
+    dct = ", ".join(
+        f"struct_pack(band := {band}, c := {c}, w := {dlit_sql(w)})"
+        for (band, c, w) in dct2_basis(n_bands, n_coeffs)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, {m_cols} FROM documents),
+samp AS (SELECT doc_id, UNNEST([{samp}]) AS s FROM b),
+tw AS (SELECT UNNEST([{tw}]) AS w),
+agg AS (
+  SELECT doc_id AS media_id, w.f AS frame_idx, w.k AS k,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.cosv") + ")")} * 1e-09 AS re_sum,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.sinv") + ")")} * 1e-09 AS im_sum
+  FROM samp, tw WHERE s.pos = w.pos
+  GROUP BY doc_id, w.f, w.k),
+pw AS (
+  SELECT media_id, frame_idx, k,
+         re_sum * re_sum + im_sum * im_sum AS power
+  FROM agg),
+wtb AS (SELECT UNNEST([{wt}]) AS m),
+mb AS (
+  SELECT media_id, frame_idx, m.band AS band,
+         {qcast_sql("SUM(" + qint_sql("pw.power * m.w") + ")")} * 1e-09 AS energy
+  FROM pw JOIN wtb ON pw.k = m.k
+  GROUP BY media_id, frame_idx, m.band),
+lg AS (
+  SELECT media_id, frame_idx, band,
+         CAST(FLOOR(LN(energy + 1e-09) * 1e9) AS DOUBLE) * 1e-09 AS logq
+  FROM mb),
+dct AS (SELECT UNNEST([{dct}]) AS d)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, CAST(d.c AS INT) AS c,
+       {qcast_sql("SUM(" + qint_sql("lg.logq * d.w") + ")")} * 1e-09 AS mfcc,
+       CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM lg JOIN dct ON lg.band = d.band
+GROUP BY media_id, frame_idx, d.c
+"""
+
+
+@register("multimodal_audio_mfcc", sql=_audio_mfcc_sql())
+def multimodal_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel-frequency cepstral coefficients — the last step of the
+    standard audio-curation chain (VERDICT r10 next-step #2), one
+    quantized log + one aggregation downstream of the r10 mel
+    energies: decode each doc's 64-sample WAV through the shared RIFF
+    walk, windowed DFT power at bins k=1..7 over seven overlapping
+    16-sample frames (operators/multimodal.py::audio_stft), the
+    11-row HTK-mel triangular filterbank
+    (::mel_band_weights/::audio_melbands), then the grid-quantized
+    log-energy ``⌊ln(e + 1e-9)·10⁹⌋·10⁻⁹`` and ONE broadcast join of
+    the 9-row DCT-II basis (::dct2_basis) with a map-side-combinable
+    ``Σ w·logq`` per (media, frame, coeff) (::audio_mfcc).  21
+    value-dense rows per doc; zero Python past the decode seam; every
+    join in the chain broadcast, every aggregation keyed and
+    map-side-combinable — linear in samples × constant overlap at any
+    scale.
+
+    Oracle: full reconstruction — md5 samples, the identical twiddle,
+    filterbank AND DCT doubles as literals, the identical quantize
+    chains including the log grid (see _audio_mfcc_sql)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    wavs = docs.mapInPandas(_stft_wav_generator(), schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        wavs, id_col="doc_id", payload=F.col("payload"),
+        kind="audio", mime="audio/wav",
+    )
+    samples = multimodal.decode_audio_samples(media, max_samples=64)
+    stft = multimodal.audio_stft(samples, n_fft=16, hop=8, bins=tuple(range(1, 8)))
+    mel = multimodal.audio_melbands(
+        stft,
+        multimodal.mel_band_weights(
+            n_fft=16, sr=8000, bins=tuple(range(1, 8)), n_bands=3
+        ),
+    )
+    return multimodal.audio_mfcc(mel, multimodal.dct2_basis(n_bands=3, n_coeffs=3))
+
+
 def _ktruss_unrolled_ctes(k: int = 3, rounds: int = 8) -> tuple[str, str]:
     """Shared WITH-clause builder for the k-truss oracles: the
     triangle entry's cell-confined edge CTEs, then the peel UNROLLED

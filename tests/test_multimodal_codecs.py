@@ -1816,6 +1816,79 @@ def test_audio_melbands_rejects_duplicate_weight_rows(spark):
         multimodal.audio_melbands(stft, [(1, 0, 0.5), (1, 0, 0.25)])
 
 
+def test_dct2_basis_geometry():
+    """DCT-II sanity: c=0 is the all-ones row; rows are orthogonal
+    under the DCT-II inner product; over-asking coefficients or
+    degenerate shapes raise (aliasing noise must fail loudly)."""
+    import pytest as _pytest
+
+    basis = multimodal.dct2_basis(n_bands=5, n_coeffs=5)
+    assert len(basis) == 25
+    w = {}
+    for m, c, x in basis:
+        w[(c, m)] = x
+    assert all(w[(0, m)] == 1.0 for m in range(5))
+    for c1 in range(5):
+        for c2 in range(c1 + 1, 5):
+            dot = sum(w[(c1, m)] * w[(c2, m)] for m in range(5))
+            assert dot == pytest.approx(0.0, abs=1e-12), (c1, c2)
+    with _pytest.raises(ValueError, match="n_coeffs"):
+        multimodal.dct2_basis(n_bands=3, n_coeffs=4)
+    with _pytest.raises(ValueError, match="n_coeffs"):
+        multimodal.dct2_basis(n_bands=3, n_coeffs=0)
+
+
+def test_audio_mfcc_matches_numpy(spark):
+    """MFCCs must equal the numpy DCT-II of the grid-quantized log of
+    the per-frame mel energies, per (media, frame, coeff)."""
+    rng_l = np.random.default_rng(48)
+    bins = tuple(range(1, 8))
+    weights = multimodal.mel_band_weights(n_fft=16, sr=8000, bins=bins, n_bands=3)
+    basis = multimodal.dct2_basis(n_bands=3, n_coeffs=3)
+    payloads = [bytes(rng_l.integers(0, 256, 64, dtype=np.uint8)) for _ in range(3)]
+    sdf = _samples_df(spark, [_make_pcm8_wav(p) for p in payloads], max_samples=64)
+    stft = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=bins)
+    mel = multimodal.audio_melbands(stft, weights)
+    energies = {
+        (r["media_id"], r["frame_idx"], r["band"]): r["energy"]
+        for r in mel.collect()
+    }
+    out = multimodal.audio_mfcc(mel, basis)
+    got = {(r["media_id"], r["frame_idx"], r["c"]): r for r in out.collect()}
+    n_frames = (64 - 16) // 8 + 1
+    assert len(got) == 3 * n_frames * 3
+    import math
+
+    bw = {}
+    for m, c, x in basis:
+        bw.setdefault(c, {})[m] = x
+    for mid in range(3):
+        for f in range(n_frames):
+            logq = {
+                b: math.floor(math.log(energies[(mid, f, b)] + 1e-9) * 1e9) * 1e-9
+                for b in range(3)
+            }
+            for c, row in bw.items():
+                want = sum(row[b] * logq[b] for b in range(3))
+                r = got[(mid, f, c)]
+                assert r["mfcc"] == pytest.approx(want, abs=1e-6), (mid, f, c)
+                assert r["n_bands"] == 3
+
+
+def test_audio_mfcc_rejects_duplicate_basis_rows(spark):
+    """A duplicated (band, coeff) basis row would silently double that
+    band's contribution through the join — must raise."""
+    import pytest as _pytest
+
+    sdf = _samples_df(spark, [_make_pcm8_wav(bytes(range(64)))], max_samples=64)
+    stft = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=(1, 2))
+    mel = multimodal.audio_melbands(
+        stft, multimodal.mel_band_weights(n_fft=16, sr=8000, bins=(1, 2), n_bands=1)
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        multimodal.audio_mfcc(mel, [(0, 0, 1.0), (0, 0, 0.5)])
+
+
 def _make_tiff(px, endian="<", packbits=False, photo=None, rows_per_strip=None):
     """Hand-built TIFF writer (both endians, strips, PackBits)."""
     h, w = px.shape[:2]

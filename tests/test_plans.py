@@ -341,6 +341,20 @@ def test_melbands_plan_two_broadcasts_two_shuffles(spark, sf_dir, queries):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_mfcc_plan_three_broadcasts_three_shuffles(spark, sf_dir, queries):
+    """MFCC = the mel-bands plan + ONE broadcast DCT join + ONE more
+    keyed aggregation: exactly three broadcast joins (twiddles,
+    filterbank, DCT basis) and exactly three hash exchanges
+    ((media,frame,bin) → (media,frame,band) → (media,frame,coeff)).
+    A shuffle join on any constant table or a fourth exchange is a
+    scale regression."""
+    plan = plan_of(queries, "multimodal_audio_mfcc", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
 def test_catalog_priority_names_must_exist():
     """A typo in the hand-maintained _PRIORITY rotation list would
     silently demote an entry out of the driver's 50-slot window —
