@@ -1925,6 +1925,85 @@ def audio_melbands(
     )
 
 
+def audio_spectral_shape(
+    stft_df: DataFrame,
+    sr: int = 8000,
+    n_fft: int = 16,
+    rolloff_pct: int = 85,
+    log_floor: float = 1e-9,
+) -> DataFrame:
+    """Spectral shape features over an STFT power relation — the
+    classic per-frame audio-quality statistics (tonal-vs-noise gates,
+    silence/hiss trimming, band-limited-upload detection all read
+    these, not raw bins), one row per (media, frame):
+
+    - ``centroid``: the power-weighted mean frequency
+      ``Σ f_k·p_k / Σ p_k`` (Hz; NULL for an all-zero frame);
+    - ``rolloff_k``: the smallest bin k whose cumulative power reaches
+      ``rolloff_pct`` % of the frame total — compared in EXACT integer
+      arithmetic (``100·cum ≥ pct·tot`` over the quantized powers), no
+      float threshold to straddle;
+    - ``flatness_log``: log geometric mean − log arithmetic mean of
+      the bin powers (≤ 0; 0 = perfectly flat/noisy, very negative =
+      tonal), each log on the quantized-log 1e-9 grid of
+      :func:`audio_mfcc`.
+
+    Plan shape: one exchange keyed (media, frame) carrying BOTH window
+    computations (the ordered cumulative sum and the frame total) and
+    the final aggregation — the groupBy key equals the window
+    partitioning key, so Catalyst reuses the exchange; everything
+    linear in STFT rows, no Python anywhere.
+
+    Exactness: powers quantize to exact integers
+    (functions/numeric.py::qint) before every sum, cumulative or not;
+    the rolloff comparison is integer-exact; the two divisions and the
+    log grid are single IEEE ops on deterministic doubles —
+    bit-identical at any parallelism and in any engine stating the
+    same expressions."""
+    from pyspark.sql import Window
+
+    from financial_data_stream_processing_engine_spark.functions.numeric import qint
+
+    grid = F.lit(1e-9)
+    fk = F.col("k").cast("double") * F.lit(float(sr) / n_fft)
+    base = stft_df.select(
+        "media_id",
+        "frame_idx",
+        "k",
+        qint(F.col("power")).alias("p_int"),
+        qint(F.col("power") * fk).alias("pf_int"),
+        F.floor(F.log(F.col("power") + F.lit(log_floor)) * F.lit(1e9))
+        .cast("long")
+        .alias("lq_int"),
+    )
+    part = Window.partitionBy("media_id", "frame_idx")
+    cum = base.select(
+        "*",
+        F.sum("p_int")
+        .over(part.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_int"),
+        F.sum("p_int").over(part).alias("tot_int"),
+    )
+    sump = F.sum("p_int").cast("double") * grid
+    sumpf = F.sum("pf_int").cast("double") * grid
+    n_d = F.count(F.lit(1)).cast("double")
+    return cum.groupBy("media_id", "frame_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.try_divide(sumpf, F.nullif(sump, F.lit(0.0))).alias("centroid"),
+        F.min(
+            F.when(
+                F.col("cum_int") * F.lit(100) >= F.col("tot_int") * F.lit(rolloff_pct),
+                F.col("k"),
+            )
+        ).alias("rolloff_k"),
+        (
+            (F.sum("lq_int").cast("double") * grid) / n_d
+            - F.floor(F.log(sump / n_d + F.lit(log_floor)) * F.lit(1e9)).cast("double")
+            * grid
+        ).alias("flatness_log"),
+    )
+
+
 def dct2_basis(n_bands: int, n_coeffs: int) -> list[tuple[int, int, float]]:
     """(band, coeff, weight) rows of the (orthogonality-unnormalized)
     DCT-II basis ``w[c, m] = cos(π·c·(m + ½)/M)`` over ``M = n_bands``

@@ -4558,6 +4558,126 @@ def multimodal_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_mfcc(mel, multimodal.dct2_basis(n_bands=3, n_coeffs=3))
 
 
+def _audio_spectral_sql(
+    n_samples: int = 64,
+    n_fft: int = 16,
+    hop: int = 8,
+    sr: int = 8000,
+    bins: tuple[int, ...] = tuple(range(1, 8)),
+    rolloff_pct: int = 85,
+) -> str:
+    """DuckDB reconstruction of the spectral shape features: the STFT
+    reconstruction chain (md5 PCM samples, frame-shifted twiddle
+    doubles, quantize-sum-square — the _audio_stft_sql argument over
+    the wider bin set), then the identical per-frame statistics —
+    integer-quantized powers for every sum (cumulative window + frame
+    total), the EXACT-integer rolloff comparison ``100·cum ≥ pct·tot``
+    (HUGEINT here, decimal(38,0) in Spark — both exact), and the
+    grid-quantized logs of the flatness ratio.  Any divergence in the
+    window frame, the quantization or the division shapes is a
+    value-hash mismatch."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import (
+        dlit_sql,
+        qcast_sql,
+        qint_sql,
+    )
+    from financial_data_stream_processing_engine_spark.operators.multimodal import (
+        _dft_twiddles,
+    )
+
+    n_frames = (n_samples - n_fft) // hop + 1
+    m_cols = ", ".join(
+        "MD5(CAST(doc_id AS VARCHAR)) AS m0"
+        if i == 0
+        else f"MD5(CAST(doc_id AS VARCHAR) || ':{i}') AS m{i}"
+        for i in range(n_samples // 16)
+    )
+    samp = ", ".join(
+        f"struct_pack(pos := {i}, x := CAST({_hex_byte(f'm{i // 16}', i % 16)}"
+        " - 128 AS DOUBLE) / 128.0e0)"
+        for i in range(n_samples)
+    )
+    tw = ", ".join(
+        f"struct_pack(pos := {f * hop + pos}, f := {f}, k := {k},"
+        f" cosv := {dlit_sql(c)}, sinv := {dlit_sql(s)})"
+        for f in range(n_frames)
+        for (pos, k, c, s) in _dft_twiddles(n_fft, bins)
+    )
+    fk = f"(CAST(k AS DOUBLE) * {dlit_sql(float(sr) / n_fft)})"
+    return f"""
+WITH b AS (SELECT doc_id, {m_cols} FROM documents),
+samp AS (SELECT doc_id, UNNEST([{samp}]) AS s FROM b),
+tw AS (SELECT UNNEST([{tw}]) AS w),
+agg AS (
+  SELECT doc_id AS media_id, w.f AS frame_idx, w.k AS k,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.cosv") + ")")} * 1e-09 AS re_sum,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.sinv") + ")")} * 1e-09 AS im_sum
+  FROM samp, tw WHERE s.pos = w.pos
+  GROUP BY doc_id, w.f, w.k),
+pw AS (
+  SELECT media_id, frame_idx, k,
+         re_sum * re_sum + im_sum * im_sum AS power
+  FROM agg),
+q AS (
+  SELECT media_id, frame_idx, k,
+         {qint_sql("power")} AS p_int,
+         {qint_sql(f"power * {fk}")} AS pf_int,
+         CAST(FLOOR(LN(power + 1e-09) * 1e9) AS BIGINT) AS lq_int
+  FROM pw),
+c AS (
+  SELECT *,
+         SUM(p_int) OVER (PARTITION BY media_id, frame_idx ORDER BY k
+                          ROWS UNBOUNDED PRECEDING) AS cum_int,
+         SUM(p_int) OVER (PARTITION BY media_id, frame_idx) AS tot_int
+  FROM q)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ({qcast_sql("SUM(pf_int)")} * 1e-09)
+         / NULLIF({qcast_sql("SUM(p_int)")} * 1e-09, 0.0) AS centroid,
+       MIN(CASE WHEN cum_int * 100 >= tot_int * {rolloff_pct} THEN k END)
+         AS rolloff_k,
+       (CAST(SUM(lq_int) AS DOUBLE) * 1e-09) / CAST(COUNT(*) AS DOUBLE)
+         - CAST(FLOOR(LN({qcast_sql("SUM(p_int)")} * 1e-09
+                         / CAST(COUNT(*) AS DOUBLE) + 1e-09) * 1e9) AS DOUBLE)
+           * 1e-09 AS flatness_log
+FROM c
+GROUP BY media_id, frame_idx
+"""
+
+
+@register("multimodal_audio_spectral", sql=_audio_spectral_sql())
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral shape features — centroid, rolloff and log-flatness
+    per STFT frame (VERDICT r10 next-step #5), the classic per-frame
+    audio-quality gates (tonal-vs-noise scoring, silence/hiss
+    trimming, band-limited-upload detection) one aggregation
+    downstream of the r9 spectrogram: decode each doc's 64-sample WAV
+    through the shared RIFF walk, windowed DFT power at bins k=1..7
+    over seven overlapping 16-sample frames
+    (operators/multimodal.py::audio_stft), then the power-weighted
+    mean frequency, the EXACT-integer ``100·cum ≥ 85·tot`` rolloff bin
+    and the quantized-log flatness ratio in ONE exchange keyed
+    (media, frame) carrying both window computations and the final
+    aggregation (::audio_spectral_shape).  7 value-dense rows per doc;
+    zero Python past the decode seam.
+
+    Oracle: full reconstruction — md5 samples, identical twiddle
+    doubles, identical integer-quantized window/aggregation shapes
+    including the rolloff integer compare and the log grid (see
+    _audio_spectral_sql)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    wavs = docs.mapInPandas(_stft_wav_generator(), schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        wavs, id_col="doc_id", payload=F.col("payload"),
+        kind="audio", mime="audio/wav",
+    )
+    samples = multimodal.decode_audio_samples(media, max_samples=64)
+    stft = multimodal.audio_stft(samples, n_fft=16, hop=8, bins=tuple(range(1, 8)))
+    return multimodal.audio_spectral_shape(
+        stft, sr=8000, n_fft=16, rolloff_pct=85
+    )
+
+
 def _ktruss_unrolled_ctes(k: int = 3, rounds: int = 8) -> tuple[str, str]:
     """Shared WITH-clause builder for the k-truss oracles: the
     triangle entry's cell-confined edge CTEs, then the peel UNROLLED

@@ -1875,6 +1875,68 @@ def test_audio_mfcc_matches_numpy(spark):
                 assert r["n_bands"] == 3
 
 
+def test_audio_spectral_shape_matches_numpy(spark):
+    """Centroid, rolloff bin and log-flatness must equal the numpy
+    statistics over the same per-frame DFT powers: power-weighted mean
+    frequency, smallest k with 100·cum ≥ 85·tot over the quantized
+    powers, and quantized-log geometric/arithmetic ratio."""
+    import math
+
+    rng_l = np.random.default_rng(49)
+    bins = tuple(range(1, 8))
+    payloads = [bytes(rng_l.integers(0, 256, 64, dtype=np.uint8)) for _ in range(3)]
+    sdf = _samples_df(spark, [_make_pcm8_wav(p) for p in payloads], max_samples=64)
+    stft = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=bins)
+    out = multimodal.audio_spectral_shape(stft, sr=8000, n_fft=16, rolloff_pct=85)
+    got = {(r["media_id"], r["frame_idx"]): r for r in out.collect()}
+    n_frames = (64 - 16) // 8 + 1
+    assert len(got) == 3 * n_frames
+    idx = np.arange(16)
+    for mid, p in enumerate(payloads):
+        x = (np.frombuffer(p, np.uint8).astype(np.float64) - 128.0) / 128.0
+        for f in range(n_frames):
+            seg = x[f * 8 : f * 8 + 16]
+            pw = {
+                k: float(np.sum(seg * np.cos(2 * np.pi * k * idx / 16))) ** 2
+                + float(np.sum(seg * np.sin(2 * np.pi * k * idx / 16))) ** 2
+                for k in bins
+            }
+            p_int = {k: math.floor(v * 1e9) for k, v in pw.items()}
+            tot = sum(p_int.values())
+            cum = 0
+            roll = None
+            for k in bins:
+                cum += p_int[k]
+                if roll is None and 100 * cum >= 85 * tot:
+                    roll = k
+            cent = sum(v * k * 500.0 for k, v in pw.items()) / sum(pw.values())
+            lq = [math.floor(math.log(v + 1e-9) * 1e9) * 1e-9 for v in pw.values()]
+            flat = sum(lq) / len(lq) - math.floor(
+                math.log(sum(p_int.values()) * 1e-9 / len(pw) + 1e-9) * 1e9
+            ) * 1e-9
+            r = got[(mid, f)]
+            assert r["n_bins"] == len(bins)
+            assert r["rolloff_k"] == roll, (mid, f)
+            assert r["centroid"] == pytest.approx(cent, rel=1e-6), (mid, f)
+            assert r["flatness_log"] == pytest.approx(flat, abs=1e-6), (mid, f)
+            assert r["flatness_log"] <= 1e-9, (mid, f)
+
+
+def test_audio_spectral_shape_zero_frame_is_null_centroid(spark):
+    """An all-zero frame has no power mass: centroid must be NULL (not
+    NaN/Inf), rolloff degenerates to the first bin (0 ≥ 0 exactly) and
+    flatness is 0 on the grid (every log equals the floor's)."""
+    wav = _make_pcm8_wav(bytes([128] * 64))  # all samples exactly 0.0
+    sdf = _samples_df(spark, [wav], max_samples=64)
+    stft = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=(1, 2, 3))
+    rows = multimodal.audio_spectral_shape(stft).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["centroid"] is None
+        assert r["rolloff_k"] == 1
+        assert r["flatness_log"] == pytest.approx(0.0, abs=1e-12)
+
+
 def test_audio_mfcc_rejects_duplicate_basis_rows(spark):
     """A duplicated (band, coeff) basis row would silently double that
     band's contribution through the join — must raise."""

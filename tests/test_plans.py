@@ -355,6 +355,21 @@ def test_mfcc_plan_three_broadcasts_three_shuffles(spark, sf_dir, queries):
     assert plan.count("Exchange hashpartitioning") == 3
 
 
+def test_spectral_plan_reuses_window_exchange(spark, sf_dir, queries):
+    """Spectral shape = the STFT plan + ONE exchange keyed
+    (media, frame) serving both window computations AND the final
+    aggregation (the groupBy key equals the window partition key):
+    exactly one broadcast join (twiddles) and exactly two hash
+    exchanges ((media,frame,bin) for the STFT agg, (media,frame) for
+    window+agg).  A third exchange means Catalyst stopped reusing the
+    window's partitioning for the aggregation — a scale regression."""
+    plan = plan_of(queries, "multimodal_audio_spectral", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_catalog_priority_names_must_exist():
     """A typo in the hand-maintained _PRIORITY rotation list would
     silently demote an entry out of the driver's 50-slot window —
