@@ -139,6 +139,18 @@ HEADLINE = [
     "graph_truss_communities",
     "streaming_nb_model_cdc",
     "graph_truss_modularity",
+    # round-11 additions: the DCT-II cepstral step, per-frame shape
+    # statistics and rectified spectral flux over the audio chain,
+    # and the exact-integer Louvain local-move refinement of the
+    # truss partition (representative of the new graph family —
+    # coarsen and level-2 re-run the same chain with one extra
+    # aggregation / one smaller weighted fixpoint on top, so the
+    # refine entry is the headline cost; at sf0.1 its ~16-round
+    # fixpoint is the honest price of refining that graph)
+    "multimodal_audio_mfcc",
+    "multimodal_audio_spectral",
+    "multimodal_audio_flux",
+    "graph_louvain_refine",
 ]
 
 

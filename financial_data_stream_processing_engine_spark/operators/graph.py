@@ -383,6 +383,387 @@ def truss_communities(
     return comp.join(sizes, ["community"]).select("node", "community", "n_members")
 
 
+def _iterative_gc_hint(spark) -> None:
+    """Iterative-loop hygiene: each refinement round leaves behind
+    broadcast relations and superseded checkpoint blocks whose
+    JVM-side cleanup (ContextCleaner) is weak-reference-driven — it
+    only fires after BOTH the Python references die (py4j holds them
+    until a CPython gc pass) and a JVM GC runs.  Under a chained entry
+    (truss peel → level-1 refine → coarsen → level-2 refine) the
+    default 1 GiB local-mode heap accumulates collectable-but-
+    uncollected garbage between rounds; one explicit collection per
+    round keeps the live set round-sized at any number of rounds
+    (measured: the chained level-2 fixture idles at ~100 MB after
+    collection vs ~400-600 MB of pending garbage without it).  This is
+    defensive hygiene — the EXPONENTIAL cost bug the level-2 chain
+    exposed was localCheckpoint's origin-statistics compounding, fixed
+    by the parquet spill in :func:`louvain_refine`."""
+    import gc
+
+    gc.collect()
+    try:
+        spark._jvm.System.gc()
+    except Exception:  # pragma: no cover - Spark Connect has no _jvm
+        pass
+
+
+def louvain_refine(
+    edges: DataFrame,
+    labels: DataFrame,
+    max_rounds: int = 20,
+    src: str = "id_a",
+    dst: str = "id_b",
+    weight: str | None = None,
+) -> DataFrame:
+    """One-level modularity-guided refinement of a node partition —
+    the Louvain LOCAL-MOVE phase (Blondel et al. 2008) over an
+    undirected simple graph, with :func:`partition_modularity` as the
+    exact objective: per round every node considers adopting a
+    NEIGHBOR community, and a deterministic non-interfering subset of
+    strictly-improving moves is applied until no improving move
+    exists.  Nodes without a ``labels(node, community)`` row start as
+    their own singleton (the partition_modularity convention), so
+    feeding truss-community labels refines exactly the partition the
+    modularity entry scores.
+
+    The gain test is EXACT INTEGER arithmetic — moving node i (degree
+    ``k``) from community a to b changes Q by ``(k_{i→b} − k_{i→a})/m
+    − k·(Σtot_b − Σtot_a + k)/(2m²)``, and multiplying through by the
+    positive ``2m²`` gives the integer numerator
+
+        g = 2m·(k_{i→b} − k_{i→a}) − k·(Σtot_b − Σtot_a + k)
+
+    so ``ΔQ > 0  ⟺  g > 0`` with no float anywhere (decimal(38,0)
+    here, HUGEINT in the oracle — the rolloff-comparison contract).
+
+    Parallel-move soundness: per round the candidate set is thinned to
+    per-node best (g desc, target asc), then per-SOURCE-community best
+    (g desc, node asc) — so at most one node leaves any community per
+    round and no selected move's ``k_{i→src}``/``Σtot_src`` terms can
+    be invalidated by another — then PRIORITY BLOCKING (priority =
+    g desc, node asc) resolves source/target conflicts: an arrival
+    into community c is dropped iff c's departing move has strictly
+    higher priority, and a departure from s is dropped iff the best
+    arrival into s has strictly higher priority.  In the accepted set
+    no target community loses a member and no source community gains
+    one (a lower-priority departure from an arrival's target is
+    blocked by that arrival, and any arrival into an accepted
+    departure's source must have lower priority — so each blocks the
+    other asymmetrically, never both ways), and the globally best move
+    is never blocked, so singleton-merge storms resolve in one round
+    instead of one move per round.
+    Within one target community the movers DO interact (each arrival
+    grows ``Σtot_b``), so the movers are ordered (g desc, node asc)
+    and only the maximal PREFIX whose conservative sequential gain
+
+        cg_j = g_j − k_j·S_{j−1}   (S = cumulative degree of the
+                                    prior admitted movers)
+
+    stays positive is admitted: the true sequential gain of mover j is
+    ``cg_j`` plus the nonnegative adjacency bonus ``2m·|edges to prior
+    movers|`` minus nothing else (its own source is untouched by the
+    per-source rule), so every admitted move strictly increases Q even
+    under simultaneous application, and the round's ΔQ is a sum of
+    positives.  If the filters empty a non-empty candidate set (a
+    conflict cycle), exactly ONE move — the globally best (g desc,
+    node asc) — is applied instead, so every applied round strictly
+    increases Q and the loop terminates (Q ranges over a finite set of
+    rationals on the 1/(2m²) grid).  Convergence = a round with zero
+    improving candidates; needing more than ``max_rounds``
+    move-applying rounds raises loudly (the kcore/ktruss contract).
+    An EMPTY edge frame raises — there is no modularity to refine at
+    m = 0.
+
+    Per-round cost: one degree-sum aggregation (community-sized), one
+    neighbor-community count (linear in |E|), the candidate join
+    (linear), three window argmaxes and the priority-blocking joins
+    over a frame at most one row per community — nothing super-linear,
+    two bounded driver scalars per round, and the label frame spilled
+    to parquet per round (the Pregel stable-storage discipline; see
+    the in-body note — Spark's localCheckpoint would carry origin
+    statistics whose join-product sizeInBytes compounds EXPONENTIALLY
+    in bit length across rounds, blowing up planning itself).
+
+    WEIGHTED graphs (``weight`` = an integer edge-weight column, e.g.
+    the :func:`community_coarsen` output — Louvain phase 2 runs this
+    same local-move over the coarsened graph): the gain numerator
+    generalizes verbatim with ``W = Σ weights`` in place of ``m``,
+    weighted neighbor-community sums in place of counts, and weighted
+    degrees ``k_i = Σ_{j≠i} w_ij + 2·w_ii`` — self-loop rows
+    (``src = dst``, the coarsened intra-community weights) count twice
+    in the degree (each self-loop contributes two edge-ends, the
+    standard 2W degree-sum identity) and never propose a move (a node
+    is always "adjacent" to its own community through them).  Weights
+    stay integers, so the no-float decision-path guarantee is
+    unchanged.  ``weight=None`` (default) is the unweighted simple
+    graph: weight 1 per edge, self-loops absent by the module's
+    simple-graph precondition.
+
+    Returns (node, community, moved) for every node incident to an
+    edge — the refined label and whether it differs from the input
+    partition."""
+    import os
+
+    from pyspark.sql import Window
+
+    from financial_data_stream_processing_engine_spark.io_utils import scratch_dir
+
+    DEC = "decimal(38,0)"
+    spark_s = edges.sparkSession
+    _iterative_gc_hint(spark_s)
+
+    # Round-state goes through PARQUET, not localCheckpoint — the
+    # Pregel stable-storage discipline, and here a hard correctness-
+    # of-cost requirement: Spark's localCheckpoint captures the origin
+    # plan's STATISTICS, and a join's sizeInBytes is the PRODUCT of
+    # its children's, so a checkpoint-carried stat compounds
+    # exponentially in BIT LENGTH across refinement rounds (measured:
+    # planning 1 s → 13 s → 172 s → BigInt-arithmetic OOM by round 3
+    # on a 171-edge coarse graph).  A parquet round-trip resets stats
+    # to true file sizes and fully truncates lineage; the per-round
+    # write is label-frame-sized — exactly what a 1000-executor Pregel
+    # loop checkpoints anyway.  The setup frames spill once too, so a
+    # stats monster arriving via the INPUT frame (e.g. a coarsened
+    # graph produced by a prior refinement level) is shed at the door.
+    spill_root = scratch_dir("louvain_spill_")
+
+    def spill(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(spill_root, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark_s.read.parquet(path)
+
+    w_col = F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+    e = spill(
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"),
+            w_col.alias("w"),
+        ),
+        "e",
+    )
+    m = (e.agg(F.sum("w").alias("s")).collect()[0]["s"]) or 0
+    if m == 0:
+        raise ValueError("louvain_refine needs a non-empty edge frame (m = 0)")
+    # symmetrized NON-self adjacency: self-loops carry degree (2w
+    # below) but are never a neighbor-community candidate edge
+    nonself = e.where(F.col("a") != F.col("b"))
+    sym = spill(
+        nonself.select(F.col("a").alias("node"), F.col("b").alias("nb"), "w")
+        .unionAll(
+            nonself.select(F.col("b").alias("node"), F.col("a").alias("nb"), "w")
+        ),
+        "sym",
+    )
+    deg = spill(
+        sym.select("node", "w")
+        .unionAll(
+            e.where(F.col("a") == F.col("b")).select(
+                F.col("a").alias("node"), (F.col("w") * F.lit(2)).alias("w")
+            )
+        )
+        .groupBy("node")
+        .agg(F.sum("w").cast("long").alias("k")),
+        "deg",
+    )
+    lab0 = spill(
+        deg.select("node")
+        .join(labels.select("node", "community"), ["node"], "left")
+        .select("node", F.coalesce("community", "node").alias("community")),
+        "lab0",
+    )
+    lab = lab0
+    spark = edges.sparkSession
+    for i in range(max_rounds + 1):
+        _iterative_gc_hint(spark)
+        tot = (
+            lab.join(deg, ["node"])
+            .groupBy("community")
+            .agg(F.sum("k").cast("long").alias("tot"))
+        )
+        kic = (
+            sym.join(
+                lab.select(F.col("node").alias("nb"), F.col("community").alias("c")),
+                ["nb"],
+            )
+            .groupBy("node", "c")
+            .agg(F.sum("w").cast("long").alias("kic"))
+        )
+        own = kic.select(
+            "node", F.col("c").alias("community"), F.col("kic").alias("kia")
+        )
+        g = (
+            F.lit(2 * m).cast(DEC)
+            * (F.col("kic") - F.coalesce(F.col("kia"), F.lit(0))).cast(DEC)
+            - F.col("k").cast(DEC)
+            * (F.col("tot_b") - F.col("tot_a") + F.col("k")).cast(DEC)
+        )
+        cand = (
+            lab.join(deg, ["node"])
+            .join(kic, ["node"])
+            .where(F.col("c") != F.col("community"))
+            .join(own, ["node", "community"], "left")
+            .join(
+                tot.select(F.col("community").alias("c"), F.col("tot").alias("tot_b")),
+                ["c"],
+            )
+            .join(tot.select("community", F.col("tot").alias("tot_a")), ["community"])
+            .select(
+                "node",
+                "k",
+                F.col("community").alias("src"),
+                F.col("c").alias("tgt"),
+                g.alias("g"),
+            )
+            .where(F.col("g") > 0)
+        )
+        best = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("node").orderBy(F.col("g").desc(), "tgt")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        sel = (
+            best.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("src").orderBy(F.col("g").desc(), "node")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint()
+        )
+        if sel.count() == 0:
+            return lab.join(
+                lab0.select("node", F.col("community").alias("__c0")), ["node"]
+            ).select(
+                "node",
+                "community",
+                (F.col("community") != F.col("__c0")).alias("moved"),
+            )
+        if i == max_rounds:
+            raise RuntimeError(
+                f"louvain_refine did not converge within {max_rounds} rounds"
+            )
+        # priority blocking: dep = the unique departure per source
+        # community; arr = the best arrival per target community
+        dep = sel.select(
+            F.col("src").alias("tgt"),
+            F.col("g").alias("__dg"),
+            F.col("node").alias("__dn"),
+        )
+        arr = (
+            sel.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("tgt").orderBy(F.col("g").desc(), "node")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("tgt").alias("src"),
+                F.col("g").alias("__ag"),
+                F.col("node").alias("__an"),
+            )
+        )
+        higher_dep = (F.col("__dg") > F.col("g")) | (
+            (F.col("__dg") == F.col("g")) & (F.col("__dn") < F.col("node"))
+        )
+        higher_arr = (F.col("__ag") > F.col("g")) | (
+            (F.col("__ag") == F.col("g")) & (F.col("__an") < F.col("node"))
+        )
+        free = (
+            sel.join(dep, ["tgt"], "left")
+            .where(~F.coalesce(higher_dep, F.lit(False)))
+            .join(arr, ["src"], "left")
+            .where(~F.coalesce(higher_arr, F.lit(False)))
+            .select("node", "k", "src", "tgt", "g")
+        )
+        wt = Window.partitionBy("tgt").orderBy(F.col("g").desc(), "node")
+        prefix = (
+            free.select(
+                "*",
+                F.coalesce(
+                    F.sum("k").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ).alias("s_prev"),
+                F.row_number().over(wt).alias("rn"),
+            )
+            .withColumn(
+                "cg", F.col("g") - F.col("k").cast(DEC) * F.col("s_prev").cast(DEC)
+            )
+            .withColumn(
+                "first_bad",
+                F.min(F.when(F.col("cg") <= 0, F.col("rn"))).over(
+                    Window.partitionBy("tgt")
+                ),
+            )
+            .where(
+                F.col("first_bad").isNull() | (F.col("rn") < F.col("first_bad"))
+            )
+        )
+        applied = prefix.select("node", "tgt", "g").localCheckpoint()
+        if applied.count() == 0:
+            # conflict cycle: apply the single globally-best move —
+            # strict Q increase, guaranteed progress
+            applied = sel.orderBy(F.col("g").desc(), "node").limit(1).localCheckpoint()
+        lab = spill(
+            lab.join(
+                applied.select("node", F.col("tgt").alias("__new")), ["node"], "left"
+            ).select("node", F.coalesce("__new", "community").alias("community")),
+            f"lab_{i}",
+        )
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
+def community_coarsen(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Community-graph coarsening — the AGGREGATE step of Louvain
+    (Blondel et al. 2008 phase 2) and the generic graph-shrinking
+    primitive: collapse every community to one supernode and return
+    the weighted super-edges ``(community_a, community_b, weight)``
+    with ``community_a ≤ community_b`` canonical — the ``a = b`` rows
+    carry the community's INTRA-edge count (its self-loop weight), the
+    ``a < b`` rows the inter-community edge counts.  Unlabeled nodes
+    are their own singleton community (the :func:`partition_modularity`
+    convention), so the coarsened graph's total weight always equals
+    ``m`` and modularity is preserved under the standard weighted
+    reading.
+
+    Plan shape: two node-keyed label joins onto the edge list (the
+    labels frame is node-sized — AQE broadcasts it when small), one
+    least/greatest canonicalization, one map-side-combinable count
+    keyed (ca, cb).  Linear in |E|, one shuffle, all-integer output —
+    nothing to quantize."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    touch = e.select(F.col("a").alias("node")).unionByName(
+        e.select(F.col("b").alias("node"))
+    )
+    lab = (
+        touch.distinct()
+        .join(labels.select("node", "community"), ["node"], "left")
+        .select("node", F.coalesce("community", "node").alias("community"))
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("community").alias("__ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("community").alias("__cb"))
+    return (
+        e.join(la, ["a"])
+        .join(lb, ["b"])
+        .groupBy(
+            F.least("__ca", "__cb").alias("community_a"),
+            F.greatest("__ca", "__cb").alias("community_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
 def partition_modularity(
     edges: DataFrame,
     labels: DataFrame,

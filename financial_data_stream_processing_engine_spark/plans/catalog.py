@@ -70,104 +70,42 @@ def register(name: str, sql: str | None = None):
 #: oldest. Entries not named here keep registration order at the
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
-    # --- round-10 window (first 50 = the driver's check budget) ---
-    # Freshness-cycle round (VERDICT r9 next-step #1): drain the 25
-    # remaining r4-era rows FIRST, then the 20 oldest r6-era rows, so
-    # after this round no driver row predates r6 and the catalog
-    # cycles on the standing 4-round horizon.  New entries capped at
-    # 4 (+1 changed-behavior re-earn) to keep 45 refresh slots.
-    # new this round: triangular mel-filterbank energies over the r9
-    # STFT; truss-confined community labels chaining the r9 k-truss
-    # peel with the dedup family's connected components; CDC for the
-    # NB model itself (additive per-batch count merges certified
-    # against from-scratch retrains, staleness measured per doc); and
-    # Newman modularity of the truss partition
-    "multimodal_audio_melbands",
-    "graph_truss_communities",
-    "streaming_nb_model_cdc",
-    "graph_truss_modularity",
-    # behavior-relevant code changed this round (policy (2)): the TIFF
-    # fixture gained a seventh variant (Deflate/Compression 8 under
-    # Predictor 2) and the decoder the matching zlib-inflate branch —
-    # the entry re-earns its row in-window
-    "multimodal_tiff_roundtrip",
+    # --- round-11 window (first 50 = the driver's check budget) ---
+    # Freshness-cycle completion round (VERDICT r10 next-step #1):
+    # after the r10 window drained every r4-era row, this window takes
+    # ALL 30 remaining r6-era rows plus the 15 alphabetically-first
+    # live r7-era rows (44 r7 rows minus the dead renamed
+    # funnel_stage_conversion row = 43 live), so no driver row
+    # predates r7 and the 226-entry catalog cycles on the standing
+    # ≤4-round horizon.  New entries capped at 5 (the VERDICT r10
+    # cap) keeping 45 refresh slots.
+    # new this round: the DCT-II cepstral step over the r10 mel
+    # energies with the grid-quantized log (the one step left in the
+    # standard audio-curation chain); per-frame spectral shape
+    # statistics (centroid / exact-integer rolloff / quantized-log
+    # flatness) over the STFT power relation; and the Louvain
+    # local-move refinement of the truss partition driven by the
+    # exact-integer modularity gain numerator; plus the Louvain
+    # phase-2 coarsening aggregation over the refined partition and
+    # the rectified spectral-flux onset statistic over the STFT
+    "multimodal_audio_mfcc",
+    "multimodal_audio_spectral",
+    "graph_louvain_refine",
+    "graph_community_coarsen",
+    "multimodal_audio_flux",
     # NOT re-entered despite same-file edits (documented yields):
-    # (a) graph_ktruss_similarity: _ktruss_sql was refactored to share
-    #     its unrolled CTEs with the new communities oracle, but the
-    #     generated SQL is BYTE-IDENTICAL (asserted by
-    #     tests/test_plans.py::test_ktruss_sql_refactor_identical) and
-    #     the Spark plan untouched — argument (a); the in-window
-    #     communities entry additionally runs the same peel (arg (c)).
-    # (b) every entry in the three plans modules sits on the
-    #     tempfile.mkdtemp -> io_utils.scratch_dir swap (ADVICE r9):
-    #     same mkdtemp call + an atexit rmtree registration — fixture
-    #     lifecycle only, plan- and value-identical (argument (a));
-    #     the full-catalog verify_local re-stamp covers it.
-    # (c) streaming_nb_gate / text_nb_lang_classifier sit on the
-    #     nb_score vocabulary-join broadcast HINT (VERDICT r9 #8): the
-    #     plan changes by design (shuffle join -> broadcast join), the
-    #     VALUES are batching/plan-independent — argument (b),
-    #     re-verified value-identical per-entry with verify_local
-    #     post-change at sf0.001 and sf0.01.
-    # (d) the non-TIFF multimodal entries sit on an untaken decoder
-    #     branch (zlib inflate fires only under TIFF tag 259 in
-    #     {8, 32946}, absent from every other fixture) — argument (b),
-    #     same shape as the r9 predictor-branch yield.
-    # the 25 remaining r4-era rows (VERDICT r9 "missing" #1) — after
-    # these, the r4 block is fully drained
-    "agg_argminmax_bool_bit",
-    "agg_percentiles",
-    "cdc_orders_diff",
-    "dedup_bloom_probe",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_substring_spans",
-    "fin_atr",
-    "fin_donchian",
-    "fin_obv",
-    "fin_rolling_beta",
-    "fin_stochastic",
-    "fin_twap_daily",
-    "join_left_customer_orders",
-    "layout_morton_zorder",
-    "maintenance_compact_files",
-    "schema_evolution_merge_read",
-    "streaming_fin_macd",
-    "streaming_topk_users",
-    "text_unicode_normalize",
-    "tpch_q11_like_important_stock",
-    "tpch_q16_like_part_supplier_counts",
-    "tpch_q20_like_surplus_suppliers",
-    "tpch_q21_like_waiting_suppliers",
-    "tpch_q2_like_min_cost_supplier",
-    # the 20 oldest r6-era rows (22 planned by VERDICT r9, 2 yielded
-    # to the extra new entries — ADVICE r10 count fix; the verdict-
-    # named sketch/ANN/bucketed-layout/fin and streaming families
-    # first, the r6 scalar family and the rest follow in round 11)
-    "approx_heavy_hitters",
-    "approx_distinct_hll",
-    "approx_quantiles_hdr",
-    "approx_setops_kmv",
-    "dedup_semantic_kmeans",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_topk",
-    "similarity_ivf_kmeans_topk",
-    "join_bucketed_zero_shuffle",
-    "layout_partition_prune",
-    "fin_bollinger_bands",
-    "fin_rsi_cutler",
-    "fin_zscore_anomalies",
-    "streaming_zscore_alerts",
-    "streaming_heavy_hitters",
-    "streaming_similarity_topk",
-    "streaming_ivm_orders_agg",
-    "streaming_session_timeout_flush",
-    "streaming_distinct_hll",
-    "streaming_static_enrich",
-    # --- driver check window boundary (first 50 above) ---
-    # queued FIRST for round 11: the 30 remaining r6-era rows (the two
-    # yielded to this round's extra new entries lead) — after those,
-    # every row sits on r7+ and the 4-round horizon is steady
+    # (a) graph_truss_modularity / graph_truss_communities: the only
+    #     partition_modularity change is a docstring note (the ADVICE
+    #     r10 empty-edges invariant, pinned by a new pytest) and
+    #     louvain_refine is purely additive in the same module — plans
+    #     and values untouched (argument (a)).
+    # (b) multimodal_audio_melbands / _stft / _spectrum: the new MFCC/
+    #     spectral functions are appended after them; their own code
+    #     and the shared decode/STFT helpers are byte-unchanged, and
+    #     the melbands entry re-verified green at sf0.001+sf0.01 in
+    #     the round-start verify sweep (argument (b)).
+    # the 30 remaining r6-era rows (VERDICT r10 "missing" #1) — after
+    # these, the r6 block is fully drained
     "streaming_quantiles_hdr",
     "streaming_pattern_match_topk",
     "rollup_returnflag_status",
@@ -198,7 +136,60 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "fin_pattern_match_topk",
     "similarity_recall_report",
-    # then everything else (r7+-era rows) in registration order — the
+    # the 15 alphabetically-first live r7-era rows (all equally old;
+    # alphabetical order keeps the pick auditable — the other 28 are
+    # queued below for round 12)
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "agg_builtin_stats",
+    "agg_collect_ordered",
+    "corpus_select_token_budget",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "embedding_quantize_int8",
+    "fin_max_drawdown",
+    "fin_rolling_sharpe",
+    "graph_pagerank_similarity",
+    "ivm_orders_status_agg",
+    "join_asof_strict",
+    "json_extract_props",
+    "lateral_top3_orders_per_customer",
+    # --- driver check window boundary (first 50 above) ---
+    # queued FIRST for round 12: graph_louvain_level2 (built and
+    # locally oracle-green this round — the full two-level Louvain —
+    # but the 5-new-entry window cap holds it out of the r11 window),
+    # then the 28 remaining r7-era rows — after those, every row sits
+    # on r8+ and the 4-round horizon is steady
+    "graph_louvain_level2",
+    "multimodal_bmp_roundtrip",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "multimodal_jpeg_progressive_roundtrip",
+    "multimodal_jpeg_restart_roundtrip",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_metadata",
+    "multimodal_png_16bit_roundtrip",
+    "multimodal_png_4bit_roundtrip",
+    "multimodal_png_adam7_roundtrip",
+    "multimodal_png_roundtrip",
+    "pack_sequences_bpe",
+    "python_datasource_sink_roundtrip",
+    "python_datasource_ticks",
+    "scd2_apply_changes",
+    "similarity_cosine_topk",
+    "similarity_index_maintain",
+    "streaming_dedup_exact",
+    "streaming_index_maintain",
+    "streaming_late_data_metrics",
+    "streaming_ma_rowcount",
+    "streaming_session_windows",
+    "streaming_sliding_mean",
+    "streaming_stream_stream_join",
+    "text_bpe_tokenize",
+    "text_fingerprints",
+    "text_language_id",
+    "udtf_ngrams",
+    # then everything else (r8+-era rows) in registration order — the
     # load_all() tail rule keeps them enumerable without naming each
 ]
 

@@ -362,3 +362,387 @@ def test_partition_modularity_random_sweep_matches_reference(spark):
             for c, (nm, il, intra, ds) in want.items()
         }
         assert got == expect, (trial, n, m)
+
+def _py_louvain_refine(edges, labels, max_rounds=20):
+    """Pure-Python reference of operators/graph.py::louvain_refine —
+    the EXACT same round structure (integer gain numerators, per-node
+    then per-source argmax, priority blocking, per-target
+    conservative-prefix admission, single-move fallback), so the
+    Spark result must match it node-for-node."""
+    adj: dict[int, set] = {}
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(edges)
+    assert m > 0
+    lab = {n: labels.get(n, n) for n in deg}
+    lab0 = dict(lab)
+    for i in range(max_rounds + 1):
+        tot: dict[int, int] = {}
+        for n, c in lab.items():
+            tot[c] = tot.get(c, 0) + deg[n]
+        kic: dict[int, dict[int, int]] = {}
+        for n in deg:
+            d = kic.setdefault(n, {})
+            for nb in adj[n]:
+                d[lab[nb]] = d.get(lab[nb], 0) + 1
+        cand = []
+        for n in sorted(deg):
+            a, k = lab[n], deg[n]
+            kia = kic[n].get(a, 0)
+            for c, kib in kic[n].items():
+                if c == a:
+                    continue
+                g = 2 * m * (kib - kia) - k * (tot[c] - tot[a] + k)
+                if g > 0:
+                    cand.append({"node": n, "k": k, "src": a, "tgt": c, "g": g})
+        # per-node best (g desc, tgt asc), then per-source best
+        # (g desc, node asc)
+        bestn: dict[int, dict] = {}
+        for x in cand:
+            cur = bestn.get(x["node"])
+            if cur is None or (-x["g"], x["tgt"]) < (-cur["g"], cur["tgt"]):
+                bestn[x["node"]] = x
+        sel: dict[int, dict] = {}
+        for x in bestn.values():
+            cur = sel.get(x["src"])
+            if cur is None or (-x["g"], x["node"]) < (-cur["g"], cur["node"]):
+                sel[x["src"]] = x
+        selected = list(sel.values())
+        if not selected:
+            return {n: (lab[n], lab[n] != lab0[n]) for n in deg}
+        assert i < max_rounds, "reference did not converge"
+        dep = {x["src"]: x for x in selected}
+        arr: dict[int, dict] = {}
+        for x in selected:
+            cur = arr.get(x["tgt"])
+            if cur is None or (-x["g"], x["node"]) < (-cur["g"], cur["node"]):
+                arr[x["tgt"]] = x
+
+        def pri(x):
+            return (-x["g"], x["node"])
+
+        free = [
+            x
+            for x in selected
+            if not (x["tgt"] in dep and pri(dep[x["tgt"]]) < pri(x))
+            and not (x["src"] in arr and pri(arr[x["src"]]) < pri(x))
+        ]
+        applied = []
+        by_tgt: dict[int, list] = {}
+        for x in free:
+            by_tgt.setdefault(x["tgt"], []).append(x)
+        for t, xs in by_tgt.items():
+            xs.sort(key=pri)
+            s = 0
+            for x in xs:
+                if x["g"] - x["k"] * s <= 0:
+                    break
+                applied.append(x)
+                s += x["k"]
+        if not applied:
+            applied = [min(selected, key=pri)]
+        for x in applied:
+            lab[x["node"]] = x["tgt"]
+    raise AssertionError("unreachable")
+
+
+def test_louvain_refine_barbell_moves_mislabeled_node(spark):
+    """Two triangles joined by a bridge, node 3 mislabeled into the
+    left community: the refinement must move exactly node 3 back to
+    the right triangle, Q must strictly improve, and refining the
+    refined labels must move nothing (fixpoint)."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+        partition_modularity,
+    )
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = spark.createDataFrame(tri, "id_a long, id_b long")
+    bad = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 0), (4, 10), (5, 10)],
+        "node long, community long",
+    )
+    ref = louvain_refine(e, bad)
+    got = {r["node"]: (r["community"], r["moved"]) for r in ref.collect()}
+    assert got == {
+        0: (0, False), 1: (0, False), 2: (0, False),
+        3: (10, True), 4: (10, False), 5: (10, False),
+    }
+    q0 = sum(r["q_contrib"] for r in partition_modularity(e, bad).collect())
+    q1 = sum(
+        r["q_contrib"]
+        for r in partition_modularity(e, ref.select("node", "community")).collect()
+    )
+    assert q1 > q0
+    again = louvain_refine(e, ref.select("node", "community"))
+    assert again.where("moved").count() == 0
+
+
+def test_louvain_refine_empty_edges_raises(spark):
+    """m = 0 has no modularity to refine — must raise loudly."""
+    import pytest as _pytest
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+    )
+
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    labels = spark.createDataFrame([(1, 0)], "node long, community long")
+    with _pytest.raises(ValueError, match="m = 0"):
+        louvain_refine(e, labels)
+
+
+def test_louvain_refine_random_sweep_matches_reference(spark):
+    """Randomized sweep: on random graphs with random partial initial
+    partitions, the Spark refinement must match the pure-Python
+    replica of the same deterministic algorithm node-for-node, Q must
+    never decrease, and the result must be a fixpoint."""
+    import random as _random
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+        partition_modularity,
+    )
+
+    rng = _random.Random(74)
+    for trial in range(4):
+        n = rng.randint(6, 14)
+        nodes = list(range(n))
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for _ in range(rng.randint(n, 3 * n))
+                for a, b in [rng.sample(nodes, 2)]
+            }
+        )
+        n_comm = rng.randint(1, 4)
+        labeled = {v: rng.randrange(n_comm) for v in nodes if rng.random() < 0.6}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        lab_rows = [(v, c) for v, c in labeled.items()]
+        labels = spark.createDataFrame(
+            lab_rows or [(None, None)], "node long, community long"
+        )
+        if not lab_rows:
+            labels = labels.where("node IS NOT NULL")
+        got = {
+            r["node"]: (r["community"], r["moved"])
+            for r in louvain_refine(df, labels, max_rounds=30).collect()
+        }
+        want = _py_louvain_refine(edges, labeled, max_rounds=30)
+        assert got == want, (trial, edges, labeled)
+        q0 = sum(
+            r["q_contrib"] for r in partition_modularity(df, labels).collect()
+        )
+        ref_labels = spark.createDataFrame(
+            [(v, c) for v, (c, _) in got.items()], "node long, community long"
+        )
+        q1 = sum(
+            r["q_contrib"] for r in partition_modularity(df, ref_labels).collect()
+        )
+        assert q1 >= q0 - 1e-12, (trial,)
+
+
+def test_louvain_oracle_unroll_depth_covers_fixtures(spark, sf_dir):
+    """The DuckDB refinement oracle unrolls the local-move phase a
+    FIXED 8 rounds (plans/llm_queries.py::_louvain_refine_sql) and
+    relies on rounds past the fixpoint being the identity — sound only
+    if the fixture refinement converges in ≤ 8 applied rounds.  Run
+    the Spark refinement with max_rounds=8 against the sf0.001
+    similarity graph (sf0.01 is covered by tools/verify_local.py's
+    oracle comparison): a fixture change needing more rounds raises
+    here LOUDLY (the ktruss depth-guard pattern)."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+        truss_communities,
+    )
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _similarity_pairs,
+    )
+
+    pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
+    comm = truss_communities(pairs, k=3).select("node", "community")
+    louvain_refine(pairs, comm, max_rounds=8)  # raises if > 8 rounds
+
+
+def test_community_coarsen_handcrafted(spark):
+    """Two triangles bridged by one edge, labeled by triangle: the
+    coarsened graph must be two self-loops of weight 3 plus one cut
+    edge of weight 1; total weight = m.  Unlabeled nodes coarsen as
+    their own singleton supernode."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        community_coarsen,
+    )
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = spark.createDataFrame(tri, "id_a long, id_b long")
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 10), (4, 10), (5, 10)],
+        "node long, community long",
+    )
+    got = {
+        (r["community_a"], r["community_b"]): r["weight"]
+        for r in community_coarsen(e, labels).collect()
+    }
+    assert got == {(0, 0): 3, (10, 10): 3, (0, 10): 1}
+    assert sum(got.values()) == len(tri)
+    # partial labels: 4 and 5 unlabeled → singleton supernodes
+    part = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 0)], "node long, community long"
+    )
+    got2 = {
+        (r["community_a"], r["community_b"]): r["weight"]
+        for r in community_coarsen(e, part).collect()
+    }
+    assert got2 == {(0, 0): 4, (0, 4): 1, (0, 5): 1, (4, 5): 1}
+    assert sum(got2.values()) == len(tri)
+
+
+def test_community_coarsen_random_total_weight_invariant(spark):
+    """On random graphs with random partial labels: total coarsened
+    weight equals m, self-loop weights equal per-community intra-edge
+    counts (cross-checked against partition_modularity's intra_edges),
+    and every row is canonical (a ≤ b)."""
+    import random as _random
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        community_coarsen,
+        partition_modularity,
+    )
+
+    rng = _random.Random(75)
+    for trial in range(3):
+        n = rng.randint(6, 16)
+        nodes = list(range(n))
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for _ in range(rng.randint(n, 3 * n))
+                for a, b in [rng.sample(nodes, 2)]
+            }
+        )
+        labeled = {v: rng.randrange(3) for v in nodes if rng.random() < 0.7}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        lab_rows = [(v, c) for v, c in labeled.items()]
+        labels = spark.createDataFrame(
+            lab_rows or [(None, None)], "node long, community long"
+        )
+        if not lab_rows:
+            labels = labels.where("node IS NOT NULL")
+        rows = community_coarsen(df, labels).collect()
+        assert all(r["community_a"] <= r["community_b"] for r in rows)
+        assert sum(r["weight"] for r in rows) == len(edges)
+        self_loops = {
+            r["community_a"]: r["weight"]
+            for r in rows
+            if r["community_a"] == r["community_b"]
+        }
+        intra = {
+            r["community"]: r["intra_edges"]
+            for r in partition_modularity(df, labels).collect()
+            if r["intra_edges"] > 0
+        }
+        assert self_loops == intra, (trial,)
+
+
+def test_louvain_refine_weighted_coarse_graph(spark):
+    """Weighted mode over a coarse-style graph with self-loops: two
+    heavy supernodes (big self-loop weights) must keep their
+    communities, while a light supernode pair bridged by weight 2
+    merges; self-loops count twice in the weighted degree and never
+    propose a move."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+    )
+
+    coarse = spark.createDataFrame(
+        [(0, 0, 5), (1, 1, 4), (0, 1, 1), (2, 2, 3), (1, 2, 1), (3, 4, 2), (3, 3, 1)],
+        "community_a long, community_b long, weight long",
+    )
+    empty = spark.createDataFrame([], "node long, community long")
+    got = {
+        r["node"]: (r["community"], r["moved"])
+        for r in louvain_refine(
+            coarse, empty, max_rounds=6,
+            src="community_a", dst="community_b", weight="weight",
+        ).collect()
+    }
+    assert got == {
+        0: (0, False), 1: (1, False), 2: (2, False),
+        3: (4, True), 4: (4, False),
+    }
+
+
+def test_louvain_refine_weight_one_equals_unweighted(spark):
+    """A weight column of all 1s must produce exactly the unweighted
+    result — the weighted generalization degenerates correctly."""
+    import random as _random
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+    )
+
+    rng = _random.Random(76)
+    n = 12
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(30)
+            for a, b in [rng.sample(range(n), 2)]
+        }
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    dfw = spark.createDataFrame(
+        [(a, b, 1) for a, b in edges], "id_a long, id_b long, w long"
+    )
+    labels = spark.createDataFrame([(0, 0), (1, 0)], "node long, community long")
+    plain = {
+        r["node"]: (r["community"], r["moved"])
+        for r in louvain_refine(df, labels, max_rounds=30).collect()
+    }
+    weighted = {
+        r["node"]: (r["community"], r["moved"])
+        for r in louvain_refine(dfw, labels, max_rounds=30, weight="w").collect()
+    }
+    assert plain == weighted
+
+
+def test_louvain_level2_chain_depth_guard(spark, sf_dir):
+    """The level-2 oracle unrolls BOTH local-move phases 8 rounds
+    (plans/llm_queries.py::_louvain_level2_sql): run the full Spark
+    chain (truss → refine → coarsen → weighted refine) against the
+    sf0.001 similarity graph with max_rounds=8 at each level — a
+    fixture change needing deeper compare-scale refinement raises
+    here LOUDLY (sf0.01 is covered by verify_local's oracle compare;
+    the sf0.1 bench graph legitimately needs ~16 rounds, which the
+    entries' generous max_rounds=40 absorbs without any value
+    compare)."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        community_coarsen,
+        louvain_refine,
+        truss_communities,
+    )
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _similarity_pairs,
+    )
+
+    pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
+    comm = truss_communities(pairs, k=3).select("node", "community")
+    l1 = louvain_refine(pairs, comm, max_rounds=8).select("node", "community")
+    coarse = community_coarsen(pairs, l1)
+    empty = spark.createDataFrame([], "node long, community long")
+    l2 = louvain_refine(
+        coarse, empty, max_rounds=8,
+        src="community_a", dst="community_b", weight="weight",
+    )
+    # the coarse self-loop weights + cut weights must partition m
+    m = pairs.count()
+    from pyspark.sql import functions as F
+
+    assert coarse.agg(F.sum("weight")).collect()[0][0] == m
+    assert l2.count() == coarse.selectExpr(
+        "community_a AS c"
+    ).union(coarse.selectExpr("community_b")).distinct().count()

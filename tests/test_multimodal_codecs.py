@@ -1937,6 +1937,53 @@ def test_audio_spectral_shape_zero_frame_is_null_centroid(spark):
         assert r["flatness_log"] == pytest.approx(0.0, abs=1e-12)
 
 
+def test_audio_spectral_flux_matches_numpy(spark):
+    """Flux must equal the numpy rectified first difference of
+    per-frame DFT powers summed over bins, per (media, frame ≥ 1);
+    frame 0 must be absent (no predecessor)."""
+    import math
+
+    rng_l = np.random.default_rng(50)
+    bins = tuple(range(1, 8))
+    payloads = [bytes(rng_l.integers(0, 256, 64, dtype=np.uint8)) for _ in range(3)]
+    sdf = _samples_df(spark, [_make_pcm8_wav(p) for p in payloads], max_samples=64)
+    stft = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=bins)
+    out = multimodal.audio_spectral_flux(stft)
+    got = {(r["media_id"], r["frame_idx"]): r for r in out.collect()}
+    n_frames = (64 - 16) // 8 + 1
+    assert len(got) == 3 * (n_frames - 1)
+    assert all(f >= 1 for _, f in got)
+    idx = np.arange(16)
+    for mid, p in enumerate(payloads):
+        x = (np.frombuffer(p, np.uint8).astype(np.float64) - 128.0) / 128.0
+        pw = []
+        for f in range(n_frames):
+            seg = x[f * 8 : f * 8 + 16]
+            pw.append(
+                {
+                    k: float(np.sum(seg * np.cos(2 * np.pi * k * idx / 16))) ** 2
+                    + float(np.sum(seg * np.sin(2 * np.pi * k * idx / 16))) ** 2
+                    for k in bins
+                }
+            )
+        for f in range(1, n_frames):
+            want = (
+                sum(
+                    math.floor(max(0.0, pw[f][k] - pw[f - 1][k]) * 1e9)
+                    for k in bins
+                )
+                * 1e-9
+            )
+            # abs=1e-5 like the melbands test: the engine quantizes
+            # re/im sums to the 1e-9 grid BEFORE squaring, the numpy
+            # reference does not — grid-level drift, not semantics
+            # (the bitwise guarantee is the oracle's job)
+            r = got[(mid, f)]
+            assert r["flux"] == pytest.approx(want, abs=1e-5), (mid, f)
+            assert r["flux"] >= 0.0
+            assert r["n_bins"] == len(bins)
+
+
 def test_audio_mfcc_rejects_duplicate_basis_rows(spark):
     """A duplicated (band, coeff) basis row would silently double that
     band's contribution through the join — must raise."""

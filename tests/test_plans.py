@@ -370,6 +370,20 @@ def test_spectral_plan_reuses_window_exchange(spark, sf_dir, queries):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_flux_plan_one_broadcast_three_shuffles(spark, sf_dir, queries):
+    """Flux = the STFT plan + one LAG window keyed (media, bin) + one
+    aggregation keyed (media, frame): exactly one broadcast join
+    (twiddles) and exactly three hash exchanges — (media,frame,bin)
+    for the STFT agg, (media,bin) for the lag window, (media,frame)
+    for the flux agg; the re-keying between window and agg is
+    inherent (different keys), a fourth exchange is not."""
+    plan = plan_of(queries, "multimodal_audio_flux", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
 def test_catalog_priority_names_must_exist():
     """A typo in the hand-maintained _PRIORITY rotation list would
     silently demote an entry out of the driver's 50-slot window —
