@@ -2042,6 +2042,76 @@ def audio_spectral_flux(stft_df: DataFrame) -> DataFrame:
     )
 
 
+def audio_zcr(
+    samples_df: DataFrame,
+    n_fft: int = 16,
+    hop: int = 8,
+) -> DataFrame:
+    """Per-frame zero-crossing rate — the third member of the classic
+    short-time feature trio (energy / ZCR / flux; voiced-unvoiced
+    discrimination, noisiness scoring and silence trimming read sign
+    changes, which need no spectrum at all): over the same frame
+    lattice as :func:`audio_stft` (frame f covers samples [f·hop,
+    f·hop+n_fft)), count consecutive-sample pairs whose signs differ
+    → (media_id, frame_idx, zc_count, n_pairs, zc_rate) with
+    ``zc_rate = zc_count/(n_fft−1)``.  Zero is non-negative (the
+    samples are exact dyadics, so equality to 0.0 is exact); a pair
+    belongs to every frame containing BOTH its samples, the
+    constant-overlap ``sequence``+``explode`` assignment of the STFT.
+
+    Entirely integer arithmetic until the single division by the
+    constant pair count — nothing to quantize, bit-identical in any
+    engine.  Plan shape: one lag window keyed (media) ordered by
+    sample position (row width is bounded by the decode cap, the
+    :func:`decode_audio_samples` contract), the constant-factor frame
+    expansion, one map-side-combinable aggregation keyed
+    (media, frame).  Media shorter than ``n_fft`` are excluded (the
+    partial-window rule)."""
+    from pyspark.sql import Window
+
+    if n_fft <= 1 or hop <= 0:
+        raise ValueError(f"need n_fft > 1 and hop > 0, got {n_fft}, {hop}")
+    base = samples_df.where(F.size("samples") >= n_fft).select(
+        "media_id",
+        (F.floor((F.size("samples") - F.lit(n_fft)) / F.lit(hop)) + 1)
+        .cast("int")
+        .alias("n_frames"),
+        F.posexplode("samples").alias("pos", "x"),
+    )
+    w = Window.partitionBy("media_id").orderBy("pos")
+    pairs = base.select(
+        "media_id",
+        "n_frames",
+        "pos",
+        (
+            (F.col("x") < 0) != (F.lag("x", 1).over(w) < 0)
+        ).cast("int").alias("c"),
+    ).where(F.col("c").isNotNull())
+    # frames containing BOTH samples pos-1 and pos of the pair:
+    # f·hop ≤ pos−1 and pos ≤ f·hop + n_fft − 1, f a full frame
+    f_lo = F.greatest(
+        F.lit(0), F.ceil((F.col("pos") - F.lit(n_fft - 1)) / F.lit(hop)).cast("int")
+    )
+    f_hi = F.least(
+        F.col("n_frames") - F.lit(1),
+        F.floor((F.col("pos") - F.lit(1)) / F.lit(hop)).cast("int"),
+    )
+    assigned = pairs.select(
+        "media_id",
+        "c",
+        F.explode(
+            F.when(f_lo <= f_hi, F.sequence(f_lo, f_hi)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("frame_idx"),
+    )
+    return assigned.groupBy("media_id", "frame_idx").agg(
+        F.sum("c").cast("long").alias("zc_count"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.sum("c").cast("double") / F.lit(float(n_fft - 1))).alias("zc_rate"),
+    )
+
+
 def dct2_basis(n_bands: int, n_coeffs: int) -> list[tuple[int, int, float]]:
     """(band, coeff, weight) rows of the (orthogonality-unnormalized)
     DCT-II basis ``w[c, m] = cos(π·c·(m + ½)/M)`` over ``M = n_bands``

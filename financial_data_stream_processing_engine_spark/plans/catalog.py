@@ -76,7 +76,7 @@ _PRIORITY: list[str] = [
     # ALL 30 remaining r6-era rows plus the 15 alphabetically-first
     # live r7-era rows (44 r7 rows minus the dead renamed
     # funnel_stage_conversion row = 43 live), so no driver row
-    # predates r7 and the 226-entry catalog cycles on the standing
+    # predates r7 and the 229-entry catalog cycles on the standing
     # ≤4-round horizon.  New entries capped at 5 (the VERDICT r10
     # cap) keeping 45 refresh slots.
     # new this round: the DCT-II cepstral step over the r10 mel
@@ -155,12 +155,15 @@ _PRIORITY: list[str] = [
     "json_extract_props",
     "lateral_top3_orders_per_customer",
     # --- driver check window boundary (first 50 above) ---
-    # queued FIRST for round 12: graph_louvain_level2 (built and
-    # locally oracle-green this round — the full two-level Louvain —
-    # but the 5-new-entry window cap holds it out of the r11 window),
-    # then the 28 remaining r7-era rows — after those, every row sits
-    # on r8+ and the 4-round horizon is steady
+    # queued FIRST for round 12: the three entries built and locally
+    # oracle-green this round that the 5-new-entry window cap holds
+    # out of the r11 window (the full two-level Louvain, its original-
+    # graph modularity certificate, and the per-frame zero-crossing
+    # rate), then the 28 remaining r7-era rows — after those, every
+    # row sits on r8+ and the 4-round horizon is steady
     "graph_louvain_level2",
+    "graph_louvain_level2_modularity",
+    "multimodal_audio_zcr",
     "multimodal_bmp_roundtrip",
     "multimodal_frame_sample",
     "multimodal_image_features",

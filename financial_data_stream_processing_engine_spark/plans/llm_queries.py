@@ -4772,6 +4772,81 @@ def multimodal_audio_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_spectral_flux(stft)
 
 
+def _audio_zcr_sql(
+    n_samples: int = 64,
+    n_fft: int = 16,
+    hop: int = 8,
+) -> str:
+    """DuckDB reconstruction of the per-frame zero-crossing rate: the
+    md5 PCM samples, a (pair position, frame) assignment table as
+    literals (position p pairs samples p−1 and p; a pair belongs to
+    every frame containing both — the STFT lattice), the identical
+    sign-difference predicate, one integer aggregation and the single
+    constant division."""
+    n_frames = (n_samples - n_fft) // hop + 1
+    m_cols = ", ".join(
+        "MD5(CAST(doc_id AS VARCHAR)) AS m0"
+        if i == 0
+        else f"MD5(CAST(doc_id AS VARCHAR) || ':{i}') AS m{i}"
+        for i in range(n_samples // 16)
+    )
+    samp = ", ".join(
+        f"struct_pack(pos := {i}, x := CAST({_hex_byte(f'm{i // 16}', i % 16)}"
+        " - 128 AS DOUBLE) / 128.0e0)"
+        for i in range(n_samples)
+    )
+    ptbl = ", ".join(
+        f"struct_pack(pos := {p}, f := {f})"
+        for f in range(n_frames)
+        for p in range(f * hop + 1, f * hop + n_fft)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, {m_cols} FROM documents),
+samp AS (SELECT doc_id, UNNEST([{samp}]) AS s FROM b),
+ptbl AS (SELECT UNNEST([{ptbl}]) AS w),
+px AS (
+  SELECT a.doc_id AS media_id, w.f AS frame_idx,
+         CASE WHEN (a.s.x < 0) <> (p.s.x < 0) THEN 1 ELSE 0 END AS c
+  FROM samp a
+  JOIN samp p ON p.doc_id = a.doc_id AND p.s.pos = a.s.pos - 1
+  JOIN ptbl w ON w.pos = a.s.pos)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(SUM(c) AS BIGINT) AS zc_count,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(c) AS DOUBLE) / {float(n_fft - 1)!r} AS zc_rate
+FROM px
+GROUP BY media_id, frame_idx
+"""
+
+
+@register("multimodal_audio_zcr", sql=_audio_zcr_sql())
+def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame zero-crossing rate — completing the classic
+    short-time trio beside energy and flux (voiced-unvoiced
+    discrimination and noisiness scoring read sign changes, no
+    spectrum needed): decode each doc's 64-sample WAV through the
+    shared RIFF walk, then count sign-differing consecutive-sample
+    pairs per overlapping 16-sample frame (hop 8, the STFT lattice;
+    a pair belongs to every frame containing both samples) —
+    (media, frame, zc_count, n_pairs, zc_rate), 7 value-dense rows
+    per doc (operators/multimodal.py::audio_zcr).  Entirely integer
+    arithmetic until one division by the constant pair count; one lag
+    window keyed (media), the constant-factor frame expansion, one
+    map-side-combinable aggregation.
+
+    Oracle: full reconstruction — md5 samples, a literal
+    (pair position, frame) table, the identical sign predicate and
+    constant division (see _audio_zcr_sql)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    wavs = docs.mapInPandas(_stft_wav_generator(), schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        wavs, id_col="doc_id", payload=F.col("payload"),
+        kind="audio", mime="audio/wav",
+    )
+    samples = multimodal.decode_audio_samples(media, max_samples=64)
+    return multimodal.audio_zcr(samples, n_fft=16, hop=8)
+
+
 def _ktruss_unrolled_ctes(k: int = 3, rounds: int = 8) -> tuple[str, str]:
     """Shared WITH-clause builder for the k-truss oracles: the
     triangle entry's cell-confined edge CTEs, then the peel UNROLLED
@@ -5270,6 +5345,119 @@ def graph_louvain_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("node", "community_l1", "community_l2")
     )
+
+
+def _louvain_level2_modularity_sql(
+    k: int = 3,
+    truss_rounds: int = 8,
+    move_rounds: int = 8,
+    l2_rounds: int = 8,
+) -> str:
+    """Oracle: the level-2 chain (shared unrolled level-1 + coarsen +
+    weighted unroll), the supernode labels expanded back to documents,
+    then the truss-modularity entry's Newman arithmetic verbatim over
+    the ORIGINAL pairs relation — exact BIGINT aggregates, the fixed
+    IEEE ``e_c/m − (d_c/2m)²`` shape."""
+    ctes, l1 = _louvain_unrolled_ctes(k, truss_rounds, move_rounds)
+    prelude = f"""cg AS MATERIALIZED (
+  SELECT LEAST(la.community, lb.community) AS a,
+         GREATEST(la.community, lb.community) AS b,
+         COUNT(*) AS w
+  FROM pairs p
+  JOIN {l1} la ON la.node = p.id_a
+  JOIN {l1} lb ON lb.node = p.id_b
+  GROUP BY 1, 2),
+wsym AS MATERIALIZED (
+  SELECT a AS node, b AS nb, w FROM cg WHERE a <> b
+  UNION ALL SELECT b, a, w FROM cg WHERE a <> b),
+wdeg AS MATERIALIZED (
+  SELECT node, SUM(w) AS k FROM (
+    SELECT a AS node, w FROM cg WHERE a <> b
+    UNION ALL SELECT b, w FROM cg WHERE a <> b
+    UNION ALL SELECT a, 2 * w FROM cg WHERE a = b) u
+  GROUP BY node),
+wmm AS (SELECT SUM(w) AS m FROM cg),
+wl0 AS MATERIALIZED (SELECT node, node AS community FROM wdeg)"""
+    blocks, wlast = _louvain_move_round_blocks(
+        deg="wdeg", mm="wmm", sym="wsym", l0="wl0", move_rounds=l2_rounds, tag="w"
+    )
+    return (
+        ctes
+        + ",\n"
+        + ",\n".join([prelude] + blocks)
+        + f""",
+lab2 AS MATERIALIZED (
+  SELECT n.node, d.k AS deg, l2.community, TRUE AS labeled
+  FROM {l1} n
+  JOIN {wlast} l2 ON l2.node = n.community
+  JOIN degn d ON d.node = n.node),
+ns2 AS (
+  SELECT community, COUNT(*) AS n_members, BOOL_OR(labeled) AS is_labeled,
+         SUM(deg) AS degree_sum
+  FROM lab2 GROUP BY community),
+ie2 AS (
+  SELECT la.community, COUNT(*) AS intra
+  FROM pairs p
+  JOIN lab2 la ON la.node = p.id_a
+  JOIN lab2 lb ON lb.node = p.id_b
+  WHERE la.community = lb.community
+  GROUP BY la.community)
+SELECT ns2.community, CAST(ns2.n_members AS BIGINT) AS n_members,
+       ns2.is_labeled,
+       CAST(COALESCE(ie2.intra, 0) AS BIGINT) AS intra_edges,
+       CAST(ns2.degree_sum AS BIGINT) AS degree_sum,
+       CAST(COALESCE(ie2.intra, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+       - (CAST(ns2.degree_sum AS DOUBLE) / CAST(mm.m * 2 AS DOUBLE))
+         * (CAST(ns2.degree_sum AS DOUBLE) / CAST(mm.m * 2 AS DOUBLE)) AS q_contrib
+FROM ns2 LEFT JOIN ie2 USING (community) CROSS JOIN mm
+"""
+    )
+
+
+@register(
+    "graph_louvain_level2_modularity", sql=_louvain_level2_modularity_sql(3, 8, 8, 8)
+)
+def graph_louvain_level2_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the TWO-LEVEL Louvain partition measured
+    over the ORIGINAL similarity graph — the quality certificate that
+    closes the Louvain story: by the standard Louvain equivalence,
+    modularity of the coarse partition w.r.t. the weighted coarse
+    graph (self-loops included) EQUALS modularity of the expanded
+    partition w.r.t. the original graph, and every level-2 move
+    strictly increased the former — so this entry's ΣQ must dominate
+    both the truss partition's (~0.02) and the level-1 refinement's
+    (~0.76), a law tests/test_graph.py pins on the fixture.  Per-
+    community rows keep the result value-dense: member counts,
+    intra-edge counts, degree sums (exact integers) and the float
+    contribution in the fixed IEEE shape of partition_modularity
+    (operators/graph.py::{louvain_refine, community_coarsen,
+    partition_modularity}).
+
+    Oracle: the shared level-2 chain (byte-identical CTEs with the
+    level-2 entry) + the truss-modularity arithmetic verbatim (see
+    _louvain_level2_modularity_sql)."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        community_coarsen,
+        louvain_refine,
+        partition_modularity,
+        truss_communities,
+    )
+
+    pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
+    comm = truss_communities(pairs, k=3).select("node", "community")
+    l1 = louvain_refine(pairs, comm, max_rounds=40).select("node", "community")
+    l1 = l1.localCheckpoint()
+    coarse = community_coarsen(pairs, l1)
+    empty = spark.createDataFrame([], "node long, community long")
+    l2 = louvain_refine(
+        coarse, empty, max_rounds=40,
+        src="community_a", dst="community_b", weight="weight",
+    )
+    labels2 = l1.join(
+        l2.select(F.col("node").alias("community"), F.col("community").alias("__c2")),
+        ["community"],
+    ).select("node", F.col("__c2").alias("community"))
+    return partition_modularity(pairs, labels2)
 
 
 @register("graph_community_coarsen", sql=_community_coarsen_sql(3, 8, 8))

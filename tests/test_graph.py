@@ -746,3 +746,51 @@ def test_louvain_level2_chain_depth_guard(spark, sf_dir):
     assert l2.count() == coarse.selectExpr(
         "community_a AS c"
     ).union(coarse.selectExpr("community_b")).distinct().count()
+
+
+def test_louvain_quality_ladder_on_fixture(spark, sf_dir):
+    """The Louvain equivalence law on the real fixture graph: Q
+    (measured over the ORIGINAL graph) must strictly climb truss →
+    level-1 refinement → two-level partition whenever moves were
+    applied — every applied move strictly increased the (equivalent)
+    objective, so a non-improving ladder means the gain arithmetic or
+    the coarse-graph equivalence broke."""
+    from pyspark.sql import functions as F
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        community_coarsen,
+        louvain_refine,
+        partition_modularity,
+        truss_communities,
+    )
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _similarity_pairs,
+    )
+
+    pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
+    comm = truss_communities(pairs, k=3).select("node", "community").localCheckpoint()
+
+    def q_of(labels):
+        return sum(
+            r["q_contrib"] for r in partition_modularity(pairs, labels).collect()
+        )
+
+    q_truss = q_of(comm)
+    l1 = louvain_refine(pairs, comm, max_rounds=40)
+    l1_moved = l1.where("moved").count()
+    l1 = l1.select("node", "community").localCheckpoint()
+    q_l1 = q_of(l1)
+    coarse = community_coarsen(pairs, l1)
+    empty = spark.createDataFrame([], "node long, community long")
+    l2 = louvain_refine(
+        coarse, empty, max_rounds=40,
+        src="community_a", dst="community_b", weight="weight",
+    )
+    l2_moved = l2.where("moved").count()
+    labels2 = l1.join(
+        l2.select(F.col("node").alias("community"), F.col("community").alias("__c2")),
+        ["community"],
+    ).select("node", F.col("__c2").alias("community"))
+    q_l2 = q_of(labels2)
+    assert l1_moved > 0 and q_l1 > q_truss
+    assert l2_moved > 0 and q_l2 > q_l1

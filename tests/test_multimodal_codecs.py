@@ -1984,6 +1984,37 @@ def test_audio_spectral_flux_matches_numpy(spark):
             assert r["n_bins"] == len(bins)
 
 
+def test_audio_zcr_matches_numpy(spark):
+    """ZCR must equal the numpy sign-change count of consecutive
+    sample pairs per overlapping frame; all-positive audio has zero
+    crossings; degenerate geometry raises."""
+    import pytest as _pytest
+
+    rng_l = np.random.default_rng(51)
+    payloads = [bytes(rng_l.integers(0, 256, 64, dtype=np.uint8)) for _ in range(3)]
+    sdf = _samples_df(spark, [_make_pcm8_wav(p) for p in payloads], max_samples=64)
+    out = multimodal.audio_zcr(sdf, n_fft=16, hop=8)
+    got = {(r["media_id"], r["frame_idx"]): r for r in out.collect()}
+    n_frames = (64 - 16) // 8 + 1
+    assert len(got) == 3 * n_frames
+    for mid, p in enumerate(payloads):
+        x = (np.frombuffer(p, np.uint8).astype(np.float64) - 128.0) / 128.0
+        neg = x < 0
+        for f in range(n_frames):
+            seg = neg[f * 8 : f * 8 + 16]
+            want = int(np.sum(seg[1:] != seg[:-1]))
+            r = got[(mid, f)]
+            assert r["zc_count"] == want, (mid, f)
+            assert r["n_pairs"] == 15
+            assert r["zc_rate"] == pytest.approx(want / 15.0)
+    # all samples >= 0 (bytes >= 128): zero crossings everywhere
+    flat = _samples_df(spark, [_make_pcm8_wav(bytes([200] * 64))], max_samples=64)
+    rows = multimodal.audio_zcr(flat).collect()
+    assert len(rows) == 7 and all(r["zc_count"] == 0 for r in rows)
+    with _pytest.raises(ValueError, match="n_fft"):
+        multimodal.audio_zcr(sdf, n_fft=1, hop=8)
+
+
 def test_audio_mfcc_rejects_duplicate_basis_rows(spark):
     """A duplicated (band, coeff) basis row would silently double that
     band's contribution through the join — must raise."""
