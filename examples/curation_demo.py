@@ -4,7 +4,9 @@ the LLM-data-pipeline story in one runnable script:
   1. model-based quality scoring (bigram-LM mean transition prob)
   2. learned language classification (Naive Bayes, holdout-split)
   3. exact near-dup removal (prefix-filter AllPairs join, min-id
-     survivor)
+     survivor) + community structure of the near-dup graph (exact-
+     integer Louvain refinement scored by Newman modularity — the
+     per-community sizes a pipeline caps contributions by)
   4. tokenizer TRAINING on the surviving corpus (Sennrich BPE)
   5. tokenizer-exact token accounting under the learned merges
   6. greedy sequence packing on exact token costs
@@ -63,6 +65,33 @@ def main() -> int:
     surv = kept.join(losers, "doc_id", "left_anti")
     print(f"near-dup removal: {kept.count()} -> {surv.count()} docs "
           f"({pairs.count()} qualifying pairs)")
+
+    # 3b. community structure of the near-dup graph — the signal a
+    # pipeline caps per-community contributions by: connected
+    # components seed the partition, the exact-integer Louvain
+    # local-move refines it, Newman modularity certifies the gain
+    if pairs.take(1):
+        from financial_data_stream_processing_engine_spark.operators import graph as g
+        from financial_data_stream_processing_engine_spark.operators.dedup import (
+            connected_components,
+        )
+
+        seed = connected_components(pairs, id_a="id_a", id_b="id_b").select(
+            "node", F.col("component").alias("community")
+        )
+        refined = g.louvain_refine(pairs, seed, src="id_a", dst="id_b")
+        q = sum(
+            r["q_contrib"]
+            for r in g.partition_modularity(
+                pairs, refined.select("node", "community"), src="id_a", dst="id_b"
+            ).collect()
+        )
+        sizes = (
+            refined.groupBy("community").count().orderBy(F.col("count").desc())
+        )
+        top = [r["count"] for r in sizes.take(3)]
+        print(f"near-dup communities: {sizes.count()} "
+              f"(largest {top}), refined modularity Q={q:.3f}")
 
     # 4. learn a tokenizer from the surviving corpus
     merges_df = text.bpe_train_merges(surv, k=10)
