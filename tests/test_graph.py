@@ -794,3 +794,143 @@ def test_louvain_quality_ladder_on_fixture(spark, sf_dir):
     q_l2 = q_of(labels2)
     assert l1_moved > 0 and q_l1 > q_truss
     assert l2_moved > 0 and q_l2 > q_l1
+
+
+def _py_louvain_refine_weighted(edges_w, labels, max_rounds=30):
+    """Weighted pure-Python reference of louvain_refine(weight=...) —
+    integer edge weights, self-loops counted twice in degrees and
+    never proposing moves, W = total weight in place of m; otherwise
+    the exact round structure of _py_louvain_refine."""
+    adj: dict[int, dict[int, int]] = {}
+    deg: dict[int, int] = {}
+    m = 0
+    for a, b, w in edges_w:
+        m += w
+        if a == b:
+            deg[a] = deg.get(a, 0) + 2 * w
+            adj.setdefault(a, {})
+            continue
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + w
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + w
+        deg[a] = deg.get(a, 0) + w
+        deg[b] = deg.get(b, 0) + w
+    assert m > 0
+    lab = {n: labels.get(n, n) for n in deg}
+    lab0 = dict(lab)
+    for i in range(max_rounds + 1):
+        tot: dict[int, int] = {}
+        for n, c in lab.items():
+            tot[c] = tot.get(c, 0) + deg[n]
+        kic: dict[int, dict[int, int]] = {}
+        for n in deg:
+            d = kic.setdefault(n, {})
+            for nb, w in adj[n].items():
+                d[lab[nb]] = d.get(lab[nb], 0) + w
+        cand = []
+        for n in sorted(deg):
+            a, k = lab[n], deg[n]
+            kia = kic[n].get(a, 0)
+            for c, kib in kic[n].items():
+                if c == a:
+                    continue
+                g = 2 * m * (kib - kia) - k * (tot[c] - tot[a] + k)
+                if g > 0:
+                    cand.append({"node": n, "k": k, "src": a, "tgt": c, "g": g})
+        bestn: dict[int, dict] = {}
+        for x in cand:
+            cur = bestn.get(x["node"])
+            if cur is None or (-x["g"], x["tgt"]) < (-cur["g"], cur["tgt"]):
+                bestn[x["node"]] = x
+        sel: dict[int, dict] = {}
+        for x in bestn.values():
+            cur = sel.get(x["src"])
+            if cur is None or (-x["g"], x["node"]) < (-cur["g"], cur["node"]):
+                sel[x["src"]] = x
+        selected = list(sel.values())
+        if not selected:
+            return {n: (lab[n], lab[n] != lab0[n]) for n in deg}
+        assert i < max_rounds, "weighted reference did not converge"
+        dep = {x["src"]: x for x in selected}
+        arr: dict[int, dict] = {}
+        for x in selected:
+            cur = arr.get(x["tgt"])
+            if cur is None or (-x["g"], x["node"]) < (-cur["g"], cur["node"]):
+                arr[x["tgt"]] = x
+
+        def pri(x):
+            return (-x["g"], x["node"])
+
+        free = [
+            x
+            for x in selected
+            if not (x["tgt"] in dep and pri(dep[x["tgt"]]) < pri(x))
+            and not (x["src"] in arr and pri(arr[x["src"]]) < pri(x))
+        ]
+        applied = []
+        by_tgt: dict[int, list] = {}
+        for x in free:
+            by_tgt.setdefault(x["tgt"], []).append(x)
+        for t, xs in by_tgt.items():
+            xs.sort(key=pri)
+            s = 0
+            for x in xs:
+                if x["g"] - x["k"] * s <= 0:
+                    break
+                applied.append(x)
+                s += x["k"]
+        if not applied:
+            applied = [min(selected, key=pri)]
+        for x in applied:
+            lab[x["node"]] = x["tgt"]
+    raise AssertionError("unreachable")
+
+
+def test_louvain_refine_weighted_random_sweep_matches_reference(spark):
+    """Randomized WEIGHTED sweep incl. self-loops (the coarse-graph
+    shape level 2 consumes): the Spark weighted refinement must match
+    the pure-Python weighted replica node-for-node, from both
+    singleton starts and random partial partitions."""
+    import random as _random
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+    )
+
+    rng = _random.Random(77)
+    for trial in range(3):
+        n = rng.randint(5, 12)
+        nodes = list(range(n))
+        pair_edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for _ in range(rng.randint(n, 3 * n))
+                for a, b in [rng.sample(nodes, 2)]
+            }
+        )
+        edges_w = [(a, b, rng.randint(1, 5)) for a, b in pair_edges]
+        # self-loops on a random subset — the coarsened intra weights
+        for v in nodes:
+            if rng.random() < 0.4:
+                edges_w.append((v, v, rng.randint(1, 4)))
+        labeled = (
+            {} if trial == 0
+            else {v: rng.randrange(3) for v in nodes if rng.random() < 0.5}
+        )
+        df = spark.createDataFrame(
+            edges_w, "community_a long, community_b long, weight long"
+        )
+        lab_rows = [(v, c) for v, c in labeled.items()]
+        labels = spark.createDataFrame(
+            lab_rows or [(None, None)], "node long, community long"
+        )
+        if not lab_rows:
+            labels = labels.where("node IS NOT NULL")
+        got = {
+            r["node"]: (r["community"], r["moved"])
+            for r in louvain_refine(
+                df, labels, max_rounds=30,
+                src="community_a", dst="community_b", weight="weight",
+            ).collect()
+        }
+        want = _py_louvain_refine_weighted(edges_w, labeled, max_rounds=30)
+        assert got == want, (trial, edges_w, labeled)
