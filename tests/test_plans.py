@@ -384,6 +384,36 @@ def test_flux_plan_one_broadcast_three_shuffles(spark, sf_dir, queries):
     assert plan.count("Exchange hashpartitioning") == 3
 
 
+def test_louvain_oracle_shared_ctes_byte_identical():
+    """The four Louvain-family oracles must share their generated CTE
+    chains BYTE-IDENTICALLY (the ktruss digest-pin rationale: shared
+    generators mean a fix to the round arithmetic reaches every entry,
+    and a silent divergence between the level-2 entry and its
+    modularity certificate would invalidate the Q-ladder law)."""
+    import os as _os
+
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _community_coarsen_sql,
+        _louvain_level2_modularity_sql,
+        _louvain_level2_sql,
+        _louvain_refine_sql,
+        _louvain_unrolled_ctes,
+    )
+
+    ctes, last = _louvain_unrolled_ctes(3, 8, 8)
+    refine = _louvain_refine_sql(3, 8, 8)
+    coarsen = _community_coarsen_sql(3, 8, 8)
+    level2 = _louvain_level2_sql(3, 8, 8, 8)
+    l2mod = _louvain_level2_modularity_sql(3, 8, 8, 8)
+    for sql in (refine, coarsen, level2, l2mod):
+        assert sql.startswith(ctes), "level-1 chain diverged"
+    # level-2 and its modularity certificate share the ENTIRE weighted
+    # chain: their common prefix must reach past the final weighted
+    # round's label CTE
+    common = _os.path.commonprefix([level2, l2mod])
+    assert "lw8 AS MATERIALIZED" in common, "weighted chain diverged"
+
+
 def test_catalog_priority_names_must_exist():
     """A typo in the hand-maintained _PRIORITY rotation list would
     silently demote an entry out of the driver's 50-slot window —
