@@ -397,12 +397,21 @@ def _iterative_gc_hint(spark) -> None:
     collection vs ~400-600 MB of pending garbage without it).  This is
     defensive hygiene — the EXPONENTIAL cost bug the level-2 chain
     exposed was localCheckpoint's origin-statistics compounding, fixed
-    by the parquet spill in :func:`louvain_refine`."""
+    by the parquet spill in :func:`louvain_refine`.
+
+    The CPython ``gc.collect()`` runs every call (cheap, and it is what
+    releases the py4j handles so the JVM garbage becomes collectable at
+    all); the JVM ``System.gc()`` is a full stop-the-world collection,
+    so it only fires when the heap is actually under pressure (used
+    > 50% of max) — an idle-heap round skips it instead of paying fixed
+    GC latency ~16 times per bench entry (ADVICE r11)."""
     import gc
 
     gc.collect()
     try:
-        spark._jvm.System.gc()
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        if (rt.totalMemory() - rt.freeMemory()) * 2 > rt.maxMemory():
+            spark._jvm.System.gc()
     except Exception:  # pragma: no cover - Spark Connect has no _jvm
         pass
 
@@ -424,7 +433,16 @@ def louvain_refine(
     exists.  Nodes without a ``labels(node, community)`` row start as
     their own singleton (the partition_modularity convention), so
     feeding truss-community labels refines exactly the partition the
-    modularity entry scores.
+    modularity entry scores.  NODE IDS AND COMMUNITY IDS SHARE ONE
+    NAMESPACE under that convention: an explicit label whose community
+    id equals some UNLABELED node's id silently merges with that node's
+    singleton (by design for component/truss seeds, whose community ids
+    are member node ids — a min-id seed can never collide with a
+    non-member); callers minting community ids from a different
+    namespace must keep them disjoint from unlabeled node ids.
+    ``labels`` must hold AT MOST ONE row per node — a duplicate would
+    fan out through the label join and double-count degrees in every
+    Σtot, so it raises loudly (the audio basis-table convention).
 
     The gain test is EXACT INTEGER arithmetic — moving node i (degree
     ``k``) from community a to b changes Q by ``(k_{i→b} − k_{i→a})/m
@@ -437,34 +455,41 @@ def louvain_refine(
     here, HUGEINT in the oracle — the rolloff-comparison contract).
 
     Parallel-move soundness: per round the candidate set is thinned to
-    per-node best (g desc, target asc), then per-SOURCE-community best
-    (g desc, node asc) — so at most one node leaves any community per
-    round and no selected move's ``k_{i→src}``/``Σtot_src`` terms can
-    be invalidated by another — then PRIORITY BLOCKING (priority =
-    g desc, node asc) resolves source/target conflicts: an arrival
-    into community c is dropped iff c's departing move has strictly
-    higher priority, and a departure from s is dropped iff the best
-    arrival into s has strictly higher priority.  In the accepted set
-    no target community loses a member and no source community gains
-    one (a lower-priority departure from an arrival's target is
-    blocked by that arrival, and any arrival into an accepted
-    departure's source must have lower priority — so each blocks the
-    other asymmetrically, never both ways), and the globally best move
-    is never blocked, so singleton-merge storms resolve in one round
-    instead of one move per round.
-    Within one target community the movers DO interact (each arrival
-    grows ``Σtot_b``), so the movers are ordered (g desc, node asc)
-    and only the maximal PREFIX whose conservative sequential gain
+    per-node best (g desc, target asc), then PRIORITY BLOCKING
+    (priority = g desc, node asc) makes each community's membership
+    change ONE-DIRECTIONAL: an arrival into community c is dropped iff
+    c's best departure has strictly higher priority, and a departure
+    from s is dropped iff the best arrival into s has strictly higher
+    priority.  In the surviving set no target community loses a member
+    and no source community gains one (were an arrival into c and a
+    departure from c both accepted, the arrival must beat c's best
+    departure while the departure must beat c's best arrival — the
+    total priority order forbids the cycle), and the globally best
+    move beats every blocker, so it always survives.
+    Survivors still interact through their Σtot terms — each arrival
+    into b grows ``Σtot_b`` and (NEW in the multi-departure admission)
+    each departure from a shrinks ``Σtot_a``, both shrinking later
+    movers' true gains — so admission is a conservative COMBINED
+    prefix: order survivors by global priority (g desc, node asc) and
+    admit move j iff
 
-        cg_j = g_j − k_j·S_{j−1}   (S = cumulative degree of the
-                                    prior admitted movers)
+        cg_j = g_j − k_j·(St_{j−1} + Ss_{j−1}) > 0
 
-    stays positive is admitted: the true sequential gain of mover j is
-    ``cg_j`` plus the nonnegative adjacency bonus ``2m·|edges to prior
-    movers|`` minus nothing else (its own source is untouched by the
-    per-source rule), so every admitted move strictly increases Q even
-    under simultaneous application, and the round's ΔQ is a sum of
-    positives.  If the filters empty a non-empty candidate set (a
+    where ``St`` cumulates the degrees of higher-priority survivors
+    sharing j's TARGET and ``Ss`` those sharing j's SOURCE.  Applying
+    the admitted moves in that order, mover j's true sequential gain
+    is ``cg_j`` plus only nonnegative corrections: prior movers can
+    shrink ``k_{j→src}`` (a co-departing neighbor) and grow
+    ``k_{j→tgt}`` (a co-arriving neighbor) but never the reverse —
+    blocking guarantees no prior mover LEFT j's target or ENTERED j's
+    source — and the cumulative sums over-count by including
+    non-admitted survivors (dropping a move only removes
+    interference).  So every admitted move strictly increases Q even
+    under simultaneous application, the round's ΔQ is a sum of
+    positives, and a whole community can disperse in ONE round —
+    multi-departure admission — instead of one departure per source
+    per round (the r11 scale watch-item).  If the filters empty a
+    non-empty candidate set (a
     conflict cycle), exactly ONE move — the globally best (g desc,
     node asc) — is applied instead, so every applied round strictly
     increases Q and the loop terminates (Q ranges over a finite set of
@@ -477,7 +502,7 @@ def louvain_refine(
     Per-round cost: one degree-sum aggregation (community-sized), one
     neighbor-community count (linear in |E|), the candidate join
     (linear), three window argmaxes and the priority-blocking joins
-    over a frame at most one row per community — nothing super-linear,
+    over a frame at most one row per NODE — nothing super-linear,
     two bounded driver scalars per round, and the label frame spilled
     to parquet per round (the Pregel stable-storage discipline; see
     the in-body note — Spark's localCheckpoint would carry origin
@@ -564,6 +589,18 @@ def louvain_refine(
         .agg(F.sum("w").cast("long").alias("k")),
         "deg",
     )
+    # duplicate-label guard (ADVICE r11): a second row for a node would
+    # fan out through the left join below and double-count its degree
+    # in every Σtot — one cheap aggregation over the label-sized frame
+    # catches it before any state spills
+    chk = labels.agg(
+        F.count("*").alias("n"), F.countDistinct("node").alias("d")
+    ).collect()[0]
+    if chk["n"] != chk["d"]:
+        raise ValueError(
+            "louvain_refine: labels must have at most one row per node "
+            f"({chk['n']} rows over {chk['d']} distinct nodes)"
+        )
     lab0 = spill(
         deg.select("node")
         .join(labels.select("node", "community"), ["node"], "left")
@@ -625,17 +662,7 @@ def louvain_refine(
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        sel = (
-            best.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("src").orderBy(F.col("g").desc(), "node")
-                ),
-            )
-            .where(F.col("rn") == 1)
-            .drop("rn")
-            .localCheckpoint()
-        )
+        sel = best.localCheckpoint()
         if sel.count() == 0:
             return lab.join(
                 lab0.select("node", F.col("community").alias("__c0")), ["node"]
@@ -648,12 +675,22 @@ def louvain_refine(
             raise RuntimeError(
                 f"louvain_refine did not converge within {max_rounds} rounds"
             )
-        # priority blocking: dep = the unique departure per source
-        # community; arr = the best arrival per target community
-        dep = sel.select(
-            F.col("src").alias("tgt"),
-            F.col("g").alias("__dg"),
-            F.col("node").alias("__dn"),
+        # priority blocking: dep = the BEST departure per source
+        # community (multiple departures per source are now in play);
+        # arr = the best arrival per target community
+        dep = (
+            sel.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("src").orderBy(F.col("g").desc(), "node")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("src").alias("tgt"),
+                F.col("g").alias("__dg"),
+                F.col("node").alias("__dn"),
+            )
         )
         arr = (
             sel.withColumn(
@@ -682,28 +719,30 @@ def louvain_refine(
             .where(~F.coalesce(higher_arr, F.lit(False)))
             .select("node", "k", "src", "tgt", "g")
         )
+        # combined conservative admission: cumulative survivor degrees
+        # per TARGET (Σtot_b growth) and per SOURCE (Σtot_a shrinkage),
+        # both in global priority order — see the docstring proof
         wt = Window.partitionBy("tgt").orderBy(F.col("g").desc(), "node")
+        ws = Window.partitionBy("src").orderBy(F.col("g").desc(), "node")
         prefix = (
             free.select(
                 "*",
                 F.coalesce(
                     F.sum("k").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
                     F.lit(0),
-                ).alias("s_prev"),
-                F.row_number().over(wt).alias("rn"),
+                ).alias("st_prev"),
+                F.coalesce(
+                    F.sum("k").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ).alias("ss_prev"),
             )
             .withColumn(
-                "cg", F.col("g") - F.col("k").cast(DEC) * F.col("s_prev").cast(DEC)
+                "cg",
+                F.col("g")
+                - F.col("k").cast(DEC)
+                * (F.col("st_prev") + F.col("ss_prev")).cast(DEC),
             )
-            .withColumn(
-                "first_bad",
-                F.min(F.when(F.col("cg") <= 0, F.col("rn"))).over(
-                    Window.partitionBy("tgt")
-                ),
-            )
-            .where(
-                F.col("first_bad").isNull() | (F.col("rn") < F.col("first_bad"))
-            )
+            .where(F.col("cg") > 0)
         )
         applied = prefix.select("node", "tgt", "g").localCheckpoint()
         if applied.count() == 0:

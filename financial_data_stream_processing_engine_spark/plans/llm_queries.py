@@ -5058,11 +5058,13 @@ def _louvain_move_round_blocks(
     counts for level 2 — so neighbor-community mass is uniformly
     ``SUM(s.w)`` (a HUGEINT; value-identical to the COUNT the
     unweighted chain used to state).  Each block restates the Spark
-    round exactly: the EXACT-INTEGER gain relation, per-node /
-    per-source argmax windows, the priority-blocking left-joins, the
-    per-target conservative-prefix admission (cumulative-degree
-    window, identical frame), the single-move fallback and the label
-    update — all MATERIALIZED (the k-truss unroll lesson).
+    round exactly: the EXACT-INTEGER gain relation, the per-node argmax
+    window, the priority-blocking left-joins (best departure per
+    source / best arrival per target), the COMBINED per-target +
+    per-source conservative admission (two cumulative-degree windows,
+    identical frame — the multi-departure form), the single-move
+    fallback and the label update — all MATERIALIZED (the k-truss
+    unroll lesson).
 
     Returns (blocks, final_label_cte_name)."""
     parts: list[str] = []
@@ -5094,40 +5096,40 @@ bn{t}{r} AS MATERIALIZED (
   SELECT node, k, src, tgt, g FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY node ORDER BY g DESC, tgt) AS rn
     FROM cd{t}{r}) WHERE rn = 1),
-sl{t}{r} AS MATERIALIZED (
-  SELECT node, k, src, tgt, g FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY g DESC, node) AS rn
+dp{t}{r} AS MATERIALIZED (
+  SELECT src, dg, dn FROM (
+    SELECT src, g AS dg, node AS dn,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY g DESC, node) AS rn
     FROM bn{t}{r}) WHERE rn = 1),
 ar{t}{r} AS MATERIALIZED (
   SELECT tgt, ag, an FROM (
     SELECT tgt, g AS ag, node AS an,
            ROW_NUMBER() OVER (PARTITION BY tgt ORDER BY g DESC, node) AS rn
-    FROM sl{t}{r}) WHERE rn = 1),
+    FROM bn{t}{r}) WHERE rn = 1),
 fr{t}{r} AS MATERIALIZED (
   SELECT s.node, s.k, s.src, s.tgt, s.g
-  FROM sl{t}{r} s
-  LEFT JOIN sl{t}{r} dp ON dp.src = s.tgt
+  FROM bn{t}{r} s
+  LEFT JOIN dp{t}{r} dp ON dp.src = s.tgt
   LEFT JOIN ar{t}{r} a ON a.tgt = s.src
-  WHERE NOT COALESCE(dp.g > s.g OR (dp.g = s.g AND dp.node < s.node), FALSE)
+  WHERE NOT COALESCE(dp.dg > s.g OR (dp.dg = s.g AND dp.dn < s.node), FALSE)
     AND NOT COALESCE(a.ag > s.g OR (a.ag = s.g AND a.an < s.node), FALSE)),
 pf{t}{r} AS MATERIALIZED (
   SELECT node, tgt, g FROM (
-    SELECT node, tgt, g, rn,
-           MIN(CASE WHEN cg <= 0 THEN rn END) OVER (PARTITION BY tgt) AS fb
-    FROM (
-      SELECT node, tgt, g,
-             ROW_NUMBER() OVER (PARTITION BY tgt ORDER BY g DESC, node) AS rn,
-             g - k * COALESCE(SUM(k) OVER (
+    SELECT node, tgt, g,
+           g - k * (COALESCE(SUM(k) OVER (
                  PARTITION BY tgt ORDER BY g DESC, node
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cg
-      FROM fr{t}{r}) x) y
-  WHERE fb IS NULL OR rn < fb),
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + COALESCE(SUM(k) OVER (
+                 PARTITION BY src ORDER BY g DESC, node
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS cg
+    FROM fr{t}{r}) x
+  WHERE cg > 0),
 ap{t}{r} AS MATERIALIZED (
   SELECT node, tgt FROM pf{t}{r}
   UNION ALL
   SELECT node, tgt FROM (
     SELECT node, tgt, ROW_NUMBER() OVER (ORDER BY g DESC, node) AS rn
-    FROM sl{t}{r}) one
+    FROM bn{t}{r}) one
   WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM pf{t}{r})),
 l{t}{r} AS MATERIALIZED (
   SELECT l.node, COALESCE(a.tgt, l.community) AS community
@@ -5146,10 +5148,11 @@ def _louvain_unrolled_ctes(
     Louvain local-move phase UNROLLED ``move_rounds`` times — per
     round the EXACT-INTEGER gain relation (``g = 2m·(k_ib − k_ia) −
     k·(Σtot_b − Σtot_a + k)``, BIGINT here, decimal(38,0) in Spark),
-    per-node / per-source argmax windows, the priority blocking
-    left-joins, the per-target conservative-prefix admission
-    (cumulative-degree window, identical frame), the single-move
-    fallback and the label update — each MATERIALIZED (the k-truss
+    the per-node argmax window, the priority blocking left-joins, the
+    combined per-target + per-source conservative admission
+    (multi-departure; two cumulative-degree windows, identical frame),
+    the single-move fallback and the label update — each MATERIALIZED
+    (the k-truss
     unroll lesson).  Applied rounds strictly increase Q, so past the
     fixpoint every unrolled round is the identity and the final
     labels equal Spark's converged refinement; ``move_rounds=8`` is

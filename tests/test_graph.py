@@ -366,9 +366,14 @@ def test_partition_modularity_random_sweep_matches_reference(spark):
 def _py_louvain_refine(edges, labels, max_rounds=20):
     """Pure-Python reference of operators/graph.py::louvain_refine —
     the EXACT same round structure (integer gain numerators, per-node
-    then per-source argmax, priority blocking, per-target
-    conservative-prefix admission, single-move fallback), so the
-    Spark result must match it node-for-node."""
+    argmax, priority blocking, combined per-target + per-source
+    conservative admission, single-move fallback), so the Spark result
+    must match it node-for-node."""
+    # the adjacency sets below dedup parallel edges while deg/m count
+    # every row — a duplicate edge would silently diverge from the
+    # Spark implementation (weight-2 semantics), so reject it loudly
+    # here; sweeps that want parallel edges use the weighted replica
+    assert len(set(edges)) == len(edges), "duplicate edges: use weighted replica"
     adj: dict[int, set] = {}
     deg: dict[int, int] = {}
     for a, b in edges:
@@ -399,50 +404,47 @@ def _py_louvain_refine(edges, labels, max_rounds=20):
                 g = 2 * m * (kib - kia) - k * (tot[c] - tot[a] + k)
                 if g > 0:
                     cand.append({"node": n, "k": k, "src": a, "tgt": c, "g": g})
-        # per-node best (g desc, tgt asc), then per-source best
-        # (g desc, node asc)
+        # per-node best (g desc, tgt asc); every node may move — the
+        # multi-departure form (no per-source thinning)
         bestn: dict[int, dict] = {}
         for x in cand:
             cur = bestn.get(x["node"])
             if cur is None or (-x["g"], x["tgt"]) < (-cur["g"], cur["tgt"]):
                 bestn[x["node"]] = x
-        sel: dict[int, dict] = {}
-        for x in bestn.values():
-            cur = sel.get(x["src"])
-            if cur is None or (-x["g"], x["node"]) < (-cur["g"], cur["node"]):
-                sel[x["src"]] = x
-        selected = list(sel.values())
+        selected = list(bestn.values())
         if not selected:
             return {n: (lab[n], lab[n] != lab0[n]) for n in deg}
         assert i < max_rounds, "reference did not converge"
-        dep = {x["src"]: x for x in selected}
-        arr: dict[int, dict] = {}
-        for x in selected:
-            cur = arr.get(x["tgt"])
-            if cur is None or (-x["g"], x["node"]) < (-cur["g"], cur["node"]):
-                arr[x["tgt"]] = x
 
         def pri(x):
             return (-x["g"], x["node"])
 
+        dep: dict[int, dict] = {}
+        for x in selected:
+            cur = dep.get(x["src"])
+            if cur is None or pri(x) < pri(cur):
+                dep[x["src"]] = x
+        arr: dict[int, dict] = {}
+        for x in selected:
+            cur = arr.get(x["tgt"])
+            if cur is None or pri(x) < pri(cur):
+                arr[x["tgt"]] = x
         free = [
             x
             for x in selected
             if not (x["tgt"] in dep and pri(dep[x["tgt"]]) < pri(x))
             and not (x["src"] in arr and pri(arr[x["src"]]) < pri(x))
         ]
+        # combined conservative admission: cumulative survivor degrees
+        # per target AND per source, in global priority order
         applied = []
-        by_tgt: dict[int, list] = {}
-        for x in free:
-            by_tgt.setdefault(x["tgt"], []).append(x)
-        for t, xs in by_tgt.items():
-            xs.sort(key=pri)
-            s = 0
-            for x in xs:
-                if x["g"] - x["k"] * s <= 0:
-                    break
+        st: dict[int, int] = {}
+        ss: dict[int, int] = {}
+        for x in sorted(free, key=pri):
+            if x["g"] - x["k"] * (st.get(x["tgt"], 0) + ss.get(x["src"], 0)) > 0:
                 applied.append(x)
-                s += x["k"]
+            st[x["tgt"]] = st.get(x["tgt"], 0) + x["k"]
+            ss[x["src"]] = ss.get(x["src"], 0) + x["k"]
         if not applied:
             applied = [min(selected, key=pri)]
         for x in applied:
@@ -480,6 +482,53 @@ def test_louvain_refine_barbell_moves_mislabeled_node(spark):
     assert q1 > q0
     again = louvain_refine(e, ref.select("node", "community"))
     assert again.where("moved").count() == 0
+
+
+def test_louvain_refine_duplicate_label_rows_raise(spark):
+    """Two label rows for one node would fan out through the label
+    join and double-count its degree in every Σtot — the guard must
+    raise loudly instead (ADVICE r11)."""
+    import pytest as _pytest
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+    )
+
+    e = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    labels = spark.createDataFrame(
+        [(0, 5), (0, 6)], "node long, community long"
+    )
+    with _pytest.raises(ValueError, match="one row per node"):
+        louvain_refine(e, labels)
+
+
+def test_louvain_refine_multi_departure_disperses_in_one_round(spark):
+    """Three disjoint triangles with one node of each mislabeled into a
+    shared bogus community: ALL THREE departures from that community
+    must be admitted in the SAME applied round (the multi-departure
+    admission — the r11 one-departure-per-source rule needed three
+    rounds here), so max_rounds=1 suffices and the result is the clean
+    triangle partition."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+    )
+
+    tris = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (6, 7), (7, 8), (6, 8)]
+    e = spark.createDataFrame(tris, "id_a long, id_b long")
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (3, 3), (4, 3), (6, 6), (7, 6),
+         (2, 99), (5, 99), (8, 99)],
+        "node long, community long",
+    )
+    got = {
+        r["node"]: (r["community"], r["moved"])
+        for r in louvain_refine(e, labels, max_rounds=1).collect()
+    }
+    assert got == {
+        0: (0, False), 1: (0, False), 2: (0, True),
+        3: (3, False), 4: (3, False), 5: (3, True),
+        6: (6, False), 7: (6, False), 8: (6, True),
+    }
 
 
 def test_louvain_refine_empty_edges_raises(spark):
@@ -841,25 +890,24 @@ def _py_louvain_refine_weighted(edges_w, labels, max_rounds=30):
             cur = bestn.get(x["node"])
             if cur is None or (-x["g"], x["tgt"]) < (-cur["g"], cur["tgt"]):
                 bestn[x["node"]] = x
-        sel: dict[int, dict] = {}
-        for x in bestn.values():
-            cur = sel.get(x["src"])
-            if cur is None or (-x["g"], x["node"]) < (-cur["g"], cur["node"]):
-                sel[x["src"]] = x
-        selected = list(sel.values())
+        selected = list(bestn.values())
         if not selected:
             return {n: (lab[n], lab[n] != lab0[n]) for n in deg}
         assert i < max_rounds, "weighted reference did not converge"
-        dep = {x["src"]: x for x in selected}
-        arr: dict[int, dict] = {}
-        for x in selected:
-            cur = arr.get(x["tgt"])
-            if cur is None or (-x["g"], x["node"]) < (-cur["g"], cur["node"]):
-                arr[x["tgt"]] = x
 
         def pri(x):
             return (-x["g"], x["node"])
 
+        dep: dict[int, dict] = {}
+        for x in selected:
+            cur = dep.get(x["src"])
+            if cur is None or pri(x) < pri(cur):
+                dep[x["src"]] = x
+        arr: dict[int, dict] = {}
+        for x in selected:
+            cur = arr.get(x["tgt"])
+            if cur is None or pri(x) < pri(cur):
+                arr[x["tgt"]] = x
         free = [
             x
             for x in selected
@@ -867,17 +915,13 @@ def _py_louvain_refine_weighted(edges_w, labels, max_rounds=30):
             and not (x["src"] in arr and pri(arr[x["src"]]) < pri(x))
         ]
         applied = []
-        by_tgt: dict[int, list] = {}
-        for x in free:
-            by_tgt.setdefault(x["tgt"], []).append(x)
-        for t, xs in by_tgt.items():
-            xs.sort(key=pri)
-            s = 0
-            for x in xs:
-                if x["g"] - x["k"] * s <= 0:
-                    break
+        st: dict[int, int] = {}
+        ss: dict[int, int] = {}
+        for x in sorted(free, key=pri):
+            if x["g"] - x["k"] * (st.get(x["tgt"], 0) + ss.get(x["src"], 0)) > 0:
                 applied.append(x)
-                s += x["k"]
+            st[x["tgt"]] = st.get(x["tgt"], 0) + x["k"]
+            ss[x["src"]] = ss.get(x["src"], 0) + x["k"]
         if not applied:
             applied = [min(selected, key=pri)]
         for x in applied:
