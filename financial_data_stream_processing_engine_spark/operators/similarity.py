@@ -478,8 +478,11 @@ def maintain_ivf_index(
     up), an I/U row's NEW cell from ``new_val``.  Maintenance is then
 
     1. touched = cells(old of D∪U) ∪ cells(new of I∪U) — bounded by
-       min(|delta|, n_cells); collected as a metadata-size literal
-       list so the survivor read is PARTITION PRUNING at the source;
+       min(|delta|, n_cells); a broadcast SEMI-JOIN on the partition
+       column prunes the survivor read to the touched partitions
+       (dynamic partition pruning at the scan), with no driver-side
+       literal list — a wide delta (bulk reingest) stays a join, not
+       a million-element ``isin`` expression (ADVICE r11);
     2. survivors = touched partitions minus D∪U keys (anti join
        against the broadcast-size delta keys);
     3. write survivors ∪ upserts with dynamic partition overwrite —
@@ -487,7 +490,9 @@ def maintain_ivf_index(
     4. a touched cell left EMPTY by the delta is removed explicitly
        (dynamic overwrite only replaces partitions present in the
        written frame — the same metadata delete a lake-format MERGE
-       issues for emptied partitions).
+       issues for emptied partitions); the emptied set is computed as
+       ONE anti-join frame (touched minus still-written cells), so
+       the driver loop runs only over genuinely emptied cells.
 
     The rewrite set is materialized (``localCheckpoint``) before the
     overwrite because Spark refuses a self-referencing file overwrite
@@ -506,15 +511,17 @@ def maintain_ivf_index(
     up_cells = assign_cells(up, centroids, vec_col=vec_col, out_col="cell")
     old_cells = assign_cells(gone_old, centroids, vec_col=vec_col, out_col="cell")
     touched = (
-        up_cells.select("cell").union(old_cells.select("cell")).distinct()
+        up_cells.select("cell")
+        .union(old_cells.select("cell"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    touched_ids = sorted(r.cell for r in touched.collect())
-    if not touched_ids:  # empty delta: nothing to rewrite
+    if touched.count() == 0:  # empty delta: nothing to rewrite
         return touched
 
     corpus = spark.read.parquet(f"{path}/corpus")
     stale_keys = diff.filter(F.col("change_type").isin("D", "U")).select(id_col)
-    survivors = corpus.filter(F.col("cell").isin(touched_ids)).join(
+    survivors = corpus.join(F.broadcast(touched), "cell", "left_semi").join(
         F.broadcast(stale_keys), id_col, "left_anti"
     )
     new_content = survivors.unionByName(
@@ -531,17 +538,20 @@ def maintain_ivf_index(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     # cells the delta emptied entirely: dynamic overwrite wrote no
-    # partition for them, so drop the stale directory (metadata-level
-    # delete, local-FS index layout)
+    # partition for them, so drop the stale directories (metadata-level
+    # delete, local-FS index layout) — the emptied set comes from ONE
+    # anti-join frame, so the driver touches only genuinely emptied
+    # cells, not every touched one
     import shutil
     from pathlib import Path
 
-    still = {r.cell for r in new_content.select("cell").distinct().collect()}
-    for cell in touched_ids:
-        if cell not in still:
-            d = Path(f"{path}/corpus/cell={cell}")
-            if d.is_dir():
-                shutil.rmtree(d)
+    emptied = touched.join(
+        new_content.select("cell").distinct(), "cell", "left_anti"
+    ).collect()
+    for r in emptied:
+        d = Path(f"{path}/corpus/cell={r['cell']}")
+        if d.is_dir():
+            shutil.rmtree(d)
     return touched
 
 
