@@ -2189,3 +2189,63 @@ def audio_mfcc(
             F.count(F.lit(1)).cast("long").alias("n_bands"),
         )
     )
+
+
+def audio_segment_classes(
+    samples_df: DataFrame,
+    stft_df: DataFrame,
+    n_fft: int = 16,
+    hop: int = 8,
+    zcr_noise: float = 0.57,
+    flat_noise: float = -0.45,
+    flux_voiced: float = 18.0,
+    log_floor: float = 1e-9,
+) -> DataFrame:
+    """Voiced/music/noise segment classification per STFT frame — the
+    composed consumer of the short-time feature trio (the audio
+    counterpart of the text family's ``pipeline_pretraining_corpus``):
+    a curation gate keeps speech, caps music, drops hiss, and the
+    decision reads exactly these three features:
+
+    - NOISE: high zero-crossing rate AND a flat spectrum
+      (``zc_rate ≥ zcr_noise`` and ``flatness_log ≥ flat_noise`` —
+      flatness_log ≤ 0 with 0 = perfectly flat, so "≥ threshold"
+      means noise-like);
+    - VOICED: not noise, and onset-rich (``flux ≥ flux_voiced`` —
+      speech is spectrally dynamic frame-to-frame);
+    - MUSIC: the tonal, steady remainder.
+
+    Inputs are the SAME relations the individual feature entries use:
+    :func:`audio_zcr` over the decoded samples and
+    :func:`audio_spectral_flux` / :func:`audio_spectral_shape` over
+    the STFT power lattice — all keyed (media, frame), so the two
+    joins land on already-partitioned data and the classification
+    itself is a stateless CASE over three deterministic doubles
+    against literal thresholds (identical comparisons in any engine —
+    the features are bit-identical by their own contracts).  Frame 0
+    carries no flux (no predecessor) and is excluded, the
+    partial-window rule applied to the composition.
+
+    Returns one row per (media, frame): the three feature values and
+    ``segment_class ∈ ('voiced', 'music', 'noise')``.  The catalog
+    entry aggregates these into the per-media histogram a curation
+    gate filters on."""
+    zcr = audio_zcr(samples_df, n_fft=n_fft, hop=hop)
+    flux = audio_spectral_flux(stft_df)
+    shape = audio_spectral_shape(stft_df, n_fft=n_fft, log_floor=log_floor)
+    keys = ["media_id", "frame_idx"]
+    j = (
+        zcr.select(*keys, "zc_rate")
+        .join(shape.select(*keys, "flatness_log"), keys)
+        .join(flux.select(*keys, "flux"), keys)
+    )
+    seg = (
+        F.when(
+            (F.col("zc_rate") >= F.lit(zcr_noise))
+            & (F.col("flatness_log") >= F.lit(flat_noise)),
+            F.lit("noise"),
+        )
+        .when(F.col("flux") >= F.lit(flux_voiced), F.lit("voiced"))
+        .otherwise(F.lit("music"))
+    )
+    return j.select(*keys, "zc_rate", "flatness_log", "flux", seg.alias("segment_class"))

@@ -4847,6 +4847,190 @@ def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_zcr(samples, n_fft=16, hop=8)
 
 
+def _audio_segments_sql(
+    n_samples: int = 64,
+    n_fft: int = 16,
+    hop: int = 8,
+    bins: tuple[int, ...] = tuple(range(1, 8)),
+    zcr_noise: str = "0.57e0",
+    flat_noise: str = "-0.45e0",
+    flux_voiced: str = "18.0e0",
+) -> str:
+    """DuckDB reconstruction of the composed segment classifier: the
+    shared STFT chain (md5 PCM samples, frame-shifted twiddle doubles,
+    quantize-sum-square), the flatness and flux statistics verbatim
+    from their own oracles, the ZCR pair-table chain verbatim from its
+    oracle, then the identical three-way CASE against the identical
+    e-notation literals (DOUBLE, not DECIMAL — the literal-type
+    gotcha) and the per-media histogram + deterministic dominant-class
+    CASE.  Any drift in any feature, the thresholds, or the tie-break
+    order is a value-hash mismatch."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import (
+        dlit_sql,
+        qcast_sql,
+        qint_sql,
+    )
+    from financial_data_stream_processing_engine_spark.operators.multimodal import (
+        _dft_twiddles,
+    )
+
+    n_frames = (n_samples - n_fft) // hop + 1
+    m_cols = ", ".join(
+        "MD5(CAST(doc_id AS VARCHAR)) AS m0"
+        if i == 0
+        else f"MD5(CAST(doc_id AS VARCHAR) || ':{i}') AS m{i}"
+        for i in range(n_samples // 16)
+    )
+    samp = ", ".join(
+        f"struct_pack(pos := {i}, x := CAST({_hex_byte(f'm{i // 16}', i % 16)}"
+        " - 128 AS DOUBLE) / 128.0e0)"
+        for i in range(n_samples)
+    )
+    tw = ", ".join(
+        f"struct_pack(pos := {f * hop + pos}, f := {f}, k := {k},"
+        f" cosv := {dlit_sql(c)}, sinv := {dlit_sql(s)})"
+        for f in range(n_frames)
+        for (pos, k, c, s) in _dft_twiddles(n_fft, bins)
+    )
+    ptbl = ", ".join(
+        f"struct_pack(pos := {p}, f := {f})"
+        for f in range(n_frames)
+        for p in range(f * hop + 1, f * hop + n_fft)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, {m_cols} FROM documents),
+samp AS (SELECT doc_id, UNNEST([{samp}]) AS s FROM b),
+tw AS (SELECT UNNEST([{tw}]) AS w),
+agg AS (
+  SELECT doc_id AS media_id, w.f AS frame_idx, w.k AS k,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.cosv") + ")")} * 1e-09 AS re_sum,
+         {qcast_sql("SUM(" + qint_sql("s.x * w.sinv") + ")")} * 1e-09 AS im_sum
+  FROM samp, tw WHERE s.pos = w.pos
+  GROUP BY doc_id, w.f, w.k),
+pw AS (
+  SELECT media_id, frame_idx, k,
+         re_sum * re_sum + im_sum * im_sum AS power
+  FROM agg),
+q AS (
+  SELECT media_id, frame_idx, k,
+         {qint_sql("power")} AS p_int,
+         CAST(FLOOR(LN(power + 1e-09) * 1e9) AS BIGINT) AS lq_int
+  FROM pw),
+flat AS (
+  SELECT media_id, frame_idx,
+         (CAST(SUM(lq_int) AS DOUBLE) * 1e-09) / CAST(COUNT(*) AS DOUBLE)
+         - CAST(FLOOR(LN({qcast_sql("SUM(p_int)")} * 1e-09
+                         / CAST(COUNT(*) AS DOUBLE) + 1e-09) * 1e9) AS DOUBLE)
+           * 1e-09 AS flatness_log
+  FROM q GROUP BY media_id, frame_idx),
+fx AS (
+  SELECT media_id, frame_idx,
+         power - LAG(power, 1) OVER (
+           PARTITION BY media_id, k ORDER BY frame_idx) AS d
+  FROM pw),
+flux AS (
+  SELECT media_id, frame_idx,
+         {qcast_sql("SUM(" + qint_sql("GREATEST(0.0e0, d)") + ")")} * 1e-09 AS flux
+  FROM fx WHERE d IS NOT NULL
+  GROUP BY media_id, frame_idx),
+ptbl AS (SELECT UNNEST([{ptbl}]) AS w),
+px AS (
+  SELECT a.doc_id AS media_id, w.f AS frame_idx,
+         CASE WHEN (a.s.x < 0) <> (p.s.x < 0) THEN 1 ELSE 0 END AS c
+  FROM samp a
+  JOIN samp p ON p.doc_id = a.doc_id AND p.s.pos = a.s.pos - 1
+  JOIN ptbl w ON w.pos = a.s.pos),
+zcr AS (
+  SELECT media_id, frame_idx,
+         CAST(SUM(c) AS DOUBLE) / {float(n_fft - 1)!r} AS zc_rate
+  FROM px GROUP BY media_id, frame_idx),
+cls AS (
+  SELECT z.media_id,
+         CASE WHEN z.zc_rate >= {zcr_noise}
+                   AND f.flatness_log >= {flat_noise} THEN 'noise'
+              WHEN x.flux >= {flux_voiced} THEN 'voiced'
+              ELSE 'music' END AS seg
+  FROM zcr z
+  JOIN flat f ON f.media_id = z.media_id AND f.frame_idx = z.frame_idx
+  JOIN flux x ON x.media_id = z.media_id AND x.frame_idx = z.frame_idx),
+cnt AS (
+  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(CASE WHEN seg = 'voiced' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_voiced,
+         CAST(SUM(CASE WHEN seg = 'music' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_music,
+         CAST(SUM(CASE WHEN seg = 'noise' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_noise
+  FROM cls GROUP BY media_id)
+SELECT media_id, n_frames, n_voiced, n_music, n_noise,
+       CASE WHEN n_voiced >= n_music AND n_voiced >= n_noise THEN 'voiced'
+            WHEN n_music >= n_noise THEN 'music'
+            ELSE 'noise' END AS dominant_class
+FROM cnt
+"""
+
+
+@register("multimodal_audio_segments", sql=_audio_segments_sql())
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voiced/music/noise segmentation — the composed curation gate
+    the r9-r12 short-time audio family exists to feed (VERDICT r11
+    next-step #5; the audio counterpart of the text family's
+    pipeline_pretraining_corpus): decode each doc's 64-sample WAV
+    through the shared RIFF walk, compute the per-frame trio over the
+    STFT lattice — zero-crossing rate (::audio_zcr), rectified
+    spectral flux (::audio_spectral_flux) and log-flatness
+    (::audio_spectral_shape) — then classify every frame with one
+    stateless CASE (high-ZCR + flat ⇒ noise; onset-rich ⇒ voiced;
+    tonal remainder ⇒ music) and roll up the per-media histogram with
+    a deterministic dominant-class tie-break (voiced ≻ music ≻ noise
+    on equal counts).  Frame 0 carries no flux and is excluded (the
+    partial-window rule composed).  One row per doc: (media_id,
+    n_frames, n_voiced, n_music, n_noise, dominant_class)
+    (operators/multimodal.py::audio_segment_classes).
+
+    Plan shape: the feature joins land on (media, frame)-keyed
+    aggregates; the only NEW exchange is the final per-media rollup —
+    zero new shuffles beyond one keyed agg.  The decision path is
+    three comparisons of bit-identical doubles against literal
+    thresholds, so the classification is exact cross-engine.
+
+    Oracle: the shared STFT/flux/flatness/ZCR reconstructions
+    verbatim from their own oracles, then the identical CASE,
+    histogram and tie-break (see _audio_segments_sql)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    wavs = docs.mapInPandas(_stft_wav_generator(), schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        wavs, id_col="doc_id", payload=F.col("payload"),
+        kind="audio", mime="audio/wav",
+    )
+    samples = multimodal.decode_audio_samples(media, max_samples=64)
+    stft = multimodal.audio_stft(samples, n_fft=16, hop=8, bins=tuple(range(1, 8)))
+    per_frame = multimodal.audio_segment_classes(
+        samples, stft, n_fft=16, hop=8,
+        zcr_noise=0.57, flat_noise=-0.45, flux_voiced=18.0,
+    )
+    is_cls = lambda c: (F.col("segment_class") == c).cast("long")  # noqa: E731
+    counts = per_frame.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(is_cls("voiced")).alias("n_voiced"),
+        F.sum(is_cls("music")).alias("n_music"),
+        F.sum(is_cls("noise")).alias("n_noise"),
+    )
+    dominant = (
+        F.when(
+            (F.col("n_voiced") >= F.col("n_music"))
+            & (F.col("n_voiced") >= F.col("n_noise")),
+            F.lit("voiced"),
+        )
+        .when(F.col("n_music") >= F.col("n_noise"), F.lit("music"))
+        .otherwise(F.lit("noise"))
+    )
+    return counts.select(
+        "media_id", "n_frames", "n_voiced", "n_music", "n_noise",
+        dominant.alias("dominant_class"),
+    )
+
+
 def _ktruss_unrolled_ctes(k: int = 3, rounds: int = 8) -> tuple[str, str]:
     """Shared WITH-clause builder for the k-truss oracles: the
     triangle entry's cell-confined edge CTEs, then the peel UNROLLED

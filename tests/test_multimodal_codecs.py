@@ -2531,3 +2531,30 @@ def test_audio_melbands_random_geometries_match_numpy(spark):
             for b, rows in by_band.items():
                 want = sum(w * pw[k] for k, w in rows)
                 assert got[(f, b)] == pytest.approx(want, abs=1e-5), (n_fft, f, b)
+
+
+def test_audio_segment_classes_consistent_with_features(spark):
+    """The composed classifier must (a) exclude frame 0 (no flux
+    predecessor), (b) emit exactly the CASE of its own feature
+    columns — re-deriving the class in Python from the returned
+    zc_rate/flatness_log/flux must reproduce segment_class row for
+    row — and (c) produce every class on sign-diverse audio."""
+    rng_l = np.random.default_rng(52)
+    payloads = [bytes(rng_l.integers(0, 256, 64, dtype=np.uint8)) for _ in range(8)]
+    sdf = _samples_df(spark, [_make_pcm8_wav(p) for p in payloads], max_samples=64)
+    stft = multimodal.audio_stft(sdf, n_fft=16, hop=8, bins=tuple(range(1, 8)))
+    out = multimodal.audio_segment_classes(
+        sdf, stft, n_fft=16, hop=8,
+        zcr_noise=0.57, flat_noise=-0.45, flux_voiced=18.0,
+    ).collect()
+    n_frames = (64 - 16) // 8 + 1
+    assert len(out) == len(payloads) * (n_frames - 1)  # frame 0 excluded
+    assert all(r["frame_idx"] >= 1 for r in out)
+    for r in out:
+        if r["zc_rate"] >= 0.57 and r["flatness_log"] >= -0.45:
+            want = "noise"
+        elif r["flux"] >= 18.0:
+            want = "voiced"
+        else:
+            want = "music"
+        assert r["segment_class"] == want, r
