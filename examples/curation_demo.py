@@ -67,31 +67,26 @@ def main() -> int:
           f"({pairs.count()} qualifying pairs)")
 
     # 3b. community structure of the near-dup graph — the signal a
-    # pipeline caps per-community contributions by: connected
-    # components seed the partition, the exact-integer Louvain
-    # local-move refines it, Newman modularity certifies the gain
-    if pairs.take(1):
-        from financial_data_stream_processing_engine_spark.operators import graph as g
-        from financial_data_stream_processing_engine_spark.operators.dedup import (
-            connected_components,
-        )
+    # pipeline caps per-community contributions by.  This is the
+    # REGISTERED pipeline_neardup_communities entry (exact-Jaccard
+    # pairs → connected-components seed → exact-integer Louvain
+    # refinement → per-community cap), imported rather than inlined —
+    # the demo runs exactly what the driver verifies.
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        pipeline_neardup_communities,
+    )
 
-        seed = connected_components(pairs, id_a="id_a", id_b="id_b").select(
-            "node", F.col("component").alias("community")
-        )
-        refined = g.louvain_refine(pairs, seed, src="id_a", dst="id_b")
-        q = sum(
-            r["q_contrib"]
-            for r in g.partition_modularity(
-                pairs, refined.select("node", "community"), src="id_a", dst="id_b"
-            ).collect()
-        )
-        sizes = (
-            refined.groupBy("community").count().orderBy(F.col("count").desc())
-        )
-        top = [r["count"] for r in sizes.take(3)]
-        print(f"near-dup communities: {sizes.count()} "
-              f"(largest {top}), refined modularity Q={q:.3f}")
+    comm = pipeline_neardup_communities(spark, args.sf_dir).localCheckpoint()
+    clusters = comm.where("n_members > 1")
+    sizes = (
+        clusters.select("community", "n_members")
+        .distinct()
+        .orderBy(F.col("n_members").desc())
+    )
+    top = [r["n_members"] for r in sizes.take(3)]
+    capped_out = comm.where("NOT kept").count()
+    print(f"near-dup communities: {sizes.count()} (largest {top}), "
+          f"{capped_out} docs capped out at 2 per community")
 
     # 4. learn a tokenizer from the surviving corpus
     merges_df = text.bpe_train_merges(surv, k=10)

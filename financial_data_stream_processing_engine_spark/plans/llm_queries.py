@@ -5678,6 +5678,130 @@ def graph_community_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_coarsen(pairs, refined)
 
 
+def _neardup_communities_sql(move_rounds: int = 8, cap: int = 2) -> str:
+    """Oracle for the near-dup community pipeline: the exact all-pairs
+    Jaccard SQL (the dedup family's shared oracle — prefix filtering
+    is an output-identical plan change), the dedup_cluster_canonical
+    recursive transitive closure for the component seed, the SHARED
+    Louvain round-block generator unrolled ``move_rounds`` times
+    (tag ``n``; identical CTE text to the graph entries — one
+    generator, every chain), then the per-community rank/size windows
+    and the cap predicate, left-joined back onto every document
+    (non-graph docs are kept singletons)."""
+    blocks, last = _louvain_move_round_blocks(
+        deg="ndeg", mm="nmm", sym="nsym", l0="nl0", move_rounds=move_rounds, tag="n"
+    )
+    head = f"""WITH RECURSIVE
+npairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_EXACT_PAIRS_SQL}) p),
+scc AS (
+  SELECT id_a AS src, id_b AS dst FROM npairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM npairs),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM scc
+  UNION
+  SELECT reach.node, s.dst FROM reach JOIN scc s ON s.src = reach.r),
+comp AS (SELECT node, MIN(r) AS community FROM reach GROUP BY node),
+ndeg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS k FROM (
+    SELECT id_a AS node FROM npairs UNION ALL SELECT id_b FROM npairs)
+  GROUP BY node),
+nmm AS (SELECT COUNT(*) AS m FROM npairs),
+nsym AS MATERIALIZED (
+  SELECT id_a AS node, id_b AS nb, 1 AS w FROM npairs
+  UNION ALL SELECT id_b, id_a, 1 FROM npairs),
+nl0 AS MATERIALIZED (
+  SELECT d.node, COALESCE(c.community, d.node) AS community
+  FROM ndeg d LEFT JOIN comp c USING (node))"""
+    return (
+        head
+        + ",\n"
+        + ",\n".join(blocks)
+        + f""",
+ranked AS (
+  SELECT node, community,
+         ROW_NUMBER() OVER (PARTITION BY community ORDER BY node) AS rnk,
+         COUNT(*) OVER (PARTITION BY community) AS nm
+  FROM {last})
+SELECT d.doc_id,
+       COALESCE(r.community, d.doc_id) AS community,
+       CAST(COALESCE(r.nm, 1) AS BIGINT) AS n_members,
+       CAST(COALESCE(r.rnk, 1) AS BIGINT) AS rank_in_community,
+       COALESCE(r.rnk, 1) <= {cap} AS kept
+FROM documents d LEFT JOIN ranked r ON r.node = d.doc_id
+"""
+    )
+
+
+@register("pipeline_neardup_communities", sql=_neardup_communities_sql())
+def pipeline_neardup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup community sizing with per-community contribution caps
+    — the composition stage 3b of examples/curation_demo.py promoted
+    to a verified entry (VERDICT r11 next-step #6): exact Jaccard ≥
+    4/5 near-dup pairs via prefix filtering (the PPJoin plan,
+    candidates bounded by rare-shingle collisions), connected
+    components as the partition seed (min-label propagation, linear
+    per round), the exact-integer Louvain local-move refinement of
+    that seed (operators/graph.py::louvain_refine — multi-departure
+    admission, parquet-spilled round state), then the cap: members
+    rank by doc_id within their refined community and only the first
+    ``cap=2`` are kept — the contribution-capping rule a pretraining
+    pipeline applies so one boilerplate cluster cannot dominate a
+    training mix.  Docs outside the near-dup graph are kept
+    singletons.  One row per document: (doc_id, community, n_members,
+    rank_in_community, kept).
+
+    Scale shape: every stage is the bucketed/iterative form (no
+    all-pairs anywhere — the quadratic Jaccard exists only in the
+    ORACLE); ranking windows are keyed by community, the final join
+    is doc-keyed.  At 100 TB the cost is the PPJoin + a few
+    label-propagation rounds over the (sparse) near-dup graph.
+
+    Oracle: exact all-pairs Jaccard + recursive-closure components +
+    the SHARED unrolled Louvain round blocks + identical window/cap
+    arithmetic (see _neardup_communities_sql)."""
+    from pyspark.sql import Window
+
+    from financial_data_stream_processing_engine_spark.operators.dedup import (
+        connected_components,
+    )
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3,
+        threshold_num=4, threshold_den=5,
+    ).localCheckpoint()
+    seed = connected_components(pairs).select(
+        "node", F.col("component").alias("community")
+    )
+    refined = louvain_refine(
+        pairs, seed, src="id_a", dst="id_b", max_rounds=40
+    ).select("node", "community")
+    wc = Window.partitionBy("community")
+    ranked = refined.select(
+        F.col("node").alias("doc_id"),
+        "community",
+        F.row_number().over(wc.orderBy("node")).alias("rank_in_community"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(ranked, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("community", "doc_id").alias("community"),
+            F.coalesce("n_members", F.lit(1)).cast("long").alias("n_members"),
+            F.coalesce("rank_in_community", F.lit(1))
+            .cast("long")
+            .alias("rank_in_community"),
+            (F.coalesce("rank_in_community", F.lit(1)) <= F.lit(2)).alias("kept"),
+        )
+    )
+
+
 @register("graph_louvain_refine", sql=_louvain_refine_sql(3, 8, 8))
 def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-level Louvain local-move refinement of the truss-community

@@ -978,3 +978,35 @@ def test_louvain_refine_weighted_random_sweep_matches_reference(spark):
         }
         want = _py_louvain_refine_weighted(edges_w, labeled, max_rounds=30)
         assert got == want, (trial, edges_w, labeled)
+
+
+def test_neardup_communities_oracle_unroll_depth_covers_fixtures(spark, sf_dir):
+    """The pipeline_neardup_communities oracle unrolls the local-move
+    phase a FIXED 8 rounds (plans/llm_queries.py::
+    _neardup_communities_sql) and relies on rounds past the fixpoint
+    being the identity — sound only if the fixture near-dup graph's
+    refinement converges in ≤ 8 applied rounds.  Run the Spark chain
+    with max_rounds=8 against the sf0.001 near-dup graph (sf0.01 is
+    covered by verify_local's oracle comparison) — a fixture change
+    needing more rounds raises here LOUDLY (the ktruss depth-guard
+    pattern)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+    from financial_data_stream_processing_engine_spark.operators.dedup import (
+        connected_components,
+        prefix_filter_jaccard_pairs,
+    )
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3,
+        threshold_num=4, threshold_den=5,
+    ).localCheckpoint()
+    seed = connected_components(pairs).select(
+        "node", F.col("component").alias("community")
+    )
+    louvain_refine(pairs, seed, src="id_a", dst="id_b", max_rounds=8)
