@@ -8,6 +8,13 @@ Runs each headline catalog query once on local[$SPARK_GRAFT_CPUS]
 
 Each query is forced through the noop sink (full materialization, no
 driver collect, no result-size bias).
+
+Interpreting deltas: per-entry times at this scale carry a measured
+±12-15 % session-noise band plus class-specific fixed floors
+(StreamingQuery lifecycle ~2-2.5 s each, batch job floor ~0.3-0.4 s,
+iterative graph rounds ~0.3-0.5 s each) — see BASELINE.md, "Bench
+fixed-overhead ledger", before reading any single-run cross-round
+comparison as a regression.
 """
 
 from __future__ import annotations

@@ -70,100 +70,34 @@ def register(name: str, sql: str | None = None):
 #: oldest. Entries not named here keep registration order at the
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
-    # --- round-11 window (first 50 = the driver's check budget) ---
-    # Freshness-cycle completion round (VERDICT r10 next-step #1):
-    # after the r10 window drained every r4-era row, this window takes
-    # ALL 30 remaining r6-era rows plus the 15 alphabetically-first
-    # live r7-era rows (44 r7 rows minus the dead renamed
-    # funnel_stage_conversion row = 43 live), so no driver row
-    # predates r7 and the 229-entry catalog cycles on the standing
-    # ≤4-round horizon.  New entries capped at 5 (the VERDICT r10
-    # cap) keeping 45 refresh slots.
-    # new this round: the DCT-II cepstral step over the r10 mel
-    # energies with the grid-quantized log (the one step left in the
-    # standard audio-curation chain); per-frame spectral shape
-    # statistics (centroid / exact-integer rolloff / quantized-log
-    # flatness) over the STFT power relation; and the Louvain
-    # local-move refinement of the truss partition driven by the
-    # exact-integer modularity gain numerator; plus the Louvain
-    # phase-2 coarsening aggregation over the refined partition and
-    # the rectified spectral-flux onset statistic over the STFT
-    "multimodal_audio_mfcc",
-    "multimodal_audio_spectral",
-    "graph_louvain_refine",
-    "graph_community_coarsen",
-    "multimodal_audio_flux",
-    # NOT re-entered despite same-file edits (documented yields):
-    # (a) graph_truss_modularity / graph_truss_communities: the only
-    #     partition_modularity change is a docstring note (the ADVICE
-    #     r10 empty-edges invariant, pinned by a new pytest) and
-    #     louvain_refine is purely additive in the same module — plans
-    #     and values untouched (argument (a)).
-    # (b) multimodal_audio_melbands / _stft / _spectrum: the new MFCC/
-    #     spectral functions are appended after them; their own code
-    #     and the shared decode/STFT helpers are byte-unchanged, and
-    #     the melbands entry re-verified green at sf0.001+sf0.01 in
-    #     the round-start verify sweep (argument (b)).
-    # the 30 remaining r6-era rows (VERDICT r10 "missing" #1) — after
-    # these, the r6 block is fully drained
-    "streaming_quantiles_hdr",
-    "streaming_pattern_match_topk",
-    "rollup_returnflag_status",
-    "cube_status_priority",
-    "grouping_sets_events",
-    "join_anti_no_big_order",
-    "topn_orders_global",
-    "set_ops_customers",
-    "string_functions",
-    "date_functions",
-    "math_functions",
-    "conditional_tiers",
-    "array_functions_documents",
-    "pivot_qty_by_status",
-    "unpivot_rates",
-    "explode_tokens",
-    "scalar_subquery_max_order",
-    "date_arithmetic",
-    "sample_hash_deterministic",
-    "roundtrip_csv",
-    "roundtrip_json",
-    "agg_string_concat",
-    "set_intersect_all",
-    "multimodal_jpeg_color_roundtrip",
-    "multimodal_jpeg_420_roundtrip",
-    "tpch_q12_like_shipmode_priority",
-    "join_fuzzy_names_editdist1",
-    "text_bm25_topk",
-    "fin_pattern_match_topk",
-    "similarity_recall_report",
-    # the 15 alphabetically-first live r7-era rows (all equally old;
-    # alphabetical order keeps the pick auditable — the other 28 are
-    # queued below for round 12)
-    "agg_approx_distinct",
-    "agg_approx_percentiles",
-    "agg_builtin_stats",
-    "agg_collect_ordered",
-    "corpus_select_token_budget",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "embedding_quantize_int8",
-    "fin_max_drawdown",
-    "fin_rolling_sharpe",
-    "graph_pagerank_similarity",
-    "ivm_orders_status_agg",
-    "join_asof_strict",
-    "json_extract_props",
-    "lateral_top3_orders_per_customer",
-    # --- driver check window boundary (first 50 above) ---
-    # queued FIRST for round 12: the three entries built and locally
-    # oracle-green this round that the 5-new-entry window cap holds
-    # out of the r11 window (the full two-level Louvain, its original-
-    # graph modularity certificate, and the per-frame zero-crossing
-    # rate), then the 28 remaining r7-era rows — after those, every
-    # row sits on r8+ and the 4-round horizon is steady
+    # --- round-12 window (first 50 = the driver's check budget) ---
+    # Rotation: (1) the 2 entries new this round; (2) the 3 r11-built
+    # entries still awaiting their FIRST driver row (VERDICT r11
+    # next-step #1); (3) the 2 Louvain entries whose algorithm changed
+    # after their r11 rows (multi-departure admission — rotation rule
+    # 2); (4) ALL 28 remaining r7-era rows (VERDICT r11 next-step #2 —
+    # after these, no driver row predates r8); (5) the 15
+    # alphabetically-first r8-era rows with the remaining slots.
+    # new this round: the voiced/music/noise segment classifier
+    # composing the short-time audio trio, and the near-dup community
+    # capping pipeline (components seed -> Louvain refine -> per-
+    # community contribution caps) promoted from the curation demo
+    "multimodal_audio_segments",
+    "pipeline_neardup_communities",
+    # first driver rows pending (locally oracle-green since r11)
     "graph_louvain_level2",
     "graph_louvain_level2_modularity",
     "multimodal_audio_zcr",
+    # re-entered after the multi-departure admission change (their
+    # r11 rows predate it); level2/level2_modularity above cover the
+    # same change for the chained entries, and the two index-maintain
+    # entries changed by the semi-join fix re-enter via the r7 drain
+    # below.  NOT re-entered: graph_truss_*/kcore/pagerank (only the
+    # value-neutral System.gc() gating touched their shared module)
+    # and the other dedup/text entries (dedup.py untouched).
+    "graph_louvain_refine",
+    "graph_community_coarsen",
+    # the 28 remaining r7-era rows — the freshness-debt tail
     "multimodal_bmp_roundtrip",
     "multimodal_frame_sample",
     "multimodal_image_features",
@@ -192,7 +126,62 @@ _PRIORITY: list[str] = [
     "text_fingerprints",
     "text_language_id",
     "udtf_ngrams",
-    # then everything else (r8+-era rows) in registration order — the
+    # the 15 alphabetically-first r8-era rows (all equally old; the
+    # other 34 r8-era rows are queued below for round 13)
+    "agg_salted_skew",
+    "agg_variance_exact",
+    "chunk_documents",
+    "clean_filter",
+    "cohort_retention",
+    "contamination_ngram_overlap",
+    "dedup_paragraph_exact",
+    "dedup_prefix_jaccard",
+    "dedup_simhash",
+    "funnel_conversion",
+    "graph_clustering_coefficient",
+    "graph_kcore_similarity",
+    "graph_triangle_count_similarity",
+    "histogram_value_buckets",
+    "join_full_outer_nation_activity",
+    # --- driver check window boundary (first 50 above) ---
+    # queued FIRST for round 13: the 34 remaining r8-era rows
+    # (join_interval_bursts ... window_ewma_per_user, alphabetical),
+    # then the r9 block — the steady <=4-round freshness horizon
+    "join_interval_bursts",
+    "join_proximity_binned",
+    "ma_alerts",
+    "mixture_sample_sources",
+    "multimodal_audio_features",
+    "multimodal_audio_spectrum",
+    "multimodal_gif_roundtrip",
+    "multimodal_video_frames_roundtrip",
+    "multimodal_wav_roundtrip",
+    "multimodal_wav_ulaw_roundtrip",
+    "pii_redact_documents",
+    "streaming_funnel_conversion",
+    "streaming_lm_quality_gate",
+    "streaming_tumbling_stats",
+    "text_bpe_train",
+    "text_bpe_train_tokenize",
+    "text_lm_quality_score",
+    "text_nb_lang_classifier",
+    "text_stats",
+    "text_token_counts",
+    "tpch_q10_like_returned_items",
+    "tpch_q13_like_order_distribution",
+    "tpch_q14_like_promo_effect",
+    "tpch_q15_like_top_supplier",
+    "tpch_q17_like_small_quantity",
+    "tpch_q18_like_large_orders",
+    "tpch_q19_like_disjunctive",
+    "tpch_q22_like_dormant_rich",
+    "tpch_q4_like_priority_check",
+    "tpch_q6_like_forecast_revenue",
+    "tpch_q7_like_nation_volume",
+    "tpch_q8_like_market_share",
+    "tpch_q9_like_product_profit",
+    "window_ewma_per_user",
+    # then everything else (r9+-era rows) in registration order — the
     # load_all() tail rule keeps them enumerable without naming each
 ]
 
