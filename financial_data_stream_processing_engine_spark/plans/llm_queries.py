@@ -5003,8 +5003,16 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         wavs, id_col="doc_id", payload=F.col("payload"),
         kind="audio", mime="audio/wav",
     )
-    samples = multimodal.decode_audio_samples(media, max_samples=64)
-    stft = multimodal.audio_stft(samples, n_fft=16, hop=8, bins=tuple(range(1, 8)))
+    # the classifier fans out over BOTH relations (samples → ZCR;
+    # STFT → flux AND flatness): materialize each once so the decode
+    # seam runs once, not once per branch — without this the plan
+    # re-decodes the corpus three times (measured: 12 Python evals /
+    # 20 exchanges lazy vs 0 / 12 materialized — the decode runs once,
+    # at checkpoint time)
+    samples = multimodal.decode_audio_samples(media, max_samples=64).localCheckpoint()
+    stft = multimodal.audio_stft(
+        samples, n_fft=16, hop=8, bins=tuple(range(1, 8))
+    ).localCheckpoint()
     per_frame = multimodal.audio_segment_classes(
         samples, stft, n_fft=16, hop=8,
         zcr_noise=0.57, flat_noise=-0.45, flux_voiced=18.0,
