@@ -1010,3 +1010,53 @@ def test_neardup_communities_oracle_unroll_depth_covers_fixtures(spark, sf_dir):
         "node", F.col("component").alias("community")
     )
     louvain_refine(pairs, seed, src="id_a", dst="id_b", max_rounds=8)
+
+
+def test_louvain_refine_multi_departure_stress_sweep(spark):
+    """Denser randomized sweep aimed at the multi-departure paths: a
+    few larger graphs seeded with ONE giant bogus community (maximum
+    dispersal pressure — many simultaneous departures from one source,
+    plus same-target convoys for the combined admission), compared
+    node-for-node against the pure-Python replica, with the Q-ladder
+    checks of the main sweep."""
+    import random as _random
+
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        louvain_refine,
+        partition_modularity,
+    )
+
+    rng = _random.Random(78)
+    for trial in range(2):
+        n = rng.randint(16, 24)
+        nodes = list(range(n))
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for _ in range(4 * n)
+                for a, b in [rng.sample(nodes, 2)]
+            }
+        )
+        # giant bogus community: half the nodes share one label that
+        # the refinement must disperse; the rest are singletons
+        labeled = {v: 1000 for v in nodes if rng.random() < 0.5}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        labels = spark.createDataFrame(
+            list(labeled.items()) or [(None, None)], "node long, community long"
+        )
+        got = {
+            r["node"]: (r["community"], r["moved"])
+            for r in louvain_refine(df, labels, max_rounds=30).collect()
+        }
+        want = _py_louvain_refine(edges, labeled, max_rounds=30)
+        assert got == want, (trial, edges, labeled)
+        q0 = sum(
+            r["q_contrib"] for r in partition_modularity(df, labels).collect()
+        )
+        ref_labels = spark.createDataFrame(
+            [(v, c) for v, (c, _) in got.items()], "node long, community long"
+        )
+        q1 = sum(
+            r["q_contrib"] for r in partition_modularity(df, ref_labels).collect()
+        )
+        assert q1 >= q0 - 1e-12, (trial,)
