@@ -158,6 +158,12 @@ HEADLINE = [
     "multimodal_audio_spectral",
     "multimodal_audio_flux",
     "graph_louvain_refine",
+    # round 12: the composed voiced/music/noise gate (ZCR + flux +
+    # flatness over one materialized STFT — the decode seam runs
+    # once) and the near-dup community cap pipeline (PPJoin pairs →
+    # components → Louvain refine → per-community cap)
+    "multimodal_audio_segments",
+    "pipeline_neardup_communities",
 ]
 
 

@@ -5819,9 +5819,10 @@ def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     move nodes into neighbor communities whose EXACT-INTEGER gain
     numerator ``g = 2m·(k_ib − k_ia) − k·(Σtot_b − Σtot_a + k)`` is
     positive, applying a deterministic non-interfering batch
-    (per-node/per-source argmax, priority blocking, per-target
-    conservative-prefix admission — every applied round strictly
-    increases Q) until no improving move exists
+    (per-node argmax, priority blocking, combined per-target +
+    per-source conservative admission — the multi-departure form;
+    every applied round strictly increases Q) until no improving move
+    exists
     (operators/graph.py::louvain_refine; generous ``max_rounds=40``,
     the ktruss guard pattern — see _louvain_unrolled_ctes).  On this
     fixture Q rises
