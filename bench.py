@@ -160,10 +160,14 @@ HEADLINE = [
     "graph_louvain_refine",
     # round 12: the composed voiced/music/noise gate (ZCR + flux +
     # flatness over one materialized STFT — the decode seam runs
-    # once) and the near-dup community cap pipeline (PPJoin pairs →
-    # components → Louvain refine → per-community cap)
+    # once), the near-dup community cap pipeline (PPJoin pairs →
+    # components → Louvain refine → per-community cap), the
+    # exact-normal-equations OLS quality probe, and frame-difference
+    # scene-cut detection over the real MJPEG decode path
     "multimodal_audio_segments",
     "pipeline_neardup_communities",
+    "text_quality_linear_probe",
+    "multimodal_video_scene_cuts",
 ]
 
 

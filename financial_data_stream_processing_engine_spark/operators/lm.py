@@ -360,3 +360,134 @@ def nb_score(
             F.col("is_holdout"),
         )
     )
+
+
+def cramer4_exprs() -> tuple[str, list[str]]:
+    """Engine-neutral SQL for solving a symmetric 4×4 linear system by
+    Cramer's rule over DOUBLE columns named ``a00..a33`` (the upper
+    triangle of the Gram matrix — ``aij`` with i ≤ j) and ``b0..b3``
+    (the moment vector): returns ``(det_expr, [num0..num3])`` where
+    ``coef_i = num_i / det``.  Each determinant is the full 24-term
+    permutation expansion emitted as ONE left-associated chain
+    ``0.0e0 + t1 - t2 + …`` with a fixed term order (it starts from a
+    literal zero so both parsers build the identical tree), and every
+    term a left-associated 4-factor product — so Spark SQL and DuckDB
+    evaluate the exact same IEEE operation sequence and the solve is
+    bit-identical cross-engine (the shared-expression-text contract of
+    the audio oracles, applied to linear algebra).  Floating point by
+    design: the inputs are already deterministic doubles (exact
+    quantized-integer sums cast once), and Cramer on a 4×4 is a fixed
+    dataflow — no pivoting, no iteration, nothing order-ambiguous."""
+    from itertools import permutations
+
+    def a(i: int, j: int) -> str:
+        return f"a{min(i, j)}{max(i, j)}"
+
+    def det(cell) -> str:
+        parts = ["0.0e0"]
+        for p in permutations(range(4)):
+            inv = sum(
+                1 for i in range(4) for j in range(i + 1, 4) if p[i] > p[j]
+            )
+            prod = " * ".join(cell(r, p[r]) for r in range(4))
+            parts.append(("+ " if inv % 2 == 0 else "- ") + prod)
+        return " ".join(parts)
+
+    base = det(lambda r, c: a(r, c))
+    nums = [
+        det(lambda r, c, i=i: f"b{r}" if c == i else a(r, c)) for i in range(4)
+    ]
+    return base, nums
+
+
+#: shared prediction expression over the quantized feature columns and
+#: the broadcast coefficients — one text, both engines, same IEEE tree.
+OLS_PRED_SQL = (
+    "c0 * CAST(q0 AS DOUBLE) + c1 * CAST(q1 AS DOUBLE)"
+    " + c2 * CAST(q2 AS DOUBLE) + c3 * CAST(q3 AS DOUBLE)"
+)
+
+
+def ols_probe(
+    df: DataFrame,
+    feature_cols: tuple[str, str, str],
+    target_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-arithmetic ordinary-least-squares probe — fit
+    ``target ≈ w0 + w1·x1 + w2·x2 + w3·x3`` over the whole frame and
+    return per-row predictions and residuals (the fastText-style
+    "distill the gate into a linear model" stage: a linear probe over
+    engineered signals tells a curation pipeline how much of a quality
+    gate a cheap model can reproduce, and its residual outliers are
+    the documents worth a second look).
+
+    Distributed shape: ONE map-side-combinable aggregation builds the
+    normal equations — features and target quantize to the 1e-9 grid
+    (functions/numeric.py::qint, intercept included as the exact grid
+    constant 10⁹), pairwise products stay exact decimal(38,0) integers
+    (~1e20 per row, ~1e33 even at 10¹² rows — no overflow at any
+    conceivable corpus), and each Gram/moment sum casts to double ONCE
+    (correctly rounded).  The 4×4 solve is Cramer's rule stated as
+    shared SQL text (:func:`cramer4_exprs`) evaluated ON the one-row
+    moment frame — no driver-side linear algebra, no collect; the
+    coefficient row then broadcast-joins back onto the rows for
+    predictions.  Rows with a NULL feature or target are excluded from
+    BOTH the fit and the output (the oracle states the same filter).
+    A singular Gram matrix yields NULL coefficients (NULLIF on the
+    determinant) rather than a crash.
+
+    Solving the QUANTIZED system: with Q the integer feature matrix
+    (10⁹-scaled) the solve is (QᵀQ)w = Qᵀ(10⁹·y), so ``w`` applies to
+    quantized features directly and predictions rescale by 10⁻⁹ at
+    the very end — one constant multiply, the grid contract.
+
+    Returns (id, target, pred, residual, c0..c3) — coefficients
+    repeated per row (constant columns) so a value hash certifies the
+    solve itself, not just the residual arithmetic."""
+    x1, x2, x3 = feature_cols
+    filt = (
+        F.col(x1).isNotNull()
+        & F.col(x2).isNotNull()
+        & F.col(x3).isNotNull()
+        & F.col(target_col).isNotNull()
+    )
+    from financial_data_stream_processing_engine_spark.functions.numeric import QSCALE
+
+    q = df.where(filt).select(
+        F.col(id_col),
+        F.lit(10**QSCALE).cast("decimal(38,0)").alias("q0"),
+        qint(F.col(x1)).alias("q1"),
+        qint(F.col(x2)).alias("q2"),
+        qint(F.col(x3)).alias("q3"),
+        qint(F.col(target_col)).alias("qy"),
+    )
+    qs = ["q0", "q1", "q2", "q3"]
+    aggs = []
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(
+                F.sum(F.col(qs[i]) * F.col(qs[j]))
+                .cast("double")
+                .alias(f"a{i}{j}")
+            )
+        aggs.append(
+            F.sum(F.col(qs[i]) * F.col("qy")).cast("double").alias(f"b{i}")
+        )
+    mom = q.agg(*aggs)
+    det_s, nums = cramer4_exprs()
+    coef = mom.select(
+        *[
+            (F.expr(nums[i]) / F.expr(f"nullif({det_s}, 0.0e0)")).alias(f"c{i}")
+            for i in range(4)
+        ]
+    )
+    grid = F.lit(float(10**-QSCALE))
+    pred_q = F.expr(OLS_PRED_SQL)
+    return q.crossJoin(F.broadcast(coef)).select(
+        F.col(id_col),
+        (F.col("qy").cast("double") * grid).alias("target"),
+        (pred_q * grid).alias("pred"),
+        ((F.col("qy").cast("double") - pred_q) * grid).alias("residual"),
+        "c0", "c1", "c2", "c3",
+    )

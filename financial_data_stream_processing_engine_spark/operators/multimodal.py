@@ -2249,3 +2249,40 @@ def audio_segment_classes(
         .otherwise(F.lit("music"))
     )
     return j.select(*keys, "zc_rate", "flatness_log", "flux", seg.alias("segment_class"))
+
+
+def video_scene_cuts(frames_df: DataFrame, threshold: float = 0.25) -> DataFrame:
+    """Frame-difference scene-cut detection over a decoded-frame
+    relation — the shot-boundary statistic of video curation (clip
+    segmentation for captioning, duplicate-shot removal and sampling
+    all start from cut boundaries; the classic detector thresholds the
+    inter-frame luminance difference): over ``(media_id, frame_idx,
+    mean_luma)`` rows from :func:`decode_video_frames`, ``luma_delta(f)
+    = mean_luma[f] − mean_luma[f−1]`` per media, and ``is_cut = |Δ| ≥
+    threshold``.  Frame 0 has no predecessor and is excluded (the
+    partial-window rule — the flux convention applied to video).
+
+    Plan shape: ONE lag window keyed (media) ordered by frame index —
+    linear in frame rows, row width bounded by the decode's
+    ``max_frames`` cap, no Python (the decode seam ran upstream).
+    Exactness: the delta is one IEEE subtract of two deterministic
+    decoded doubles, ABS is exact, and the threshold compare is the
+    same literal in any engine — bit-identical everywhere.
+
+    Returns (media_id, frame_idx, mean_luma, luma_delta, is_cut)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = frames_df.select(
+        "media_id",
+        "frame_idx",
+        "mean_luma",
+        (F.col("mean_luma") - F.lag("mean_luma", 1).over(w)).alias("luma_delta"),
+    )
+    return d.where(F.col("luma_delta").isNotNull()).select(
+        "media_id",
+        "frame_idx",
+        "mean_luma",
+        "luma_delta",
+        (F.abs(F.col("luma_delta")) >= F.lit(threshold)).alias("is_cut"),
+    )

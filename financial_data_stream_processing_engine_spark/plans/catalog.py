@@ -71,19 +71,25 @@ def register(name: str, sql: str | None = None):
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
     # --- round-12 window (first 50 = the driver's check budget) ---
-    # Rotation: (1) the 2 entries new this round; (2) the 3 r11-built
+    # Rotation: (1) the 4 entries new this round; (2) the 3 r11-built
     # entries still awaiting their FIRST driver row (VERDICT r11
     # next-step #1); (3) the 2 Louvain entries whose algorithm changed
     # after their r11 rows (multi-departure admission — rotation rule
     # 2); (4) ALL 28 remaining r7-era rows (VERDICT r11 next-step #2 —
     # after these, no driver row predates r8); (5) the 15
-    # alphabetically-first r8-era rows with the remaining slots.
+    # alphabetically-first r8-era rows with the remaining slots
+    # (13 after the third and fourth new entries took two).
     # new this round: the voiced/music/noise segment classifier
     # composing the short-time audio trio, and the near-dup community
     # capping pipeline (components seed -> Louvain refine -> per-
-    # community contribution caps) promoted from the curation demo
+    # community contribution caps) promoted from the curation demo,
+    # the exact-normal-equations OLS quality probe (shared Cramer
+    # expression text, no driver linear algebra), and frame-difference
+    # scene-cut detection over the real MJPEG decode path
     "multimodal_audio_segments",
     "pipeline_neardup_communities",
+    "text_quality_linear_probe",
+    "multimodal_video_scene_cuts",
     # first driver rows pending (locally oracle-green since r11)
     "graph_louvain_level2",
     "graph_louvain_level2_modularity",
@@ -141,12 +147,13 @@ _PRIORITY: list[str] = [
     "graph_clustering_coefficient",
     "graph_kcore_similarity",
     "graph_triangle_count_similarity",
+    # --- driver check window boundary (first 50 above) ---
+    # queued FIRST for round 13: the 36 remaining r8-era rows
+    # (histogram_value_buckets ... window_ewma_per_user,
+    # alphabetical),
+    # then the r9 block — the steady <=4-round freshness horizon
     "histogram_value_buckets",
     "join_full_outer_nation_activity",
-    # --- driver check window boundary (first 50 above) ---
-    # queued FIRST for round 13: the 34 remaining r8-era rows
-    # (join_interval_bursts ... window_ewma_per_user, alphabetical),
-    # then the r9 block — the steady <=4-round freshness horizon
     "join_interval_bursts",
     "join_proximity_binned",
     "ma_alerts",

@@ -66,9 +66,10 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
 
 
-@register(
-    "text_stats",
-    sql=f"""
+#: shared text-stats reconstruction — the text_stats entry's oracle,
+#: also the feature CTE of the linear-probe oracle (one text, so the
+#: probe's features are bitwise the hash-proven stats columns)
+_TEXT_STATS_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          LENGTH(text) AS n_chars_actual,
@@ -89,8 +90,10 @@ SELECT doc_id, n_chars_actual, n_tokens, n_unique_tokens,
                                    + CAST(n_digit AS DOUBLE) / n_chars_actual))) / 3.0
            AS quality_score
 FROM t
-""",
-)
+"""
+
+
+@register("text_stats", sql=_TEXT_STATS_SQL)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document statistics + pretraining-style quality score.
 
@@ -107,6 +110,91 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit_ratio",
         "stopword_ratio",
         "quality_score",
+    )
+
+
+def _ols_probe_sql() -> str:
+    """Oracle for the OLS quality probe: the SHARED text-stats
+    reconstruction as the feature CTE (bitwise the hash-proven
+    text_stats columns), the identical NULL filter and 1e-9
+    quantization, the identical exact-integer Gram/moment sums
+    (HUGEINT here, decimal(38,0) in Spark; the qcast VARCHAR bridge
+    for the one cast to double), then the SAME Cramer expression text
+    (operators/lm.py::cramer4_exprs — one string, both engines) and
+    the SAME prediction/residual expressions (OLS_PRED_SQL)."""
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        OLS_PRED_SQL,
+        cramer4_exprs,
+    )
+
+    det_s, nums = cramer4_exprs()
+    qs = ["q0", "q1", "q2", "q3"]
+    sums = []
+    for i in range(4):
+        for j in range(i, 4):
+            sums.append(f"{qcast_sql(f'SUM({qs[i]} * {qs[j]})')} AS a{i}{j}")
+        sums.append(f"{qcast_sql(f'SUM({qs[i]} * qy)')} AS b{i}")
+    coefs = ",\n         ".join(
+        f"({nums[i]}) / NULLIF(({det_s}), 0.0e0) AS c{i}" for i in range(4)
+    )
+    return f"""
+WITH s AS ({_TEXT_STATS_SQL}),
+f AS (
+  SELECT doc_id,
+         CAST(1000000000 AS HUGEINT) AS q0,
+         {qint_sql("punct_ratio")} AS q1,
+         {qint_sql("digit_ratio")} AS q2,
+         {qint_sql("stopword_ratio")} AS q3,
+         {qint_sql("quality_score")} AS qy
+  FROM s
+  WHERE punct_ratio IS NOT NULL AND digit_ratio IS NOT NULL
+    AND stopword_ratio IS NOT NULL AND quality_score IS NOT NULL),
+m AS (SELECT {", ".join(sums)} FROM f),
+c AS (SELECT {coefs} FROM m)
+SELECT f.doc_id,
+       CAST(qy AS DOUBLE) * 1e-09 AS target,
+       ({OLS_PRED_SQL}) * 1e-09 AS pred,
+       (CAST(qy AS DOUBLE) - ({OLS_PRED_SQL})) * 1e-09 AS residual,
+       c0, c1, c2, c3
+FROM f CROSS JOIN c
+"""
+
+
+@register("text_quality_linear_probe", sql=_ols_probe_sql())
+def text_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS linear probe of the heuristic quality gate — the
+    "distill the gate into a cheap learned model" stage of a curation
+    pipeline (a linear probe over engineered signals measures how much
+    of a quality score a trivial model reproduces, and its residual
+    outliers are the documents worth human/LLM review): fit
+    ``quality_score ≈ w0 + w1·punct_ratio + w2·digit_ratio +
+    w3·stopword_ratio`` over the whole corpus by EXACT normal
+    equations — features quantize to the 1e-9 grid, the Gram matrix
+    and moment vector accumulate as exact decimal(38,0) integers in
+    ONE map-side-combinable aggregation (no overflow through 10¹²
+    rows), one correctly-rounded cast to double each, then Cramer's
+    rule stated as SHARED SQL text evaluated on the one-row moment
+    frame (operators/lm.py::{cramer4_exprs, ols_probe}) — no driver
+    linear algebra, no collect anywhere — and the coefficient row
+    broadcast back for per-doc predictions.  One row per fit doc:
+    (doc_id, target, pred, residual, c0..c3) — constant coefficient
+    columns make the value hash certify the solve itself.
+
+    Scale shape: one narrow aggregation + one broadcast join — the
+    cheapest possible distributed regression; at 100 TB the Gram sums
+    are still 14 numbers.
+
+    Oracle: the shared text-stats chain, identical quantization,
+    identical integer sums and the IDENTICAL Cramer/prediction
+    expression text (see _ols_probe_sql)."""
+    from financial_data_stream_processing_engine_spark.operators.lm import ols_probe
+
+    stats = text.with_text_stats(_docs(spark, sf_dir))
+    return ols_probe(
+        stats,
+        feature_cols=("punct_ratio", "digit_ratio", "stopword_ratio"),
+        target_col="quality_score",
+        id_col="doc_id",
     )
 
 
@@ -3731,6 +3819,66 @@ def multimodal_video_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         kind="video", mime="video/x-msvideo",
     )
     return multimodal.decode_video_frames(media, max_frames=8)
+
+
+def _video_scene_cuts_sql(threshold: str = "0.25e0") -> str:
+    """Oracle: the MJPEG roundtrip's per-frame md5 luma reconstruction
+    (frame f's mean luma = mean of digest bytes 4f..4f+3 — the DC-only
+    constant-block exactness argument), then the identical LAG window
+    keyed (media) ordered by frame, the single-subtract delta, exact
+    ABS and the same DOUBLE threshold literal — frame 0 excluded by
+    the NULL lag exactly as in Spark."""
+    rows = []
+    for f in range(4):
+        mean = " + ".join(_hex_byte("m", 4 * f + k) for k in range(4))
+        rows.append(
+            f"SELECT doc_id AS media_id, {f} AS frame_idx,"
+            f" (CAST({mean} AS DOUBLE) / 4.0) / 255.0 AS mean_luma FROM b"
+        )
+    u = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH b AS (SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+fl AS ({u}),
+d AS (
+  SELECT media_id, frame_idx, mean_luma,
+         mean_luma - LAG(mean_luma, 1) OVER (
+           PARTITION BY media_id ORDER BY frame_idx) AS luma_delta
+  FROM fl)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, mean_luma, luma_delta,
+       ABS(luma_delta) >= {threshold} AS is_cut
+FROM d WHERE luma_delta IS NOT NULL
+"""
+
+
+@register("multimodal_video_scene_cuts", sql=_video_scene_cuts_sql())
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-difference scene-cut detection — the shot-boundary stage
+    of a video-curation pipeline (clip segmentation for captioning,
+    duplicate-shot removal, boundary-aware frame sampling), composed
+    on the REAL decode path: each doc's MJPEG AVI walks the RIFF
+    container and decodes every frame through the full JPEG decoder
+    (the roundtrip entry's machinery), then one LAG window keyed
+    (media) ordered by frame computes the inter-frame luminance delta
+    and thresholds it (|Δ| ≥ 0.25) — frame 0 excluded, the flux
+    convention (operators/multimodal.py::{decode_video_frames,
+    video_scene_cuts}).  3 value-dense rows per doc: (media_id,
+    frame_idx, mean_luma, luma_delta, is_cut).
+
+    Exactness: decoded lumas are the bitwise-proven roundtrip values;
+    the delta is one IEEE subtract, ABS exact, the threshold a shared
+    DOUBLE literal — bit-identical cross-engine.
+
+    Oracle: the roundtrip's md5 luma reconstruction + the identical
+    LAG/subtract/ABS/threshold chain (see _video_scene_cuts_sql)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gen = _mjpeg_avi_generator()
+    avis = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    media = multimodal.as_media(
+        avis, id_col="doc_id", payload=F.col("payload"),
+        kind="video", mime="video/x-msvideo",
+    )
+    frames = multimodal.decode_video_frames(media, max_frames=8)
+    return multimodal.video_scene_cuts(frames, threshold=0.25)
 
 
 def _audio_spectrum_sql(n_fft: int = 16, bins: tuple[int, ...] = (1, 2, 3)) -> str:

@@ -240,3 +240,60 @@ def test_bpe_train_then_tokenize_chain(spark):
         for r in bpe_token_counts(df, merges=merges).collect()
     }
     assert counts == {"ab": 4, "c": 1, "cd": 1}
+
+
+def test_ols_probe_matches_numpy_lstsq(spark):
+    """The Cramer solve over exact quantized moments must agree with
+    numpy's least-squares on the same quantized design matrix (tiny
+    rtol: different but both-correct float paths), residuals must
+    satisfy target − pred ≡ residual exactly by construction, and
+    NULL-feature rows are excluded from fit and output."""
+    import numpy as np
+
+    from financial_data_stream_processing_engine_spark.operators.lm import ols_probe
+
+    rows = [
+        (i, 0.1 * (i % 7), 0.05 * (i % 5), 0.02 * (i % 11),
+         0.3 + 0.5 * 0.1 * (i % 7) - 0.2 * 0.05 * (i % 5) + 0.01 * (i % 3))
+        for i in range(40)
+    ] + [(100, None, 0.1, 0.1, 0.5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, x1 double, x2 double, x3 double, y double"
+    )
+    got = {r["doc_id"]: r for r in ols_probe(
+        df, feature_cols=("x1", "x2", "x3"), target_col="y", id_col="doc_id"
+    ).collect()}
+    assert 100 not in got and len(got) == 40
+    # numpy fit on the SAME quantized integers
+    import math
+    qi = lambda v: math.floor(v * 1e9)  # noqa: E731
+    Q = np.array([[1e9, qi(r[1]), qi(r[2]), qi(r[3])] for r in rows[:40]])
+    qy = np.array([qi(r[4]) for r in rows[:40]], dtype=float)
+    w = np.linalg.lstsq(Q, qy, rcond=None)[0]
+    any_row = got[0]
+    np.testing.assert_allclose(
+        [any_row["c0"], any_row["c1"], any_row["c2"], any_row["c3"]],
+        w, rtol=1e-6,
+    )
+    for i, r in enumerate(rows[:40]):
+        g = got[r[0]]
+        assert g["target"] == qi(r[4]) * 1e-9
+        # pred + residual reconstructs the target on the grid exactly
+        assert abs((g["pred"] + g["residual"]) - g["target"]) < 1e-12
+
+
+def test_ols_probe_singular_gram_yields_null_coefficients(spark):
+    """A collinear design (x2 = x1) has det = 0 — the probe must
+    return NULL coefficients via the NULLIF guard, not crash or
+    divide by zero."""
+    from financial_data_stream_processing_engine_spark.operators.lm import ols_probe
+
+    rows = [(i, 0.1 * i, 0.1 * i, 0.0, 1.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, x1 double, x2 double, x3 double, y double"
+    )
+    out = ols_probe(
+        df, feature_cols=("x1", "x2", "x3"), target_col="y", id_col="doc_id"
+    ).collect()
+    assert len(out) == 10
+    assert all(r["c0"] is None and r["pred"] is None for r in out)

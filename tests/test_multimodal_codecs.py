@@ -2558,3 +2558,24 @@ def test_audio_segment_classes_consistent_with_features(spark):
         else:
             want = "music"
         assert r["segment_class"] == want, r
+
+
+def test_video_scene_cuts_handcrafted(spark):
+    """Cut detection must threshold the inter-frame luma delta: a
+    dark→bright jump is a cut, a slow fade is not, frame 0 is
+    excluded, and media are independent."""
+    rows = [
+        # media 0: dark, dark, BRIGHT (cut at 2), bright
+        (0, 0, 0.10), (0, 1, 0.12), (0, 2, 0.80), (0, 3, 0.82),
+        # media 1: slow fade — never cuts at 0.25
+        (1, 0, 0.40), (1, 1, 0.50), (1, 2, 0.60),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, frame_idx int, mean_luma double")
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["is_cut"], r["luma_delta"])
+        for r in multimodal.video_scene_cuts(df, threshold=0.25).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (0, 3), (1, 1), (1, 2)}  # no frame 0
+    assert got[(0, 2)][0] is True
+    assert all(not got[k][0] for k in got if k != (0, 2))
+    assert abs(got[(0, 2)][1] - (0.80 - 0.12)) < 1e-15
