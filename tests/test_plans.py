@@ -459,3 +459,36 @@ def test_nb_score_vocabulary_join_broadcasts(spark, sf_dir):
     )
     assert plan.count("BroadcastHashJoin") == 1
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_ols_probe_is_one_agg_plus_broadcast(spark, sf_dir, queries):
+    """The linear probe must stay the cheapest distributed regression:
+    no shuffle join anywhere (the one-row coefficient frame broadcasts
+    back), no row-at-a-time Python, and the decimal Gram sums stay
+    JVM-side expressions."""
+    plan = plan_of(queries, "text_quality_linear_probe", spark, sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_video_scene_cuts_single_window_exchange(spark, sf_dir, queries):
+    """Scene cuts = the decode seam + ONE keyed exchange for the
+    per-media lag window; a second hash exchange means the window
+    stopped consuming the decode output directly."""
+    plan = plan_of(queries, "multimodal_video_scene_cuts", spark, sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # decode is mapInPandas, not per-row
+
+
+def test_audio_segments_steady_plan_has_no_python(spark, sf_dir, queries):
+    """The composed classifier materializes the decode/STFT relations
+    once, so its STEADY plan (the part that scales with media) must
+    contain no Python evaluation at all and join the three
+    (media, frame)-keyed feature aggregates without a sort-merge
+    join."""
+    plan = plan_of(queries, "multimodal_audio_segments", spark, sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan  # decode ran at checkpoint time
+    assert "CartesianProduct" not in plan
