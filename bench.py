@@ -167,6 +167,7 @@ HEADLINE = [
     "multimodal_audio_segments",
     "pipeline_neardup_communities",
     "text_quality_linear_probe",
+    "text_quality_probe_fit",
     "multimodal_video_scene_cuts",
 ]
 

@@ -362,49 +362,70 @@ def nb_score(
     )
 
 
-def cramer4_exprs() -> tuple[str, list[str]]:
-    """Engine-neutral SQL for solving a symmetric 4×4 linear system by
-    Cramer's rule over DOUBLE columns named ``a00..a33`` (the upper
-    triangle of the Gram matrix — ``aij`` with i ≤ j) and ``b0..b3``
-    (the moment vector): returns ``(det_expr, [num0..num3])`` where
-    ``coef_i = num_i / det``.  Each determinant is the full 24-term
+def cramer3_exprs() -> tuple[str, list[str]]:
+    """Engine-neutral SQL for solving a symmetric 3×3 linear system by
+    Cramer's rule over DOUBLE columns named ``C11..C33`` (the upper
+    triangle of the CENTERED covariance-form Gram matrix — ``Cij``
+    with i ≤ j) and ``d1..d3``: returns ``(det_expr, [num1..num3])``
+    with ``coef_i = num_i / det``.  Each determinant is the 6-term
     permutation expansion emitted as ONE left-associated chain
-    ``0.0e0 + t1 - t2 + …`` with a fixed term order (it starts from a
-    literal zero so both parsers build the identical tree), and every
-    term a left-associated 4-factor product — so Spark SQL and DuckDB
-    evaluate the exact same IEEE operation sequence and the solve is
-    bit-identical cross-engine (the shared-expression-text contract of
-    the audio oracles, applied to linear algebra).  Floating point by
-    design: the inputs are already deterministic doubles (exact
-    quantized-integer sums cast once), and Cramer on a 4×4 is a fixed
-    dataflow — no pivoting, no iteration, nothing order-ambiguous."""
+    ``0.0e0 + t1 - t2 + …`` with a fixed term order, every term a
+    left-associated 3-factor product — Spark SQL and DuckDB build the
+    identical IEEE tree, so the solve is bit-identical cross-engine
+    (the shared-expression-text contract of the audio oracles).
+
+    Why 3×3 CENTERED and not the raw 4×4: the raw normal-equations
+    determinant subtracts ~1e90-scale products whose true difference
+    is variance-sized — double precision cancels to garbage (measured:
+    det → 0 on the fixture, NULL coefficients).  The centered moments
+    ``Cij = n·Σxixj − Σxi·Σxj`` cancel in EXACT integer arithmetic
+    before any float exists, so the float solve only faces the mild
+    (correlation-level) conditioning of the covariance matrix."""
     from itertools import permutations
 
-    def a(i: int, j: int) -> str:
-        return f"a{min(i, j)}{max(i, j)}"
+    def c(i: int, j: int) -> str:
+        return f"C{min(i, j)}{max(i, j)}"
 
     def det(cell) -> str:
         parts = ["0.0e0"]
-        for p in permutations(range(4)):
+        for p in permutations(range(1, 4)):
+            pl = list(p)
             inv = sum(
-                1 for i in range(4) for j in range(i + 1, 4) if p[i] > p[j]
+                1 for i in range(3) for j in range(i + 1, 3) if pl[i] > pl[j]
             )
-            prod = " * ".join(cell(r, p[r]) for r in range(4))
+            prod = " * ".join(cell(r, pl[r - 1]) for r in range(1, 4))
             parts.append(("+ " if inv % 2 == 0 else "- ") + prod)
         return " ".join(parts)
 
-    base = det(lambda r, c: a(r, c))
+    base = det(lambda r, col: c(r, col))
     nums = [
-        det(lambda r, c, i=i: f"b{r}" if c == i else a(r, c)) for i in range(4)
+        det(lambda r, col, i=i: f"d{r}" if col == i else c(r, col))
+        for i in range(1, 4)
     ]
     return base, nums
 
+
+#: quantization exponent for the probe's features/target — coarser
+#: than the global 1e-9 grid so the exact covariance moments
+#: ``n·Σxixj − Σxi·Σxj`` stay inside decimal(38,0)/HUGEINT through
+#: ~10¹² rows (ratio-valued features need nowhere near 1e-9).
+OLS_QSCALE = 6
 
 #: shared prediction expression over the quantized feature columns and
 #: the broadcast coefficients — one text, both engines, same IEEE tree.
 OLS_PRED_SQL = (
     "c0 * CAST(q0 AS DOUBLE) + c1 * CAST(q1 AS DOUBLE)"
     " + c2 * CAST(q2 AS DOUBLE) + c3 * CAST(q3 AS DOUBLE)"
+)
+
+#: shared intercept expression over the exact first-moment columns —
+#: the centered solve recovers w0 from the means: in the quantized
+#: model ``c0 = (Σqy − c1·Σq1 − c2·Σq2 − c3·Σq3) / n / G`` with G the
+#: grid constant (q0 ≡ G for every row).
+OLS_C0_SQL = (
+    "((CAST(sy AS DOUBLE) - c1 * CAST(s1 AS DOUBLE)"
+    " - c2 * CAST(s2 AS DOUBLE) - c3 * CAST(s3 AS DOUBLE))"
+    " / CAST(n AS DOUBLE)) / 1000000.0e0"
 )
 
 
@@ -422,29 +443,31 @@ def ols_probe(
     gate a cheap model can reproduce, and its residual outliers are
     the documents worth a second look).
 
-    Distributed shape: ONE map-side-combinable aggregation builds the
-    normal equations — features and target quantize to the 1e-9 grid
-    (functions/numeric.py::qint, intercept included as the exact grid
-    constant 10⁹), pairwise products stay exact decimal(38,0) integers
-    (~1e20 per row, ~1e33 even at 10¹² rows — no overflow at any
-    conceivable corpus), and each Gram/moment sum casts to double ONCE
-    (correctly rounded).  The 4×4 solve is Cramer's rule stated as
-    shared SQL text (:func:`cramer4_exprs`) evaluated ON the one-row
-    moment frame — no driver-side linear algebra, no collect; the
-    coefficient row then broadcast-joins back onto the rows for
+    Distributed shape: ONE map-side-combinable aggregation builds all
+    the moments — features and target quantize to the 1e-6 grid
+    (:data:`OLS_QSCALE`; ratio-scale signals need nowhere near the
+    global 1e-9 grid, and the coarser grid is what bounds the centered
+    moments through ~10¹² rows), raw sums and pairwise-product sums
+    accumulate as exact decimal(38,0) integers, and the CENTERED
+    covariance-form moments ``Cij = n·Σqiqj − Σqi·Σqj`` are computed
+    in the SAME exact integer domain — the catastrophic cancellation
+    that kills a raw normal-equations determinant in doubles happens
+    here losslessly (measured: the raw 4×4 det cancels to exactly 0 on
+    the fixture).  Each centered moment casts to double ONCE
+    (correctly rounded); the 3×3 solve is Cramer's rule stated as
+    shared SQL text (:func:`cramer3_exprs`) on the one-row moment
+    frame — no driver-side linear algebra, no collect — the intercept
+    is recovered from the exact first moments (:data:`OLS_C0_SQL`),
+    and the coefficient row broadcast-joins back onto the rows for
     predictions.  Rows with a NULL feature or target are excluded from
     BOTH the fit and the output (the oracle states the same filter).
-    A singular Gram matrix yields NULL coefficients (NULLIF on the
-    determinant) rather than a crash.
-
-    Solving the QUANTIZED system: with Q the integer feature matrix
-    (10⁹-scaled) the solve is (QᵀQ)w = Qᵀ(10⁹·y), so ``w`` applies to
-    quantized features directly and predictions rescale by 10⁻⁹ at
-    the very end — one constant multiply, the grid contract.
+    A singular covariance matrix (collinear features) yields NULL
+    coefficients (NULLIF on the determinant) rather than a crash.
 
     Returns (id, target, pred, residual, c0..c3) — coefficients
     repeated per row (constant columns) so a value hash certifies the
-    solve itself, not just the residual arithmetic."""
+    solve itself, not just the residual arithmetic.  ``target`` is the
+    1e-6-grid value of ``target_col``."""
     x1, x2, x3 = feature_cols
     filt = (
         F.col(x1).isNotNull()
@@ -452,42 +475,107 @@ def ols_probe(
         & F.col(x3).isNotNull()
         & F.col(target_col).isNotNull()
     )
-    from financial_data_stream_processing_engine_spark.functions.numeric import QSCALE
-
+    G = 10**OLS_QSCALE
     q = df.where(filt).select(
         F.col(id_col),
-        F.lit(10**QSCALE).cast("decimal(38,0)").alias("q0"),
-        qint(F.col(x1)).alias("q1"),
-        qint(F.col(x2)).alias("q2"),
-        qint(F.col(x3)).alias("q3"),
-        qint(F.col(target_col)).alias("qy"),
+        F.lit(G).cast("decimal(38,0)").alias("q0"),
+        qint(F.col(x1), OLS_QSCALE).alias("q1"),
+        qint(F.col(x2), OLS_QSCALE).alias("q2"),
+        qint(F.col(x3), OLS_QSCALE).alias("q3"),
+        qint(F.col(target_col), OLS_QSCALE).alias("qy"),
     )
-    qs = ["q0", "q1", "q2", "q3"]
-    aggs = []
-    for i in range(4):
-        for j in range(i, 4):
-            aggs.append(
-                F.sum(F.col(qs[i]) * F.col(qs[j]))
-                .cast("double")
-                .alias(f"a{i}{j}")
-            )
-        aggs.append(
-            F.sum(F.col(qs[i]) * F.col("qy")).cast("double").alias(f"b{i}")
-        )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i in (1, 2, 3):
+        aggs.append(F.sum(F.col(f"q{i}")).alias(f"s{i}"))
+    aggs.append(F.sum(F.col("qy")).alias("sy"))
+    for i in (1, 2, 3):
+        for j in (1, 2, 3):
+            if i <= j:
+                aggs.append(F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"a{i}{j}"))
+        aggs.append(F.sum(F.col(f"q{i}") * F.col("qy")).alias(f"b{i}"))
     mom = q.agg(*aggs)
-    det_s, nums = cramer4_exprs()
-    coef = mom.select(
+    # centered covariance-form moments — EXACT decimal arithmetic,
+    # cast to double once at the end
+    cent = []
+    for i in (1, 2, 3):
+        for j in (1, 2, 3):
+            if i <= j:
+                cent.append(
+                    (F.col("n") * F.col(f"a{i}{j}") - F.col(f"s{i}") * F.col(f"s{j}"))
+                    .cast("double")
+                    .alias(f"C{i}{j}")
+                )
+        cent.append(
+            (F.col("n") * F.col(f"b{i}") - F.col(f"s{i}") * F.col("sy"))
+            .cast("double")
+            .alias(f"d{i}")
+        )
+    cmom = mom.select(*cent, "n", "s1", "s2", "s3", "sy")
+    det_s, nums = cramer3_exprs()
+    coef = cmom.select(
+        "n", "s1", "s2", "s3", "sy",
         *[
-            (F.expr(nums[i]) / F.expr(f"nullif({det_s}, 0.0e0)")).alias(f"c{i}")
-            for i in range(4)
-        ]
-    )
-    grid = F.lit(float(10**-QSCALE))
+            (F.expr(nums[i]) / F.expr(f"nullif({det_s}, 0.0e0)")).alias(f"c{i + 1}")
+            for i in range(3)
+        ],
+    ).select(F.expr(OLS_C0_SQL).alias("c0"), "c1", "c2", "c3")
+    grid = F.lit(float(10**-OLS_QSCALE))
     pred_q = F.expr(OLS_PRED_SQL)
     return q.crossJoin(F.broadcast(coef)).select(
         F.col(id_col),
         (F.col("qy").cast("double") * grid).alias("target"),
         (pred_q * grid).alias("pred"),
         ((F.col("qy").cast("double") - pred_q) * grid).alias("residual"),
+        "c0", "c1", "c2", "c3",
+    )
+
+
+def ols_fit_report(probe_df: DataFrame) -> DataFrame:
+    """Goodness-of-fit report over an :func:`ols_probe` result — the
+    model-evaluation row a curation pipeline reads before trusting the
+    cheap probe (a high R² says the linear model can replace the gate
+    at scan time; a low one says the gate's signal is genuinely
+    nonlinear): one row (n_docs, ybar, sse, sst, r2, c0..c3).
+
+    Exactness: the probe's ``target``/``residual``/coefficients are
+    deterministic doubles (hash-proven cross-engine), so every derived
+    quantity here is too — targets and squared deviations quantize to
+    the 1e-9 grid and sum EXACTLY (decimal(38,0)), the mean and R² are
+    single IEEE divisions, and ``dev = target − ybar`` is one subtract
+    of two deterministic doubles.  Two aggregation passes with the
+    one-row mean broadcast between them — nothing driver-side, nothing
+    order-dependent.  R² is NULL when SST is 0 (a constant target has
+    no variance to explain — NULLIF, not a crash)."""
+    from financial_data_stream_processing_engine_spark.functions.numeric import QSCALE
+
+    grid = F.lit(float(10**-QSCALE))
+    base = probe_df.select("target", "residual", "c0", "c1", "c2", "c3")
+    m1 = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            (F.sum(qint(F.col("target"))).cast("double") * grid)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("ybar"),
+        (F.sum(qint(F.col("residual") * F.col("residual"))).cast("double") * grid)
+        .alias("sse"),
+        F.first("c0").alias("c0"),
+        F.first("c1").alias("c1"),
+        F.first("c2").alias("c2"),
+        F.first("c3").alias("c3"),
+    )
+    dev = F.col("target") - F.col("ybar")
+    m2 = (
+        base.select("target")
+        .crossJoin(F.broadcast(m1.select("ybar")))
+        .agg(
+            (F.sum(qint(dev * dev)).cast("double") * grid).alias("sst")
+        )
+    )
+    return m1.crossJoin(F.broadcast(m2)).select(
+        "n_docs",
+        "ybar",
+        "sse",
+        "sst",
+        (F.lit(1.0) - F.col("sse") / F.expr("nullif(sst, 0.0e0)")).alias("r2"),
         "c0", "c1", "c2", "c3",
     )

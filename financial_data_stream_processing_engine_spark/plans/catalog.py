@@ -71,24 +71,26 @@ def register(name: str, sql: str | None = None):
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
     # --- round-12 window (first 50 = the driver's check budget) ---
-    # Rotation: (1) the 4 entries new this round; (2) the 3 r11-built
+    # Rotation: (1) the 5 entries new this round (the cap); (2) the 3 r11-built
     # entries still awaiting their FIRST driver row (VERDICT r11
     # next-step #1); (3) the 2 Louvain entries whose algorithm changed
     # after their r11 rows (multi-departure admission — rotation rule
     # 2); (4) ALL 28 remaining r7-era rows (VERDICT r11 next-step #2 —
     # after these, no driver row predates r8); (5) the 15
     # alphabetically-first r8-era rows with the remaining slots
-    # (13 after the third and fourth new entries took two).
+    # (12 after the last three new entries took three).
     # new this round: the voiced/music/noise segment classifier
     # composing the short-time audio trio, and the near-dup community
     # capping pipeline (components seed -> Louvain refine -> per-
     # community contribution caps) promoted from the curation demo,
     # the exact-normal-equations OLS quality probe (shared Cramer
-    # expression text, no driver linear algebra), and frame-difference
-    # scene-cut detection over the real MJPEG decode path
+    # expression text, no driver linear algebra) with its R² fit
+    # certificate, and frame-difference scene-cut detection over the
+    # real MJPEG decode path
     "multimodal_audio_segments",
     "pipeline_neardup_communities",
     "text_quality_linear_probe",
+    "text_quality_probe_fit",
     "multimodal_video_scene_cuts",
     # first driver rows pending (locally oracle-green since r11)
     "graph_louvain_level2",
@@ -146,12 +148,12 @@ _PRIORITY: list[str] = [
     "funnel_conversion",
     "graph_clustering_coefficient",
     "graph_kcore_similarity",
-    "graph_triangle_count_similarity",
     # --- driver check window boundary (first 50 above) ---
-    # queued FIRST for round 13: the 36 remaining r8-era rows
-    # (histogram_value_buckets ... window_ewma_per_user,
+    # queued FIRST for round 13: the 37 remaining r8-era rows
+    # (graph_triangle_count_similarity ... window_ewma_per_user,
     # alphabetical),
     # then the r9 block — the steady <=4-round freshness horizon
+    "graph_triangle_count_similarity",
     "histogram_value_buckets",
     "join_full_outer_nation_activity",
     "join_interval_bursts",

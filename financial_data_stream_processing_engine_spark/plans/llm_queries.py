@@ -116,45 +116,64 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ols_probe_sql() -> str:
     """Oracle for the OLS quality probe: the SHARED text-stats
     reconstruction as the feature CTE (bitwise the hash-proven
-    text_stats columns), the identical NULL filter and 1e-9
-    quantization, the identical exact-integer Gram/moment sums
-    (HUGEINT here, decimal(38,0) in Spark; the qcast VARCHAR bridge
-    for the one cast to double), then the SAME Cramer expression text
-    (operators/lm.py::cramer4_exprs — one string, both engines) and
-    the SAME prediction/residual expressions (OLS_PRED_SQL)."""
+    text_stats columns), the identical NULL filter and 1e-6
+    quantization (OLS_QSCALE), the identical exact-integer raw
+    moments (HUGEINT here, decimal(38,0) in Spark), the CENTERED
+    covariance-form moments computed in the SAME exact integer domain
+    (the qcast VARCHAR bridge for each single cast to double), then
+    the SAME 3×3 Cramer expression text (operators/lm.py::
+    cramer3_exprs — one string, both engines), the SAME intercept
+    recovery (OLS_C0_SQL) and the SAME prediction/residual expressions
+    (OLS_PRED_SQL)."""
     from financial_data_stream_processing_engine_spark.operators.lm import (
+        OLS_C0_SQL,
         OLS_PRED_SQL,
-        cramer4_exprs,
+        OLS_QSCALE,
+        cramer3_exprs,
     )
 
-    det_s, nums = cramer4_exprs()
-    qs = ["q0", "q1", "q2", "q3"]
-    sums = []
-    for i in range(4):
-        for j in range(i, 4):
-            sums.append(f"{qcast_sql(f'SUM({qs[i]} * {qs[j]})')} AS a{i}{j}")
-        sums.append(f"{qcast_sql(f'SUM({qs[i]} * qy)')} AS b{i}")
+    det_s, nums = cramer3_exprs()
+    raw = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for i in (1, 2, 3):
+        raw.append(f"SUM(q{i}) AS s{i}")
+    raw.append("SUM(qy) AS sy")
+    for i in (1, 2, 3):
+        for j in (1, 2, 3):
+            if i <= j:
+                raw.append(f"SUM(q{i} * q{j}) AS a{i}{j}")
+        raw.append(f"SUM(q{i} * qy) AS b{i}")
+    cent = []
+    for i in (1, 2, 3):
+        for j in (1, 2, 3):
+            if i <= j:
+                cent.append(f"{qcast_sql(f'n * a{i}{j} - s{i} * s{j}')} AS C{i}{j}")
+        cent.append(f"{qcast_sql(f'n * b{i} - s{i} * sy')} AS d{i}")
     coefs = ",\n         ".join(
-        f"({nums[i]}) / NULLIF(({det_s}), 0.0e0) AS c{i}" for i in range(4)
+        f"({nums[i]}) / NULLIF(({det_s}), 0.0e0) AS c{i + 1}" for i in range(3)
     )
+    g = 10**OLS_QSCALE
     return f"""
 WITH s AS ({_TEXT_STATS_SQL}),
 f AS (
   SELECT doc_id,
-         CAST(1000000000 AS HUGEINT) AS q0,
-         {qint_sql("punct_ratio")} AS q1,
-         {qint_sql("digit_ratio")} AS q2,
-         {qint_sql("stopword_ratio")} AS q3,
-         {qint_sql("quality_score")} AS qy
+         CAST({g} AS HUGEINT) AS q0,
+         {qint_sql("avg_token_len", OLS_QSCALE)} AS q1,
+         {qint_sql("stopword_ratio", OLS_QSCALE)} AS q2,
+         {qint_sql("n_tokens", OLS_QSCALE)} AS q3,
+         {qint_sql("quality_score", OLS_QSCALE)} AS qy
   FROM s
-  WHERE punct_ratio IS NOT NULL AND digit_ratio IS NOT NULL
-    AND stopword_ratio IS NOT NULL AND quality_score IS NOT NULL),
-m AS (SELECT {", ".join(sums)} FROM f),
-c AS (SELECT {coefs} FROM m)
+  WHERE avg_token_len IS NOT NULL AND stopword_ratio IS NOT NULL
+    AND n_tokens IS NOT NULL AND quality_score IS NOT NULL),
+m AS (SELECT {", ".join(raw)} FROM f),
+cm AS (SELECT {", ".join(cent)}, n, s1, s2, s3, sy FROM m),
+cc AS (SELECT n, s1, s2, s3, sy,
+         {coefs}
+       FROM cm),
+c AS (SELECT ({OLS_C0_SQL}) AS c0, c1, c2, c3 FROM cc)
 SELECT f.doc_id,
-       CAST(qy AS DOUBLE) * 1e-09 AS target,
-       ({OLS_PRED_SQL}) * 1e-09 AS pred,
-       (CAST(qy AS DOUBLE) - ({OLS_PRED_SQL})) * 1e-09 AS residual,
+       CAST(qy AS DOUBLE) * 1e-06 AS target,
+       ({OLS_PRED_SQL}) * 1e-06 AS pred,
+       (CAST(qy AS DOUBLE) - ({OLS_PRED_SQL})) * 1e-06 AS residual,
        c0, c1, c2, c3
 FROM f CROSS JOIN c
 """
@@ -167,16 +186,22 @@ def text_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (a linear probe over engineered signals measures how much
     of a quality score a trivial model reproduces, and its residual
     outliers are the documents worth human/LLM review): fit
-    ``quality_score ≈ w0 + w1·punct_ratio + w2·digit_ratio +
-    w3·stopword_ratio`` over the whole corpus by EXACT normal
-    equations — features quantize to the 1e-9 grid, the Gram matrix
-    and moment vector accumulate as exact decimal(38,0) integers in
-    ONE map-side-combinable aggregation (no overflow through 10¹²
-    rows), one correctly-rounded cast to double each, then Cramer's
-    rule stated as SHARED SQL text evaluated on the one-row moment
-    frame (operators/lm.py::{cramer4_exprs, ols_probe}) — no driver
-    linear algebra, no collect anywhere — and the coefficient row
-    broadcast back for per-doc predictions.  One row per fit doc:
+    ``quality_score ≈ w0 + w1·avg_token_len + w2·stopword_ratio +
+    w3·n_tokens`` over the whole corpus by EXACT normal equations —
+    features quantize to the 1e-6 grid, raw moments accumulate as
+    exact decimal(38,0) integers in ONE map-side-combinable
+    aggregation, the CENTERED covariance-form moments
+    ``n·Σxixj − Σxi·Σxj`` cancel in the SAME exact integer domain
+    (a raw normal-equations determinant cancels to garbage in doubles
+    — measured on this very fixture), one correctly-rounded cast to
+    double each, then 3×3 Cramer's rule stated as SHARED SQL text
+    evaluated on the one-row moment frame plus exact-first-moment
+    intercept recovery (operators/lm.py::{cramer3_exprs, ols_probe,
+    OLS_C0_SQL}) — no driver linear algebra, no collect anywhere —
+    and the coefficient row broadcast back for per-doc predictions.
+    (The fixture's punct/digit ratios are constant 0 — zero-variance
+    features are exactly singular, which the NULLIF guard reports as
+    NULL coefficients; the chosen features all carry variance.)  One row per fit doc:
     (doc_id, target, pred, residual, c0..c3) — constant coefficient
     columns make the value hash certify the solve itself.
 
@@ -192,10 +217,67 @@ def text_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = text.with_text_stats(_docs(spark, sf_dir))
     return ols_probe(
         stats,
-        feature_cols=("punct_ratio", "digit_ratio", "stopword_ratio"),
+        feature_cols=("avg_token_len", "stopword_ratio", "n_tokens"),
         target_col="quality_score",
         id_col="doc_id",
     )
+
+
+def _ols_fit_sql() -> str:
+    """Oracle: the probe oracle verbatim as a CTE, then the identical
+    two-stage fit arithmetic — grid-quantized exact sums for the
+    target mean and both squared-error totals, FIRST over the constant
+    coefficient columns, and the same ``1.0e0 − sse / NULLIF(sst,
+    0.0e0)`` expression text."""
+    q_t = qint_sql("target")
+    q_r = qint_sql("residual * residual")
+    q_d = qint_sql("(target - ybar) * (target - ybar)")
+    return f"""
+WITH p AS ({_ols_probe_sql()}),
+m1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ({qcast_sql(f"SUM({q_t})")} * 1e-09) / CAST(COUNT(*) AS DOUBLE) AS ybar,
+         {qcast_sql(f"SUM({q_r})")} * 1e-09 AS sse,
+         FIRST(c0) AS c0, FIRST(c1) AS c1, FIRST(c2) AS c2, FIRST(c3) AS c3
+  FROM p),
+m2 AS (
+  SELECT {qcast_sql(f"SUM({q_d})")} * 1e-09 AS sst
+  FROM p CROSS JOIN m1)
+SELECT n_docs, ybar, sse, sst,
+       1.0e0 - sse / NULLIF(sst, 0.0e0) AS r2, c0, c1, c2, c3
+FROM m1 CROSS JOIN m2
+"""
+
+
+@register("text_quality_probe_fit", sql=_ols_fit_sql())
+def text_quality_probe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit certificate for the OLS quality probe — the
+    model-evaluation row read before trusting the cheap linear model
+    (high R² ⇒ the probe can replace the gate at scan time; low ⇒ the
+    gate's signal is genuinely nonlinear): ONE row (n_docs, ybar, sse,
+    sst, r2, c0..c3) over the probe's per-doc residuals
+    (operators/lm.py::{ols_probe, ols_fit_report}).  Targets and
+    squared deviations quantize to the 1e-9 grid and sum exactly;
+    the mean and R² are single IEEE divisions; R² is NULL on a
+    zero-variance target (NULLIF).  Two aggregation passes with the
+    one-row mean broadcast between them — at 100 TB this is two
+    narrow scans producing eight numbers.
+
+    Oracle: the probe oracle verbatim as a CTE + the identical fit
+    arithmetic (see _ols_fit_sql)."""
+    from financial_data_stream_processing_engine_spark.operators.lm import (
+        ols_fit_report,
+        ols_probe,
+    )
+
+    stats = text.with_text_stats(_docs(spark, sf_dir))
+    probe = ols_probe(
+        stats,
+        feature_cols=("avg_token_len", "stopword_ratio", "n_tokens"),
+        target_col="quality_score",
+        id_col="doc_id",
+    )
+    return ols_fit_report(probe)
 
 
 def _marker_hits_sql(lang: str) -> str:

@@ -264,10 +264,10 @@ def test_ols_probe_matches_numpy_lstsq(spark):
         df, feature_cols=("x1", "x2", "x3"), target_col="y", id_col="doc_id"
     ).collect()}
     assert 100 not in got and len(got) == 40
-    # numpy fit on the SAME quantized integers
+    # numpy fit on the SAME quantized integers (the probe's 1e-6 grid)
     import math
-    qi = lambda v: math.floor(v * 1e9)  # noqa: E731
-    Q = np.array([[1e9, qi(r[1]), qi(r[2]), qi(r[3])] for r in rows[:40]])
+    qi = lambda v: math.floor(v * 1e6)  # noqa: E731
+    Q = np.array([[1e6, qi(r[1]), qi(r[2]), qi(r[3])] for r in rows[:40]])
     qy = np.array([qi(r[4]) for r in rows[:40]], dtype=float)
     w = np.linalg.lstsq(Q, qy, rcond=None)[0]
     any_row = got[0]
@@ -277,7 +277,7 @@ def test_ols_probe_matches_numpy_lstsq(spark):
     )
     for i, r in enumerate(rows[:40]):
         g = got[r[0]]
-        assert g["target"] == qi(r[4]) * 1e-9
+        assert g["target"] == qi(r[4]) * 1e-6
         # pred + residual reconstructs the target on the grid exactly
         assert abs((g["pred"] + g["residual"]) - g["target"]) < 1e-12
 
