@@ -411,6 +411,13 @@ def cramer3_exprs() -> tuple[str, list[str]]:
 #: ~10¹² rows (ratio-valued features need nowhere near 1e-9).
 OLS_QSCALE = 6
 
+#: the grid constant G = 10**OLS_QSCALE and its reciprocal, as SQL
+#: literal TEXT derived from the one scale constant — both engines
+#: parse the same string to the same double, and changing OLS_QSCALE
+#: can no longer silently desynchronize the literals (ADVICE r12).
+OLS_G_SQL = f"{float(10**OLS_QSCALE):.1f}e0"  # "1000000.0e0" at scale 6
+OLS_GRID_SQL = f"1e-{OLS_QSCALE:02d}"  # "1e-06" at scale 6
+
 #: shared prediction expression over the quantized feature columns and
 #: the broadcast coefficients — one text, both engines, same IEEE tree.
 OLS_PRED_SQL = (
@@ -425,7 +432,7 @@ OLS_PRED_SQL = (
 OLS_C0_SQL = (
     "((CAST(sy AS DOUBLE) - c1 * CAST(s1 AS DOUBLE)"
     " - c2 * CAST(s2 AS DOUBLE) - c3 * CAST(s3 AS DOUBLE))"
-    " / CAST(n AS DOUBLE)) / 1000000.0e0"
+    f" / CAST(n AS DOUBLE)) / {OLS_G_SQL}"
 )
 
 

@@ -127,6 +127,7 @@ def _ols_probe_sql() -> str:
     (OLS_PRED_SQL)."""
     from financial_data_stream_processing_engine_spark.operators.lm import (
         OLS_C0_SQL,
+        OLS_GRID_SQL,
         OLS_PRED_SQL,
         OLS_QSCALE,
         cramer3_exprs,
@@ -171,9 +172,9 @@ cc AS (SELECT n, s1, s2, s3, sy,
        FROM cm),
 c AS (SELECT ({OLS_C0_SQL}) AS c0, c1, c2, c3 FROM cc)
 SELECT f.doc_id,
-       CAST(qy AS DOUBLE) * 1e-06 AS target,
-       ({OLS_PRED_SQL}) * 1e-06 AS pred,
-       (CAST(qy AS DOUBLE) - ({OLS_PRED_SQL})) * 1e-06 AS residual,
+       CAST(qy AS DOUBLE) * {OLS_GRID_SQL} AS target,
+       ({OLS_PRED_SQL}) * {OLS_GRID_SQL} AS pred,
+       (CAST(qy AS DOUBLE) - ({OLS_PRED_SQL})) * {OLS_GRID_SQL} AS residual,
        c0, c1, c2, c3
 FROM f CROSS JOIN c
 """
@@ -6012,6 +6013,17 @@ def pipeline_neardup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", n=3,
         threshold_num=4, threshold_den=5,
     ).localCheckpoint()
+    if not pairs.take(1):
+        # pair-free corpus: the near-dup graph is empty, so Louvain
+        # has no edges (m=0 would raise) — every doc is a kept
+        # singleton, exactly the oracle's LEFT-JOIN-miss semantics
+        return docs.select(
+            "doc_id",
+            F.col("doc_id").alias("community"),
+            F.lit(1).cast("long").alias("n_members"),
+            F.lit(1).cast("long").alias("rank_in_community"),
+            F.lit(True).alias("kept"),
+        )
     seed = connected_components(pairs).select(
         "node", F.col("component").alias("community")
     )

@@ -652,3 +652,30 @@ def test_prefix_filter_odd_threshold_randomized(spark):
     }
     assert truth, "randomized corpus should produce qualifying pairs"
     assert got == truth
+
+
+def test_neardup_communities_pair_free_corpus_kept_singletons(spark, tmp_path):
+    """ADVICE r12: a corpus with ZERO qualifying near-dup pairs must
+    short-circuit to all-kept-singletons (matching the oracle's
+    LEFT-JOIN-miss semantics) instead of feeding louvain_refine an
+    empty graph (m=0 raises)."""
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        pipeline_neardup_communities,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel", "en", "web", 48),
+            (2, "one two three four five six seven eight nine ten", "en", "web", 49),
+            (3, "red orange yellow green blue indigo violet colors", "en", "web", 49),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = pipeline_neardup_communities(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.community == r.doc_id
+        assert r.n_members == 1
+        assert r.rank_in_community == 1
+        assert r.kept is True
