@@ -208,10 +208,37 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Per-class subtotals (VERDICT r12 next-step #2): the ~25
+    # StreamingQuery-lifecycle entries and the iterative fixpoint
+    # entries carry large fixed floors at toy scale that mask the
+    # batch-plan signal in the total — report the three classes
+    # separately so cross-round drift can be attributed.
+    iterative = {
+        n
+        for n in timings
+        if n.startswith("graph_")
+        or n
+        in {
+            "pipeline_neardup_communities",
+            "text_bpe_train",
+            "text_bpe_train_tokenize",
+            "similarity_ivf_kmeans_topk",
+            "similarity_pq_adc_topk",
+            "similarity_ivfpq_topk",
+        }
+    }
+    subtotals = {
+        "streaming": round(
+            sum(v for n, v in timings.items() if n.startswith("streaming_")), 3
+        ),
+        "iterative": round(sum(timings[n] for n in iterative), 3),
+    }
+    subtotals["batch"] = round(total - subtotals["streaming"] - subtotals["iterative"], 3)
     payload = {
         "metric": f"headline_queries_total_sf{sf}",
         "value": total,
         "unit": "sec",
+        "subtotals": subtotals,
         "queries": timings,
         "sf": sf,
     }
@@ -225,7 +252,7 @@ def main() -> int:
     # keeps a 2000-char *tail* of stdout, so only the final line is
     # guaranteed to survive truncation — the ~2 KB per-query line goes
     # first, the short parseable JSON headline goes last.
-    total_only = {k: payload[k] for k in ("metric", "value", "unit", "sf")}
+    total_only = {k: payload[k] for k in ("metric", "value", "unit", "subtotals", "sf")}
     print(line, flush=True)
     print(json.dumps(total_only, separators=(",", ":")), flush=True)
     return 0

@@ -978,6 +978,17 @@ def test_louvain_refine_weighted_random_sweep_matches_reference(spark):
         }
         want = _py_louvain_refine_weighted(edges_w, labeled, max_rounds=30)
         assert got == want, (trial, edges_w, labeled)
+        if trial == 0:
+            # pin the Spark window admission path on the weighted
+            # shape too (small_admit=0 disables the driver fast path)
+            got_win = {
+                r["node"]: (r["community"], r["moved"])
+                for r in louvain_refine(
+                    df, labels, max_rounds=30, small_admit=0,
+                    src="community_a", dst="community_b", weight="weight",
+                ).collect()
+            }
+            assert got_win == want, (trial, edges_w, labeled)
 
 
 def test_neardup_communities_oracle_unroll_depth_covers_fixtures(spark, sf_dir):
@@ -1050,6 +1061,17 @@ def test_louvain_refine_multi_departure_stress_sweep(spark):
         }
         want = _py_louvain_refine(edges, labeled, max_rounds=30)
         assert got == want, (trial, edges, labeled)
+        # small_admit=0 forces the Spark WINDOW admission path every
+        # round (these graphs otherwise take the driver-side
+        # small-move fast path) — both paths must be node-for-node
+        # identical to the replica
+        got_win = {
+            r["node"]: (r["community"], r["moved"])
+            for r in louvain_refine(
+                df, labels, max_rounds=30, small_admit=0
+            ).collect()
+        }
+        assert got_win == want, (trial, edges, labeled)
         q0 = sum(
             r["q_contrib"] for r in partition_modularity(df, labels).collect()
         )

@@ -7,7 +7,16 @@ engine's parity strategy aims at bit-identical results); on mismatch
 the max absolute difference is reported so a tolerance-level diff is
 distinguishable from a real bug.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--value-content] [sf_dir] [query ...]
+
+``--value-content`` (VERDICT r12 next-step #5) additionally audits the
+VALUE CONTENT of each Spark result against degeneracy: oracle parity
+certifies cross-engine *agreement*, not *meaning* — the r12 OLS probe
+was hash-green while both engines produced the same all-NULL
+coefficients.  The flag fails any entry with an all-NULL column
+(unless named in ``VALUE_CONTENT_OK`` with a reason) and prints
+constant columns of multi-row results for eyeballing (constants are
+often legitimate: broadcast model coefficients, all-true gate flags).
 """
 
 from __future__ import annotations
@@ -112,9 +121,38 @@ def compare(
     return problems
 
 
+#: entries allowed to carry an all-NULL column, with the semantic
+#: reason — everything else with one fails the --value-content audit.
+VALUE_CONTENT_OK: dict[str, str] = {
+    # moving average / EWMA warmups: the first N-1 rows per key are
+    # NULL by the exactly-full-window contract, but the column as a
+    # whole is never all-NULL on the fixtures — listed here only if a
+    # future fixture shrinks below the window (fail loudly today).
+}
+
+
+def value_content_audit(name: str, rows, cols) -> tuple[list[str], list[str]]:
+    """Per-column degeneracy report over a collected Spark result:
+    returns (all_null_columns, constant_columns).  Constants are only
+    meaningful on multi-row results."""
+    all_null, constant = [], []
+    for i, c in enumerate(cols):
+        vals = [normalize_cell(r[i]) for r in rows]
+        nonnull = [v for v in vals if v is not None]
+        if rows and not nonnull:
+            all_null.append(c)
+        elif len(rows) > 1 and len(set(map(repr, nonnull))) == 1 and len(
+            nonnull
+        ) == len(vals):
+            constant.append(c)
+    return all_null, constant
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--value-content"]
+    value_content = "--value-content" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import os
 
@@ -165,10 +203,19 @@ def main() -> int:
         spark_types = [f.dataType.simpleString() for f in df.schema.fields]
         spark_rows = [tuple(r) for r in df.collect()]
         t_spark = time.time() - t0
+        vc_problems: list[str] = []
+        if value_content:
+            nulls, consts = value_content_audit(name, spark_rows, spark_cols)
+            if nulls and name not in VALUE_CONTENT_OK:
+                vc_problems.append(f"value-content: all-NULL columns {nulls}")
+            if consts:
+                print(f"  {name:32s} value-content: constant columns {consts}")
         if name not in oracles:
             status = f"rows-only: {len(spark_rows)} rows"
             print(f"  {name:32s} [{t_spark:5.1f}s] {status}")
-            if len(spark_rows) == 0:
+            if len(spark_rows) == 0 or vc_problems:
+                for p in vc_problems:
+                    print(f"    {p}")
                 failed.append(name)
             else:
                 record(name, fn, "rows_only")
@@ -183,6 +230,7 @@ def main() -> int:
             name, spark_rows, spark_cols, duck_rows, duck_cols,
             spark_types, duck_types,
         )
+        problems.extend(vc_problems)
         if problems:
             failed.append(name)
             print(f"✗ {name:32s} [{t_spark:5.1f}s/{t_duck:4.1f}s]")
