@@ -6118,3 +6118,175 @@ def graph_truss_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
     comm = truss_communities(pairs, k=3).select("node", "community")
     return partition_modularity(pairs, comm)
+
+
+# ---------------------------------------------------------------------------
+# image perceptual hashing (DCT pHash) — image near-dup the way SimHash
+# gives text near-dup (VERDICT r12 next-step #4b)
+# ---------------------------------------------------------------------------
+
+
+def _md5_phash_png_generator():
+    """mapInPandas generator: doc_id → 8×8 grayscale PNG whose 64
+    raster-order pixels are the concatenated md5(f"{src}:{k}") digests
+    (k = 0..3), with a PLANTED near-dup family: docs with
+    ``doc_id % 5 == 4`` reuse the pixels of ``doc_id - 4`` with pixel
+    0 XOR 1 — a one-intensity-level perturbation whose pHash lands at
+    tiny Hamming distance from its source, giving the banded retrieval
+    entry real recall content.  Nested def so cloudpickle ships it by
+    value."""
+
+    def gen(batches):
+        import hashlib
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                src = did - 4 if did % 5 == 4 else did
+                px = bytearray(
+                    b"".join(
+                        hashlib.md5(f"{src}:{k}".encode()).digest() for k in range(4)
+                    )
+                )
+                if did % 5 == 4:
+                    px[0] ^= 1
+                scan = b"".join(
+                    b"\x00" + bytes(px[y * 8 : (y + 1) * 8]) for y in range(8)
+                )
+                ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return gen
+
+
+def _phash_sql_ctes() -> str:
+    """Shared DuckDB CTE chain ending in ``phash_tbl(media_id, width,
+    height, phash, dc, median_ac)`` — the ORACLE replay of the whole
+    pHash pipeline: md5-derived pixels (incl. the planted-perturbation
+    rule), the exact-integer DCT via the :data:`operators.phash.DCT8_W`
+    VALUES table (one source of truth), the exact 32nd-smallest AC
+    median, and the strict-compare bit pack."""
+    from financial_data_stream_processing_engine_spark.operators.phash import (
+        dct8_values_sql,
+    )
+
+    b = (
+        "((STRPOS('0123456789abcdef', SUBSTR(m, 2*i + 1, 1)) - 1) * 16"
+        " + (STRPOS('0123456789abcdef', SUBSTR(m, 2*i + 2, 1)) - 1))"
+    )
+    return f"""
+psrc AS (SELECT doc_id,
+                CASE WHEN doc_id % 5 = 4 THEN doc_id - 4 ELSE doc_id END AS s,
+                (doc_id % 5 = 4) AS pert
+         FROM documents),
+pdig AS (SELECT doc_id, pert, k,
+                MD5(CAST(s AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS m
+         FROM psrc, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) ks),
+ppix AS (SELECT doc_id, k * 16 + i AS pos,
+                CASE WHEN pert AND k * 16 + i = 0
+                     THEN xor({b}, 1) ELSE {b} END AS p
+         FROM pdig, (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) bs),
+pcoef AS MATERIALIZED (
+  SELECT doc_id, wu.u AS u, wv.u AS v,
+         CAST(SUM(p * wu.w * wv.w) AS BIGINT) AS c
+  FROM ppix
+  JOIN {dct8_values_sql("wu")} ON wu.x = ppix.pos // 8
+  JOIN {dct8_values_sql("wv")} ON wv.x = ppix.pos % 8
+  GROUP BY doc_id, wu.u, wv.u),
+pac AS (SELECT doc_id, u * 8 + v - 1 AS idx, c FROM pcoef WHERE u * 8 + v > 0),
+pmed AS (SELECT doc_id, c AS median_ac FROM (
+           SELECT doc_id, c,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c, idx) AS rn
+           FROM pac) r
+         WHERE rn = 32),
+phash_tbl AS MATERIALIZED (
+  SELECT a.doc_id AS media_id,
+         CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+         CAST(SUM(CASE WHEN a.c > m.median_ac
+                       THEN CAST(1 AS BIGINT) << a.idx
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash,
+         ANY_VALUE(d.c) AS dc, ANY_VALUE(m.median_ac) AS median_ac
+  FROM pac a
+  JOIN pmed m ON m.doc_id = a.doc_id
+  JOIN (SELECT doc_id, c FROM pcoef WHERE u = 0 AND v = 0) d
+    ON d.doc_id = a.doc_id
+  GROUP BY a.doc_id)"""
+
+
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pngs = docs.mapInPandas(
+        _md5_phash_png_generator(), schema="doc_id long, payload binary"
+    )
+    return multimodal.as_media(
+        pngs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/png",
+    )
+
+
+@register(
+    "multimodal_image_phash",
+    sql=f"""
+WITH {_phash_sql_ctes()}
+SELECT media_id, width, height, phash, dc, median_ac FROM phash_tbl
+""",
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash per image over the REAL decode path
+    (operators/phash.py::phash64): encode an 8×8 grayscale PNG per doc
+    (md5-derived pixels, ~20% planted near-dup perturbations), decode
+    with the stdlib PNG codec, then the exact-integer pHash — quantized
+    2^14 DCT-II basis, exact int64 coefficients, exact 32nd-smallest
+    AC median, strict-compare 63-bit pack.  Returns (media_id, width,
+    height, phash, dc, median_ac) — dc and the median certify the DCT
+    itself, not just the bit pack.
+
+    Scale shape: one Arrow mapInPandas pass, zero shuffles — hashing
+    100 TB of images is scan-bound.  Oracle: the identical integer
+    pipeline replayed relationally in DuckDB from the same DCT table
+    literal (see _phash_sql_ctes)."""
+    from financial_data_stream_processing_engine_spark.operators import phash
+
+    return phash.phash64(_phash_media(spark, sf_dir))
+
+
+@register(
+    "dedup_phash_hamming",
+    sql=f"""
+WITH {_phash_sql_ctes()}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM phash_tbl a
+JOIN phash_tbl b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""",
+)
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup retrieval over the pHash frame — the image twin
+    of dedup_simhash: split each 63-bit hash into 4 disjoint 16-bit
+    bands, bucket-join on (band, value) for candidates, verify with
+    the exact ``bit_count(xor)`` Hamming distance, keep pairs at
+    distance ≤ 3 (operators/phash.py::phash_hamming_pairs).
+    Pigeonhole: ≤3 flipped bits touch ≤3 of the 4 disjoint bands, so
+    every qualifying pair shares a band — COMPLETE recall, candidates
+    confined to band-bucket collisions, never all-pairs (the quadratic
+    join exists only in this oracle).  The planted perturbation
+    family (doc 5j+4 ← doc 5j) supplies real pairs at tiny distance."""
+    from financial_data_stream_processing_engine_spark.operators import phash
+
+    return phash.phash_hamming_pairs(phash.phash64(_phash_media(spark, sf_dir)))
