@@ -169,6 +169,14 @@ HEADLINE = [
     "text_quality_linear_probe",
     "text_quality_probe_fit",
     "multimodal_video_scene_cuts",
+    # round 13: the unigram-LM Viterbi-EM tokenizer chain (one corpus
+    # pass + vocabulary-sized lattice rounds), its per-doc
+    # segmentation accounting, and the DCT pHash image near-dup pair
+    # (zero-shuffle decode+hash chain; banded-Hamming bucket join)
+    "text_unigram_train",
+    "text_unigram_segment",
+    "multimodal_image_phash",
+    "dedup_phash_hamming",
 ]
 
 

@@ -70,89 +70,37 @@ def register(name: str, sql: str | None = None):
 #: oldest. Entries not named here keep registration order at the
 #: tail, so new operators are never silently dropped.
 _PRIORITY: list[str] = [
-    # --- round-12 window (first 50 = the driver's check budget) ---
-    # Rotation: (1) the 5 entries new this round (the cap); (2) the 3 r11-built
-    # entries still awaiting their FIRST driver row (VERDICT r11
-    # next-step #1); (3) the 2 Louvain entries whose algorithm changed
-    # after their r11 rows (multi-departure admission — rotation rule
-    # 2); (4) ALL 28 remaining r7-era rows (VERDICT r11 next-step #2 —
-    # after these, no driver row predates r8); (5) the 15
-    # alphabetically-first r8-era rows with the remaining slots
-    # (12 after the last three new entries took three).
-    # new this round: the voiced/music/noise segment classifier
-    # composing the short-time audio trio, and the near-dup community
-    # capping pipeline (components seed -> Louvain refine -> per-
-    # community contribution caps) promoted from the curation demo,
-    # the exact-normal-equations OLS quality probe (shared Cramer
-    # expression text, no driver linear algebra) with its R² fit
-    # certificate, and frame-difference scene-cut detection over the
-    # real MJPEG decode path
-    "multimodal_audio_segments",
+    # --- round-13 window (first 50 = the driver's check budget) ---
+    # Rotation: (1) the 5 entries new this round (the cap — VERDICT
+    # r12 next-step #4: the unigram-LM tokenizer family and the DCT
+    # pHash image near-dup family, each with its value-content
+    # certificate surface); (2) the 5 entries whose behavior-relevant
+    # code changed after their r12 rows — pipeline_neardup_communities
+    # gained the pair-free short-circuit (ADVICE r12) and the whole
+    # louvain chain now runs the small-move driver-side admission fast
+    # path (operators/graph.py::_admit_moves_local; node-for-node
+    # pinned, but the compute path changed, so rotation rule 2
+    # applies); (3) ALL 36 remaining r8-era rows (VERDICT r12
+    # next-step #1 — after these, no driver row predates r9;
+    # multimodal_audio_features was RETIRED this round per next-step
+    # #7, shrinking the r8 debt from 37); (4) the 4 alphabetically-
+    # first r9-era rows with the remaining slots.  NOT re-entered:
+    # the text_quality_* OLS entries — the OLS_QSCALE literal
+    # derivation (ADVICE r12) produces byte-identical SQL (asserted at
+    # import), a pure value-neutral refactor like r12's System.gc()
+    # gating precedent.
+    "multimodal_image_phash",
+    "dedup_phash_hamming",
+    "text_unigram_train",
+    "text_unigram_train_fit",
+    "text_unigram_segment",
+    # changed after their newest (r12) driver rows — rotation rule 2
     "pipeline_neardup_communities",
-    "text_quality_linear_probe",
-    "text_quality_probe_fit",
-    "multimodal_video_scene_cuts",
-    # first driver rows pending (locally oracle-green since r11)
+    "graph_louvain_refine",
     "graph_louvain_level2",
     "graph_louvain_level2_modularity",
-    "multimodal_audio_zcr",
-    # re-entered after the multi-departure admission change (their
-    # r11 rows predate it); level2/level2_modularity above cover the
-    # same change for the chained entries, and the two index-maintain
-    # entries changed by the semi-join fix re-enter via the r7 drain
-    # below.  NOT re-entered: graph_truss_*/kcore/pagerank (only the
-    # value-neutral System.gc() gating touched their shared module)
-    # and the other dedup/text entries (dedup.py untouched).
-    "graph_louvain_refine",
     "graph_community_coarsen",
-    # the 28 remaining r7-era rows — the freshness-debt tail
-    "multimodal_bmp_roundtrip",
-    "multimodal_frame_sample",
-    "multimodal_image_features",
-    "multimodal_jpeg_progressive_roundtrip",
-    "multimodal_jpeg_restart_roundtrip",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_metadata",
-    "multimodal_png_16bit_roundtrip",
-    "multimodal_png_4bit_roundtrip",
-    "multimodal_png_adam7_roundtrip",
-    "multimodal_png_roundtrip",
-    "pack_sequences_bpe",
-    "python_datasource_sink_roundtrip",
-    "python_datasource_ticks",
-    "scd2_apply_changes",
-    "similarity_cosine_topk",
-    "similarity_index_maintain",
-    "streaming_dedup_exact",
-    "streaming_index_maintain",
-    "streaming_late_data_metrics",
-    "streaming_ma_rowcount",
-    "streaming_session_windows",
-    "streaming_sliding_mean",
-    "streaming_stream_stream_join",
-    "text_bpe_tokenize",
-    "text_fingerprints",
-    "text_language_id",
-    "udtf_ngrams",
-    # the 15 alphabetically-first r8-era rows (all equally old; the
-    # other 34 r8-era rows are queued below for round 13)
-    "agg_salted_skew",
-    "agg_variance_exact",
-    "chunk_documents",
-    "clean_filter",
-    "cohort_retention",
-    "contamination_ngram_overlap",
-    "dedup_paragraph_exact",
-    "dedup_prefix_jaccard",
-    "dedup_simhash",
-    "funnel_conversion",
-    "graph_clustering_coefficient",
-    "graph_kcore_similarity",
-    # --- driver check window boundary (first 50 above) ---
-    # queued FIRST for round 13: the 37 remaining r8-era rows
-    # (graph_triangle_count_similarity ... window_ewma_per_user,
-    # alphabetical),
-    # then the r9 block — the steady <=4-round freshness horizon
+    # the 36 remaining r8-era rows — the freshness-debt drain
     "graph_triangle_count_similarity",
     "histogram_value_buckets",
     "join_full_outer_nation_activity",
@@ -160,7 +108,6 @@ _PRIORITY: list[str] = [
     "join_proximity_binned",
     "ma_alerts",
     "mixture_sample_sources",
-    "multimodal_audio_features",
     "multimodal_audio_spectrum",
     "multimodal_gif_roundtrip",
     "multimodal_video_frames_roundtrip",
@@ -190,7 +137,62 @@ _PRIORITY: list[str] = [
     "tpch_q8_like_market_share",
     "tpch_q9_like_product_profit",
     "window_ewma_per_user",
-    # then everything else (r9+-era rows) in registration order — the
+    # the 4 alphabetically-first r9-era rows (the other 45 are queued
+    # below for round 14)
+    "agg_distinct_stats",
+    "agg_filter_clause",
+    "dedup_cluster_canonical",
+    "dedup_minhash_lsh",
+    # --- driver check window boundary (first 50 above) ---
+    # queued FIRST for round 14: the 45 remaining r9-era rows — with
+    # ~237 registered entries and the 50-row budget the horizon stays
+    # ≤ 5 rounds only if these all drain next round (45 + ≤5 new = 50)
+    "dedup_semantic",
+    "fin_macd",
+    "fin_ohlc_daily",
+    "fin_pairwise_correlation",
+    "fin_resample_ffill",
+    "fin_volatility",
+    "fin_vwap_daily",
+    "funnel_conversion_windowed",
+    "graph_ktruss_similarity",
+    "join_asof_last_purchase",
+    "join_range_price_bands",
+    "join_salted_skew",
+    "join_semi_active_customers",
+    "join_star_revenue_by_region",
+    "json_to_map_explode",
+    "merge_upsert_orders",
+    "multimodal_audio_stft",
+    "multimodal_png_resize",
+    "pack_sequences",
+    "pipeline_multisource",
+    "pipeline_pretraining_corpus",
+    "profile_events_table",
+    "quality_expectations_orders",
+    "quota_per_lang",
+    "recursive_cte_month_spine",
+    "sessionization_gaps",
+    "similarity_ivf_topk",
+    "similarity_multiquery_ivf_topk",
+    "sort_null_ordering_topn",
+    "split_train_holdout",
+    "streaming_ewma",
+    "streaming_fin_ohlc",
+    "streaming_nb_gate",
+    "text_repetition_stats",
+    "tfidf_top_terms",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_like_shipping_priority",
+    "tpch_q5_like_regional_volume",
+    "window_distribution_funcs",
+    "window_lag_lead_events",
+    "window_range_frame",
+    "window_rank_orders",
+    "window_running_totals",
+    "window_topk_per_group",
+    "winsorize_events_value",
+    # then everything else (r10+-era rows) in registration order — the
     # load_all() tail rule keeps them enumerable without naming each
 ]
 

@@ -824,34 +824,12 @@ def _sha_byte(i: int) -> str:
     )
 
 
-@register(
-    "multimodal_image_features",
-    sql=f"""
-WITH s AS (SELECT doc_id, SHA256(text) AS sha FROM documents)
-SELECT doc_id AS media_id, 'image' AS kind,
-       CAST(16 + {_sha_byte(0)} % 64 AS INTEGER) AS width,
-       CAST(16 + {_sha_byte(1)} % 64 AS INTEGER) AS height,
-       CAST(1 + {_sha_byte(2)} % 4 AS INTEGER) AS n_channels,
-       CAST({_sha_byte(3)} AS DOUBLE) / 255.0 AS mean_luma
-FROM s
-""",
-)
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas image feature extraction over binary payloads.
-
-    The Arrow batch plumbing is real; the codec is the deterministic
-    stand-in (fake=True, features derived from sha256(payload) bytes)
-    because the container has no imaging libs.  That determinism is
-    what makes a full value-level oracle possible: DuckDB recomputes
-    the same sha256-derived features from the same payload, so the
-    hash check covers the entire mapInPandas plumbing end-to-end.
-    """
-    docs = _docs(spark, sf_dir)
-    media = multimodal.as_media(
-        docs, id_col="doc_id", payload=F.encode("text", "UTF-8"),
-        kind="image", mime="image/x-fixture",
-    )
-    return multimodal.decode_image_features(media, fake=True)
+# RETIRED r13 (VERDICT r12 next-step #7): the fake=True
+# multimodal_image_features / multimodal_audio_features catalog
+# entries — the sha-derived stand-ins predate the real codec families
+# (every image/audio format now has a bitwise round-trip entry) and
+# only cost freshness-window slots.  The fake=True operator paths
+# remain as API (tests/test_llm_ops.py covers the Arrow plumbing).
 
 
 @register(
@@ -875,36 +853,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind="video", mime="video/x-fixture",
     )
     return multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
-
-
-@register(
-    "multimodal_audio_features",
-    sql=f"""
-WITH s AS (SELECT doc_id, SHA256(text) AS sha FROM documents),
- f AS (SELECT doc_id,
-              CASE {_sha_byte(0)} % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                   WHEN 2 THEN 44100 ELSE 48000 END AS rate,
-              1000 + ({_sha_byte(1)} * 65536 + {_sha_byte(2)} * 256 + {_sha_byte(3)}) % 100000 AS n,
-              {_sha_byte(4)} AS b4
-       FROM s)
-SELECT doc_id AS media_id, 'audio' AS kind,
-       CAST(rate AS INTEGER) AS sample_rate,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST(n AS DOUBLE) / CAST(rate AS DOUBLE) AS duration_s,
-       CAST(b4 AS DOUBLE) / 255.0 AS rms
-FROM f
-""",
-)
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas audio feature extraction (stubbed codec, real Arrow
-    plumbing) — the audio twin of the image path, with the same
-    sha256-derived full value-level oracle."""
-    docs = _docs(spark, sf_dir)
-    media = multimodal.as_media(
-        docs, id_col="doc_id", payload=F.encode("text", "UTF-8"),
-        kind="audio", mime="audio/x-fixture",
-    )
-    return multimodal.decode_audio_features(media, fake=True)
 
 
 @register(

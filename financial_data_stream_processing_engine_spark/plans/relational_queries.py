@@ -2281,7 +2281,7 @@ WITH all_nations AS (
     AND o_orderdate >= TIMESTAMP '1996-01-01'
     AND o_orderdate <  TIMESTAMP '1998-01-01')
 SELECT o_year,
-       {dsum_sql("CASE WHEN supp_nation = 'BRAZIL' THEN volume END")}
+       {dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DOUBLE) END")}
        / {dsum_sql('volume')} AS mkt_share
 FROM all_nations
 GROUP BY o_year
@@ -2294,6 +2294,15 @@ def tpch_q8_like_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every dimension broadcasts; lineitem⋈orders is the only big
     shuffle; the conditional-sum ratio is two decimal accumulators in
     one aggregation pass.
+
+    r13 value-content fix: the original spelling kept TPC-H's literal
+    'BRAZIL', which the fixture nation inventory (NATION_0..24) never
+    contains — the numerator SUM was NULL on every row of every sf and
+    the oracle faithfully agreed (the OLS-probe failure mode, caught
+    by the --value-content audit this entry motivated).  The measured
+    nation is NATION_3 (present in both qualifying years at every sf)
+    and the empty-case is an exact 0 share (ELSE 0 — the true Q8
+    semantics for a nation with no volume), not NULL.
     """
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     li = _t(spark, sf_dir, "lineitem")
@@ -2325,9 +2334,11 @@ def tpch_q8_like_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume"))
+    measured = F.when(
+        F.col("supp_nation") == "NATION_3", F.col("volume")
+    ).otherwise(F.lit(0.0))
     return base.groupBy("o_year").agg(
-        (dsum(brazil) / dsum("volume")).alias("mkt_share")
+        (dsum(measured) / dsum("volume")).alias("mkt_share")
     )
 
 

@@ -41,3 +41,23 @@ def test_readme_count_matches_registry():
     assert int(m.group(1)) == _registry_size(), (
         f"README.md says {m.group(1)}, registry has {_registry_size()}"
     )
+
+
+def test_value_content_audit_flags_degenerate_columns():
+    """The --value-content audit (VERDICT r12 next-step #5) must flag
+    all-NULL columns and report constants on multi-row results — the
+    mechanical form of the 'hash-green can be degenerate' rule."""
+    from tools.verify_local import value_content_audit
+
+    rows = [(1, None, 7.0), (2, None, 7.0), (3, None, 7.0)]
+    nulls, consts = value_content_audit("x", rows, ["a", "b", "c"])
+    assert nulls == ["b"]
+    assert consts == ["c"]
+    # single-row results: constants are meaningless, NULLs still flag
+    nulls1, consts1 = value_content_audit("y", [(None, 5)], ["a", "b"])
+    assert nulls1 == ["a"] and consts1 == []
+    # partially-NULL columns (warmup windows) are neither
+    nulls2, consts2 = value_content_audit(
+        "z", [(1, None), (2, 3)], ["a", "b"]
+    )
+    assert nulls2 == [] and consts2 == []
