@@ -170,9 +170,18 @@ def _piece_costs(vocab: DataFrame, tot: DataFrame) -> DataFrame:
 def viterbi_best(words: DataFrame, costs: DataFrame) -> DataFrame:
     """Best segmentation per word under the piece-cost frame: argmin
     over the composition lattice by (cost, n_parts, comp_id) —
-    returns (word, freq, comp_id, n_parts, cost)."""
-    from pyspark.sql import Window
+    returns (word, freq, comp_id, n_parts, cost).
 
+    The piece-cost frame is broadcast: the vocabulary is hard-bounded
+    by construction (``[a-z]`` pieces ≤ MAX_PIECE_LEN chars → at most
+    26+26²+26³+26⁴ ≈ 475k rows, a few MB), while the lattice fan-out
+    on the probe side is |distinct words| × ~500 part rows — at corpus
+    scale the fan-out must never be shuffled just to meet a
+    vocabulary-sized build side.  The argmin itself is a min-over-
+    struct aggregate (lexicographic (cost, n_parts, comp_id) — the
+    same tie-break as an ORDER BY) rather than a row_number window:
+    partial aggregation combines map-side and there is no per-word
+    sort."""
     comp = _comp_df(words.sparkSession)
     scored = (
         words.join(F.broadcast(comp), F.length("word") == F.col("wlen"))
@@ -180,7 +189,7 @@ def viterbi_best(words: DataFrame, costs: DataFrame) -> DataFrame:
             "word", "freq", "comp_id", "n_parts",
             F.expr("substr(word, pstart + 1, plen)").alias("piece"),
         )
-        .join(costs.select("piece", "qcost"), ["piece"])
+        .join(F.broadcast(costs.select("piece", "qcost")), ["piece"])
         .groupBy("word", "freq", "comp_id", "n_parts")
         .agg(
             F.sum("qcost").cast("long").alias("cost"),
@@ -188,11 +197,16 @@ def viterbi_best(words: DataFrame, costs: DataFrame) -> DataFrame:
         )
         .where(F.col("n_match") == F.col("n_parts"))
     )
-    w = Window.partitionBy("word").orderBy("cost", "n_parts", "comp_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("word", "freq", "comp_id", "n_parts", "cost")
+        scored.groupBy("word", "freq")
+        .agg(F.min(F.struct("cost", "n_parts", "comp_id")).alias("b"))
+        .select(
+            "word",
+            "freq",
+            F.col("b.comp_id").alias("comp_id"),
+            F.col("b.n_parts").alias("n_parts"),
+            F.col("b.cost").alias("cost"),
+        )
     )
 
 

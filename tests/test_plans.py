@@ -523,3 +523,9 @@ def test_unigram_segment_no_python_no_cartesian(spark, sf_dir, queries):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+    # the Viterbi argmin is a min-over-struct aggregate, not a
+    # row_number window (no per-word sort), and every vocabulary-sized
+    # build side (costs, composition lattice) joins by broadcast — the
+    # lattice fan-out probe side must never shuffle to meet them.
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
