@@ -233,6 +233,11 @@ def main() -> int:
             "similarity_ivf_kmeans_topk",
             "similarity_pq_adc_topk",
             "similarity_ivfpq_topk",
+            # the unigram chain runs the same k-round parquet-spilled
+            # EM fixpoint (segment trains first) — iterative floors,
+            # not batch-plan signal
+            "text_unigram_train",
+            "text_unigram_segment",
         }
     }
     subtotals = {
