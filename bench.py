@@ -255,13 +255,15 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         # VERDICT r12 next-step #2: the r13 session ran this bench
-        # twice back-to-back on identical code (commit 1e613b9) to
-        # bound the r12 1.19x common-query drift — run1 197.876 s,
-        # run2 213.751 s over the same 83 entries (8% spread, broad
-        # and uniform across untouched entries). The pair brackets
-        # r12's 214.1 s total, confirming the VM-steal noise reading;
-        # no reproducible per-query regression was found.
-        "notes": "r13 double-run envelope on identical code: 197.9-213.8s (83 entries)",
+        # THREE times on identical code (commits 1e613b9, 75fa9fe) to
+        # bound the r12 1.19x common-query drift — 197.876 / 213.751 /
+        # 219.943 s over the same 83 entries (11% spread, broad and
+        # uniform across untouched entries; even the batch/iterative
+        # subtotal SPLIT swings run-to-run: iterative 69.6 vs 87.5 s
+        # on byte-identical code). The envelope brackets r12's 214.1 s
+        # total, confirming the VM-steal noise reading; no reproducible
+        # per-query regression was found.
+        "notes": "r13 triple-run envelope on identical code: 197.9-219.9s (83 entries)",
     }
     # Compact separators keep the line short, and the file copy
     # survives any stdout tail-window truncation by the caller
