@@ -254,16 +254,14 @@ def main() -> int:
         "subtotals": subtotals,
         "queries": timings,
         "sf": sf,
-        # VERDICT r12 next-step #2: the r13 session ran this bench
-        # THREE times on identical code (commits 1e613b9, 75fa9fe) to
-        # bound the r12 1.19x common-query drift — 197.876 / 213.751 /
-        # 219.943 s over the same 83 entries (11% spread, broad and
-        # uniform across untouched entries; even the batch/iterative
-        # subtotal SPLIT swings run-to-run: iterative 69.6 vs 87.5 s
-        # on byte-identical code). The envelope brackets r12's 214.1 s
-        # total, confirming the VM-steal noise reading; no reproducible
-        # per-query regression was found.
-        "notes": "r13 triple-run envelope on identical code: 197.9-219.9s (83 entries)",
+        # Reference envelope for drift attribution, NOT a description
+        # of this run: the most recent same-code multi-run envelope,
+        # maintained in BASELINE.md's fixed-overhead ledger (currently
+        # the r13 triple run, 197.9/213.8/219.9 s over 83 entries —
+        # an 11% spread on byte-identical code that even flips the
+        # batch/iterative subtotal split). Update the ledger and this
+        # pointer whenever a new same-code envelope is measured.
+        "noise_envelope": "same-code runs span 197.9-219.9s (recorded r13, 83 entries; see BASELINE.md)",
     }
     # Compact separators keep the line short, and the file copy
     # survives any stdout tail-window truncation by the caller

@@ -241,6 +241,9 @@ def unigram_train(
       it down; a flat or rising ladder says the init was already the
       fixpoint).
 
+    The corpus text is scanned exactly once (``word_freqs`` spills the
+    (word, freq) frame); every round after that is vocabulary-sized.
+
     Round state (vocab, best-segmentation frames) spills to parquet —
     the louvain stable-storage discipline; every per-round frame is
     vocabulary-sized."""
@@ -315,12 +318,14 @@ def unigram_segment(
     """Per-document segmentation accounting under a trained vocabulary:
     one Viterbi pass over the distinct (bounded) words, joined back to
     per-doc word occurrence counts — ``(doc_id, n_words, n_pieces,
-    total_cost)``.  The corpus is touched once; the lattice fan-out is
-    vocabulary-sized."""
+    total_cost)``.  The corpus text is scanned ONCE: the distinct-word
+    frame Viterbi needs is re-aggregated from the per-doc counts (the
+    shared (doc_id, word) aggregate subtree is plan-identical in both
+    branches, so Catalyst reuses its exchange rather than re-reading
+    the corpus — pinned in tests/test_unigram.py); the lattice fan-out
+    is vocabulary-sized."""
     tot = vocab.agg(F.sum("cnt").cast("long").alias("t"))
     costs = _piece_costs(vocab, tot)
-    words = word_freqs(df, text_col)
-    best = viterbi_best(words, costs)
     per_doc = (
         df.select(
             F.col(id_col),
@@ -332,6 +337,8 @@ def unigram_segment(
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    words = per_doc.groupBy("word").agg(F.sum("n").cast("long").alias("freq"))
+    best = viterbi_best(words, costs)
     return (
         per_doc.join(best.select("word", "n_parts", "cost"), ["word"])
         .groupBy(id_col)

@@ -58,10 +58,32 @@ LITERAL_BUILDS = """\
          +- Range (0, 4, step=1, splits=32)
 """
 
-REUSED = """\
+# the reuse resolves to an original exchange whose build is a global
+# (keys=[]) aggregate — bounded at the ORIGINAL site, so the reuse is
+REUSED_BOUNDED = """\
+*(5) Project [v#1]
 +- BroadcastNestedLoopJoin BuildRight, Cross, (v#1 > t#2)
-   :- FileScan parquet [v#1] Batched: true
+   :- * Project [v#1]
+   :  +- BroadcastNestedLoopJoin BuildRight, Cross
+   :     :- FileScan parquet [v#1] Batched: true
+   :     +- BroadcastExchange IdentityBroadcastMode, [plan_id=9]
+   :        +- HashAggregate(keys=[], functions=[sum(x#3L)], output=[t#2])
+   :           +- FileScan parquet [x#3L] Batched: true
    +- ReusedExchange [t#2], BroadcastExchange IdentityBroadcastMode, [plan_id=9]
+"""
+
+# a reuse of a DATA-SIZED exchange originally built for a
+# BroadcastHashJoin: the original site is never swept (BHJ builds are
+# legitimate), so the reusing BNLJ must NOT be taken on faith
+REUSED_DATA_SIZED = """\
+*(5) Project [v#1]
++- BroadcastNestedLoopJoin BuildRight, Cross, (v#1 > d#2)
+   :- * BroadcastHashJoin [k#3L], [k#4L], Inner, BuildRight, false
+   :  :- FileScan parquet [v#1,k#3L] Batched: true
+   :  +- BroadcastExchange HashedRelationBroadcastMode(input[0]), [plan_id=7]
+   :     +- Filter isnotnull(k#4L)
+   :        +- FileScan parquet [d#2,k#4L] Batched: true
+   +- ReusedExchange [d#2, k#4L], BroadcastExchange HashedRelationBroadcastMode(input[0]), [plan_id=7]
 """
 
 UDTF = """\
@@ -93,8 +115,9 @@ def test_literal_and_small_range_builds_are_bounded():
     assert _unbounded_bnlj(LITERAL_BUILDS) == 0
 
 
-def test_reused_exchange_defers_to_original_site():
-    assert _unbounded_bnlj(REUSED) == 0
+def test_reused_exchange_resolves_to_original_site():
+    assert _unbounded_bnlj(REUSED_BOUNDED) == 0
+    assert _unbounded_bnlj(REUSED_DATA_SIZED) == 1
 
 
 def test_udtf_reported_under_its_own_key():

@@ -144,6 +144,38 @@ def test_unigram_train_matches_python_replica_sweep(spark):
             assert seg[i] == want, (trial, i)
 
 
+def test_unigram_segment_scans_corpus_once(spark, sf_dir):
+    """unigram_segment's distinct-word frame is re-aggregated from the
+    per-doc counts, not from a second corpus scan — the shared
+    (doc_id, word) aggregate subtree must come back as a
+    ReusedExchange in the executed plan.  The vocab is a driver
+    literal here so the ONLY parquet scan the plan can contain is the
+    corpus itself."""
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame(
+        [(c, 50) for c in "abcdefghijklmnopqrstuvwxyz"] + [("th", 900), ("an", 800)],
+        "piece string, cnt long",
+    )
+    out = unigram_segment(docs, vocab)
+    # materialize THIS dataframe (not a derived count plan) so AQE
+    # finalizes its own plan — exchange reuse is applied adaptively
+    assert len(out.collect()) > 0
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "== Initial Plan ==" in plan  # adaptively executed
+    final = plan.split("== Initial Plan ==")[0]
+    tree_scans = [
+        ln
+        for ln in final.splitlines()
+        if re.search(r"\bScan parquet\b", ln) and "+-" in ln
+    ]
+    assert len(tree_scans) == 1, tree_scans
+    assert "ReusedExchange" in final
+
+
 def test_unigram_fit_ladder_nonincreasing_on_fixture(spark, sf_dir):
     """Hard-EM on the fixture corpus must not worsen the corpus cost
     round over round (82.1M → 57.1M → fixpoint on sf0.001) — the

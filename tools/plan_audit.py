@@ -161,6 +161,8 @@ _BOUNDED_BUILD = re.compile(
 
 _RANGE = re.compile(r"Range \((\d+), (\d+),")
 
+_PLAN_ID = re.compile(r"\[plan_id=\d+\]")
+
 
 def _bounded_lines(lines: list[str]) -> bool:
     for x in lines:
@@ -171,6 +173,25 @@ def _bounded_lines(lines: list[str]) -> bool:
         # salt fan-out table), never a data-sized domain
         if m and int(m.group(2)) - int(m.group(1)) <= 65536:
             return True
+    return False
+
+
+def _reused_build_bounded(lines: list[str], reuse_line: str) -> bool:
+    """Resolve a ReusedExchange build side to its ORIGINAL exchange
+    and classify THAT subtree.  A reuse is only as bounded as the
+    exchange it reuses: an exchange originally built for a
+    BroadcastHashJoin is never swept at its own site (BHJ builds are
+    legitimate), so taking reuse on faith would let a data-sized BNLJ
+    build through unaudited.  The ReusedExchange toString embeds the
+    original exchange's ``[plan_id=N]``; find that exchange's own line
+    and run the bounded-build rules on its subtree."""
+    m = _PLAN_ID.search(reuse_line)
+    if not m:
+        return False
+    pid = m.group(0)
+    for k, ln in enumerate(lines):
+        if pid in ln and "Exchange" in ln and "ReusedExchange" not in ln:
+            return _bounded_lines(_subtree(lines, k))
     return False
 
 
@@ -197,10 +218,7 @@ def _unbounded_bnlj(plan: str) -> int:
                 if _depth(s) != child_d:
                     continue
                 if "ReusedExchange" in s:
-                    # a reuse of an exchange classified at its
-                    # original site — if that build is data-sized the
-                    # original occurrence flags it
-                    bounded = True
+                    bounded = _reused_build_bounded(lines, s)
                     break
                 if "BroadcastExchange" in s:
                     bounded = _bounded_lines(_subtree(sub, j))
@@ -233,14 +251,25 @@ def audit_one(plan: str) -> dict[str, int]:
 
 
 def main() -> int:
+    import os
+
     args = [a for a in sys.argv[1:]]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
-    only = set(args[1:] if args and "/" in args[0] else args)
+    # first arg is the sf dir iff it IS a directory — a slash-count
+    # heuristic would silently reinterpret a relative sf dir as a
+    # query-name filter and report CLEAN over zero entries
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.001", set(args)
 
     from financial_data_stream_processing_engine_spark.session import get_spark
     from financial_data_stream_processing_engine_spark.plans import catalog
 
     catalog.load_all()
+    unknown = only - set(catalog.QUERIES)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -134,7 +134,10 @@ VALUE_CONTENT_OK: dict[str, str] = {
 def value_content_audit(name: str, rows, cols) -> tuple[list[str], list[str]]:
     """Per-column degeneracy report over a collected Spark result:
     returns (all_null_columns, constant_columns).  Constants are only
-    meaningful on multi-row results."""
+    meaningful on multi-row results.  Entries named in
+    :data:`VALUE_CONTENT_OK` have their all-NULL findings suppressed
+    here (with the recorded semantic reason), so the caller treats any
+    returned all-NULL column as a failure."""
     all_null, constant = [], []
     for i, c in enumerate(cols):
         vals = [normalize_cell(r[i]) for r in rows]
@@ -145,6 +148,8 @@ def value_content_audit(name: str, rows, cols) -> tuple[list[str], list[str]]:
             nonnull
         ) == len(vals):
             constant.append(c)
+    if name in VALUE_CONTENT_OK:
+        all_null = []
     return all_null, constant
 
 
@@ -206,7 +211,7 @@ def main() -> int:
         vc_problems: list[str] = []
         if value_content:
             nulls, consts = value_content_audit(name, spark_rows, spark_cols)
-            if nulls and name not in VALUE_CONTENT_OK:
+            if nulls:
                 vc_problems.append(f"value-content: all-NULL columns {nulls}")
             if consts:
                 print(f"  {name:32s} value-content: constant columns {consts}")
