@@ -1,0 +1,177 @@
+"""Measured scaling curves: the same plans at sf0.001 / sf0.01 / sf0.1.
+
+The bench (`bench.py`) tracks wall time at ONE scale; this probe
+answers the 100 TB question directly on the axis that matters — how
+does each plan's time grow as its DATA grows?  The fixture tables do
+NOT all scale together (pyarrow row counts, TESTDATA.md):
+
+    lineitem/orders/events   6k/1.5k/1k -> x10 -> x10
+    documents                500 -> x1 -> x10
+    embeddings               500 -> x1 -> x4
+
+so each probed entry is annotated with its base-table family and the
+time ratio of each step is read against that step's actual data
+growth.  The reported ``excess = time_ratio / data_ratio``:
+
+* excess ~ <=1  — at-most-linear data term (or still floor-dominated:
+                  scheduling + planning floors shrink the ratio);
+* excess >> 1   — SUPER-linear: a quadratic stage (all-pairs, blown
+                  LSH bucket, skewed key) is growing faster than the
+                  data; at 100 TB this plan is dead.  The probe exits
+                  nonzero so it can gate, ignoring entries whose
+                  large-scale time is under ``MIN_SIGNAL`` (pure-floor
+                  timings carry no growth signal).
+
+Entries probed are the BATCH families with a real data term (streaming
+entries are lifecycle-floor at every toy scale; iterative graph
+entries' round count is graph-shaped, not row-scaled — both classes
+are covered by the fixed-overhead ledger in BASELINE.md instead).
+``dedup_embedding_cosine`` is the deliberately-quadratic CONTROL arm:
+its all-pairs form is the documented brute-force baseline whose scale
+path is dedup_embedding_lsh/dedup_semantic, so its excess is allowed
+to run hot — it proves the probe is looking at the right thing.
+Timing is best-of-``SPARK_GRAFT_BENCH_REPS`` (default 2) noop-sink
+materialization, same as bench.py.
+
+Usage: python tools/scaling_probe.py [entry ...]   (default: the
+representative set below).  Prints one JSON line last (the driver
+tail-capture discipline) and a human table first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+#: per-step row growth of each base-table family across SF_DIRS.
+TABLE_GROWTH: dict[str, tuple[float, float]] = {
+    "tpch": (10.0, 10.0),       # lineitem/orders/customer/...
+    "events": (10.0, 10.0),
+    "documents": (1.0, 10.0),
+    "embeddings": (1.0, 4.0),
+}
+
+#: one per batch family with a real data term: scan-agg, star join,
+#: window, as-of, skew-salted agg, exact dedup, PPJoin (the entry
+#: whose positional-filter pruning is the quadratic risk), MinHash
+#: LSH banding, SimHash, IVF ANN, the all-pairs control, text stats,
+#: BM25, pHash near-dup, unigram segmentation, TPC-H joins.
+DEFAULT_ENTRIES: dict[str, str] = {
+    "tpch_q1_pricing_summary": "tpch",
+    "tpch_q9_like_product_profit": "tpch",
+    "join_star_revenue_by_region": "tpch",
+    "join_asof_last_purchase": "events",
+    "window_topk_per_group": "events",
+    "agg_salted_skew": "events",
+    "dedup_exact": "documents",
+    "dedup_prefix_jaccard": "documents",
+    "dedup_minhash_lsh": "documents",
+    "dedup_simhash": "documents",
+    "similarity_ivf_topk": "embeddings",
+    "dedup_embedding_cosine": "embeddings",
+    "text_stats": "documents",
+    "text_bm25_topk": "documents",
+    "dedup_phash_hamming": "documents",
+    "text_unigram_segment": "documents",
+}
+
+#: entries whose quadratic form is the DOCUMENTED baseline arm — their
+#: super-linear excess is expected and must not fail the gate (the
+#: scale path for each is probed separately above).
+EXPECTED_SUPERLINEAR = {
+    "dedup_embedding_cosine": "brute-force all-pairs cosine control arm",
+}
+
+#: time may legitimately outgrow rows somewhat (partial aggregation
+#: stops collapsing, more distinct groups) — flag only clearly
+#: super-linear excess over the data growth.
+EXCESS_LIMIT = 2.5
+
+#: a step's excess is judged only when the larger-scale time exceeds
+#: this (seconds) — below it the timing is scheduling/planning floor.
+MIN_SIGNAL = 1.0
+
+
+def main() -> int:
+    only = sys.argv[1:]
+    if only:
+        entries = {n: DEFAULT_ENTRIES.get(n, "tpch") for n in only}
+    else:
+        entries = dict(DEFAULT_ENTRIES)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    from financial_data_stream_processing_engine_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    unknown = [n for n in entries if n not in qs]
+    if unknown:
+        print(f"unknown entries: {unknown}")
+        return 2
+
+    spark = get_spark("scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    times: dict[str, list[float]] = {n: [] for n in entries}
+    for sf_dir in SF_DIRS:
+        for name in entries:
+            best = float("inf")
+            for _ in range(max(1, reps)):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            times[name].append(round(best, 3))
+            print(f"  {Path(sf_dir).name:8s} {name:32s} {best:6.2f}s", flush=True)
+
+    hot: list[str] = []
+    rows = []
+    print(f"\n{'entry':34s} {'data':>11s} {'sf.001':>7s} {'sf.01':>7s} "
+          f"{'sf.1':>7s} {'excess a':>9s} {'excess b':>9s}")
+    for name, fam in entries.items():
+        t1, t2, t3 = times[name]
+        g1, g2 = TABLE_GROWTH[fam]
+        ex = []
+        for ta, tb, g in ((t1, t2, g1), (t2, t3, g2)):
+            r = tb / ta if ta > 0 else float("inf")
+            ex.append(r / g)
+        flagged = any(
+            e > EXCESS_LIMIT and tb >= MIN_SIGNAL
+            for e, tb in zip(ex, (t2, t3))
+        )
+        flag = ""
+        if flagged:
+            if name in EXPECTED_SUPERLINEAR:
+                flag = f"  (expected: {EXPECTED_SUPERLINEAR[name]})"
+            else:
+                hot.append(name)
+                flag = "  << SUPER-LINEAR"
+        print(f"{name:34s} {fam:>11s} {t1:7.2f} {t2:7.2f} {t3:7.2f} "
+              f"{ex[0]:8.2f}x {ex[1]:8.2f}x{flag}")
+        rows.append({"entry": name, "table": fam, "sec": times[name],
+                     "excess": [round(e, 2) for e in ex]})
+
+    payload = {"metric": "scaling_probe_excess_vs_data_growth", "unit": "sec",
+               "excess_limit": EXCESS_LIMIT, "min_signal_sec": MIN_SIGNAL,
+               "superlinear": hot, "rows": rows}
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
+    if hot:
+        print(f"SCALING PROBE FAILED: {hot}")
+        return 1
+    print("SCALING PROBE CLEAN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
