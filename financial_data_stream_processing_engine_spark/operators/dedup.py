@@ -321,6 +321,14 @@ def minhash_lsh_pairs(
     for all practical purposes while scaling linearly in corpus size
     (candidates only; never all pairs).  Returns (id_a, id_b, jaccard).
     """
+    if num_hashes % bands != 0:
+        # leftover signature slots would be computed but never banded:
+        # the caller's (1-j^r)^b recall math would silently understate
+        # the true miss probability — refuse rather than under-recall
+        raise ValueError(
+            f"minhash_lsh_pairs: num_hashes={num_hashes} not divisible "
+            f"by bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
 

@@ -32,18 +32,34 @@ def salted_agg(
     ``aggs``: list of (function, column, alias) with function in
     {count, sum_decimal, min, max}.  sum_decimal applies the engine's
     exact-decimal accumulation, so the two-phase result is bit-equal
-    to the one-phase result (double partials would not be).
+    to the one-phase result (double partials would not be).  For
+    ``count``, ``column=None`` means COUNT(*); a named column gets
+    COUNT(col) (NULLs excluded) like every other function here.
+
+    The salt is ``pmod(xxhash64(<every column>), salt)`` — derived
+    from row CONTENT, never from ``monotonically_increasing_id`` or
+    ``rand``: a positional/random salt is nondeterministic under task
+    retry, and a nondeterministic grouping key can double-count or
+    drop rows when only part of a shuffle's map side is recomputed
+    (the classic repartition-retry hazard).  Content salting is
+    retry-stable, and rows that are bit-identical in every column
+    landing on one salt is harmless for aggregation — identical rows
+    collapse in the map-side partial combine regardless of salt.
     """
     from financial_data_stream_processing_engine_spark.functions.numeric import DECIMAL
 
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt))
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), salt)
+    )
 
     partial_exprs: list[Column] = []
     final_exprs: list[Column] = []
     for fn, col, alias in aggs:
         p = f"__p_{alias}"
         if fn == "count":
-            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            partial_exprs.append(
+                (F.count(F.lit(1)) if col is None else F.count(col)).alias(p)
+            )
             final_exprs.append(F.sum(p).alias(alias))
         elif fn == "sum_decimal":
             partial_exprs.append(F.sum(F.col(col).cast(DECIMAL)).alias(p))
@@ -78,11 +94,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: salt the BIG side's key deterministically
-    (pmod(xxhash64(row), salt)) and replicate the SMALL side once per
-    salt value, so a hot key spreads across ``salt`` reducers instead
-    of pinning one.  Results are identical to the direct join — only
-    the physical distribution changes (the catalog proves identity
-    against the plain-SQL oracle).
+    (pmod(xxhash64(<every big-side column>), salt)) and replicate the
+    SMALL side once per salt value, so a hot key spreads across
+    ``salt`` reducers instead of pinning one.  Results are identical
+    to the direct join — only the physical distribution changes (the
+    catalog proves identity against the plain-SQL oracle).
+
+    The salt is CONTENT-derived for the same retry-stability reason as
+    :func:`salted_agg` (a positional/random salt re-deals rows on task
+    retry and can duplicate or lose join rows).  Caveat it buys: big
+    rows identical in EVERY column share a salt; real fact rows carry
+    a distinct id, and a feed of bit-identical duplicates skews a
+    reducer with or without salting.
 
     This is the explicit form of what AQE's skew-join split does at
     runtime; stating it as an operator makes the pattern available when
@@ -101,7 +124,7 @@ def salted_join(
     small_rep = small.withColumn("__salt", salts)
     big_salted = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
     )
     out = big_salted.join(small_rep, [key, "__salt"], how)
     return out.drop("__salt")
@@ -245,10 +268,17 @@ def cdc_apply_to_sum_count(
         .groupBy(group_col)
         .agg(F.sum("__d").alias("__dsum"), F.sum("__n").alias("__dn"))
     )
+    # NULL-SAFE join key: the delta was built by a groupBy, which puts
+    # all NULL-group contributions in ONE group — a plain equi full
+    # outer would never match that row to its own state row (NULL !=
+    # NULL), emitting a duplicate NULL-group pair and tripping the
+    # negative-count assert on a perfectly consistent feed
+    oa = old_agg_decimal.withColumnRenamed(group_col, "__g_state")
+    dl = delta.withColumnRenamed(group_col, "__g_delta")
     return (
-        old_agg_decimal.join(delta, group_col, "full_outer")
+        oa.join(dl, F.col("__g_state").eqNullSafe(F.col("__g_delta")), "full_outer")
         .select(
-            group_col,
+            F.coalesce("__g_state", "__g_delta").alias(group_col),
             (
                 F.coalesce(F.col("_dec_sum"), F.lit(0).cast("decimal(27,7)"))
                 + F.coalesce(F.col("__dsum"), F.lit(0).cast("decimal(27,7)"))

@@ -110,9 +110,15 @@ def bucketed_cosine_pairs(
     qualifying pair matches exactly one probe (the XOR mask is unique),
     so no distinct is needed.
     """
+    # materialize the bucketing ONCE: the a/b branches of the
+    # self-join are different subtrees (the probe side explodes its
+    # masks before the exchange), so Spark cannot reuse the exchange
+    # and would otherwise run the num_planes hash folds + the norm
+    # over the whole corpus twice — the same duplication
+    # dedup.minhash_lsh_pairs documents and avoids via bucket-collect
     bucketed = random_hyperplane_buckets(
         df, vec_col=vec_col, num_planes=num_planes
-    ).withColumn("__nrm", vector_norm(F.col(vec_col)))
+    ).withColumn("__nrm", vector_norm(F.col(vec_col))).localCheckpoint(eager=False)
     masks = [0] + ([1 << p for p in range(num_planes)] if multiprobe else [])
     a = bucketed.select(
         F.col(id_col).alias("id_a"),
@@ -237,6 +243,14 @@ def assign_cells(
 
     Centroids broadcast (they are tiny by construction); argmin via
     per-centroid cosine + struct-max trick, all built-in.
+
+    PRECONDITION: corpus rows are distinct across ``corpus.columns``
+    (every catalog corpus carries a unique vec_id/doc_id, so this
+    holds by construction there).  The argmax groups by the full row,
+    so a corpus containing bit-identical duplicate rows would collapse
+    them to one — callers feeding anonymous/duplicated rows must add a
+    distinct id first.  Grouping also requires every column to be
+    group-able (no map-typed columns).
     """
     c = centroids.select(
         F.col("centroid_id").alias("__cid"), F.col("centroid").alias("__cvec")
@@ -326,7 +340,15 @@ def kmeans_objective(
     vec_col: str = "embedding",
 ) -> float:
     """Mean cosine of every vector to its assigned centroid — the
-    (negated) spherical k-means objective, for convergence tests."""
+    (negated) spherical k-means objective, for convergence tests.
+
+    PER-ROW mean, not per-distinct-vector: duplicate vectors carry
+    their multiplicity (groupBy(vec) alone would weight a vector that
+    appears 50 times the same as one that appears once — wrong
+    whenever the corpus has near-dup structure, which is the normal
+    case here).  The crossJoin gives each distinct vector k×mult rows,
+    and the k cancels in the weighted mean, so the weights are just
+    the group row counts."""
     assigned = corpus.crossJoin(
         F.broadcast(
             centroids.select(
@@ -335,8 +357,16 @@ def kmeans_objective(
             )
         )
     ).withColumn("__sim", cosine(F.col(vec_col), F.col("__cvec")))
-    best = assigned.groupBy(vec_col).agg(F.max("__sim").alias("__best"))
-    return best.agg(F.avg("__best")).collect()[0][0]
+    best = assigned.groupBy(vec_col).agg(
+        F.max("__sim").alias("__best"),
+        F.count(F.lit(1)).alias("__k_rows"),
+    )
+    row = best.agg(
+        (
+            F.sum(F.col("__best") * F.col("__k_rows")) / F.sum("__k_rows")
+        ).alias("__obj")
+    ).collect()[0]
+    return row["__obj"]
 
 
 def ivf_search(
@@ -657,6 +687,11 @@ def pq_subvectors(
     """Split each vector into ``m`` contiguous subvectors of
     ``dims/m`` components → (id, sub, subvec).  Pure slicing — one
     map-side posexplode, no shuffle."""
+    if dims % m != 0:
+        # silent truncation here would drop the trailing dims%m
+        # components from every code AND every ADC score — wrong
+        # rankings with no error anywhere downstream
+        raise ValueError(f"pq_subvectors: dims={dims} not divisible by m={m}")
     d = dims // m
     parts = F.array(*[F.slice(F.col(vec_col), i * d + 1, d) for i in range(m)])
     return df.select(F.col(id_col), F.posexplode(parts).alias("sub", "subvec"))
@@ -775,8 +810,25 @@ def pq_adc_topk(
         codebook = pq_train(corpus, m, dims, ks, id_col, vec_col)
     codebook = codebook.localCheckpoint(eager=False)
     codes = _pq_assign(pq_subvectors(corpus, m, dims, id_col, vec_col), codebook)
-    qsub = pq_subvectors(query, m, dims, id_col, vec_col).select(
-        "sub", F.col("subvec").alias("__qsub")
+    # ONE-row query contract, enforced lazily (no extra job): a
+    # multi-row query frame would emit several __qsub rows per sub,
+    # the LUT join would duplicate every (sub, code_id) entry, and the
+    # groupBy(id) sum would silently blend all queries into one score.
+    # The multi-query path is multiquery_ivf_topk.
+    qsub = (
+        pq_subvectors(query, m, dims, id_col, vec_col)
+        .groupBy("sub")
+        .agg(F.first("subvec").alias("__qsub"), F.count(F.lit(1)).alias("__nq"))
+        .select(
+            "sub",
+            F.when(
+                F.assert_true(
+                    F.col("__nq") == 1,
+                    F.lit("pq_adc_topk expects a ONE-row query frame"),
+                ).isNull(),
+                F.col("__qsub"),
+            ).alias("__qsub"),
+        )
     )
     lut = codebook.join(F.broadcast(qsub), "sub").select(
         "sub",
@@ -835,7 +887,10 @@ def ivfpq_topk(
     canonical billion-scale ANN index: the cell list bounds the scan
     (nprobe/ncells of the data, partition-prunable) and the residual
     codes bound the memory (m bytes per vector instead of the float
-    row).  → (vec_id, cell, score_adc, dot_exact, rank).
+    row).  → (vec_id, cell, score_adc, dot_exact, rank).  ``query`` is
+    a ONE-row frame (single-vector serving; the batched path is
+    multiquery_ivf_topk) — a multi-row frame would blend queries in
+    the probe ranking.
 
     Scoring decomposes exactly: q·v ≈ q·c + q·r̂ where r̂ is the
     PQ-reconstructed residual — so the score is the per-cell q·c dot

@@ -1276,7 +1276,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         key="event_type",
         aggs=[
-            ("count", "value", "n"),
+            ("count", None, "n"),  # COUNT(*), matching the oracle
             ("sum_decimal", "value", "total_value"),
             ("min", "value", "min_value"),
             ("max", "value", "max_value"),

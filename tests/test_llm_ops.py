@@ -421,6 +421,37 @@ def test_pagerank_bitwise_stable_under_repartition(spark):
     assert a == b  # exact ==: quantized-integer neighbor sums
 
 
+def test_kmeans_objective_weights_duplicate_vectors_per_row(spark):
+    """The objective is the PER-ROW mean: a vector appearing 3 times
+    contributes 3 shares, not 1 (groupBy(vec) alone would deweight
+    duplicates — wrong on near-dup corpora)."""
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id long, centroid array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])] * 3 + [(2, [0.6, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.kmeans_objective(corpus, cent)
+    # float32 vector storage rounds ~2e-9; the wrong per-distinct
+    # answer would be (1.0 + 0.8) / 2 = 0.9, three orders away
+    assert abs(got - (3 * 1.0 + 0.8) / 4) < 1e-6
+
+
+def test_banding_and_pq_divisibility_fail_loudly(spark, sf_dir):
+    """Leftover signature slots / truncated trailing dims must refuse,
+    not silently under-recall or mis-rank."""
+    import pytest
+    from financial_data_stream_processing_engine_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="not divisible"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=60, bands=16)
+    embs = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_subvectors(embs, m=3, dims=64)
+
+
 def test_kmeans_objective_improves_and_cells_balanced(spark, sf_dir):
     """Lloyd rounds must improve the spherical objective over the
     seed centroids, and the trained cells must be balanced — the

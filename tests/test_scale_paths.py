@@ -186,6 +186,57 @@ def test_ivm_matches_full_recompute_with_group_moves(spark):
     assert maintained == full  # group 'a' vanished (n=0 dropped), b=3 rows, c=1
 
 
+def test_ivm_null_group_key_maintains_consistently(spark):
+    """A NULL group key must match ITS OWN state row (null-safe join):
+    a plain equi full-outer would pair the NULL-group delta with
+    nothing, emitting a duplicate NULL row and tripping the
+    negative-count assert on a perfectly consistent feed."""
+    from pyspark.sql import functions as F
+    from financial_data_stream_processing_engine_spark.operators.scale import (
+        cdc_apply_to_sum_count,
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "b", 30.0)],
+        "k long, g string, v double",
+    )
+    # delete one NULL-group row, update the other's value
+    new = spark.createDataFrame(
+        [(2, None, 25.0), (3, "b", 30.0)], "k long, g string, v double"
+    )
+    diff = table_diff(old, new, ["k"], ["g", "v"])
+    old_agg = old.groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(27,7)")).alias("_dec_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    maintained = {
+        r["g"]: (float(r["_dec_sum"]), r["n"])
+        for r in cdc_apply_to_sum_count(old_agg, diff, "g", "v", "g").collect()
+    }
+    assert maintained == {None: (25.0, 1), "b": (30.0, 1)}
+
+
+def test_salted_agg_count_column_vs_star_and_null_groups(spark):
+    """count with column=None is COUNT(*); a named column is
+    COUNT(col) (NULLs excluded) — and both phases stay correct with a
+    NULL aggregation value and a content-derived salt."""
+    from financial_data_stream_processing_engine_spark.operators.scale import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)],
+        "g string, v double",
+    )
+    out = {
+        r["g"]: (r["n_star"], r["n_v"])
+        for r in salted_agg(
+            df, key="g", aggs=[("count", None, "n_star"), ("count", "v", "n_v")],
+            salt=4,
+        ).collect()
+    }
+    assert out == {"a": (3, 2), "b": (1, 0)}
+
+
 def test_ivm_negative_count_fails_loudly(spark):
     """A change feed inconsistent with the state (a delete for a row
     the aggregate never counted) must FAIL the job, not silently drop
