@@ -29,15 +29,25 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def deletion_keys(name: F.Column) -> F.Column:
-    """``{s} ∪ del1(s)`` as an array: the string itself plus every
-    one-character-deleted variant, in position order."""
+    """``{s} ∪ del1(s)`` as a DISTINCT array: the string itself plus
+    every one-character-deleted variant.
+
+    ``array_distinct`` is load-bearing for cost, not correctness: a
+    repeated-character string emits the same variant many times
+    ('aaaa' → four copies of 'aaa'), and an empty string rides
+    Spark's descending ``sequence(1, 0)`` quirk into three '' keys —
+    duplicate keys multiply QUADRATICALLY in the blocking self-join
+    (k copies on each side → k² candidate rows per colliding pair)
+    before the downstream distinct can collapse them.  Dedup at the
+    source keeps the join linear in true key collisions; the pair
+    OUTPUT is unchanged."""
     variants = F.transform(
         F.sequence(F.lit(1), F.length(name)),
         lambda i: F.concat(
             name.substr(F.lit(1), i - 1), name.substr(i + 1, F.length(name))
         ),
     )
-    return F.array_prepend(variants, name)
+    return F.array_distinct(F.array_prepend(variants, name))
 
 
 def fuzzy_pairs_edit1(

@@ -860,6 +860,7 @@ def community_coarsen(
     labels: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    weight: str | None = None,
 ) -> DataFrame:
     """Community-graph coarsening — the AGGREGATE step of Louvain
     (Blondel et al. 2008 phase 2) and the generic graph-shrinking
@@ -873,12 +874,21 @@ def community_coarsen(
     ``m`` and modularity is preserved under the standard weighted
     reading.
 
+    ``weight``: name of an integer edge-weight column on ``edges``, or
+    None for the unweighted simple graph (weight 1 per edge).  Passing
+    the PREVIOUS coarsen's ``weight`` column makes the operator
+    self-composable (a third Louvain level coarsens an
+    already-weighted graph) — summing weights, where a bare row count
+    would silently discard them and break the total-weight = m
+    invariant every later level depends on.
+
     Plan shape: two node-keyed label joins onto the edge list (the
     labels frame is node-sized — AQE broadcasts it when small), one
-    least/greatest canonicalization, one map-side-combinable count
+    least/greatest canonicalization, one map-side-combinable sum
     keyed (ca, cb).  Linear in |E|, one shuffle, all-integer output —
     nothing to quantize."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    w_col = F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w_col.alias("__w"))
     touch = e.select(F.col("a").alias("node")).unionByName(
         e.select(F.col("b").alias("node"))
     )
@@ -896,7 +906,7 @@ def community_coarsen(
             F.least("__ca", "__cb").alias("community_a"),
             F.greatest("__ca", "__cb").alias("community_b"),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .agg(F.sum("__w").cast("long").alias("weight"))
     )
 
 

@@ -54,8 +54,15 @@ LM_BUCKETS: tuple[tuple[str, float], ...] = (("high", 3.5e-2), ("mid", 3.3e-2))
 
 
 def _bigrams(text: Column, out_u: str = "u", out_v: str = "v") -> Column:
-    """array<struct<u,v>> of adjacent lowercase whitespace-token pairs."""
-    toks = F.split(F.lower(text), " ")
+    """array<struct<u,v>> of adjacent lowercase whitespace-token pairs.
+
+    Empty tokens (consecutive/leading/trailing spaces) are dropped
+    BEFORE pairing, for two reasons: the vocabulary the smoothing
+    denominator uses excludes '' (mixing a ''-inclusive c(u) with a
+    ''-exclusive V would be incoherent), and whitespace formatting
+    should not change a document's transition count — 'a  b' and
+    'a b' score identically."""
+    toks = F.filter(F.split(F.lower(text), " "), lambda t: t != F.lit(""))
     n = F.size(toks)
     return F.when(
         n >= 2,
@@ -213,10 +220,13 @@ def nb_lang_classifier(
 
     Scale shape: training is one map-side-combinable groupBy over
     train tokens (vocabulary-sized result) plus a 3-scalar totals row;
-    scoring is one explode + one vocabulary-keyed join (AQE broadcasts
-    the model here; at 100 TB the fallback is a shuffle join on the
-    token key, linear in corpus tokens) + one per-doc aggregation.  No
-    Python anywhere — the whole path is codegen'd expressions.
+    scoring is one explode + one vocabulary-keyed join (the model join
+    carries an explicit broadcast hint — a deliberate, plan-pinned
+    choice: the classifier vocabulary is model-sized, and keeping the
+    scoring fully map-side is the point; a model too large to
+    broadcast should be pruned to a bounded vocabulary, not shuffled)
+    + one per-doc aggregation.  No Python anywhere — the whole path is
+    codegen'd expressions.
     """
     if holdout is None:
         holdout = F.col(id_col) % 5 == 0

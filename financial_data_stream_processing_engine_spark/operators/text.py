@@ -53,10 +53,15 @@ def ngrams_with_repeats(text: Column | str, n: int = 3) -> Column:
 
 #: PII patterns — written to the common Java-regex / RE2 subset so the
 #: identical pattern string runs in Spark and the DuckDB oracle.
+#: Order is semantic: ipv4 runs BEFORE phone because the loose phone
+#: pattern also matches many dotted IPv4 literals (192.168.100.42) —
+#: redacting IPs first types those spans <IP>, and the per-category
+#: counts are taken on the progressively-redacted text so every count
+#: equals the number of placeholders that category actually emitted.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}", "<PHONE>"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}", "<PHONE>"),
 )
 
 
@@ -71,11 +76,19 @@ def redact_pii(
     shuffle, no Python, linear scan; the patterns live in
     :data:`PII_PATTERNS` in the Java∩RE2 regex subset so the DuckDB
     oracle applies the very same strings.
+
+    Each category's count is taken on the text AS IT EXISTS when that
+    category's replace runs (after the earlier categories'), so
+    ``n_<cat>`` always equals the number of ``<CAT>`` placeholders in
+    the output — counting every pattern against the ORIGINAL text
+    would double-count spans that two patterns overlap (an IPv4 also
+    matched by the loose phone pattern) and report categories that
+    emitted nothing.
     """
     out = df
     redacted = F.col(text_col)
     for name, pat, repl in PII_PATTERNS:
-        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        out = out.withColumn(f"n_{name}", F.regexp_count(redacted, F.lit(pat)))
         redacted = F.regexp_replace(redacted, pat, repl)
     return out.withColumn(out_col, redacted)
 
@@ -269,13 +282,19 @@ def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang
         hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
         scores.append((lang, hits))
 
-    # argmax via chained comparisons (4 langs — fine as an expression)
+    # argmax via chained comparisons (4 langs — fine as an expression).
+    # The strict `>` is load-bearing for tie-breaks: the FIRST language
+    # reaching the max score wins, so LANG_MARKERS' insertion order
+    # ('en' first, then lexicographic) IS the documented tie rule — a
+    # later language only displaces an earlier one by strictly beating
+    # it.  (An earlier second disjunct for the score==best case was
+    # dead code: best_score > 0 implies best != 'und' already.)
     best = F.lit("und")
     best_score = F.lit(0)
     for lang, score in scores:
-        take = (score > best_score) | ((score == best_score) & (best == F.lit("und")) & (score > 0))
+        take = score > best_score
         best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(score > best_score, score).otherwise(best_score)
+        best_score = F.when(take, score).otherwise(best_score)
     return df.withColumn(
         out_col,
         F.when(cjk * 2 > F.length(text), F.lit("zh")).otherwise(best),
@@ -295,10 +314,16 @@ def with_fingerprints(df: DataFrame, text_col: str = "text", n: int = 3) -> Data
     md5 is used (not xxhash64) so fingerprints are portable across
     engines and runs — a practical property for dedup ledgers shared
     between systems.
+
+    BOTH fingerprints are computed over the whitespace-NORMALIZED
+    text: shingling the raw text would make the near-dup key disagree
+    on whitespace-variant duplicates (two crawls of 'a b c' vs
+    'a  b c') that the exact-dup key already identifies — the most
+    common crawl edit must not defeat the edit-stable fingerprint.
     """
     text = F.col(text_col)
     normalized = F.regexp_replace(F.trim(text), r"\s+", " ")
-    sh = shingles(text, n)
+    sh = shingles(normalized, n)
     return df.withColumn("md5_full", F.md5(normalized)).withColumn(
         "min_shingle_fp", F.array_min(F.transform(sh, lambda s: F.md5(s)))
     )
@@ -309,7 +334,9 @@ def with_fingerprints(df: DataFrame, text_col: str = "text", n: int = 3) -> Data
 # ---------------------------------------------------------------------------
 
 
-def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf·idf with a
     RATIONAL idf: ``score = tf · (N / df)``.
 
@@ -329,23 +356,28 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
     from pyspark.sql.window import Window
 
     words = df.select(
-        "doc_id", F.explode(tokens(text_col)).alias("term")
+        id_col, F.explode(tokens(text_col)).alias("term")
     ).where(F.col("term") != "")
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    # no broadcast HINT on dfreq: a hint would force the broadcast at
+    # any vocabulary size, defeating the documented shuffle fallback —
+    # AQE broadcasts when the vocabulary is actually small and falls
+    # back to the term-keyed shuffle join when it is not.  The 1-row
+    # n_docs frame keeps its hint (always bounded).
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "doc_id",
+            id_col,
             "term",
             "tf",
             "df",
             (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
+    w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
     return (
@@ -411,28 +443,33 @@ def bm25_topk(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
+    # internal columns are INDEXED (__tf_0, __df_0…): a raw query term
+    # interpolated into a name that is later re-resolved with F.col
+    # would parse '.' as a struct accessor and backticks not at all —
+    # the term text appears only in the OUTPUT aliases, never in a
+    # name that gets parsed
     per_doc = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dl"),
         *[
-            F.count_if(F.col("term") == F.lit(t)).alias(f"tf_{t}")
-            for t in query_terms
+            F.count_if(F.col("term") == F.lit(t)).alias(f"__tf_{i}")
+            for i, t in enumerate(query_terms)
         ],
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
         *[
-            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
-            for t in query_terms
+            F.count_if(F.col(f"__tf_{i}") > 0).alias(f"__df_{i}")
+            for i in range(len(query_terms))
         ],
     )
     scored = per_doc.crossJoin(F.broadcast(stats))
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
     score = None
-    for t in query_terms:
-        tf = F.col(f"tf_{t}")
-        idf = (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5)) / (
-            F.col(f"df_{t}") + F.lit(0.5)
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}")
+        idf = (F.col("n_docs") - F.col(f"__df_{i}") + F.lit(0.5)) / (
+            F.col(f"__df_{i}") + F.lit(0.5)
         )
         s_t = F.when(tf > 0, idf * (tf * F.lit(k1 + 1.0))
                      / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
@@ -441,7 +478,13 @@ def bm25_topk(
     from pyspark.sql import Window
 
     ranked = scored.select(
-        id_col, "dl", *[f"tf_{t}" for t in query_terms], score.alias("score")
+        id_col,
+        "dl",
+        *[
+            F.col(f"__tf_{i}").alias(f"tf_{t}")
+            for i, t in enumerate(query_terms)
+        ],
+        score.alias("score"),
     )
     # rank window runs over the already-limited k rows, never the corpus
     return (

@@ -176,16 +176,20 @@ _PII_SUFFIX_SQL = """CASE
 
 def _pii_redact_sql() -> str:
     x = f"(text || {_PII_SUFFIX_SQL})"
-    counts = ",\n       ".join(
-        f"CAST(LEN(REGEXP_EXTRACT_ALL({x}, '{pat}')) AS INT) AS n_{name}"
-        for name, pat, _ in text.PII_PATTERNS
-    )
+    # counts mirror the engine's progressive semantics: each category
+    # counts on the text AFTER the earlier categories redacted, so
+    # n_<cat> equals the placeholders that category actually emitted
+    counts = []
     red = x
-    for _, pat, repl in text.PII_PATTERNS:
+    for name, pat, repl in text.PII_PATTERNS:
+        counts.append(
+            f"CAST(LEN(REGEXP_EXTRACT_ALL({red}, '{pat}')) AS INT) AS n_{name}"
+        )
         red = f"REGEXP_REPLACE({red}, '{pat}', '{repl}', 'g')"
+    counts_sql = ",\n       ".join(counts)
     return f"""
 SELECT doc_id,
-       {counts},
+       {counts_sql},
        {red} AS text_redacted
 FROM documents
 """
@@ -542,7 +546,12 @@ def _lm_score_sql() -> str:
     (hi_name, hi), (mid_name, mid) = LM_BUCKETS
     return f"""
 WITH toks AS (
-  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+  -- empty tokens dropped before pairing, in lockstep with the
+  -- engine's _bigrams (operators/lm.py): whitespace formatting must
+  -- not change transition counts, and V excludes '' already
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS t
+  FROM documents),
 bg AS (
   SELECT doc_id,
          UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),

@@ -325,12 +325,18 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "lang_pred")
 
 
+#: whitespace-normalized text, shared by BOTH fingerprints (engine
+#: lockstep: operators/text.py::with_fingerprints shingles the same
+#: normalized form its md5_full hashes)
+_FP_NORM = r"REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')"
+
+
 @register(
     "text_fingerprints",
     sql=f"""
 SELECT doc_id,
-       MD5(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS md5_full,
-       LIST_AGGREGATE(LIST_TRANSFORM({_SH.format(t='text')}, s -> MD5(s)), 'min')
+       MD5({_FP_NORM}) AS md5_full,
+       LIST_AGGREGATE(LIST_TRANSFORM({_SH.format(t=_FP_NORM)}, s -> MD5(s)), 'min')
            AS min_shingle_fp
 FROM documents
 """,

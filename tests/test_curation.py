@@ -121,6 +121,14 @@ def test_redact_pii_counts_and_placeholders(spark):
     )
     out = {r.doc_id: r for r in redact_pii(df).collect()}
     assert (out[1].n_email, out[1].n_ipv4) == (1, 1)
+    # counts must equal EMITTED placeholders: an IPv4 the loose phone
+    # pattern also matches is typed <IP> once, never double-counted
+    ip = spark.createDataFrame(
+        [(9, "server at 192.168.100.42 down")], "doc_id long, text string"
+    )
+    r9 = redact_pii(ip).collect()[0]
+    assert (r9.n_ipv4, r9.n_phone) == (1, 0)
+    assert r9.text_redacted == "server at <IP> down"
     assert "<EMAIL>" in out[1].text_redacted and "<IP>" in out[1].text_redacted
     assert "a.b+c@test.org" not in out[1].text_redacted
     assert out[2].n_phone == 2 and out[2].text_redacted.count("<PHONE>") == 2
@@ -230,6 +238,33 @@ def test_tfidf_surfaces_planted_rare_term(spark):
     assert top[1] == ("zzyzx", 2, 1)
     # ubiquitous terms tie at score 1 -> alphabetical winner
     assert top[2][0] == "alpha"
+
+
+def test_tfidf_custom_id_column(spark):
+    from financial_data_stream_processing_engine_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(7, "alpha beta zzyzx zzyzx"), (8, "alpha beta")],
+        "item_id long, text string",
+    )
+    out = T.tfidf_top_terms(df, k=1, id_col="item_id").collect()
+    assert {r.item_id: r.term for r in out}[7] == "zzyzx"
+
+
+def test_bm25_terms_with_regex_and_identifier_chars(spark):
+    """Query terms containing '.', spaces, or backticks must not break
+    column resolution — term text appears only in output aliases,
+    never in names that get re-parsed."""
+    from financial_data_stream_processing_engine_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "u.s. news today"), (2, "plain text here"), (3, "u.s. u.s. news")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, query_terms=("u.s.", "a`b"), k=3).collect()
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[3] > scores[1] > scores[2] == 0.0
+    assert "tf_u.s." in out[0].asDict()
 
 
 def test_bm25_matches_reference_formula(spark, sf_dir):

@@ -697,6 +697,38 @@ def test_community_coarsen_random_total_weight_invariant(spark):
         assert self_loops == intra, (trial,)
 
 
+def test_community_coarsen_weighted_composes_to_third_level(spark):
+    """Coarsening an ALREADY-WEIGHTED graph (the previous coarsen's
+    output) must SUM the weights, not count rows — the self-composable
+    form a third Louvain level needs; total weight stays W."""
+    from financial_data_stream_processing_engine_spark.operators.graph import (
+        community_coarsen,
+    )
+
+    # weighted coarse graph: supernodes 0,1,2 with weights incl. a
+    # self-loop; W = 4 + 3 + 5 + 2 = 14
+    coarse = spark.createDataFrame(
+        [(0, 0, 4), (0, 1, 3), (1, 2, 5), (0, 2, 2)],
+        "id_a long, id_b long, weight long",
+    )
+    labels = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 20)], "node long, community long"
+    )
+    rows = {
+        (r["community_a"], r["community_b"]): r["weight"]
+        for r in community_coarsen(coarse, labels, weight="weight").collect()
+    }
+    # 0,1 → 10 (intra: self-loop 4 + edge 3), 2 → 20; cross 10-20: 5+2
+    assert rows == {(10, 10): 7, (10, 20): 7}
+    assert sum(rows.values()) == 14
+    # weight=None keeps the legacy row-count semantics
+    unweighted = {
+        (r["community_a"], r["community_b"]): r["weight"]
+        for r in community_coarsen(coarse, labels).collect()
+    }
+    assert unweighted == {(10, 10): 2, (10, 20): 2}
+
+
 def test_louvain_refine_weighted_coarse_graph(spark):
     """Weighted mode over a coarse-style graph with self-loops: two
     heavy supernodes (big self-loop weights) must keep their

@@ -147,6 +147,19 @@ def test_multimodal_stub_plumbing(spark, sf_dir):
     assert all(r.width is None and r.mean_luma is None for r in real)
 
 
+def test_fingerprints_whitespace_variants_agree(spark):
+    """Both fingerprints run over the normalized text: two crawls
+    differing only in whitespace must agree on the exact-dup key AND
+    the near-dup shingle key."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha  beta gamma  delta ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.with_fingerprints(df).collect()}
+    assert out[1].md5_full == out[2].md5_full
+    assert out[1].min_shingle_fp == out[2].min_shingle_fp
+
+
 def test_dedup_exact_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(3, "same text"), (1, "same text"), (2, "other")],

@@ -67,12 +67,16 @@ def _df(spark, rows):
 
 
 def test_empty_and_whitespace_docs(spark):
-    rows = [(0, "a b c d"), (1, ""), (2, "   ")]
+    rows = [(0, "a b c d"), (1, ""), (2, "   "), (3, "a  b c d")]
     got = _score(spark, rows)
     assert got[1]["lm_bucket"] == "und" and got[1]["n_bigrams"] == 0
-    # "   " splits into empty-string tokens → transitions exist and are
-    # scored like any unseen token (deterministic, same in the oracle)
-    assert got[2]["n_bigrams"] > 0
+    # "   " has no real tokens: empty-string tokens are dropped BEFORE
+    # pairing (the vocabulary excludes '' too), so no transitions
+    assert got[2]["n_bigrams"] == 0 and got[2]["lm_bucket"] == "und"
+    # whitespace formatting must not change transition counts: the
+    # double-spaced doc scores identically to its single-spaced twin
+    assert got[3]["n_bigrams"] == got[0]["n_bigrams"] == 3
+    assert got[3]["mean_tp"] == got[0]["mean_tp"]
 
 
 def _nb(spark, rows, **kw):
