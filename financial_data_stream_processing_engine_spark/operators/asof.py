@@ -39,18 +39,31 @@ def asof_join(
     Backward as-of join (pandas ``merge_asof`` semantics).  Left rows
     with no prior right row keep NULLs.
 
-    Plan shape: tag both inputs, union by name, one window
-    ``partitionBy(by).orderBy(on, side)`` carrying ``last(value,
-    ignorenulls=True)`` forward, then filter back to left rows.
+    Plan shape: tag both inputs, union by name, ONE window
+    ``partitionBy(by).orderBy(on, side)`` carrying the latest right
+    ROW forward as a struct with ``last(ignorenulls=True)``, then
+    filter back to left rows and unpack.
+
+    The struct is the semantic point, not just a micro-optimization:
+    per-column ``last(ignorenulls=True)`` would SEE THROUGH a right
+    row whose value is NULL and stitch together fields from different
+    right rows (bid from t=1, ask from t=2) — merge_asof attaches the
+    latest right row AS-IS, NULL fields included.  The struct is
+    non-null exactly for right rows, so the fill picks whole rows.
     """
+    from pyspark.sql import types as T
+
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
 
+    row_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     lcols = [F.col(c) for c in left.columns]
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(row_type).alias("__r_row"),
     )
     # Right side rebuilt with left's column set for unionByName.
     r_select: list[Column] = []
@@ -60,8 +73,9 @@ def asof_join(
         else:
             r_select.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
     r_select.append(F.lit(0).alias("__side"))
-    for c in value_cols:
-        r_select.append(F.col(c).alias(f"__r_{c}"))
+    r_select.append(
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r_row")
+    )
     r_tagged = right.select(*r_select)
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -75,12 +89,12 @@ def asof_join(
         .orderBy(F.col(on).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    for c in value_cols:
-        filled = filled.withColumn(
-            f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
+    filled = unioned.withColumn(
+        "__r_row", F.last(F.col("__r_row"), ignorenulls=True).over(w)
+    )
     out = filled.filter(F.col("__side") == 1).drop("__side")
     for c in value_cols:
-        out = out.withColumnRenamed(f"__r_{c}", f"{c}{suffix}" if c in left.columns else c)
-    return out
+        out = out.withColumn(
+            f"{c}{suffix}" if c in left.columns else c, F.col("__r_row")[c]
+        )
+    return out.drop("__r_row")

@@ -45,7 +45,10 @@ def chunk_documents(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
-    toks = tokens(F.col(text_col))
+    # NULL text would make the explode sequence NULL and emit NOTHING,
+    # silently dropping the document from the chunk output — coalesce
+    # to '' so every doc keeps its documented at-least-one-chunk row
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     # number of stride steps needed so the last window reaches the end
     n_chunks = F.lit(1) + F.ceil(
@@ -372,7 +375,9 @@ def dedup_segments(
     """
     from pyspark.sql.window import Window
 
-    toks = F.split(F.col(text_col), " ")
+    # coalesce like chunk_documents: NULL text must not silently drop
+    # the document from the segment explode
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_seg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
     segs = (
         df.select(

@@ -395,7 +395,13 @@ def pairwise_correlation(
             .select(key)
         )
         daily = daily.join(F.broadcast(top), on=key)
-    daily = daily.drop("_n_ticks")
+    # a (symbol, bucket) whose prices are ALL NULL has px = NULL: it
+    # must not survive into the self-join, where n counts the pair row
+    # but the qint sums skip the NULL — every correlation involving
+    # that bucket would use inconsistent n vs sums, and phantom
+    # buckets would satisfy min_periods (rolling_beta's r_s filter is
+    # the same rule)
+    daily = daily.drop("_n_ticks").where(F.col("px").isNotNull())
     a = daily.select(
         F.col(key).alias("s1"), F.col("bucket"), qint("px").alias("qx")
     )

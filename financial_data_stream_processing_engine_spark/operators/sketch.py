@@ -155,6 +155,11 @@ def hll_build(df: DataFrame, key: Column) -> DataFrame:
         df.select(
             F.shiftright(h, 24).alias("bucket"), rho.cast("int").alias("rho")
         )
+        # a NULL key would emit a (bucket=NULL, m_j=NULL) register row
+        # that inflates nonzero_buckets but adds nothing to the
+        # harmonic sum, losing one empty-bucket term — NULL is not a
+        # value, matching count_distinct (the audit column)
+        .where(F.col("bucket").isNotNull())
         .groupBy("bucket")
         .agg(F.max("rho").alias("m_j"))
     )
@@ -353,9 +358,15 @@ def kmv_sketch(tagged: DataFrame, tag_col: str, key: Column, k: int = KMV_K) -> 
     """
     from pyspark.sql import Window
 
-    hashes = tagged.select(
-        F.col(tag_col).alias("tag"), kmv_hash(key).alias("h")
-    ).distinct()
+    # NULL keys hash to NULL, which Spark's ascending sort puts FIRST:
+    # left in, a NULL would take rank 1 and displace a real minimum
+    # hash (cnt counts it, max('h') ignores it — inconsistent
+    # estimates).  NULL is excluded, matching count_distinct.
+    hashes = (
+        tagged.select(F.col(tag_col).alias("tag"), kmv_hash(key).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy("tag").orderBy("h")
     return (
         hashes.withColumn("__rn", F.row_number().over(w))
@@ -399,8 +410,16 @@ def kmv_setops_report(
         .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
         .select("tag", _kmv_est(F.col("cnt"), F.col("hk"), k).alias("est"))
     )
-    est_a = per.filter(F.col("tag") == "a").select(F.col("est").alias("est_a"))
-    est_b = per.filter(F.col("tag") == "b").select(F.col("est").alias("est_b"))
+    # global agg, NOT filter→select: a tag absent from the input would
+    # make a filtered frame EMPTY and the crossJoin chain below would
+    # annihilate the whole report — a keys=[] aggregate always yields
+    # exactly one row, estimating 0 for the missing set
+    est_a = per.filter(F.col("tag") == "a").agg(
+        F.coalesce(F.first("est"), F.lit(0.0)).alias("est_a")
+    )
+    est_b = per.filter(F.col("tag") == "b").agg(
+        F.coalesce(F.first("est"), F.lit(0.0)).alias("est_b")
+    )
     wu = Window.orderBy("h")  # over ≤ 2k sketch rows
     ku = (
         sk.select("h")
@@ -421,7 +440,9 @@ def kmv_setops_report(
     # (replacing a distinct + a re-groupBy + a per-tag count — the
     # audit is the expensive exact path the sketch replaces; drop it
     # at real scale)
-    ex = tagged.groupBy(key.alias("__k")).agg(
+    # NULL keys excluded like the sketch path (and like
+    # count_distinct), so the audit counts the same universe
+    ex = tagged.where(key.isNotNull()).groupBy(key.alias("__k")).agg(
         F.max(F.col(tag_col) == "a").alias("__ha"),
         F.max(F.col(tag_col) == "b").alias("__hb"),
     )
@@ -443,7 +464,11 @@ def kmv_setops_report(
         "est_a",
         "est_b",
         est_union.alias("est_union"),
-        ((F.col("n_both") * est_union) / F.col("cnt_u")).alias("est_intersect"),
+        # try_divide: a fully-empty input has cnt_u = 0, and a plain
+        # ANSI division would fail the job on the degenerate case
+        F.try_divide(F.col("n_both") * est_union, F.col("cnt_u")).alias(
+            "est_intersect"
+        ),
         "true_a",
         "true_b",
         "true_union",

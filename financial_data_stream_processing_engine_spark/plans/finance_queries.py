@@ -225,7 +225,9 @@ top AS (
   SELECT symbol FROM ticks
   GROUP BY symbol ORDER BY COUNT(*) DESC, symbol LIMIT 100),
 daily_top AS (
-  SELECT d.* FROM daily d JOIN top USING (symbol)),
+  -- engine lockstep (operators/finance.py): an all-NULL-price bucket
+  -- has px = NULL and must not reach the self-join
+  SELECT d.* FROM daily d JOIN top USING (symbol) WHERE d.px IS NOT NULL),
 j AS (
   SELECT a.symbol AS s1, b.symbol AS s2, a.qx AS qx, b.qx AS qy
   FROM (SELECT symbol, bucket, {qint_sql('px')} AS qx FROM daily_top) a

@@ -31,6 +31,29 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "prices array<double>"
 
 
+def _sorted_batch(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+    """The ONE deterministic arrival-order rule for a micro-batch's
+    group rows, shared by every stateful update function: buffer the
+    entire group (the iterator yields Arrow chunks, and a per-chunk
+    sort would only be deterministic within a chunk), then stable-sort
+    by (ts, numeric id, id) — ties on ts break by id numerically when
+    id encodes a number (matching the batch operators' event_id
+    order), falling back to the string itself.  Returns None for an
+    empty group so callers can skip.  A single copy: the ordering rule
+    is parity-critical, and six hand-copied spellings had already
+    started to drift."""
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return None
+    pdf = pd.concat(chunks, ignore_index=True)
+    idnum = pd.to_numeric(pdf["id"], errors="coerce")
+    return (
+        pdf.assign(__idnum=idnum)
+        .sort_values(["ts", "__idnum", "id"], kind="mergesort")
+        .drop(columns="__idnum")
+    )
+
+
 def streaming_moving_average(
     ticks: DataFrame,
     n: int = 5,
@@ -59,20 +82,8 @@ def streaming_moving_average(
             return
         (prices,) = state.get if state.exists else ([],)
         prices = list(prices)
-        # Buffer the ENTIRE group before sorting: the iterator yields
-        # Arrow chunks, and a per-chunk sort would only be deterministic
-        # within a chunk.  Ties on ts break by id numerically when id
-        # encodes a number (matching the batch operator's event_id
-        # order), falling back to the string itself.
-        chunks = [c for c in pdfs if len(c)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            idnum = pd.to_numeric(pdf["id"], errors="coerce")
-            pdf = (
-                pdf.assign(__idnum=idnum)
-                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
-                .drop(columns="__idnum")
-            )
+        pdf = _sorted_batch(pdfs)
+        if pdf is not None:
             mas = []
             for price in pdf["price"]:
                 ma = None
@@ -147,15 +158,8 @@ def streaming_ewma(
             state.remove()
             return
         (s,) = state.get if state.exists else (None,)
-        chunks = [c for c in pdfs if len(c)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            idnum = pd.to_numeric(pdf["id"], errors="coerce")
-            pdf = (
-                pdf.assign(__idnum=idnum)
-                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
-                .drop(columns="__idnum")
-            )
+        pdf = _sorted_batch(pdfs)
+        if pdf is not None:
             out = []
             for price in pdf["price"]:
                 if price is None or pd.isna(price):
@@ -227,15 +231,8 @@ def streaming_macd(
             state.remove()
             return
         ef, es, sig = state.get if state.exists else (None, None, None)
-        chunks = [c for c in pdfs if len(c)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            idnum = pd.to_numeric(pdf["id"], errors="coerce")
-            pdf = (
-                pdf.assign(__idnum=idnum)
-                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
-                .drop(columns="__idnum")
-            )
+        pdf = _sorted_batch(pdfs)
+        if pdf is not None:
             m_out, s_out, h_out = [], [], []
             for price in pdf["price"]:
                 if price is None or pd.isna(price):
@@ -325,22 +322,23 @@ def streaming_zscore_alerts(
             return
         (prices,) = state.get if state.exists else ([],)
         prices = list(prices)
-        chunks = [c for c in pdfs if len(c)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            idnum = pd.to_numeric(pdf["id"], errors="coerce")
-            pdf = (
-                pdf.assign(__idnum=idnum)
-                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
-                .drop(columns="__idnum")
-            )
+        pdf = _sorted_batch(pdfs)
+        if pdf is not None:
             mus, sds, zs, keep = [], [], [], []
             for price in pdf["price"]:
                 flag = False
                 mu = sd = z = None
-                if price is not None and not pd.isna(price):
-                    p = float(price)
-                    if len(prices) == n:
+                p = None if price is None or pd.isna(price) else float(price)
+                if p is not None:
+                    # batch parity: the ROWS −n..−1 frame counts every
+                    # row as a slot and requires count(price) == n, so
+                    # a window containing a NULL price never scores —
+                    # the buffer mirrors that by storing NULL slots
+                    # (appended below) and scoring only all-non-null
+                    # full windows
+                    if len(prices) == n and not any(
+                        v is None for v in prices
+                    ):
                         sx = float(
                             sum(
                                 Decimal(repr(v)).quantize(quant, ROUND_HALF_UP)
@@ -361,9 +359,11 @@ def streaming_zscore_alerts(
                         sd = math.sqrt(max(var, 0.0))
                         z = (p - mu) / sd if sd != 0.0 else None
                         flag = z is not None and abs(z) >= z_threshold
-                    prices.append(p)
-                    if len(prices) > n:
-                        del prices[: len(prices) - n]
+                # EVERY row consumes a buffer slot, NULL prices
+                # included — exactly like the batch ROWS frame
+                prices.append(p)
+                if len(prices) > n:
+                    del prices[: len(prices) - n]
                 mus.append(mu)
                 sds.append(sd)
                 zs.append(z)
@@ -446,14 +446,9 @@ def streaming_sessionize_timeout(
             state.remove()
             yield frame([(start_us, end_us, n)])
             return
-        chunks = [c for c in pdfs if len(c)]
-        if not chunks:
+        pdf = _sorted_batch(pdfs)
+        if pdf is None:
             return
-        pdf = pd.concat(chunks, ignore_index=True)
-        idnum = pd.to_numeric(pdf["id"], errors="coerce")
-        pdf = pdf.assign(__idnum=idnum).sort_values(
-            ["ts", "__idnum", "id"], kind="mergesort"
-        )
         ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
         if state.exists:
             start_us, end_us, n = state.get
@@ -469,7 +464,15 @@ def streaming_sessionize_timeout(
                 closed.append((start_us, end_us, n))
                 start_us, end_us, n = t, t, 1
             else:
-                end_us, n = t, n + 1
+                # max/min, not assignment: a late-but-within-watermark
+                # event from a later BATCH can carry t < end_us —
+                # rewinding end_us would let a following event falsely
+                # split the session and could push setTimeoutTimestamp
+                # at/below the current watermark (a fatal streaming
+                # error).  The session envelope only ever widens.
+                start_us = min(start_us, t)
+                end_us = max(end_us, t)
+                n += 1
         state.update((start_us, end_us, n))
         # fire when the event-time watermark passes session end + gap
         state.setTimeoutTimestamp(end_us // 1000 + gap_s * 1000)
@@ -539,24 +542,22 @@ def streaming_pattern_distance(
             return
         (prices,) = state.get if state.exists else ([],)
         prices = list(prices)
-        chunks = [c for c in pdfs if len(c)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            idnum = pd.to_numeric(pdf["id"], errors="coerce")
-            pdf = (
-                pdf.assign(__idnum=idnum)
-                .sort_values(["ts", "__idnum", "id"], kind="mergesort")
-                .drop(columns="__idnum")
-            )
+        pdf = _sorted_batch(pdfs)
+        if pdf is not None:
             out_rows = []
             for row in pdf.itertuples(index=False):
                 price = row.price
-                if price is None or pd.isna(price):
-                    continue
-                prices.append(float(price))
+                # batch parity: the lag-chain counts every ROW as a
+                # window slot, and any window containing a NULL price
+                # yields NULL stats (dropped) — so NULL prices consume
+                # a slot here too and poison the windows they sit in
+                p = None if price is None or pd.isna(price) else float(price)
+                prices.append(p)
                 if len(prices) > length:
                     del prices[: len(prices) - length]
-                if len(prices) < length:
+                if p is None or len(prices) < length or any(
+                    v is None for v in prices
+                ):
                     continue
                 m_acc = prices[0]
                 for v in prices[1:]:

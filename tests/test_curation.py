@@ -40,6 +40,17 @@ def test_chunking_windows_and_tail(spark):
     assert (2, 1) not in out
 
 
+def test_chunking_null_text_keeps_the_document(spark):
+    """A NULL-text doc must still yield its at-least-one-chunk row —
+    explode of a NULL sequence would silently drop the doc_id."""
+    df = _docs(spark, [(1, "a b"), (2, None)])
+    out = {r.doc_id: (r.chunk_idx, r.chunk_text) for r in
+           curation.chunk_documents(df, window=4, stride=3).collect()}
+    assert out[2] == (0, "")
+    seg = curation.dedup_segments(df, window=4)
+    assert {r.doc_id for r in seg.collect()} == {1, 2}
+
+
 def test_chunking_rejects_bad_params(spark):
     df = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):

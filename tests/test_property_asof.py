@@ -67,3 +67,17 @@ def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows, strict):
 
     assert set(got_map) == set(expected)
     assert got_map == expected
+
+
+def test_asof_attaches_latest_row_as_is_with_null_fields(spark):
+    """merge_asof semantics: the LATEST right row attaches whole, NULL
+    fields included — per-column last(ignorenulls) would see through
+    the NULL and stitch bid from one row with ask from another."""
+    left = spark.createDataFrame([(1, 10, 3)], "lid long, k long, t long")
+    right = spark.createDataFrame(
+        [(10, 1, 10.0, 11.0), (10, 2, None, 12.0)],
+        "k long, t long, bid double, ask double",
+    )
+    row = asof_join(left, right, on="t", by="k", value_cols=["bid", "ask"]).collect()[0]
+    assert row.ask == 12.0
+    assert row.bid is None  # NOT 10.0 from the older row

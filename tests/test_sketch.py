@@ -139,3 +139,28 @@ def test_kmv_small_set_degrades_to_exact(spark):
     # every set fits inside the sketch → all four estimates are EXACT
     assert (r.est_a, r.est_b, r.est_union, r.est_intersect) == (40.0, 50.0, 70.0, 20.0)
     assert (r.true_a, r.true_b, r.true_union, r.true_intersect) == (40, 50, 70, 20)
+
+
+def test_kmv_report_survives_missing_tag_and_null_keys(spark):
+    """A one-sided input must report (not annihilate to zero rows),
+    and NULL keys are excluded like count_distinct — a NULL hash
+    would otherwise take rank 1 and displace a real minimum."""
+    rows = [("a", f"k{i}") for i in range(30)] + [("a", None)]
+    df = spark.createDataFrame(rows, "tag string, k string")
+    r = sketch.kmv_setops_report(df, "tag", F.col("k"), k=256).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r.est_a, r.est_b) == (30.0, 0.0)
+    assert (r.true_a, r.true_b, r.true_union, r.true_intersect) == (30, 0, 30, 0)
+
+
+def test_hll_null_keys_do_not_inflate(spark):
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)] + [(None,)], "k string"
+    )
+    clean = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    got = sketch.hll_report(df, "k").collect()[0]
+    want = sketch.hll_report(clean, "k").collect()[0]
+    assert got.nonzero_buckets == want.nonzero_buckets
+    assert got.hll_estimate == want.hll_estimate
+    assert got.true_distinct == want.true_distinct == 50
