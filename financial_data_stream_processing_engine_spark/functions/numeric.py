@@ -67,7 +67,18 @@ QSCALE = 9  # 1e-9 grid: far below any financially meaningful digit
 
 
 def qint(col: Column | str, q: int = QSCALE) -> Column:
-    """``floor(x·10^q)`` as an exact decimal(38,0) integer addend."""
+    """``floor(x·10^q)`` as an exact decimal(38,0) integer addend.
+
+    DOMAIN BOUND: |x| must stay below 2^63/10^q (~9.2e9 at q=9) —
+    Spark's ``floor(double)`` returns LONG, so a larger addend would
+    saturate at int64 before the decimal cast while the DuckDB
+    spelling (FLOOR → HUGEINT) would not, breaking the cross-engine
+    guarantee this module exists for.  The decimal(38,0) headroom is
+    for the ACCUMULATOR (sums over ~10^9 rows), not the per-row
+    addend.  Every current grid use (prices, probabilities, audio
+    samples, correlations) sits ≥6 orders below the bound; quantizing
+    a new astronomically-scaled column requires a smaller q or a
+    pre-scale, not this helper as-is."""
     c = F.col(col) if isinstance(col, str) else col
     return F.floor(c * F.lit(float(10**q))).cast("decimal(38,0)")
 

@@ -52,6 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Self-sufficient even on a caller-provided SparkSession (the
         # driver harness builds its own): without this runtime conf,
         # Spark refuses parquet TIMESTAMP(NANOS) outright.
+        #
+        # CAVEAT (session-wide, sticky): once set, ANY later parquet
+        # read in this session silently maps TIMESTAMP(NANOS) columns
+        # to bigint — which is why every engine read path routes
+        # through load_table, where nanos columns are declared in
+        # _NANOS_COLUMNS and converted back below.  A new table with a
+        # nanos column MUST be added to that map; reading it via a
+        # bare spark.read.parquet would yield epoch-nanos longs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Normalize timestamp physical types to Spark TIMESTAMP (µs, session TZ)

@@ -37,15 +37,26 @@ def clean(
     price_col: str = "price",
     volume_col: str = "volume",
 ) -> DataFrame:
-    """Drop rows with NULL or non-positive price; clamp volume >= 0.
+    """Drop rows with NULL or non-positive price AND rows with NULL
+    volume; clamp surviving volume >= 0.
 
     Reference: DataCleaner.process (financial_engine.py:283-291).
     Filter first, clamp second — the reference never clamps a row it
-    drops, and the clamp treats NULL volume as 0 (``volume or 0``).
+    drops.  NULL volume DROPS the row: the reference's
+    ``max(0, data.get('volume', 0))`` defaults only a MISSING key,
+    while an explicit ``None`` (the WebSocket adapter emits
+    ``volume=raw.get('vol')``, :235) raises TypeError and the per-row
+    isolation (``_run_pipeline``, :358-365) discards the row.  In the
+    tabular schema the column always exists, so NULL is the reference's
+    None case — never its missing-key case.
     """
-    return df.filter(F.col(price_col).isNotNull() & (F.col(price_col) > 0)).withColumn(
+    return df.filter(
+        F.col(price_col).isNotNull()
+        & (F.col(price_col) > 0)
+        & F.col(volume_col).isNotNull()
+    ).withColumn(
         volume_col,
-        F.greatest(F.lit(0).cast("long"), F.coalesce(F.col(volume_col), F.lit(0)).cast("long")),
+        F.greatest(F.lit(0).cast("long"), F.col(volume_col).cast("long")),
     )
 
 
@@ -65,9 +76,12 @@ def moving_average(
 
     1. Emits only at exactly-full windows — the first n-1 rows per key
        get NULL (reference: field absent, :308-310).
-    2. Rows with NULL key or NULL value pass through untouched and do
-       NOT consume state (:303): they neither get a moving average nor
-       occupy a slot in the n-row window of later rows.
+    2. Rows with NULL (or, for string keys, EMPTY — the reference's
+       ``if symbol and price is not None`` is a truthiness test, so
+       ``''`` does not participate either) key or NULL value pass
+       through untouched and do NOT consume state (:303): they neither
+       get a moving average nor occupy a slot in the n-row window of
+       later rows.
     3. The window is row-count over arrival order, per key — not time
        based.  Batch "arrival order" is ``order_by`` (deterministic
        total order; ``(key, *order_by)`` must be row-unique — pass the
@@ -96,7 +110,12 @@ def moving_average(
         .orderBy(*[F.col(c) for c in order_by])
     )
     val = F.col(value)
-    participates = F.col(key).isNotNull() & val.isNotNull()
+    key_ok = F.col(key).isNotNull()
+    if df.schema[key].dataType.simpleString() == "string":
+        # the reference's participation test is truthiness, not
+        # presence — '' is falsy (gotcha 2)
+        key_ok = key_ok & (F.col(key) != "")
+    participates = key_ok & val.isNotNull()
 
     if assume_participating:
         masked = F.when(participates, val)
@@ -142,9 +161,15 @@ def moving_average(
     cond = F.lit(True)
     for i, c in enumerate(idents):
         cond = cond & df[c].eqNullSafe(F.col(f"__ma_{i}"))
-    return df.join(scored, cond, "left").drop(
+    joined = df.join(scored, cond, "left").drop(
         *[f"__ma_{i}" for i in range(len(idents))]
     )
+    # re-mask after the join-back: a NON-participating row (NULL value)
+    # that happens to share (key, *order_by) with a participating row
+    # would otherwise inherit that row's score — the uniqueness guard
+    # above only sees the participating frame, so it cannot catch the
+    # mixed twin; gotcha 2 says the NULL-value row must stay NULL
+    return joined.withColumn(out_col, F.when(participates, F.col(out_col)))
 
 
 def with_alert_flag(
@@ -206,6 +231,11 @@ def ewma(
     NULL values carry the previous state and emit NULL (they do not
     decay the average).
 
+    NULL-key rows bypass the grouped fold entirely and emit NULL (the
+    moving_average gotcha-2 convention, and the streaming twin's
+    passthrough): folding them as one pseudo-key would chain an EWMA
+    across unrelated keyless rows.
+
     Scale: one shuffle on ``key``; per-group memory is O(group) for
     the sort — for very large single keys, pre-bucket by a coarse time
     range and stitch (same pattern as operators/asof.py).
@@ -236,4 +266,10 @@ def ewma(
         pdf[out_col] = pd.Series(out, index=pdf.index, dtype="float64")
         return pdf[cols + [out_col]]
 
-    return df.groupBy(key).applyInPandas(fold, schema=out_schema)
+    keyed = df.filter(F.col(key).isNotNull())
+    passthrough = df.filter(F.col(key).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return keyed.groupBy(key).applyInPandas(fold, schema=out_schema).unionByName(
+        passthrough
+    )

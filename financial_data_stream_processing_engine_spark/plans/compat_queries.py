@@ -69,17 +69,19 @@ def ma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clean_filter",
     sql="""
 SELECT event_id, user_id, ts, value,
-       GREATEST(0, COALESCE(user_id, 0)) AS volume
+       GREATEST(0, user_id) AS volume
 FROM events
-WHERE value IS NOT NULL AND value > 0
+WHERE value IS NOT NULL AND value > 0 AND user_id IS NOT NULL
 """,
 )
 def clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 DataCleaner in isolation: price filter then volume clamp.
+    """F1 DataCleaner in isolation: price filter + NULL-volume drop,
+    then volume clamp.
 
     Reference financial_engine.py:283-291 — order matters: rows that
-    fail the price filter are never clamped.  ``user_id`` stands in for
-    the volume column in the events mapping.
+    fail the price filter are never clamped, and a None volume raises
+    out of ``max(0, ...)`` into the per-row isolation (row dropped).
+    ``user_id`` stands in for the volume column in the events mapping.
     """
     ticks = _event_ticks(spark, sf_dir).withColumn("volume", F.col("user_id"))
     return clean(ticks, price_col="value", volume_col="volume")
@@ -100,7 +102,8 @@ _WS_RAW = [
     ("MSFT_mock", 207.0, 12, 2),
     ("EURUSD", -5.0, 100, 3),      # non-positive price → cleaner drop
     ("MSFT_mock", 209.0, -7, 4),   # negative volume → clamp to 0
-    ("EURUSD", 1.12, None, 5),     # NULL volume → clamp to 0
+    ("EURUSD", 1.12, None, 5),     # NULL volume → cleaner DROP (ref
+                                   # max(0, None) raises → row isolated)
     ("MSFT_mock", 211.0, 15, 6),
     (None, 1.0, 1, 7),             # NULL symbol → passthrough, no state
 ]
@@ -154,9 +157,9 @@ WITH unified(id, symbol, price, volume, ts, source) AS (VALUES
   ('csv_5', 'NVDA_mock', 550.25, 45000, TIMESTAMP '2024-06-01 09:00:05', 'CSVMock')),
 cleaned AS (
   SELECT id, symbol, CAST(price AS DOUBLE) AS price,
-         CAST(GREATEST(0, COALESCE(volume, 0)) AS BIGINT) AS volume, ts, source
+         CAST(GREATEST(0, volume) AS BIGINT) AS volume, ts, source
   FROM unified
-  WHERE price IS NOT NULL AND price > 0)
+  WHERE price IS NOT NULL AND price > 0 AND volume IS NOT NULL)
 SELECT id, symbol, price, volume, ts, source,
        CASE WHEN symbol IS NOT NULL THEN {_PIPE_MA} END AS moving_average,
        COALESCE((CASE WHEN symbol IS NOT NULL THEN {_PIPE_MA} END)

@@ -73,8 +73,10 @@ class AlphaVantageSource:
         """One poll of the next symbol; None on any malformed payload.
 
         Mirrors the reference's defensive paths (:171-184): missing
-        'Global Quote' block, empty quote, missing fields, or the
-        rate-limit 'Note' payload all yield None rather than raising.
+        'Global Quote' block, empty quote, missing PRICE or VOLUME
+        field (:182 — the symbol is deliberately never checked), or
+        the rate-limit 'Note' payload all yield None rather than
+        raising.
         """
         symbol = next(self._cycle)
         url = GLOBAL_QUOTE_URL.format(symbol=symbol, key=self.api_key)
@@ -88,11 +90,18 @@ class AlphaVantageSource:
         if not isinstance(quote, dict) or not quote:
             return None
         row = {k: quote.get(k) for k in (AV_SYMBOL, AV_PRICE, AV_VOLUME)}
-        if row[AV_SYMBOL] is None or row[AV_PRICE] is None:
+        # the reference checks PRICE and VOLUME presence (:182), never
+        # the symbol — a missing-symbol quote is emitted with
+        # symbol=None and survives the downstream pipeline untouched
+        if row[AV_PRICE] is None or row[AV_VOLUME] is None:
             return None
         import datetime as dt
 
-        row["arrival"] = dt.datetime.now(tz=dt.timezone.utc).replace(tzinfo=None)
+        # tz-AWARE: a naive datetime is interpreted in the driver's
+        # LOCAL timezone by createDataFrame (time.mktime), shifting the
+        # stored instant by the UTC offset on non-UTC machines and
+        # skewing cross-source arrival ordering
+        row["arrival"] = dt.datetime.now(tz=dt.timezone.utc)
         return row
 
     def iter_polls(self, n_polls: int) -> Iterator[dict]:

@@ -52,14 +52,16 @@ def _finish(
     # nothing — per-row exception isolation, financial_engine.py:358-365).
     # A malformed price yields NULL and clean() drops it downstream; a
     # *present but malformed* volume must drop the row here, because the
-    # cleaner maps NULL volume to 0 and could not tell the cases apart.
+    # cleaner could not tell it from a never-present volume.  The ts
+    # cast is try_cast for the same per-row-isolation reason: one
+    # malformed timestamp string must drop its row, not kill the job.
     out = df.select(
         id_col.alias("id"),
         symbol.cast("string").alias("symbol"),
         price.try_cast("double").alias("price"),
         volume.try_cast("long").alias("volume"),
         volume.isNotNull().alias("_had_volume"),
-        ts_col.cast("timestamp").alias("ts"),
+        ts_col.try_cast("timestamp").alias("ts"),
         F.lit(source).alias("source"),
     )
     return out.filter(~F.col("_had_volume") | F.col("volume").isNotNull()).drop(
@@ -77,16 +79,23 @@ def normalize_alpha_vantage(
     Reference financial_engine.py:186-194: project the quoted keys,
     cast price/volume from strings, stamp arrival time (the API only
     provides a trade *date*, so the reference uses ingestion time,
-    :191-192), tag provenance.  Rows whose quote block was missing
-    (reference returns None, :171-184) arrive here as NULL symbol/price
-    and are dropped — same net effect as the reference's early return.
+    :191-192), tag provenance.
+
+    The drop rule mirrors the reference EXACTLY (:180-190): a quote
+    missing its PRICE or VOLUME string returns None, and a price/
+    volume string that fails its float()/int() cast raises into the
+    adapter's except → None — so rows with NULL price or volume after
+    the try_casts are dropped here.  The SYMBOL is deliberately NOT
+    checked: the reference never tests '01. symbol', so a
+    missing-symbol quote flows through with symbol=None (the cleaner
+    keeps it, the MA passes it through untouched).
     """
     cols = dict.fromkeys(raw.columns)
     sym = F.col(f"`{AV_SYMBOL}`") if AV_SYMBOL in cols else F.lit(None)
     price = F.col(f"`{AV_PRICE}`") if AV_PRICE in cols else F.lit(None)
     vol = F.col(f"`{AV_VOLUME}`") if AV_VOLUME in cols else F.lit(None)
     out = _finish(raw, "AlphaVantage", sym, price, vol, id_expr, ts_expr)
-    return out.filter(F.col("symbol").isNotNull() & F.col("price").isNotNull())
+    return out.filter(F.col("price").isNotNull() & F.col("volume").isNotNull())
 
 
 def normalize_websocket(

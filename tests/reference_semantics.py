@@ -20,10 +20,15 @@ def reference_pipeline(rows, n=5, threshold=108.0):
         if price is None or price <= 0:  # DataCleaner drop (:287-289)
             continue
         r = dict(r)
-        r["volume"] = max(0, r.get("volume") or 0)  # clamp after filter (:290)
+        volume = r.get("volume", 0)  # the 0 default covers a MISSING key
+        if volume is None:
+            # max(0, None) raises TypeError; _run_pipeline's per-row
+            # isolation drops the row (:290, :358-365)
+            continue
+        r["volume"] = max(0, volume)  # clamp after filter (:290)
         ma = None
         symbol = r.get("symbol")
-        if symbol is not None:  # missing key: untouched, no state (:303)
+        if symbol:  # TRUTHINESS (:303): None and '' both skip state
             h = hist[symbol]
             h.append(price)
             if len(h) == n:  # emit only at exactly-full window (:308)

@@ -86,14 +86,27 @@ def test_clean_drops_and_clamps(spark):
         ("A", None, 10),      # NULL price → dropped
         ("A", -1.0, 10),      # non-positive price → dropped
         ("A", 0.0, 10),       # zero price → dropped
-        ("A", 101.0, None),   # NULL volume → 0
+        ("A", 101.0, None),   # NULL volume → DROPPED (ref max(0, None)
+                              # raises → per-row isolation, :290/:358)
         ("A", 102.0, 7),      # untouched
     ]
     got, exp = run_compat(spark, rows)
     assert_matches(got, exp)
-    assert [g["volume"] for g in got] == [0, 0, 7]
-    # dropped rows consume no window state: 3 survivors < n=5 → all NULL MA
+    assert [g["volume"] for g in got] == [0, 7]
+    # dropped rows consume no window state: 2 survivors < n=5 → all NULL MA
     assert all(g["moving_average"] is None for g in got)
+
+
+def test_empty_string_symbol_no_state(spark):
+    """Reference participation is TRUTHINESS (:303): '' skips window
+    state exactly like None, but the row itself survives."""
+    rows = [("A", 100.0, 1), ("", 50.0, 1), ("A", 101.0, 1), ("", 60.0, 1)]
+    got, exp = run_compat(spark, rows, n=2)
+    assert_matches(got, exp)
+    by_sym = {(g["symbol"], g["price"]): g["moving_average"] for g in got}
+    assert by_sym[("", 50.0)] is None and by_sym[("", 60.0)] is None
+    # A's second row windows over A rows only — '' never took a slot
+    assert by_sym[("A", 101.0)] == pytest.approx(100.5)
 
 
 def test_null_symbol_passthrough_no_state(spark):
