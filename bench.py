@@ -177,6 +177,13 @@ HEADLINE = [
     "text_unigram_segment",
     "multimodal_image_phash",
     "dedup_phash_hamming",
+    # round 14: the streamed pHash band index (per-batch probe+append
+    # against accumulated earlier batches), the tokenizer-CDC gate
+    # (additive (word,freq) state merge + vocabulary-sized retrain per
+    # micro-batch), and the cross-modal two-index agreement join
+    "streaming_phash_gate",
+    "streaming_unigram_cdc",
+    "crossmodal_phash_ivf_agreement",
 ]
 
 

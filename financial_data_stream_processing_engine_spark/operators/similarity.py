@@ -115,10 +115,18 @@ def bucketed_cosine_pairs(
     # masks before the exchange), so Spark cannot reuse the exchange
     # and would otherwise run the num_planes hash folds + the norm
     # over the whole corpus twice — the same duplication
-    # dedup.minhash_lsh_pairs documents and avoids via bucket-collect
-    bucketed = random_hyperplane_buckets(
-        df, vec_col=vec_col, num_planes=num_planes
-    ).withColumn("__nrm", vector_norm(F.col(vec_col))).localCheckpoint(eager=False)
+    # dedup.minhash_lsh_pairs documents and avoids via bucket-collect.
+    # persist (not localCheckpoint): this frame is CORPUS-sized, and a
+    # checkpoint's lineage cut makes its non-reliable executor blocks
+    # unrecoverable under executor loss — MEMORY_AND_DISK keeps the
+    # single-computation reuse and stays recomputable (ADVICE r13 #4)
+    from pyspark import StorageLevel
+
+    bucketed = (
+        random_hyperplane_buckets(df, vec_col=vec_col, num_planes=num_planes)
+        .withColumn("__nrm", vector_norm(F.col(vec_col)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     masks = [0] + ([1 << p for p in range(num_planes)] if multiprobe else [])
     a = bucketed.select(
         F.col(id_col).alias("id_a"),

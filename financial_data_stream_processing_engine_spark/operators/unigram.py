@@ -230,8 +230,28 @@ def unigram_train(
     rounds: int = DEFAULT_ROUNDS,
     text_col: str = "text",
 ) -> tuple[DataFrame, DataFrame]:
-    """Train the unigram LM: ``rounds`` Viterbi-EM iterations from the
-    substring-count init.  Returns ``(vocab, report)``:
+    """Train the unigram LM from a document corpus: one corpus word
+    pass (:func:`word_freqs`), then :func:`unigram_train_words` on the
+    (word, freq) relation.  See that function for the full contract."""
+    return unigram_train_words(word_freqs(df, text_col), rounds=rounds)
+
+
+def unigram_train_words(
+    words_df: DataFrame,
+    rounds: int = DEFAULT_ROUNDS,
+    spill: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the unigram LM from a ``(word, freq)`` relation —
+    ``rounds`` Viterbi-EM iterations from the substring-count init.
+
+    Split out of :func:`unigram_train` because (word, freq) is the
+    ADDITIVELY MERGEABLE training state: a streamed corpus maintains
+    it per micro-batch with one groupBy-sum (like the NB word counts
+    in ``streaming_nb_model_cdc``) and retrains the vocabulary-sized
+    EM from the merged relation — the corpus is never re-read
+    (``plans/streaming_queries.py::streaming_unigram_cdc``).
+
+    Returns ``(vocab, report)``:
 
     * ``vocab`` — the final model ``(piece, cnt, cost)`` with cost
       under the final total (the rows a tokenizer ships),
@@ -246,21 +266,36 @@ def unigram_train(
 
     Round state (vocab, best-segmentation frames) spills to parquet —
     the louvain stable-storage discipline; every per-round frame is
-    vocabulary-sized."""
+    vocabulary-sized.  ``spill=False`` keeps every round frame lazy
+    (no parquet round-trips, no extra Spark jobs) — right for a
+    SHALLOW retrain consumed by exactly one downstream action, e.g.
+    the per-micro-batch rounds=1 retrain in streaming_unigram_cdc,
+    where five per-training spill jobs would dominate the batch; deep
+    training keeps the default (lineage across many rounds must not
+    re-execute)."""
     from financial_data_stream_processing_engine_spark.io_utils import scratch_dir
     from financial_data_stream_processing_engine_spark.operators.graph import (
         _iterative_gc_hint,
     )
 
-    spark = df.sparkSession
-    root = scratch_dir("unigram_spill_")
+    spark = words_df.sparkSession
+    spill_rounds = spill
+    if spill_rounds:
+        root = scratch_dir("unigram_spill_")
 
-    def spill(d: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(root, name)
-        d.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        def spill(d: DataFrame, name: str) -> DataFrame:  # noqa: F811
+            path = os.path.join(root, name)
+            d.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
 
-    words = spill(word_freqs(df, text_col), "words")
+    else:
+        # lazy rounds: no per-frame jobs; the ONE materialization is
+        # the final vocabulary below (without it, the vocab lineage
+        # would re-execute inside every broadcast that consumes it)
+        def spill(d: DataFrame, name: str) -> DataFrame:
+            return d
+
+    words = spill(words_df, "words")
     chars = spill(_char_inventory(words), "chars")
     vocab = spill(init_vocab(words), "v0")
     vocabs: list[DataFrame] = [vocab]
@@ -302,6 +337,8 @@ def unigram_train(
             )
         )
         report = row if report is None else report.unionByName(row)
+    if not spill_rounds:
+        vocab = vocab.localCheckpoint(eager=True)
     tot_k = vocab.agg(F.sum("cnt").cast("long").alias("t"))
     final_vocab = _piece_costs(vocab, tot_k).select(
         "piece", "cnt", F.col("qcost").alias("cost")

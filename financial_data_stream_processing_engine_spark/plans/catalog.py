@@ -34,6 +34,7 @@ instead.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,152 +61,30 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
-#: Catalog presentation order. The driver's correctness gate walks
-#: ``queries()`` in registration order with a bounded budget (50), so
-#: the window rotates each round to keep every entry's newest green
-#: CORRECTNESS row fresh. Rotation policy (every round): (1) entries
-#: new this round; (2) entries whose behavior-relevant code changed
-#: after their newest driver row — a changed entry must re-enter the
-#: window before its old row counts; (3) the entries whose rows are
-#: oldest. Entries not named here keep registration order at the
-#: tail, so new operators are never silently dropped.
-_PRIORITY: list[str] = [
-    # --- round-13 window (first 50 = the driver's check budget) ---
-    # Rotation: (1) the 5 entries new this round (the cap — VERDICT
-    # r12 next-step #4: the unigram-LM tokenizer family and the DCT
-    # pHash image near-dup family, each with its value-content
-    # certificate surface); (2) the 5 entries whose behavior-relevant
-    # code changed after their r12 rows — pipeline_neardup_communities
-    # gained the pair-free short-circuit (ADVICE r12) and the whole
-    # louvain chain now runs the small-move driver-side admission fast
-    # path (operators/graph.py::_admit_moves_local; node-for-node
-    # pinned, but the compute path changed, so rotation rule 2
-    # applies); (3) ALL 36 remaining r8-era rows (VERDICT r12
-    # next-step #1 — after these, no driver row predates r9;
-    # multimodal_audio_features was RETIRED this round per next-step
-    # #7, shrinking the r8 debt from 37); (4) the 4 alphabetically-
-    # first r9-era rows with the remaining slots.  NOT re-entered:
-    # the text_quality_* OLS entries — the OLS_QSCALE literal
-    # derivation (ADVICE r12) produces byte-identical SQL (asserted at
-    # import), a pure value-neutral refactor like r12's System.gc()
-    # gating precedent.
-    "multimodal_image_phash",
-    "dedup_phash_hamming",
-    "text_unigram_train",
-    "text_unigram_train_fit",
-    "text_unigram_segment",
-    # changed after their newest (r12) driver rows — rotation rule 2
-    "pipeline_neardup_communities",
-    "graph_louvain_refine",
-    "graph_louvain_level2",
-    "graph_louvain_level2_modularity",
-    "graph_community_coarsen",
-    # the 36 remaining r8-era rows — the freshness-debt drain
-    "graph_triangle_count_similarity",
-    "histogram_value_buckets",
-    "join_full_outer_nation_activity",
-    "join_interval_bursts",
-    "join_proximity_binned",
-    "ma_alerts",
-    "mixture_sample_sources",
-    "multimodal_audio_spectrum",
-    "multimodal_gif_roundtrip",
-    "multimodal_video_frames_roundtrip",
-    "multimodal_wav_roundtrip",
-    "multimodal_wav_ulaw_roundtrip",
-    "pii_redact_documents",
-    "streaming_funnel_conversion",
-    "streaming_lm_quality_gate",
-    "streaming_tumbling_stats",
-    "text_bpe_train",
-    "text_bpe_train_tokenize",
-    "text_lm_quality_score",
-    "text_nb_lang_classifier",
-    "text_stats",
-    "text_token_counts",
-    "tpch_q10_like_returned_items",
-    "tpch_q13_like_order_distribution",
-    "tpch_q14_like_promo_effect",
-    "tpch_q15_like_top_supplier",
-    "tpch_q17_like_small_quantity",
-    "tpch_q18_like_large_orders",
-    "tpch_q19_like_disjunctive",
-    "tpch_q22_like_dormant_rich",
-    "tpch_q4_like_priority_check",
-    "tpch_q6_like_forecast_revenue",
-    "tpch_q7_like_nation_volume",
-    "tpch_q8_like_market_share",
-    "tpch_q9_like_product_profit",
-    "window_ewma_per_user",
-    # rotation rule 2, late-r13 session: the compat-semantics fix
-    # (NULL-volume rows now DROP in the cleaner, exactly the
-    # reference's max(0, None) TypeError path) changed this entry's
-    # VALUES (its planted NULL-volume row: 16 → 15 output rows), so
-    # its r9 driver row is stale evidence and it takes a window slot
-    # from the r9 drain below.  The other entries the fix touched are
-    # either already in this window (ma_alerts, window_ewma_per_user,
-    # pii_redact_documents, text_lm_quality_score,
-    # streaming_lm_quality_gate) or value-identical on the fixture
-    # (clean_filter, join_asof_*, salted_*: verified, no NULL keys /
-    # volumes / whitespace variants in the sf0.01 tables).
-    "pipeline_multisource",
-    # the 3 alphabetically-first r9-era rows (the other 46 are queued
-    # below for round 14)
-    "agg_distinct_stats",
-    "agg_filter_clause",
-    "dedup_cluster_canonical",
-    # --- driver check window boundary (first 50 above) ---
-    # queued FIRST for round 14: the 46 remaining r9-era rows — with
-    # ~237 registered entries and the 50-row budget the horizon stays
-    # ≤ 5 rounds only if these all drain next round (46 + ≤4 new = 50)
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "fin_macd",
-    "fin_ohlc_daily",
-    "fin_pairwise_correlation",
-    "fin_resample_ffill",
-    "fin_volatility",
-    "fin_vwap_daily",
-    "funnel_conversion_windowed",
-    "graph_ktruss_similarity",
-    "join_asof_last_purchase",
-    "join_range_price_bands",
-    "join_salted_skew",
-    "join_semi_active_customers",
-    "join_star_revenue_by_region",
-    "json_to_map_explode",
-    "merge_upsert_orders",
-    "multimodal_audio_stft",
-    "multimodal_png_resize",
-    "pack_sequences",
-    "pipeline_pretraining_corpus",
-    "profile_events_table",
-    "quality_expectations_orders",
-    "quota_per_lang",
-    "recursive_cte_month_spine",
-    "sessionization_gaps",
-    "similarity_ivf_topk",
-    "similarity_multiquery_ivf_topk",
-    "sort_null_ordering_topn",
-    "split_train_holdout",
-    "streaming_ewma",
-    "streaming_fin_ohlc",
-    "streaming_nb_gate",
-    "text_repetition_stats",
-    "tfidf_top_terms",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_like_shipping_priority",
-    "tpch_q5_like_regional_volume",
-    "window_distribution_funcs",
-    "window_lag_lead_events",
-    "window_range_frame",
-    "window_rank_orders",
-    "window_running_totals",
-    "window_topk_per_group",
-    "winsorize_events_value",
-    # then everything else (r10+-era rows) in registration order — the
-    # load_all() tail rule keeps them enumerable without naming each
-]
+#: Catalog presentation order — the driver's 50-row check-window
+#: rotation.  The list itself is DATA, kept in ``check_window.txt``
+#: next to this file (one entry name per line, ``#`` comments) and
+#: loaded here at import, deliberately OUTSIDE the freshness hash:
+#: ``tools/freshness.py`` hashes the transitive *import* closure of
+#: each entry's plan module, and this module is in every closure —
+#: when the rotation list lived inline (rounds ≤13), every
+#: per-round window rotation invalidated all ~237 ledger rows at
+#: once even though presentation order has zero effect on any
+#: entry's VALUES.  Only code that can change a result belongs in
+#: the hash; the rotation policy is documented in the data file.
+_WINDOW_FILE = Path(__file__).with_name("check_window.txt")
+
+
+def _load_priority() -> list[str]:
+    names: list[str] = []
+    for line in _WINDOW_FILE.read_text(encoding="utf-8").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if line:
+            names.append(line)
+    return names
+
+
+_PRIORITY: list[str] = _load_priority()
 
 
 def load_all() -> None:

@@ -106,6 +106,10 @@ _WS_RAW = [
                                    # max(0, None) raises → row isolated)
     ("MSFT_mock", 211.0, 15, 6),
     (None, 1.0, 1, 7),             # NULL symbol → passthrough, no state
+    ("", 1.5, 2, 8),               # EMPTY symbol → truthiness passthrough
+                                   # (ref `if not symbol`, :303) — planted
+                                   # so the oracle's symbol <> '' gate is
+                                   # exercised, not latent (ADVICE r13 #2)
 ]
 _AV_RAW = [
     # ("01. symbol", "05. price", "06. volume", second-offset)
@@ -135,6 +139,11 @@ _PIPE_MA = (
 # emit) and applies the cleaner + MA + alert in SQL.  Rows the adapters
 # themselves drop (malformed volume; missing symbol+price quotes) are
 # simply absent, exactly as in Spark.
+# The MA gate is the reference's TRUTHINESS rule (financial_engine.
+# py:303 — `if not symbol`): NULL **and empty-string** symbols pass
+# through with no moving average and contribute no window state
+# (each '' row would only ever share the '' partition with other ''
+# rows, and the gate NULLs their output regardless) — ADVICE r13 #2.
 _PIPE_ORACLE = f"""
 WITH unified(id, symbol, price, volume, ts, source) AS (VALUES
   ('ws_0', 'MSFT_mock', 205.0, 10, TIMESTAMP '2024-06-01 09:00:00', 'WebSocketMock'),
@@ -145,6 +154,7 @@ WITH unified(id, symbol, price, volume, ts, source) AS (VALUES
   ('ws_5', 'EURUSD', 1.12, NULL, TIMESTAMP '2024-06-01 09:00:05', 'WebSocketMock'),
   ('ws_6', 'MSFT_mock', 211.0, 15, TIMESTAMP '2024-06-01 09:00:06', 'WebSocketMock'),
   ('ws_7', NULL, 1.0, 1, TIMESTAMP '2024-06-01 09:00:07', 'WebSocketMock'),
+  ('ws_8', '', 1.5, 2, TIMESTAMP '2024-06-01 09:00:08', 'WebSocketMock'),
   ('av_0', 'IBM', 142.50, 1234, TIMESTAMP '2024-06-01 09:00:00', 'AlphaVantage'),
   ('av_1', 'IBM', 143.00, 1300, TIMESTAMP '2024-06-01 09:00:08', 'AlphaVantage'),
   ('av_2', 'IBM', NULL, 1300, TIMESTAMP '2024-06-01 09:00:16', 'AlphaVantage'),
@@ -161,8 +171,9 @@ cleaned AS (
   FROM unified
   WHERE price IS NOT NULL AND price > 0 AND volume IS NOT NULL)
 SELECT id, symbol, price, volume, ts, source,
-       CASE WHEN symbol IS NOT NULL THEN {_PIPE_MA} END AS moving_average,
-       COALESCE((CASE WHEN symbol IS NOT NULL THEN {_PIPE_MA} END)
+       CASE WHEN symbol IS NOT NULL AND symbol <> '' THEN {_PIPE_MA} END
+         AS moving_average,
+       COALESCE((CASE WHEN symbol IS NOT NULL AND symbol <> '' THEN {_PIPE_MA} END)
                 > {_PIPE_THRESHOLD}, FALSE) AS alert
 FROM cleaned
 WINDOW w AS (PARTITION BY symbol ORDER BY ts, id)

@@ -6252,7 +6252,12 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _unigram_sql_parts(k: int) -> str:
+def _unigram_sql_parts(
+    k: int,
+    p: str = "u",
+    src: str = "documents",
+    comp_grid_from: tuple[str, str] | None = None,
+) -> str:
     """The comma-joined CTE chain of the unrolled DuckDB unigram
     trainer: the one corpus word pass, the composition/grid VALUES
     tables rendered from operators/unigram.py's one source of truth,
@@ -6263,7 +6268,17 @@ def _unigram_sql_parts(k: int) -> str:
     round-k scoring/argmin block (``ucst{k}``/``us{k}``/``ub{k}``) the
     segmentation oracle consumes.  MATERIALIZED throughout: the round
     CTEs fan out and default inlining would replan an exponentially
-    growing tree (the bpe_train_sql_parts precedent)."""
+    growing tree (the bpe_train_sql_parts precedent).
+
+    Parameterized for the CDC oracle (streaming_unigram_cdc needs one
+    chain per rolling corpus prefix): ``p`` prefixes every CTE name,
+    ``src`` is the corpus relation the word pass scans, and
+    ``comp_grid_from=(grid, comp)`` references an already-emitted
+    composition/grid pair instead of re-emitting the ~1k-row VALUES
+    literals per chain.  The defaults reproduce the single-chain text
+    BYTE-IDENTICALLY (asserted at import, _UNIGRAM_SQL_BYTE_GUARD) so
+    the pre-existing text_unigram_* oracles are value-neutral under
+    this refactor."""
     from financial_data_stream_processing_engine_spark.operators.unigram import (
         MAX_WORD_LEN,
         MIN_COUNT,
@@ -6272,75 +6287,108 @@ def _unigram_sql_parts(k: int) -> str:
         grid_rows,
     )
 
+    if comp_grid_from is None:
+        grid, comp = f"{p}grid", f"{p}comp"
+    else:
+        grid, comp = comp_grid_from
     comp_vals = ", ".join(
         f"({w},{c},{n},{pi},{ps},{pl})"
         for (w, c, n, pi, ps, pl) in comp_parts_rows()
     )
-    grid_vals = ", ".join(f"({w},{s},{p})" for (w, s, p) in grid_rows())
-    parts = [
-        f"""uw AS MATERIALIZED (
-  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM (SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS w
-        FROM documents)
-  WHERE LENGTH(w) <= {MAX_WORD_LEN}
-  GROUP BY w),
-ugrid AS (SELECT * FROM (VALUES {grid_vals}) g(wlen, gstart, plen)),
-ucomp AS MATERIALIZED (
+    grid_vals = ", ".join(f"({w},{s},{p_})" for (w, s, p_) in grid_rows())
+    tables = (
+        ""
+        if comp_grid_from is not None
+        else f"""{grid} AS (SELECT * FROM (VALUES {grid_vals}) g(wlen, gstart, plen)),
+{comp} AS MATERIALIZED (
   SELECT * FROM (VALUES {comp_vals})
          c(wlen, comp_id, n_parts, pidx, pstart, plen)),
-uchars AS MATERIALIZED (
+"""
+    )
+    parts = [
+        f"""{p}w AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS w
+        FROM {src})
+  WHERE LENGTH(w) <= {MAX_WORD_LEN}
+  GROUP BY w),
+{tables}{p}chars AS MATERIALIZED (
   SELECT DISTINCT SUBSTR(word, i, 1) AS piece
-  FROM uw, UNNEST(GENERATE_SERIES(1, {MAX_WORD_LEN})) AS t(i)
+  FROM {p}w, UNNEST(GENERATE_SERIES(1, {MAX_WORD_LEN})) AS t(i)
   WHERE i <= LENGTH(word)),
-uv0 AS MATERIALIZED (
+{p}v0 AS MATERIALIZED (
   SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
-  FROM (SELECT SUBSTR(uw.word, g.gstart + 1, g.plen) AS piece, uw.freq
-        FROM uw JOIN ugrid g ON g.wlen = LENGTH(uw.word))
+  FROM (SELECT SUBSTR({p}w.word, g.gstart + 1, g.plen) AS piece, {p}w.freq
+        FROM {p}w JOIN {grid} g ON g.wlen = LENGTH({p}w.word))
   GROUP BY piece
   HAVING LENGTH(piece) = 1 OR SUM(freq) >= {MIN_COUNT})"""
     ]
     qcost = QCOST_SQL_T.format(t="t", c="cnt")
     for r in range(k + 1):
         parts.append(
-            f"""ut{r} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM uv{r}),
-ucst{r} AS MATERIALIZED (
-  SELECT piece, cnt, {qcost} AS qcost FROM uv{r}, ut{r}),
-us{r} AS MATERIALIZED (
+            f"""{p}t{r} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM {p}v{r}),
+{p}cst{r} AS MATERIALIZED (
+  SELECT piece, cnt, {qcost} AS qcost FROM {p}v{r}, {p}t{r}),
+{p}s{r} AS MATERIALIZED (
   SELECT w.word, w.freq, c.comp_id, c.n_parts,
          CAST(SUM(p.qcost) AS BIGINT) AS cost
-  FROM uw w
-  JOIN ucomp c ON c.wlen = LENGTH(w.word)
-  JOIN ucst{r} p ON p.piece = SUBSTR(w.word, c.pstart + 1, c.plen)
+  FROM {p}w w
+  JOIN {comp} c ON c.wlen = LENGTH(w.word)
+  JOIN {p}cst{r} p ON p.piece = SUBSTR(w.word, c.pstart + 1, c.plen)
   GROUP BY w.word, w.freq, c.comp_id, c.n_parts
   HAVING COUNT(*) = c.n_parts),
-ub{r} AS MATERIALIZED (
+{p}b{r} AS MATERIALIZED (
   SELECT word, freq, comp_id, n_parts, cost FROM (
     SELECT word, freq, comp_id, n_parts, cost,
            ROW_NUMBER() OVER (PARTITION BY word
                               ORDER BY cost, n_parts, comp_id) AS rn
-    FROM us{r}) x
+    FROM {p}s{r}) x
   WHERE rn = 1)"""
         )
         if r == k:
             break
         parts.append(
-            f"""uu{r} AS MATERIALIZED (
+            f"""{p}u{r} AS MATERIALIZED (
   SELECT SUBSTR(b.word, c.pstart + 1, c.plen) AS piece,
          CAST(SUM(b.freq) AS BIGINT) AS cnt
-  FROM ub{r} b
-  JOIN ucomp c ON c.wlen = LENGTH(b.word) AND c.comp_id = b.comp_id
+  FROM {p}b{r} b
+  JOIN {comp} c ON c.wlen = LENGTH(b.word) AND c.comp_id = b.comp_id
   GROUP BY 1),
-uv{r + 1} AS MATERIALIZED (
-  SELECT piece, cnt FROM uu{r}
+{p}v{r + 1} AS MATERIALIZED (
+  SELECT piece, cnt FROM {p}u{r}
   UNION ALL
   SELECT ch.piece, CAST(1 AS BIGINT) AS cnt
-  FROM uchars ch
-  WHERE NOT EXISTS (SELECT 1 FROM uu{r} u WHERE u.piece = ch.piece))"""
+  FROM {p}chars ch
+  WHERE NOT EXISTS (SELECT 1 FROM {p}u{r} u WHERE u.piece = ch.piece))"""
         )
     return ",\n".join(parts)
 
 
 _UNIGRAM_ROUNDS = 3
+
+
+def _unigram_sql_byte_guard() -> None:
+    """The r14 parametrization of ``_unigram_sql_parts`` (prefix /
+    corpus-source / shared-tables knobs for the CDC oracle) must
+    reproduce the r13 single-chain text BYTE-FOR-BYTE at the default
+    arguments — the value-neutrality precondition for NOT re-entering
+    the driver-green text_unigram_* entries in the r14 check window
+    (the OLS_QSCALE precedent).  Pinned by sha256 of the three oracle
+    texts exactly as committed at r13 (1692ed1-era)."""
+    import hashlib
+
+    expected = {
+        "d8066c6185c78de0": _unigram_train_sql,
+        "4b445f626a7a7df9": _unigram_fit_sql,
+        "51caa6844b53134d": _unigram_segment_sql,
+    }
+    for h, fn in expected.items():
+        got = hashlib.sha256(fn().encode("utf-8")).hexdigest()[:16]
+        assert got == h, (
+            f"{fn.__name__} oracle text drifted from its r13 bytes "
+            f"({got} != {h}) — a value-affecting change; re-enter the "
+            f"text_unigram_* entries in the check window or fix the drift"
+        )
 
 
 def _unigram_train_sql() -> str:
@@ -6449,3 +6497,100 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     vocab, _report = unigram.unigram_train(docs, rounds=_UNIGRAM_ROUNDS)
     return unigram.unigram_segment(docs, vocab)
+
+
+_unigram_sql_byte_guard()
+
+
+# ---------------------------------------------------------------------------
+# cross-modal index agreement — the pHash band index × the embedding
+# IVF cell index over the same curation records (VERDICT r13 #4c)
+# ---------------------------------------------------------------------------
+
+#: the label-mean centroid training + argmax-(cos, id) cell assignment
+#: of _IVF_SQL, as a reusable CTE tail ``xcell(vec_id, cell)`` — the
+#: exact pipeline of operators/similarity.{train_centroids,
+#: assign_cells}, reconstructed engine-independently.
+_XMODAL_CELL_SQL = f"""
+xdim AS (
+  SELECT label, UNNEST(embedding) AS v,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings),
+xcm AS (
+  SELECT label AS centroid_id, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
+  FROM xdim GROUP BY label, pos),
+xcent AS (
+  SELECT centroid_id, LIST(CAST(m AS REAL) ORDER BY pos) AS centroid
+  FROM xcm GROUP BY centroid_id),
+xassign AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_COS.format(a='e.embedding', b='c.centroid')} AS sim
+  FROM embeddings e CROSS JOIN xcent c),
+xcell AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rk
+    FROM xassign) WHERE rk = 1)"""
+
+
+@register(
+    "crossmodal_phash_ivf_agreement",
+    sql=f"""
+WITH {_phash_sql_ctes()},
+{_XMODAL_CELL_SQL}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming,
+       CAST(ca.cell AS INTEGER) AS cell_a,
+       CAST(cb.cell AS INTEGER) AS cell_b,
+       (ca.cell = cb.cell) AS same_cell
+FROM phash_tbl a
+JOIN phash_tbl b ON a.media_id < b.media_id
+JOIN xcell ca ON ca.vec_id = a.media_id
+JOIN xcell cb ON cb.vec_id = b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""",
+)
+def crossmodal_phash_ivf_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal index agreement report — a real curation query over
+    TWO existing indexes on the same records (doc_id = vec_id joins a
+    record's image to its embedding): for every image near-dup pair
+    the banded pHash index retrieves (operators/phash.py::
+    phash_hamming_pairs, Hamming ≤ 3, pigeonhole-complete recall),
+    look up each side's embedding IVF cell (operators/similarity.py::
+    {train_centroids, assign_cells} — the exact index
+    similarity_ivf_topk searches) and report whether the two
+    modalities AGREE that the records are near-duplicates:
+    (id_a, id_b, hamming, cell_a, cell_b, same_cell).
+
+    same_cell=false rows are the curation signal: pixel-level
+    near-dups whose embeddings disagree (the fixture's planted
+    perturbation pairs link doc 5j+4 to doc 5j, whose embeddings
+    carry unrelated labels — visual duplication does not imply
+    semantic duplication, exactly what a dedup-policy audit needs).
+
+    Scale shape: pHash pairs come from the band-bucket join (never
+    all-pairs — the quadratic form exists only in the oracle); the
+    cell lookup is a keyed join of the (sparse) pair relation against
+    the corpus-sized cell assignment, shuffled on the id key twice
+    (once per side).  Everything in the decision path is exact
+    (integer hashes, decimal-exact centroid means), so the driver
+    value-hashes the actual cross-index report."""
+    from financial_data_stream_processing_engine_spark.operators import phash
+
+    pairs = phash.phash_hamming_pairs(phash.phash64(_phash_media(spark, sf_dir)))
+    embs = _embs(spark, sf_dir)
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    cells = similarity.assign_cells(embs, centroids, vec_col="embedding").select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+    ca = cells.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("cell_a"))
+    cb = cells.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("cell_b"))
+    return (
+        pairs.join(ca, ["id_a"])
+        .join(cb, ["id_b"])
+        .select(
+            "id_a", "id_b", "hamming", "cell_a", "cell_b",
+            (F.col("cell_a") == F.col("cell_b")).alias("same_cell"),
+        )
+    )

@@ -1543,3 +1543,370 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(f"{out_dir}/data")
+
+
+# ---------------------------------------------------------------------------
+# streaming pHash near-dup gate — the banded image index maintained per
+# micro-batch (VERDICT r13 next-step #4a: operators/phash.py composed
+# with the r12 streaming-gate pattern)
+# ---------------------------------------------------------------------------
+
+
+def _phash_gate_sql() -> str:
+    """Batch oracle for the streamed pHash gate: the full phash_tbl
+    reconstruction (llm_queries._phash_sql_ctes — md5 pixels, integer
+    DCT, exact median, bit pack), then for every image the count/min
+    of its Hamming-≤3 matches among images of STRICTLY EARLIER slices
+    (slice = media_id % 3 = arrival batch).  The quadratic all-pairs
+    probe exists only here; Spark's index is the banded band-bucket
+    join per batch."""
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _phash_sql_ctes,
+    )
+
+    return f"""
+WITH {_phash_sql_ctes()},
+gate AS (
+  SELECT b.media_id,
+         COUNT(a.media_id) AS n_prior_dups,
+         MIN(CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER))
+           AS min_prior_hamming
+  FROM phash_tbl b
+  LEFT JOIN phash_tbl a
+    ON a.media_id % 3 < b.media_id % 3
+   AND bit_count(xor(a.phash, b.phash)) <= 3
+  GROUP BY b.media_id)
+SELECT p.media_id,
+       CAST(p.media_id % 3 AS INTEGER) AS slice,
+       p.phash,
+       CAST(g.n_prior_dups AS BIGINT) AS n_prior_dups,
+       g.min_prior_hamming,
+       (g.n_prior_dups > 0) AS is_near_dup
+FROM phash_tbl p JOIN gate g ON g.media_id = p.media_id
+"""
+
+
+@register("streaming_phash_gate", sql=_phash_gate_sql())
+def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection as a CONTINUOUS GATE — the banded
+    pHash index maintained per micro-batch: images arrive in 3
+    doc_id-sliced batches (maxFilesPerTrigger=1, mtime-staggered, the
+    nb_model_cdc arrival-order discipline — an out-of-order batch
+    raises rather than probing a wrong index version), each batch is
+    decoded and hashed ONCE (operators/phash.py::phash64, the real
+    stdlib PNG decode), probed against the ACCUMULATED band index of
+    all earlier batches (::phash_probe_index — candidates only from
+    the (band, val) bucket join, pigeonhole-complete at radius 3),
+    and then its own band rows are APPENDED to the index: index
+    maintenance is O(|batch| × 4 band rows), never a rebuild.
+
+    Output per image: (media_id, slice, phash, n_prior_dups,
+    min_prior_hamming, is_near_dup) — the planted perturbation family
+    (doc 5j+4 ← doc 5j, slices always differing by 1 mod 3) supplies
+    real cross-batch matches in both directions.  At 100 TB the index
+    is a bucket-partitioned table and each micro-batch costs one keyed
+    shuffle of the batch against its colliding buckets — the exact
+    batch-vs-index shape of similarity_index_maintain, applied to the
+    image modality.  Oracle: the quadratic earlier-slice probe over
+    the full phash_tbl reconstruction (only the oracle is all-pairs).
+    """
+    import os
+
+    from financial_data_stream_processing_engine_spark.operators import (
+        multimodal,
+        phash as phash_ops,
+    )
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _md5_phash_png_generator,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pngs = docs.mapInPandas(
+        _md5_phash_png_generator(), schema="doc_id long, payload binary"
+    )
+
+    feed_dir = scratch_dir(prefix="phash_gate_feed_")
+    t0 = 1_000_000_000.0
+    stamped: set[str] = set()
+    for i in range(3):
+        pngs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+        for f in os.listdir(feed_dir):
+            p = os.path.join(feed_dir, f)
+            if f.endswith(".parquet") and p not in stamped:
+                os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                stamped.add(p)
+
+    index_dir = scratch_dir(prefix="phash_gate_index_")
+    out_dir = scratch_dir(prefix="phash_gate_out_")
+    expected = [0]
+
+    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        slices = [
+            r[0]
+            for r in batch_df.select((F.col("doc_id") % 3).alias("s"))
+            .distinct()
+            .collect()
+        ]
+        if not slices:
+            return
+        if len(slices) != 1 or slices[0] != expected[0]:
+            raise RuntimeError(
+                f"expected slice {expected[0]} alone, got {sorted(slices)}"
+            )
+        sl = expected[0]
+        media = multimodal.as_media(
+            batch_df, id_col="doc_id", payload=F.col("payload"),
+            kind="image", mime="image/png",
+        )
+        # decode + hash ONCE per batch; the tiny batch-sized frame
+        # feeds the probe, the output row, and the index append
+        ph = phash_ops.phash64(media).localCheckpoint()
+        bands = phash_ops.phash_bands(ph)
+        base = ph.select(
+            "media_id",
+            F.lit(sl).cast("int").alias("slice"),
+            "phash",
+        )
+        if sl == 0:
+            out = base.select(
+                "media_id", "slice", "phash",
+                F.lit(0).cast("long").alias("n_prior_dups"),
+                F.lit(None).cast("int").alias("min_prior_hamming"),
+                F.lit(False).alias("is_near_dup"),
+            )
+        else:
+            index = spark.read.parquet(f"{index_dir}/data")
+            hits = (
+                phash_ops.phash_probe_index(bands, index)
+                .groupBy("id_b")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_prior_dups"),
+                    F.min("hamming").cast("int").alias("min_prior_hamming"),
+                )
+                .withColumnRenamed("id_b", "media_id")
+            )
+            out = (
+                base.join(hits, ["media_id"], "left")
+                .select(
+                    "media_id", "slice", "phash",
+                    F.coalesce(F.col("n_prior_dups"), F.lit(0))
+                    .cast("long")
+                    .alias("n_prior_dups"),
+                    "min_prior_hamming",
+                )
+                .withColumn("is_near_dup", F.col("n_prior_dups") > 0)
+            )
+        out.write.mode("append").parquet(f"{out_dir}/data")
+        # append AFTER probing: the index holds strictly-earlier batches
+        bands.write.mode("append").parquet(f"{index_dir}/data")
+        expected[0] += 1
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = feed.writeStream.foreachBatch(gate_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{out_dir}/data")
+
+
+# ---------------------------------------------------------------------------
+# streaming unigram-tokenizer CDC — the (word, freq) training state is
+# additively mergeable, so the tokenizer retrains per micro-batch from
+# a model-sized merge, never a corpus re-read (VERDICT r13 #4b: the
+# streaming_nb_model_cdc pattern applied to the unigram LM)
+# ---------------------------------------------------------------------------
+
+#: EM rounds for the CDC retrain — 1 (init vocabulary + one Viterbi
+#: round): the entry certifies STATE MAINTENANCE (merge ≡ retrain at
+#: every version), not EM depth, which text_unigram_train_fit already
+#: certifies at 3 rounds.
+_CDC_UNIGRAM_ROUNDS = 1
+
+
+def _unigram_cdc_sql() -> str:
+    """Oracle for the tokenizer-CDC gate: THREE full from-scratch
+    training chains (the final full-corpus chain plus one per rolling
+    prefix doc_id%3 <= s for s in {0,1}; slice 2's rolling prefix IS
+    the full corpus, so its rolling scores read the final chain), each
+    the llm_queries._unigram_sql_parts text verbatim with a distinct
+    CTE prefix and the composition/grid VALUES emitted once and
+    shared.  Spark maintains the (word, freq) state ADDITIVELY per
+    batch; the oracle never merges — it retrains from scratch at every
+    version, so the value gate certifies the merge's equivalence (the
+    nb_model_cdc argument, applied to the tokenizer)."""
+    from financial_data_stream_processing_engine_spark.operators.unigram import (
+        MAX_WORD_LEN,
+    )
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _unigram_sql_parts,
+    )
+
+    k = _CDC_UNIGRAM_ROUNDS
+    chains = [_unigram_sql_parts(k)]
+    for s in range(2):
+        chains.append(
+            _unigram_sql_parts(
+                k,
+                p=f"c{s}",
+                src=f"(SELECT text FROM documents WHERE doc_id % 3 <= {s})",
+                comp_grid_from=("ugrid", "ucomp"),
+            )
+        )
+    roll_of = {0: f"c0b{k}", 1: f"c1b{k}", 2: f"ub{k}"}
+    per_slice = "\nUNION ALL\n".join(
+        f"""SELECT d.doc_id, CAST({s} AS INTEGER) AS model_slice,
+       CAST(SUM(d.n) AS BIGINT) AS n_words,
+       CAST(SUM(d.n * br.n_parts) AS BIGINT) AS n_pieces_roll,
+       CAST(SUM(d.n * br.cost) AS BIGINT) AS total_cost_roll,
+       CAST(SUM(d.n * bf.n_parts) AS BIGINT) AS n_pieces_final,
+       CAST(SUM(d.n * bf.cost) AS BIGINT) AS total_cost_final
+FROM cdw d
+JOIN {roll_of[s]} br ON br.word = d.word
+JOIN ub{k} bf ON bf.word = d.word
+WHERE d.slice = {s}
+GROUP BY d.doc_id"""
+        for s in range(3)
+    )
+    joined_chains = ",\n".join(chains)
+    return f"""
+WITH {joined_chains},
+cdw AS MATERIALIZED (
+  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS slice,
+         w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS w
+        FROM documents)
+  WHERE LENGTH(w) <= {MAX_WORD_LEN}
+  GROUP BY doc_id, w)
+SELECT *,
+       (n_pieces_roll <> n_pieces_final
+        OR total_cost_roll <> total_cost_final) AS seg_drift
+FROM ({per_slice})
+"""
+
+
+@register("streaming_unigram_cdc", sql=_unigram_cdc_sql())
+def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC for the TOKENIZER MODEL — the retrain half of the unigram
+    story (the streaming_nb_model_cdc pattern): the unigram trainer's
+    corpus state is the (word, freq) relation, which is ADDITIVELY
+    mergeable, so each micro-batch merges its word counts into a
+    versioned word-frequency state with one groupBy-sum and retrains
+    the vocabulary-sized Viterbi-EM from the MERGED relation
+    (operators/unigram.py::unigram_train_words — the corpus is never
+    re-read; per-batch cost is O(|batch words| + |vocabulary| × the
+    constant composition fan-out)).  Every batch's documents are then
+    segmented TWICE: under the rolling model as of their arrival and
+    under the final model — the integer piece/cost deltas measure
+    tokenizer STALENESS, and slice 2's rolling state equals the full
+    corpus, so its drift is identically zero (the self-check the
+    oracle enforces by reading slice 2's rolling scores off the final
+    chain).
+
+    Batch boundaries are content-derived (doc_id % 3, one slice per
+    file, mtime-staggered) with the arrival-order assertion — an
+    out-of-order batch would merge the wrong state version and raises
+    instead.  Everything in the decision path is exact integers (QLOG
+    costs, counts), so the driver value-hashes the whole maintenance
+    loop.  Oracle: from-scratch retrains at every version — Spark
+    merges, the oracle never does, which is precisely what certifies
+    the merge."""
+    import os
+
+    from financial_data_stream_processing_engine_spark.operators import unigram
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spill=False throughout: a rounds=1 retrain has shallow lineage —
+    # the one localCheckpoint of the final vocabulary replaces five
+    # per-training parquet round-trip jobs (measured ~1 s/train saved)
+    final_vocab, _ = unigram.unigram_train_words(
+        unigram.word_freqs(docs), rounds=_CDC_UNIGRAM_ROUNDS, spill=False
+    )
+    # final-model scores are batching-independent (a doc's words live
+    # inside its own rows), so segment the WHOLE corpus under the
+    # final model ONCE and join per batch — not one Viterbi per batch
+    fin_dir = scratch_dir(prefix="unigram_cdc_final_")
+    unigram.unigram_segment(docs, final_vocab).select(
+        "doc_id",
+        F.col("n_pieces").alias("n_pieces_final"),
+        F.col("total_cost").alias("total_cost_final"),
+    ).write.mode("overwrite").parquet(fin_dir)
+    fin_all = spark.read.parquet(fin_dir)
+
+    feed_dir = scratch_dir(prefix="unigram_cdc_feed_")
+    t0 = 1_000_000_000.0
+    stamped: set[str] = set()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+        for f in os.listdir(feed_dir):
+            p = os.path.join(feed_dir, f)
+            if f.endswith(".parquet") and p not in stamped:
+                os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                stamped.add(p)
+
+    state_dir = scratch_dir(prefix="unigram_cdc_state_")
+    out_dir = scratch_dir(prefix="unigram_cdc_scores_")
+    expected = [0]
+
+    def merge_and_segment(batch_df: DataFrame, epoch_id: int) -> None:
+        slices = [
+            r[0]
+            for r in batch_df.select((F.col("doc_id") % 3).alias("s"))
+            .distinct()
+            .collect()
+        ]
+        if not slices:
+            return
+        if len(slices) != 1 or slices[0] != expected[0]:
+            raise RuntimeError(
+                f"expected slice {expected[0]} alone, got {sorted(slices)}"
+            )
+        sl = expected[0]
+        batch_words = unigram.word_freqs(batch_df)
+        if sl == 0:
+            merged = batch_words
+        else:
+            prev = spark.read.parquet(f"{state_dir}/v{sl - 1}")
+            merged = (
+                prev.unionByName(batch_words)
+                .groupBy("word")
+                .agg(F.sum("freq").cast("long").alias("freq"))
+            )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{sl}")
+        state = spark.read.parquet(f"{state_dir}/v{sl}")
+        roll_vocab, _ = unigram.unigram_train_words(
+            state, rounds=_CDC_UNIGRAM_ROUNDS, spill=False
+        )
+        roll = unigram.unigram_segment(batch_df, roll_vocab).select(
+            "doc_id",
+            "n_words",
+            F.col("n_pieces").alias("n_pieces_roll"),
+            F.col("total_cost").alias("total_cost_roll"),
+        )
+        out = (
+            roll.join(fin_all, ["doc_id"])
+            .withColumn("model_slice", F.lit(sl).cast("int"))
+            .withColumn(
+                "seg_drift",
+                (F.col("n_pieces_roll") != F.col("n_pieces_final"))
+                | (F.col("total_cost_roll") != F.col("total_cost_final")),
+            )
+        )
+        out.write.mode("append").parquet(f"{out_dir}/data")
+        expected[0] += 1
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = feed.writeStream.foreachBatch(merge_and_segment).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{out_dir}/data")

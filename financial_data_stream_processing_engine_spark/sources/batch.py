@@ -51,10 +51,13 @@ def _finish(
     # offending row (the adapter's cast raises and the poll returns
     # nothing — per-row exception isolation, financial_engine.py:358-365).
     # A malformed price yields NULL and clean() drops it downstream; a
-    # *present but malformed* volume must drop the row here, because the
-    # cleaner could not tell it from a never-present volume.  The ts
-    # cast is try_cast for the same per-row-isolation reason: one
-    # malformed timestamp string must drop its row, not kill the job.
+    # *present but malformed* volume or timestamp must drop the row
+    # HERE (the had-X/try_cast pair below), because downstream could
+    # not tell it from a never-present field — the adapter's failed
+    # cast raises and the whole row vanishes, exactly the reference's
+    # per-row isolation.  Callers must pass ts_expr UN-cast (a plain
+    # cast nested inside the try_cast would still fail the job under
+    # ANSI before try_cast could intervene).
     out = df.select(
         id_col.alias("id"),
         symbol.cast("string").alias("symbol"),
@@ -62,11 +65,13 @@ def _finish(
         volume.try_cast("long").alias("volume"),
         volume.isNotNull().alias("_had_volume"),
         ts_col.try_cast("timestamp").alias("ts"),
+        ts_col.isNotNull().alias("_had_ts"),
         F.lit(source).alias("source"),
     )
-    return out.filter(~F.col("_had_volume") | F.col("volume").isNotNull()).drop(
-        "_had_volume"
-    )
+    return out.filter(
+        (~F.col("_had_volume") | F.col("volume").isNotNull())
+        & (~F.col("_had_ts") | F.col("ts").isNotNull())
+    ).drop("_had_volume", "_had_ts")
 
 
 def normalize_alpha_vantage(
@@ -106,9 +111,11 @@ def normalize_websocket(
     """Mock-WebSocket messages {instrument, value, vol, ts} → tick schema.
 
     Reference financial_engine.py:234-235 — pure rename; the message
-    carries its own (ingestion-side) timestamp (:223).
+    carries its own (ingestion-side) timestamp (:223), passed through
+    UN-cast so ``_finish``'s try_cast owns the conversion — a malformed
+    ts string drops its row instead of failing the job (ADVICE r13 #1).
     """
-    ts = ts_expr if ts_expr is not None else F.col("ts").cast("timestamp")
+    ts = ts_expr if ts_expr is not None else F.col("ts")
     return _finish(
         raw, "WebSocketMock", F.col("instrument"), F.col("value"), F.col("vol"),
         id_expr, ts,

