@@ -556,12 +556,17 @@ def louvain_refine(
     (linear), three window argmaxes and the priority-blocking joins
     over a frame at most one row per NODE — nothing super-linear,
     two bounded driver scalars per round, and the label frame spilled
-    to parquet per round.  Rounds whose move set has at most
-    ``small_admit`` rows (the convergence tail) skip the window
-    admission plan entirely: the bounded set is collected and the
+    to parquet per WINDOWED round.  Every round opens with ONE bounded
+    probe (``limit(small_admit + 1).collect()`` — driver-safe by the
+    bound); rounds whose move set fits (the convergence tail) skip the
+    window admission plan entirely: the probe already IS the complete
+    move set (limit only truncates when more rows exist), the
     identical exact-integer admission runs driver-side
-    (:func:`_admit_moves_local`), cutting the tail rounds to one
-    checkpoint + one bounded collect + the spill
+    (:func:`_admit_moves_local`), and the applied moves fold into a
+    driver-side overrides dict (bounded by small_admit × max_rounds)
+    that every later round reads as base ⋈ ONE broadcast literal — a
+    tail round is exactly ONE Spark job, with no plan compounding
+    because each round joins the SAME parquet base
     (the Pregel stable-storage discipline; see
     the in-body note — Spark's localCheckpoint would carry origin
     statistics whose join-product sizeInBytes compounds EXPONENTIALLY
@@ -665,10 +670,40 @@ def louvain_refine(
         .select("node", F.coalesce("community", "node").alias("community")),
         "lab0",
     )
-    lab = lab0
+    lab_base = lab0
     spark = edges.sparkSession
+    # Tail-round label representation: small-move rounds do NOT spill
+    # a new label frame — their applied moves accumulate in this
+    # driver dict (bounded by small_admit × max_rounds, broadcastable
+    # at any corpus scale) and every consumer reads the SAME
+    # parquet-backed base joined with ONE broadcast of the overrides,
+    # so per-tail-round cost collapses to the single probe job.  The
+    # plan shape never compounds: each round's label relation is
+    # base ⋈ one literal frame, regardless of how many tail rounds
+    # have passed.  Big (windowed) rounds flush the overrides into a
+    # fresh spilled base first — their plans are data-sized anyway.
+    overrides: dict = {}
+    node_t = {f.name: f.dataType for f in lab0.schema.fields}
+
+    def cur_lab() -> DataFrame:
+        if not overrides:
+            return lab_base
+        ov = spark.createDataFrame(
+            list(overrides.items()),
+            T.StructType(
+                [
+                    T.StructField("node", node_t["node"]),
+                    T.StructField("__new", node_t["community"]),
+                ]
+            ),
+        )
+        return lab_base.join(F.broadcast(ov), ["node"], "left").select(
+            "node", F.coalesce("__new", "community").alias("community")
+        )
+
     for i in range(max_rounds + 1):
         _iterative_gc_hint(spark)
+        lab = cur_lab()
         tot = (
             lab.join(deg, ["node"])
             .groupBy("community")
@@ -720,9 +755,19 @@ def louvain_refine(
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        sel = best.localCheckpoint()
-        n_sel = sel.count()
-        if n_sel == 0:
+        # ONE bounded probe job decides the round's path AND, in the
+        # tail, IS the whole move-set read (VERDICT r13 #3): a
+        # limit(small_admit + 1) collect is driver-safe by the bound,
+        # returns the COMPLETE move set whenever it fits (limit only
+        # truncates when more rows exist), and replaces the former
+        # checkpoint + count + collect trio — three per-round jobs →
+        # one across the convergence tail, which is most rounds.
+        # Early rounds whose move set overflows the probe pay one
+        # extra (early-aborting) execution of the plan before the
+        # checkpoint — they are few and data-sized, the tail is many
+        # and floor-sized.
+        probe = best.limit(small_admit + 1).collect()
+        if len(probe) == 0:
             return lab.join(
                 lab0.select("node", F.col("community").alias("__c0")), ["node"]
             ).select(
@@ -734,44 +779,32 @@ def louvain_refine(
             raise RuntimeError(
                 f"louvain_refine did not converge within {max_rounds} rounds"
             )
-        if n_sel <= small_admit:
+        if len(probe) <= small_admit:
             # small-move-set fast path (VERDICT r12 #3): the
             # convergence TAIL is many rounds of a handful of
             # remaining moves, where the four admission window
             # exchanges + the applied checkpoint/count cost pure
             # per-round overhead.  The move set is driver-sized by
-            # the n_sel bound, so collect it and run the IDENTICAL
-            # exact-integer admission in Python
+            # the probe bound, so run the IDENTICAL exact-integer
+            # admission in Python
             # (:func:`_admit_moves_local` — the randomized sweeps in
             # tests/test_graph.py pin both paths node-for-node
             # against the pure-Python replica), then broadcast the
             # tiny applied frame into the label update.  At 100 TB
-            # the first rounds take the Spark window path (n_sel is
-            # O(|V|) there); only the bounded tail lands here.
-            moves = _admit_moves_local(
-                sel.select("node", "k", "src", "tgt", "g").collect()
-            )
-            fields = {f.name: f.dataType for f in sel.schema.fields}
-            applied = spark.createDataFrame(
-                moves,
-                T.StructType(
-                    [
-                        T.StructField("node", fields["node"]),
-                        T.StructField("tgt", fields["tgt"]),
-                    ]
-                ),
-            )
-            lab = spill(
-                lab.join(
-                    F.broadcast(
-                        applied.select("node", F.col("tgt").alias("__new"))
-                    ),
-                    ["node"],
-                    "left",
-                ).select("node", F.coalesce("__new", "community").alias("community")),
-                f"lab_{i}",
-            )
+            # the first rounds take the Spark window path (the move
+            # set is O(|V|) there); only the bounded tail lands here.
+            # The applied moves fold into the driver-side overrides —
+            # NO label spill in tail rounds (see cur_lab above): the
+            # whole round cost was the one probe job.
+            for node, tgt in _admit_moves_local(probe):
+                overrides[node] = tgt
             continue
+        # big-move-set Spark window path: materialize the full move
+        # set once (the probe above saw only its first rows).  The
+        # label update at the bottom spills base ⋈ overrides ⋈ applied
+        # in one write and clears the overrides — any accumulated tail
+        # moves flush with it.
+        sel = best.localCheckpoint()
         # priority blocking: dep = the BEST departure per source
         # community (multiple departures per source are now in play);
         # arr = the best arrival per target community
@@ -846,12 +879,13 @@ def louvain_refine(
             # conflict cycle: apply the single globally-best move —
             # strict Q increase, guaranteed progress
             applied = sel.orderBy(F.col("g").desc(), "node").limit(1).localCheckpoint()
-        lab = spill(
+        lab_base = spill(
             lab.join(
                 applied.select("node", F.col("tgt").alias("__new")), ["node"], "left"
             ).select("node", F.coalesce("__new", "community").alias("community")),
             f"lab_{i}",
         )
+        overrides.clear()  # folded into the spill above (lab = cur_lab())
     raise AssertionError("unreachable")  # pragma: no cover
 
 

@@ -22,10 +22,14 @@ growth.  The reported ``excess = time_ratio / data_ratio``:
                   large-scale time is under ``MIN_SIGNAL`` (pure-floor
                   timings carry no growth signal).
 
-Entries probed are the BATCH families with a real data term (streaming
-entries are lifecycle-floor at every toy scale; iterative graph
-entries' round count is graph-shaped, not row-scaled — both classes
-are covered by the fixed-overhead ledger in BASELINE.md instead).
+Entries probed are the BATCH families with a real data term, plus the
+two O(delta) streaming-maintenance entries (their per-batch delta is a
+fixed fraction of the base table, so the table family normalizes the
+delta too; the StreamingQuery lifecycle floor deflates their ratios —
+see the DEFAULT_ENTRIES note).  Other streaming entries are
+lifecycle-floor at every toy scale and iterative graph entries' round
+count is graph-shaped, not row-scaled — both covered by the
+fixed-overhead ledger in BASELINE.md instead.
 ``dedup_embedding_cosine`` is the deliberately-quadratic CONTROL arm:
 its all-pairs form is the documented brute-force baseline whose scale
 path is dedup_embedding_lsh/dedup_semantic, so its excess is allowed
@@ -81,6 +85,17 @@ DEFAULT_ENTRIES: dict[str, str] = {
     "text_bm25_topk": "documents",
     "dedup_phash_hamming": "documents",
     "text_unigram_segment": "documents",
+    # streaming O(delta) claims (VERDICT r13 #6): these two run a real
+    # 3-batch StreamingQuery whose per-batch DELTA is a fixed 1/3 of
+    # the base table, so delta growth == table growth and the table
+    # family normalizes correctly.  The ~2-3 s/batch StreamingQuery
+    # lifecycle is a fixed floor that DEFLATES the measured ratio —
+    # a quadratic per-batch term still blows past the gate
+    # (floor + work·r² vs floor + work), but mildly super-linear
+    # growth can hide under the floor at toy scale; read these rows
+    # as a gate on the O(delta) claim, not a precise exponent.
+    "streaming_index_maintain": "embeddings",
+    "streaming_nb_model_cdc": "documents",
 }
 
 #: entries whose quadratic form is the DOCUMENTED baseline arm — their
