@@ -529,3 +529,33 @@ def test_unigram_segment_no_python_no_cartesian(spark, sf_dir, queries):
     # lattice fan-out probe side must never shuffle to meet them.
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_crossmodal_agreement_plan_keyed_joins_only(spark, sf_dir, queries):
+    """The cross-modal report's joins must stay keyed: pHash
+    candidates from the (band, val) bucket self-join, cells attached
+    by two id-keyed joins — the only nested-loop joins allowed are the
+    k-centroid model broadcasts of the cell assignment (two sides ×
+    one ObjectHashAggregate'd centroid frame).  A CartesianProduct or
+    a data-sized BNLJ is the all-pairs regression this entry exists
+    to avoid (the quadratic form lives only in its oracle)."""
+    plan = plan_of(queries, "crossmodal_phash_ivf_agreement", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # centroid frames
+
+
+def test_phash_probe_index_plan_is_bucket_keyed(spark):
+    """The streamed gate's probe join must be keyed on (band, val) —
+    the index side is bucket-partitioned at scale and a batch probes
+    only its colliding buckets.  A nested-loop or cartesian probe
+    would re-pay all-pairs per micro-batch."""
+    from financial_data_stream_processing_engine_spark.operators import phash
+
+    rows = [(i, (i * 2654435761) % (1 << 63)) for i in range(64)]
+    ph = spark.createDataFrame(rows, "media_id long, phash long")
+    bands = phash.phash_bands(ph)
+    probe = phash.phash_probe_index(bands, bands)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)

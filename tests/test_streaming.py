@@ -501,8 +501,15 @@ def test_streaming_unigram_cdc_merge_equals_retrain(spark):
     ]
     got = sorted(map(tuple, streamed.select(*cols).collect()))
     assert got == sorted(want) and len(got) == 500
+    drifted_early = 0
     for row in streamed.collect():
         if row["model_slice"] == 2:
             assert row["n_pieces_roll"] == row["n_pieces_final"]
             assert row["total_cost_roll"] == row["total_cost_final"]
             assert not row["seg_drift"]
+        else:
+            drifted_early += bool(row["seg_drift"])
+    # value-content certificate: the staleness signal must actually
+    # fire — a rolling model trained on a corpus PREFIX segments some
+    # early-slice docs differently from the final model
+    assert drifted_early > 0
