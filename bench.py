@@ -268,7 +268,13 @@ def main() -> int:
         # an 11% spread on byte-identical code that even flips the
         # batch/iterative subtotal split). Update the ledger and this
         # pointer whenever a new same-code envelope is measured.
-        "noise_envelope": "same-code runs span 197.9-219.9s (recorded r13, 83 entries; see BASELINE.md)",
+        "noise_envelope": (
+            "same-code runs span 197.9-219.9s (r13 session, 83 entries); the"
+            " r14 session's machine measures the UNCHANGED r13 snapshot at"
+            " 243.3s same-day (~1.2x environment drift) - compare common-"
+            "subset ratios within a session, not totals across sessions;"
+            " see BASELINE.md"
+        ),
     }
     # Compact separators keep the line short, and the file copy
     # survives any stdout tail-window truncation by the caller

@@ -157,3 +157,55 @@ def test_crossmodal_agreement_composes_its_two_indexes(spark):
         assert r["same_cell"] == (cells[a] == cells[b])
     vals = {r["same_cell"] for r in got.values()}
     assert vals == {True, False} or vals == {False}, vals
+
+
+def test_probe_index_complete_vs_brute_force_randomized(spark):
+    """Cross-frame completeness of phash_probe_index: for randomized
+    hash populations (seeded, including clustered near-dups so matches
+    actually exist at every radius), every (index, probe) pair within
+    the radius must surface, nothing else, with the exact Hamming
+    distance — and the radius guard refuses beyond the pigeonhole
+    bound."""
+    import random
+
+    from financial_data_stream_processing_engine_spark.operators.phash import (
+        phash_bands,
+        phash_probe_index,
+    )
+
+    rng = random.Random(1405)
+    for trial in range(3):
+        # base population + perturbed near-dups (flip 0-5 random bits)
+        base = [rng.getrandbits(63) for _ in range(40)]
+        pop = list(base)
+        for h in base[:20]:
+            flips = rng.sample(range(63), rng.randint(0, 5))
+            for b in flips:
+                h ^= 1 << b
+            pop.append(h)
+        rows = [(i, h) for i, h in enumerate(pop)]
+        rng.shuffle(rows)
+        idx_rows, probe_rows = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+        idx = phash_bands(
+            spark.createDataFrame(idx_rows, "media_id long, phash long")
+        )
+        prb = phash_bands(
+            spark.createDataFrame(probe_rows, "media_id long, phash long")
+        )
+        for radius in (1, 3):
+            got = {
+                (r["id_a"], r["id_b"]): r["hamming"]
+                for r in phash_probe_index(prb, idx, radius=radius).collect()
+            }
+            want = {
+                (ia, ib): bin(ha ^ hb).count("1")
+                for ia, ha in idx_rows
+                for ib, hb in probe_rows
+                if bin(ha ^ hb).count("1") <= radius
+            }
+            assert got == want, (trial, radius)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_probe_index(None, None, radius=4)
