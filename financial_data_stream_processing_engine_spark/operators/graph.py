@@ -383,6 +383,11 @@ def truss_communities(
     return comp.join(sizes, ["community"]).select("node", "community", "n_members")
 
 
+#: applicationId → heap usage right after this module's last
+#: System.gc() — the back-off floor for :func:`_iterative_gc_hint`.
+_GC_LAST_AFTER: dict[str, int] = {}
+
+
 def _iterative_gc_hint(spark) -> None:
     """Iterative-loop hygiene: each refinement round leaves behind
     broadcast relations and superseded checkpoint blocks whose
@@ -404,14 +409,33 @@ def _iterative_gc_hint(spark) -> None:
     all); the JVM ``System.gc()`` is a full stop-the-world collection,
     so it only fires when the heap is actually under pressure (used
     > 50% of max) — an idle-heap round skips it instead of paying fixed
-    GC latency ~16 times per bench entry (ADVICE r11)."""
+    GC latency ~16 times per bench entry (ADVICE r11).
+
+    Pressure alone is not sufficient (r14): late in a long session the
+    heap's LIVE set (block-manager caches, code cache) can sit above
+    50% permanently, and then every round would pay a full
+    stop-the-world collection that reclaims nothing — measured as
+    ~+10 s on ``graph_louvain_refine`` when benched after ~60 other
+    entries vs standalone.  So the hint also tracks the post-GC usage
+    of its LAST collection (per app) and only fires again once usage
+    has grown ≥ 12.5 % of max beyond that floor — i.e. when there is
+    actual garbage to reclaim.  If a collection reclaims little, the
+    floor rises and the hint backs off; if it reclaims a lot, the
+    floor drops and the hint stays responsive.  Worst-case garbage
+    accumulation between collections is bounded at ~12.5 % of the
+    heap — far below the 40-60 % pending-garbage problem the hint
+    exists to prevent."""
     import gc
 
     gc.collect()
     try:
         rt = spark._jvm.java.lang.Runtime.getRuntime()
-        if (rt.totalMemory() - rt.freeMemory()) * 2 > rt.maxMemory():
+        used = rt.totalMemory() - rt.freeMemory()
+        mx = rt.maxMemory()
+        key = spark.sparkContext.applicationId
+        if used * 2 > mx and used > _GC_LAST_AFTER.get(key, 0) + mx * 0.125:
             spark._jvm.System.gc()
+            _GC_LAST_AFTER[key] = rt.totalMemory() - rt.freeMemory()
     except Exception:  # pragma: no cover - Spark Connect has no _jvm
         pass
 
