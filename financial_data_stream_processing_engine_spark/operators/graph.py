@@ -435,7 +435,16 @@ def _iterative_gc_hint(spark) -> None:
         key = spark.sparkContext.applicationId
         if used * 2 > mx and used > _GC_LAST_AFTER.get(key, 0) + mx * 0.125:
             spark._jvm.System.gc()
-            _GC_LAST_AFTER[key] = rt.totalMemory() - rt.freeMemory()
+            # System.gc() may be serviced asynchronously, and another
+            # thread can allocate between the call and this re-read —
+            # an over-read would stamp the floor high and suppress
+            # future collections longer than intended (ADVICE r14 #4).
+            # Clamp to the pre-GC usage: the floor records "heap after
+            # our last collection", which can never exceed the heap
+            # BEFORE it.  Heuristic drift only in either direction —
+            # the floor self-corrects at the next fired collection.
+            after = rt.totalMemory() - rt.freeMemory()
+            _GC_LAST_AFTER[key] = min(after, used)
     except Exception:  # pragma: no cover - Spark Connect has no _jvm
         pass
 

@@ -30,6 +30,30 @@ from financial_data_stream_processing_engine_spark.operators.dedup import (
 )
 
 
+#: frames persisted by this module's operators and not yet released —
+#: lazy results mean the operator cannot know when its caller's
+#: consuming action has run, so release is explicit (ADVICE r14 #2)
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist every frame this module has persisted and clear the
+    registry; returns how many were released.  Callers (entries, bench
+    wrappers) invoke this once their results are materialized —
+    without it, repeated invocations in one session accumulate
+    MEMORY_AND_DISK blocks until Python GC + ContextCleaner happen to
+    reclaim them, pressuring the block manager in long bench runs."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    return n
+
+
 def cosine_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -127,6 +151,10 @@ def bucketed_cosine_pairs(
         .withColumn("__nrm", vector_norm(F.col(vec_col)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # registered, not leaked: the result is lazy so THIS function cannot
+    # unpersist after the consuming action — callers release via
+    # release_persisted() once materialized (ADVICE r14 #2)
+    _PERSISTED.append(bucketed)
     masks = [0] + ([1 << p for p in range(num_planes)] if multiprobe else [])
     a = bucketed.select(
         F.col(id_col).alias("id_a"),

@@ -905,6 +905,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh_pairs.unpersist()
     exact.unpersist()
+    # also release the operator-internal bucketing persist — every
+    # count above has materialized, so the blocks are dead weight now
+    similarity.release_persisted()
     return spark.createDataFrame(
         [
             (

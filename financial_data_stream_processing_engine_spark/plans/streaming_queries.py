@@ -1624,12 +1624,20 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pngs = docs.mapInPandas(
         _md5_phash_png_generator(), schema="doc_id long, payload binary"
     )
+    # generate the PNGs ONCE to a staging dir before the slice split:
+    # the slice filter cannot push below the opaque mapInPandas, so
+    # filtering the generator frame directly would run the PNG encode
+    # over the FULL corpus once per slice (3×); against the staged
+    # parquet the doc_id predicate pushes into the scan (ADVICE r14 #1)
+    png_stage = scratch_dir(prefix="phash_gate_png_")
+    pngs.write.mode("overwrite").parquet(png_stage)
+    staged = spark.read.parquet(png_stage)
 
     feed_dir = scratch_dir(prefix="phash_gate_feed_")
     t0 = 1_000_000_000.0
     stamped: set[str] = set()
     for i in range(3):
-        pngs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+        staged.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "append"
         ).parquet(feed_dir)
         for f in os.listdir(feed_dir):
@@ -1641,6 +1649,10 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = scratch_dir(prefix="phash_gate_index_")
     out_dir = scratch_dir(prefix="phash_gate_out_")
     expected = [0]
+    # driver-side "index is non-empty" flag: slice membership is not
+    # the right guard (an empty slice 0 would leave the index path
+    # unwritten while slice 1 still has no priors to probe)
+    has_index = [False]
 
     def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
         slices = [
@@ -1649,13 +1661,24 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .collect()
         ]
-        if not slices:
-            return
-        if len(slices) != 1 or slices[0] != expected[0]:
+        if len(slices) > 1 or (slices and slices[0] < expected[0]):
             raise RuntimeError(
-                f"expected slice {expected[0]} alone, got {sorted(slices)}"
+                f"expected slice >= {expected[0]} alone, got {sorted(slices)}"
             )
-        sl = expected[0]
+        if not slices:
+            # a sparse corpus can leave a slice empty; if its feed
+            # file was still written it arrives as one (empty)
+            # micro-batch, which must advance the slice clock —
+            # returning without counting it would make the NEXT batch
+            # trip the out-of-order guard (ADVICE r14 #1).  Nothing
+            # arrived: nothing to probe, nothing to append.
+            expected[0] += 1
+            return
+        # sl comes from the DATA, not the batch counter: when an empty
+        # slice produced NO feed file at all, the next non-empty slice
+        # arrives early and the clock jumps with it.  Genuine
+        # out-of-order (sl < expected) still raises above.
+        sl = int(slices[0])
         media = multimodal.as_media(
             batch_df, id_col="doc_id", payload=F.col("payload"),
             kind="image", mime="image/png",
@@ -1669,7 +1692,7 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(sl).cast("int").alias("slice"),
             "phash",
         )
-        if sl == 0:
+        if not has_index[0]:
             out = base.select(
                 "media_id", "slice", "phash",
                 F.lit(0).cast("long").alias("n_prior_dups"),
@@ -1701,7 +1724,8 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.write.mode("append").parquet(f"{out_dir}/data")
         # append AFTER probing: the index holds strictly-earlier batches
         bands.write.mode("append").parquet(f"{index_dir}/data")
-        expected[0] += 1
+        has_index[0] = True
+        expected[0] = sl + 1
 
     feed = (
         spark.readStream.schema(spark.read.parquet(feed_dir).schema)
@@ -1805,7 +1829,11 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer STALENESS, and slice 2's rolling state equals the full
     corpus, so its drift is identically zero (the self-check the
     oracle enforces by reading slice 2's rolling scores off the final
-    chain).
+    chain).  Spark exploits the same identity (VERDICT r14 #3): the
+    last slice's rolling model is the final model BY CONSTRUCTION, so
+    the entry reuses the final scores for it instead of retraining —
+    one fewer vocabulary-sized training, value-pinned by the
+    batch-side from-scratch retrain in tests/test_streaming.py.
 
     Batch boundaries are content-derived (doc_id % 3, one slice per
     file, mtime-staggered) with the arrival-order assertion — an
@@ -1830,8 +1858,13 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside its own rows), so segment the WHOLE corpus under the
     # final model ONCE and join per batch — not one Viterbi per batch
     fin_dir = scratch_dir(prefix="unigram_cdc_final_")
+    # n_words rides the final frame: it is model-independent (every
+    # word of a doc survives segmentation under ANY vocabulary — OOV
+    # falls back to characters), so the rolling pass never needs to
+    # recount it
     unigram.unigram_segment(docs, final_vocab).select(
         "doc_id",
+        "n_words",
         F.col("n_pieces").alias("n_pieces_final"),
         F.col("total_cost").alias("total_cost_final"),
     ).write.mode("overwrite").parquet(fin_dir)
@@ -1853,6 +1886,10 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = scratch_dir(prefix="unigram_cdc_state_")
     out_dir = scratch_dir(prefix="unigram_cdc_scores_")
     expected = [0]
+    # path of the NEWEST written state version — an empty slice leaves
+    # the version clock advanced but the state untouched, so "previous
+    # state" is "newest written", not "v{sl-1}"
+    last_state: list[str | None] = [None]
 
     def merge_and_segment(batch_df: DataFrame, epoch_id: int) -> None:
         slices = [
@@ -1861,34 +1898,64 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .collect()
         ]
-        if not slices:
-            return
-        if len(slices) != 1 or slices[0] != expected[0]:
+        if len(slices) > 1 or (slices and slices[0] < expected[0]):
             raise RuntimeError(
-                f"expected slice {expected[0]} alone, got {sorted(slices)}"
+                f"expected slice >= {expected[0]} alone, got {sorted(slices)}"
             )
-        sl = expected[0]
+        if not slices:
+            # a sparse corpus can leave a slice empty; if its feed
+            # file was still written it arrives as one (empty)
+            # micro-batch, which must advance the slice clock —
+            # returning without counting it would make the NEXT batch
+            # trip the out-of-order guard (ADVICE r14 #1).  No words
+            # arrived: merge is the identity, the state version is
+            # simply carried.
+            expected[0] += 1
+            return
+        # sl comes from the DATA, not the batch counter: when an empty
+        # slice produced NO feed file at all, the next non-empty slice
+        # arrives early and the clock jumps with it.  Genuine
+        # out-of-order (sl < expected) still raises above.
+        sl = int(slices[0])
         batch_words = unigram.word_freqs(batch_df)
-        if sl == 0:
+        if last_state[0] is None:
             merged = batch_words
         else:
-            prev = spark.read.parquet(f"{state_dir}/v{sl - 1}")
+            prev = spark.read.parquet(last_state[0])
             merged = (
                 prev.unionByName(batch_words)
                 .groupBy("word")
                 .agg(F.sum("freq").cast("long").alias("freq"))
             )
         merged.write.mode("overwrite").parquet(f"{state_dir}/v{sl}")
-        state = spark.read.parquet(f"{state_dir}/v{sl}")
-        roll_vocab, _ = unigram.unigram_train_words(
-            state, rounds=_CDC_UNIGRAM_ROUNDS, spill=False
-        )
-        roll = unigram.unigram_segment(batch_df, roll_vocab).select(
-            "doc_id",
-            "n_words",
-            F.col("n_pieces").alias("n_pieces_roll"),
-            F.col("total_cost").alias("total_cost_roll"),
-        )
+        last_state[0] = f"{state_dir}/v{sl}"
+        if sl == 2:
+            # the merged state at the LAST slice IS the full corpus
+            # (slices 0..2 partition doc_id % 3), so its rolling model
+            # is the final model BY CONSTRUCTION — training it again
+            # is pure cost, and its rolling scores are the final
+            # scores (VERDICT r14 #3; the oracle already reads slice
+            # 2's rolling chain off the final chain, and
+            # tests/test_streaming.py re-derives this slice's rolling
+            # scores from an independent from-scratch retrain, so the
+            # reuse stays value-certified batch-side).  The state
+            # merge above still runs: the versioned (word, freq)
+            # relation is the CDC product, model reuse is not.
+            roll = fin_all.join(batch_df.select("doc_id"), ["doc_id"]).select(
+                "doc_id",
+                F.col("n_pieces_final").alias("n_pieces_roll"),
+                F.col("total_cost_final").alias("total_cost_roll"),
+            )
+        else:
+            state = spark.read.parquet(last_state[0])
+            roll_vocab, _ = unigram.unigram_train_words(
+                state, rounds=_CDC_UNIGRAM_ROUNDS, spill=False
+            )
+            roll = unigram.unigram_segment(batch_df, roll_vocab).select(
+                "doc_id",
+                F.col("n_pieces").alias("n_pieces_roll"),
+                F.col("total_cost").alias("total_cost_roll"),
+            )
         out = (
             roll.join(fin_all, ["doc_id"])
             .withColumn("model_slice", F.lit(sl).cast("int"))
@@ -1899,7 +1966,7 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out.write.mode("append").parquet(f"{out_dir}/data")
-        expected[0] += 1
+        expected[0] = sl + 1
 
     feed = (
         spark.readStream.schema(spark.read.parquet(feed_dir).schema)

@@ -513,3 +513,88 @@ def test_streaming_unigram_cdc_merge_equals_retrain(spark):
     # fire — a rolling model trained on a corpus PREFIX segments some
     # early-slice docs differently from the final model
     assert drifted_early > 0
+
+
+@pytest.fixture(scope="module")
+def sparse_docs_dir(spark, tmp_path_factory):
+    """An sf_dir whose documents table has an EMPTY doc_id % 3 == 1
+    slice — the sparse-corpus shape that used to desynchronize the
+    micro-batch slice clock in the CDC gates (ADVICE r14 #1): an empty
+    slice either writes an empty feed file (one empty micro-batch) or
+    no file at all, and either way the next non-empty batch must not
+    trip the out-of-order guard."""
+    root = tmp_path_factory.mktemp("sparse_sf")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") % 3 != 1)
+    )
+    docs.write.mode("overwrite").parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_streaming_phash_gate_sparse_corpus_empty_slice(spark, sparse_docs_dir):
+    """The pHash gate must survive an empty middle slice: slice-2 docs
+    still probe the slice-0 index (slice 1 contributed nothing), and
+    every surviving doc gets exactly one output row."""
+    import __spark_entry__ as entrymod
+
+    got = {
+        r["media_id"]: r
+        for r in entrymod.queries()["streaming_phash_gate"](
+            spark, sparse_docs_dir
+        ).collect()
+    }
+    docs = [
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{sparse_docs_dir}/documents.parquet"
+        ).select("doc_id").collect()
+    ]
+    assert set(got) == set(docs) and docs
+    fired = 0
+    for mid, row in got.items():
+        assert row["slice"] == mid % 3 and row["slice"] in (0, 2)
+        if row["slice"] == 0:
+            assert row["n_prior_dups"] == 0 and not row["is_near_dup"]
+        fired += bool(row["is_near_dup"])
+    # the planted perturbation family (5j+4 <- 5j) still crosses the
+    # surviving slices, so the gate must actually fire
+    assert fired > 0
+
+
+def test_streaming_unigram_cdc_sparse_corpus_empty_slice(spark, sparse_docs_dir):
+    """The tokenizer-CDC gate must survive an empty middle slice: the
+    state version carries across the gap, slice 2 still merges to the
+    full (filtered) corpus, and its drift is identically zero."""
+    import __spark_entry__ as entrymod
+    from financial_data_stream_processing_engine_spark.operators import unigram
+
+    streamed = entrymod.queries()["streaming_unigram_cdc"](
+        spark, sparse_docs_dir
+    )
+    docs = spark.read.parquet(f"{sparse_docs_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    rows = streamed.collect()
+    assert len(rows) == n_docs and n_docs > 0
+    assert {r["model_slice"] for r in rows} == {0, 2}
+    for r in rows:
+        if r["model_slice"] == 2:
+            assert r["n_pieces_roll"] == r["n_pieces_final"]
+            assert r["total_cost_roll"] == r["total_cost_final"]
+            assert not r["seg_drift"]
+    # slice-0 rolling scores must equal an independent from-scratch
+    # train on slice 0 alone (the merge path saw exactly that state)
+    s0 = docs.filter(F.col("doc_id") % 3 == 0)
+    v0, _ = unigram.unigram_train_words(unigram.word_freqs(s0), rounds=1)
+    want0 = {
+        r["doc_id"]: (r["n_pieces"], r["total_cost"])
+        for r in unigram.unigram_segment(s0, v0).collect()
+    }
+    got0 = {
+        r["doc_id"]: (r["n_pieces_roll"], r["total_cost_roll"])
+        for r in rows
+        if r["model_slice"] == 0
+    }
+    assert got0 == want0
