@@ -88,11 +88,13 @@ HEADLINE = [
     "approx_quantiles_hdr",
     # round-5 additions (late): KMV set-operation sketch (two
     # distinct-shuffles + sketch-sized tail), BM25 retrieval
-    # (explode + conditional-count groupBy + TakeOrdered), and PQ/ADC
-    # (subspace Lloyd + argmin encode + LUT-sum scoring)
+    # (explode + conditional-count groupBy + TakeOrdered), hybrid
+    # RRF fusion of the lexical + vector arms (r15, replacing the
+    # retired flat PQ/ADC entry), and IVF-PQ (residual Lloyd +
+    # argmin encode + LUT-sum scoring)
     "approx_setops_kmv",
     "text_bm25_topk",
-    "similarity_pq_adc_topk",
+    "retrieval_rrf_fusion",
     "similarity_ivfpq_topk",
     "fin_pattern_match_topk",
     # round-7 additions: the exact-BPE accounting chain (word-cache
@@ -238,7 +240,6 @@ def main() -> int:
             "text_bpe_train",
             "text_bpe_train_tokenize",
             "similarity_ivf_kmeans_topk",
-            "similarity_pq_adc_topk",
             "similarity_ivfpq_topk",
             # the unigram chain runs the same k-round parquet-spilled
             # EM fixpoint (segment trains first) — iterative floors,

@@ -650,6 +650,109 @@ def similarity_multiquery_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _rrf_fusion_sql() -> str:
+    """Hybrid-retrieval oracle (VERDICT r14 #2): the verified lexical
+    (curation_queries._BM25_SQL, top-10, verbatim) and vector
+    (_IVF_SQL, top-10, verbatim) pipelines as CTEs, their INTEGER
+    ranks merged by reciprocal-rank fusion — the
+    crossmodal_phash_ivf_agreement compositional-oracle move applied
+    to retrieval.  RRF(d) = Σ_arms 1/(60 + rank_arm(d)) (Cormack et
+    al. 2009, K = 60): two fixed-order IEEE reciprocal adds on exact
+    integer ranks, bit-identical cross-engine."""
+    from financial_data_stream_processing_engine_spark.plans.curation_queries import (
+        _BM25_SQL,
+    )
+
+    return f"""
+WITH lex AS ({_BM25_SQL}),
+ann AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT)
+           AS ann_rank
+  FROM ({_IVF_SQL})),
+fused AS (
+  SELECT COALESCE(l.doc_id, a.vec_id) AS doc_id,
+         l.rank AS lex_rank, a.ann_rank,
+         COALESCE(1.0e0 / (60 + l.rank), 0.0e0)
+           + COALESCE(1.0e0 / (60 + a.ann_rank), 0.0e0) AS rrf_score
+  FROM lex l FULL OUTER JOIN ann a ON l.doc_id = a.vec_id)
+SELECT doc_id, lex_rank, ann_rank, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS fused_rank
+FROM fused
+"""
+
+
+@register("retrieval_rrf_fusion", sql=_rrf_fusion_sql())
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion (VERDICT r14 #2) — the standard
+    two-tower retrieval stack: the LEXICAL arm is BM25 top-10 over
+    documents for the fixed query ('spark','window','merge')
+    (operators/text.py::bm25_topk, the text_bm25_topk pipeline
+    verbatim), the VECTOR arm is IVF ANN top-10 over embeddings for
+    the vec_id=0 query (label centroids, nprobe=5 — the
+    similarity_ivf_topk pipeline verbatim), and the two result lists
+    merge by reciprocal-rank fusion RRF(d) = 1/(60+r_lex) +
+    1/(60+r_ann) with absent arms contributing 0 — rank-based fusion
+    needs no score calibration between BM25 and cosine scales, which
+    is why RRF is the production default.  Output: one row per
+    retrieved doc with both arm ranks (NULL where an arm missed), the
+    RRF score (two fixed-order IEEE reciprocal adds on exact integer
+    ranks — deterministic ties broken by doc_id), and the fused rank.
+
+    Scale: both arms are the already-verified INDEX paths (BM25 =
+    explode + conditional-count groupBy + broadcast stats, linear,
+    two shuffles; IVF = partition-pruned nprobe-cell scan); the
+    fusion itself joins two k-sized frames — driver-bounded at any
+    corpus size.  This entry replaces (retires)
+    ``similarity_pq_adc_topk``: the flat-PQ wrapper's machinery
+    (pq_train, LUT, decimal-grid ADC sum, exact-dot audit) stays
+    oracle-certified end-to-end through ``similarity_ivfpq_topk`` and
+    keeps its bitwise pytests (tests/test_llm_ops.py), while the
+    catalog slot moves to a composition two verified indexes feed.
+    Oracle: both arm pipelines recomputed in DuckDB verbatim, fused
+    with the identical expression (_rrf_fusion_sql)."""
+    from pyspark.sql import Window
+
+    from financial_data_stream_processing_engine_spark.operators.text import (
+        bm25_topk,
+    )
+
+    lex = bm25_topk(
+        _docs(spark, sf_dir), query_terms=("spark", "window", "merge"), k=10
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    embs = _embs(spark, sf_dir)
+    query = embs.filter(F.col("vec_id") == 0)
+    centroids = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    with_cells = similarity.assign_cells(embs, centroids, vec_col="embedding")
+    ann = (
+        similarity.ivf_search(
+            with_cells, centroids, query, k=10, nprobe=5,
+            id_col="vec_id", vec_col="embedding",
+        )
+        .withColumn(
+            "ann_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), "vec_id"))
+            .cast("int"),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "ann_rank")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("ann_rank")), F.lit(0.0))
+    return (
+        lex.join(ann, ["doc_id"], "full_outer")
+        .select("doc_id", "lex_rank", "ann_rank", rrf.alias("rrf_score"))
+        .withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score").desc(), "doc_id"))
+            .cast("int"),
+        )
+    )
+
+
 def _kmeans_cent_sql(k: int, iters: int) -> str:
     """CTE chain recomputing ``operators.similarity.kmeans_train`` in
     DuckDB: seed cent0 = the k smallest-vec_id vectors, then per Lloyd
@@ -3027,90 +3130,6 @@ _DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x,y) -> x+y)"
 )
-
-#: the full PQ pipeline — 4×16 subspaces, 8 codewords each, smallest-id
-#: seeds, ONE Lloyd round (argmin L2, ties→smaller code, decimal-exact
-#: means, empty-cell keep-seed), encode, query LUT, grid-exact ADC sum,
-#: top-10 with exact-dot audit — recomputed in DuckDB end to end.
-_PQ_ADC_SQL = f"""
-WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-subs AS (SELECT UNNEST([0, 1, 2, 3]) AS sub),
-subv AS (
-  SELECT vec_id, sub, embedding[sub * 16 + 1 : sub * 16 + 16] AS subvec
-  FROM embeddings CROSS JOIN subs),
-seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
-cb0 AS (
-  SELECT s.sub, s.vec_id AS code_id, s.subvec AS codeword
-  FROM subv s JOIN seeds ON s.vec_id = seeds.vec_id),
-best1 AS (
-  SELECT vec_id, sub, subvec, code_id AS cell FROM (
-    SELECT v.vec_id, v.sub, v.subvec, c.code_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id, v.sub
-             ORDER BY {_L2.format(a='v.subvec', b='c.codeword')} ASC,
-                      c.code_id ASC) AS rk
-    FROM subv v JOIN cb0 c ON v.sub = c.sub) WHERE rk = 1),
-dim1 AS (
-  SELECT sub, cell, UNNEST(subvec) AS v,
-         GENERATE_SUBSCRIPTS(subvec, 1) AS pos
-  FROM best1),
-cm1 AS (
-  SELECT sub, cell, pos, {davg_sql('CAST(v AS DOUBLE)')} AS m
-  FROM dim1 GROUP BY sub, cell, pos),
-mean1 AS (
-  SELECT sub, cell AS code_id, LIST(CAST(m AS REAL) ORDER BY pos) AS codeword
-  FROM cm1 GROUP BY sub, cell),
-cb1 AS (
-  SELECT c.sub, c.code_id, COALESCE(m.codeword, c.codeword) AS codeword
-  FROM cb0 c LEFT JOIN mean1 m ON c.sub = m.sub AND c.code_id = m.code_id),
-codes AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT v.vec_id, v.sub, c.code_id AS code,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id, v.sub
-             ORDER BY {_L2.format(a='v.subvec', b='c.codeword')} ASC,
-                      c.code_id ASC) AS rk
-    FROM subv v JOIN cb1 c ON v.sub = c.sub) WHERE rk = 1),
-qsub AS (
-  SELECT sub, embedding[sub * 16 + 1 : sub * 16 + 16] AS qs
-  FROM q CROSS JOIN subs),
-lut AS (
-  SELECT c.sub, c.code_id, {_DOT.format(a='s.qs', b='c.codeword')} AS l
-  FROM cb1 c JOIN qsub s ON c.sub = s.sub),
-scored AS (
-  SELECT k.vec_id,
-         {qcast_sql(f"SUM({qint_sql('lut.l')})")} * 1e-9 AS score_adc
-  FROM codes k JOIN lut ON k.sub = lut.sub AND k.code = lut.code_id
-  GROUP BY k.vec_id),
-top AS (
-  SELECT vec_id, score_adc FROM scored
-  ORDER BY score_adc DESC, vec_id LIMIT 10)
-SELECT t.vec_id, t.score_adc,
-       {_DOT.format(a='e.embedding', b='q.embedding')} AS dot_exact,
-       CAST(ROW_NUMBER() OVER (ORDER BY t.score_adc DESC, t.vec_id) AS INT) AS rank
-FROM top t JOIN embeddings e ON t.vec_id = e.vec_id CROSS JOIN q
-"""
-
-
-@register("similarity_pq_adc_topk", sql=_PQ_ADC_SQL)
-def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC retrieval (Jégou et al.): 4×16-dim
-    subspaces, 8 codewords each trained by one engine-exact Lloyd
-    round (operators/similarity.py::{pq_train, pq_adc_topk}), the
-    corpus stored as 4 small codes per vector, a query scored through
-    an m×ks lookup table and a decimal-grid (order-independent) ADC
-    sum — the MEMORY-BOUND ANN regime IVF doesn't cover: at 100 TB of
-    float32 embeddings the PQ codes are ~32× smaller than the vectors
-    and scoring never rescans floats.  Top-10 by approximate dot with
-    the exact dot re-scored on the winners as an audit.  Oracle: the
-    ENTIRE pipeline (seeds, Lloyd round, encode, LUT, grid sum, audit)
-    recomputed in DuckDB, bit-exact."""
-    embs = _embs(spark, sf_dir)
-    q = embs.filter(F.col("vec_id") == 0)
-    return similarity.pq_adc_topk(
-        embs, q, k=10, m=4, dims=64, ks=8, id_col="vec_id", vec_col="embedding"
-    )
-
 
 #: float-cast residual (double subtract, REAL round-trip — mirrors the
 #: zip_with in similarity.ivfpq_topk)

@@ -723,3 +723,36 @@ def test_neardup_communities_pair_free_corpus_kept_singletons(spark, tmp_path):
         assert r.n_members == 1
         assert r.rank_in_community == 1
         assert r.kept is True
+
+
+def test_retrieval_rrf_fusion_matches_arm_recomputation(spark, sf_dir):
+    """The fused frame must be exactly RRF over the two arm entries'
+    results: same doc set (union of arms), both arm ranks carried
+    (NULL where an arm missed), rrf_score bit-equal to the two-term
+    fixed-order recomputation, and fused_rank the (score desc,
+    doc_id) enumeration."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    fused = {
+        r["doc_id"]: r for r in qs["retrieval_rrf_fusion"](spark, sf_dir).collect()
+    }
+    lex = {
+        r["doc_id"]: r["rank"]
+        for r in qs["text_bm25_topk"](spark, sf_dir).collect()
+    }
+    ann_rows = sorted(
+        qs["similarity_ivf_topk"](spark, sf_dir).collect(),
+        key=lambda r: (-r["cos"], r["vec_id"]),
+    )
+    ann = {r["vec_id"]: i + 1 for i, r in enumerate(ann_rows)}
+    assert set(fused) == set(lex) | set(ann) and fused
+    for d, row in fused.items():
+        assert row["lex_rank"] == lex.get(d)
+        assert row["ann_rank"] == ann.get(d)
+        want = (1.0 / (60 + lex[d]) if d in lex else 0.0) + (
+            1.0 / (60 + ann[d]) if d in ann else 0.0
+        )
+        assert row["rrf_score"] == want  # bit-equal: same IEEE op order
+    order = sorted(fused.values(), key=lambda r: (-r["rrf_score"], r["doc_id"]))
+    assert [r["fused_rank"] for r in order] == list(range(1, len(order) + 1))

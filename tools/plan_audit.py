@@ -83,7 +83,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "crossmodal_phash_ivf_agreement": {"BroadcastNestedLoopJoin": _CENTROIDS},
     "similarity_ivf_kmeans_topk": {"BroadcastNestedLoopJoin": _CENTROIDS},
     "similarity_ivfpq_topk": {"BroadcastNestedLoopJoin": _CENTROIDS},
-    "similarity_pq_adc_topk": {"BroadcastNestedLoopJoin": _CENTROIDS},
+    "retrieval_rrf_fusion": {
+        "BroadcastNestedLoopJoin": _CENTROIDS
+        + "; plus the 1-row BM25 corpus-stats broadcast and the 1-row "
+        "query-vector broadcast of the IVF arm — every BNLJ side here "
+        "is bounded (one row or ncells rows) by construction"
+    },
     "similarity_multiquery_ivf_topk": {"BroadcastNestedLoopJoin": _CENTROIDS},
     "similarity_recall_report": {
         "BroadcastNestedLoopJoin": _CENTROIDS
