@@ -96,6 +96,12 @@ DEFAULT_ENTRIES: dict[str, str] = {
     # as a gate on the O(delta) claim, not a precise exponent.
     "streaming_index_maintain": "embeddings",
     "streaming_nb_model_cdc": "documents",
+    # r15 (VERDICT r14 #7): the streamed pHash near-dup gate — per
+    # batch it decodes+hashes its delta once, probes the accumulated
+    # band index via the (band, val) bucket join, and appends
+    # O(|batch| x 4) band rows; the same O(delta) gate reading as the
+    # two rows above (lifecycle floor deflates the ratio).
+    "streaming_phash_gate": "documents",
 }
 
 #: entries whose quadratic form is the DOCUMENTED baseline arm — their
