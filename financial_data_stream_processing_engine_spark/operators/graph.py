@@ -514,7 +514,7 @@ def louvain_refine(
     src: str = "id_a",
     dst: str = "id_b",
     weight: str | None = None,
-    small_admit: int = 1024,
+    small_admit: int = 4096,
 ) -> DataFrame:
     """One-level modularity-guided refinement of a node partition —
     the Louvain LOCAL-MOVE phase (Blondel et al. 2008) over an
@@ -605,7 +605,12 @@ def louvain_refine(
     the per-node best already shuffles on instead of a kic self-join.
     Every round opens with ONE bounded
     probe (``limit(small_admit + 1).collect()`` — driver-safe by the
-    bound); rounds whose move set fits (the convergence tail) skip the
+    bound; the default 4096 is sized so fixture-scale graphs run EVERY
+    round on the one-job path — 4096 five-field rows is a trivial
+    driver collect, and the r15 measurement showed the window-path rounds
+    cost ~1.5 s of checkpoint/window/spill machinery the driver path
+    replaces with one dict fold); rounds whose move set fits (the
+    convergence tail) skip the
     window admission plan entirely: the probe already IS the complete
     move set (limit only truncates when more rows exist), the
     identical exact-integer admission runs driver-side
