@@ -643,6 +643,7 @@ def louvain_refine(
     edge — the refined label and whether it differs from the input
     partition."""
     import os
+    import time
 
     from pyspark.sql import Window
 
@@ -748,7 +749,6 @@ def louvain_refine(
     overrides: dict = {}
     node_t = {f.name: f.dataType for f in lab0.schema.fields}
 
-
     def cur_lab() -> DataFrame:
         if not overrides:
             return lab_base
@@ -765,14 +765,17 @@ def louvain_refine(
             "node", F.coalesce("__new", "community").alias("community"), "k"
         )
 
-    import os as _os
-    import time as _time
-
-    _dbg = bool(_os.environ.get("SPARK_GRAFT_LOUVAIN_DEBUG"))
+    # per-round wall-clock tracing (gc vs probe split), opt-in via env
+    # var — the measurement harness behind the r15 floor analysis in
+    # docs/ARCHITECTURE.md; zero work when unset
+    _dbg = bool(os.environ.get("SPARK_GRAFT_LOUVAIN_DEBUG"))
+    _t0 = _t1 = 0.0
     for i in range(max_rounds + 1):
-        _t0 = _time.time()
+        if _dbg:
+            _t0 = time.time()
         _iterative_gc_hint(spark)
-        _t1 = _time.time()
+        if _dbg:
+            _t1 = time.time()
         lab = cur_lab()
         tot = lab.groupBy("community").agg(F.sum("k").cast("long").alias("tot"))
         kic = (
@@ -845,7 +848,7 @@ def louvain_refine(
         if _dbg:
             print(
                 f"[louvain] round {i}: gc {_t1 - _t0:.3f}s "
-                f"probe {_time.time() - _t1:.3f}s moves {len(probe)}",
+                f"probe {time.time() - _t1:.3f}s moves {len(probe)}",
                 flush=True,
             )
         if len(probe) == 0:

@@ -997,20 +997,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup.embedding_cosine_pairs(
         embs, id_col="vec_id", vec_col="embedding", threshold=0.3
     ).cache()
-    n_exact = exact.count()
-    n_lsh = lsh_pairs.count()
-    false_pos = lsh_pairs.join(exact, ["id_a", "id_b"], "left_anti").count()
-    cos_mismatch = (
-        lsh_pairs.alias("p")
-        .join(exact.alias("e"), ["id_a", "id_b"])
-        .filter(F.abs(F.col("p.cos") - F.col("e.cos")) > 1e-15)
-        .count()
-    )
-    lsh_pairs.unpersist()
-    exact.unpersist()
-    # also release the operator-internal bucketing persist — every
-    # count above has materialized, so the blocks are dead weight now
-    similarity.release_persisted()
+    # try/finally: a failed count must NOT strand the registered
+    # corpus-sized persist in the module registry (a hard reference a
+    # failure path would otherwise pin for the whole session — worse
+    # than the pre-registry leak plain GC could eventually reclaim)
+    try:
+        n_exact = exact.count()
+        n_lsh = lsh_pairs.count()
+        false_pos = lsh_pairs.join(exact, ["id_a", "id_b"], "left_anti").count()
+        cos_mismatch = (
+            lsh_pairs.alias("p")
+            .join(exact.alias("e"), ["id_a", "id_b"])
+            .filter(F.abs(F.col("p.cos") - F.col("e.cos")) > 1e-15)
+            .count()
+        )
+    finally:
+        lsh_pairs.unpersist()
+        exact.unpersist()
+        # release the operator-internal bucketing persist too — on the
+        # success path every count has materialized, so the blocks are
+        # dead weight; on the failure path they must not outlive the
+        # entry
+        similarity.release_persisted()
     return spark.createDataFrame(
         [
             (

@@ -1478,33 +1478,47 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = scratch_dir(prefix="nb_cdc_model_")
     out_dir = scratch_dir(prefix="nb_cdc_scores_")
     expected = [0]
+    # newest written state version — an empty slice advances the clock
+    # without writing, so "previous" is "newest written", not v{sl-1}
+    # (the phash/unigram sparse-corpus fix, ADVICE r14 #1, applied to
+    # this sibling gate too)
+    last_state: list[str | None] = [None]
 
     def merge_and_score(batch_df: DataFrame, epoch_id: int) -> None:
         slices = [
             r[0]
             for r in batch_df.select((F.col("doc_id") % 3).alias("s")).distinct().collect()
         ]
-        if not slices:
-            return
-        if len(slices) != 1 or slices[0] != expected[0]:
+        if len(slices) > 1 or (slices and slices[0] < expected[0]):
             # a multi-slice batch or out-of-order arrival would merge
             # the wrong model version — fail loudly, never score stale
             raise RuntimeError(
-                f"expected slice {expected[0]} alone, got {sorted(slices)}"
+                f"expected slice >= {expected[0]} alone, got {sorted(slices)}"
             )
-        sl = expected[0]
+        if not slices:
+            # an empty slice's feed file still arrives as one (empty)
+            # micro-batch and must advance the slice clock — returning
+            # without counting it would trip the guard on the NEXT
+            # batch; merge is the identity, the state version carries
+            expected[0] += 1
+            return
+        # sl from the DATA: an empty slice that produced NO feed file
+        # lets the next non-empty slice arrive early and the clock
+        # jumps with it; genuine out-of-order (sl < expected) raised
+        sl = int(slices[0])
         # additive maintenance: batch counts merge into the model state
         batch_counts, _ = nb_train(batch_df)
-        if sl == 0:
+        if last_state[0] is None:
             merged = batch_counts
         else:
-            prev = spark.read.parquet(f"{state_dir}/v{sl - 1}")
+            prev = spark.read.parquet(last_state[0])
             merged = (
                 prev.unionByName(batch_counts)
                 .groupBy("t")
                 .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
             )
         merged.write.mode("overwrite").parquet(f"{state_dir}/v{sl}")
+        last_state[0] = f"{state_dir}/v{sl}"
         model = spark.read.parquet(f"{state_dir}/v{sl}")
         totals = model.agg(
             F.sum("c_pos").alias("tot_pos"),
@@ -1532,7 +1546,7 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out.write.mode("append").parquet(f"{out_dir}/data")
-        expected[0] += 1
+        expected[0] = sl + 1
 
     feed = (
         spark.readStream.schema(spark.read.parquet(feed_dir).schema)

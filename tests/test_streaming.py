@@ -598,3 +598,27 @@ def test_streaming_unigram_cdc_sparse_corpus_empty_slice(spark, sparse_docs_dir)
         if r["model_slice"] == 0
     }
     assert got0 == want0
+
+
+def test_streaming_nb_model_cdc_sparse_corpus_empty_slice(spark, sparse_docs_dir):
+    """The NB-model CDC gate shares the slice-clock discipline with the
+    pHash/unigram gates and must survive an empty middle slice the same
+    way: the state version carries across the gap and slice 2 still
+    merges to the full (filtered) corpus, so its rolling scores equal
+    the final model's."""
+    import __spark_entry__ as entrymod
+
+    streamed = entrymod.queries()["streaming_nb_model_cdc"](
+        spark, sparse_docs_dir
+    )
+    n_docs = (
+        spark.read.parquet(f"{sparse_docs_dir}/documents.parquet").count()
+    )
+    rows = streamed.collect()
+    assert len(rows) == n_docs and n_docs > 0
+    assert {r["model_slice"] for r in rows} == {0, 2}
+    for r in rows:
+        if r["model_slice"] == 2:
+            assert r["mean_delta_roll"] == r["mean_delta_final"]
+            assert r["n_oov_roll"] == r["n_oov_final"]
+            assert not r["pred_flipped"]
