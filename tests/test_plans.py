@@ -559,3 +559,23 @@ def test_phash_probe_index_plan_is_bucket_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_rrf_fusion_arms_stay_index_shaped(spark, sf_dir, queries):
+    """retrieval_rrf_fusion (r15): the BM25 arm stays the single-pass
+    explode + conditional-count shape with the 1-row stats broadcast,
+    the IVF arm keeps the probed-cell semi-join (never a corpus
+    shuffle against the query), the k-sized fusion join broadcasts,
+    and no row-at-a-time Python appears anywhere in the plan."""
+    plan = plan_of(queries, "retrieval_rrf_fusion", spark, sf_dir)
+    assert "BatchEvalPython" not in plan
+    # ANN arm: cell pruning is a semi-join of the corpus against the
+    # tiny probe-cell frame
+    assert "LeftSemi" in plan
+    # the ONLY sort-merge join allowed is the final FULL OUTER fusion
+    # of the two k-sized arm result lists (Spark cannot broadcast a
+    # full outer — neither side is preserved — and both sides are
+    # top-k-bounded at any corpus size); every corpus-touching join
+    # must be broadcast-built
+    assert plan.count("SortMergeJoin") == 1 and "FullOuter" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
