@@ -30,28 +30,49 @@ from financial_data_stream_processing_engine_spark.operators.dedup import (
 )
 
 
-#: frames persisted by this module's operators and not yet released —
-#: lazy results mean the operator cannot know when its caller's
-#: consuming action has run, so release is explicit (ADVICE r14 #2)
-_PERSISTED: list[DataFrame] = []
+class PersistHandle:
+    """Caller-owned lifecycle for frames an operator persists on the
+    caller's behalf.  Lazy results mean the operator cannot know when
+    its caller's consuming action has run, so release is explicit — but
+    the registry must be OWNED BY THE CALL SITE, not module-global: a
+    shared global pins corpus-sized MEMORY_AND_DISK blocks for the
+    whole session if any caller forgets to release, and interleaved
+    callers would unpersist each other's frames (ADVICE r15 #1).
 
+    Usage::
 
-def release_persisted(blocking: bool = False) -> int:
-    """Unpersist every frame this module has persisted and clear the
-    registry; returns how many were released.  Callers (entries, bench
-    wrappers) invoke this once their results are materialized —
-    without it, repeated invocations in one session accumulate
-    MEMORY_AND_DISK blocks until Python GC + ContextCleaner happen to
-    reclaim them, pressuring the block manager in long bench runs."""
-    n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
-        try:
-            df.unpersist(blocking=blocking)
-            n += 1
-        except Exception:  # pragma: no cover - session already stopped
-            pass
-    return n
+        with PersistHandle() as h:
+            pairs = bucketed_cosine_pairs(embs, persists=h)
+            pairs.count()          # materialize while blocks are hot
+        # h released on exit — including on failure
+    """
+
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def track(self, df: DataFrame) -> DataFrame:
+        """Register an already-persisted frame; returns it unchanged."""
+        self._frames.append(df)
+        return df
+
+    def release(self, blocking: bool = False) -> int:
+        """Unpersist every tracked frame and clear the handle; returns
+        how many were released.  Idempotent."""
+        n = 0
+        while self._frames:
+            df = self._frames.pop()
+            try:
+                df.unpersist(blocking=blocking)
+                n += 1
+            except Exception:  # pragma: no cover - session already stopped
+                pass
+        return n
+
+    def __enter__(self) -> "PersistHandle":
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        self.release()
 
 
 def cosine_topk(
@@ -121,6 +142,7 @@ def bucketed_cosine_pairs(
     num_planes: int = 4,
     threshold: float = 0.95,
     multiprobe: bool = True,
+    persists: "PersistHandle | None" = None,
 ) -> DataFrame:
     """Near-dup pairs restricted to sign-LSH buckets — the corpus-scale
     variant of ``dedup.embedding_cosine_pairs`` (candidate count scales
@@ -134,27 +156,29 @@ def bucketed_cosine_pairs(
     qualifying pair matches exactly one probe (the XOR mask is unique),
     so no distinct is needed.
     """
-    # materialize the bucketing ONCE: the a/b branches of the
-    # self-join are different subtrees (the probe side explodes its
-    # masks before the exchange), so Spark cannot reuse the exchange
-    # and would otherwise run the num_planes hash folds + the norm
-    # over the whole corpus twice — the same duplication
-    # dedup.minhash_lsh_pairs documents and avoids via bucket-collect.
-    # persist (not localCheckpoint): this frame is CORPUS-sized, and a
-    # checkpoint's lineage cut makes its non-reliable executor blocks
-    # unrecoverable under executor loss — MEMORY_AND_DISK keeps the
-    # single-computation reuse and stays recomputable (ADVICE r13 #4)
-    from pyspark import StorageLevel
+    # materialize the bucketing ONCE when the caller hands us a
+    # PersistHandle: the a/b branches of the self-join are different
+    # subtrees (the probe side explodes its masks before the exchange),
+    # so Spark cannot reuse the exchange and would otherwise run the
+    # num_planes hash folds + the norm over the whole corpus twice —
+    # the same duplication dedup.minhash_lsh_pairs documents and avoids
+    # via bucket-collect.  persist (not localCheckpoint): this frame is
+    # CORPUS-sized, and a checkpoint's lineage cut makes its
+    # non-reliable executor blocks unrecoverable under executor loss —
+    # MEMORY_AND_DISK keeps the single-computation reuse and stays
+    # recomputable (ADVICE r13 #4).  Without a handle the operator
+    # persists NOTHING (the bucketing recomputes on each branch):
+    # correctness is identical and no block can ever leak — callers who
+    # care about the 2× scan opt in and own the release (ADVICE r15 #1)
+    bucketed = random_hyperplane_buckets(
+        df, vec_col=vec_col, num_planes=num_planes
+    ).withColumn("__nrm", vector_norm(F.col(vec_col)))
+    if persists is not None:
+        from pyspark import StorageLevel
 
-    bucketed = (
-        random_hyperplane_buckets(df, vec_col=vec_col, num_planes=num_planes)
-        .withColumn("__nrm", vector_norm(F.col(vec_col)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # registered, not leaked: the result is lazy so THIS function cannot
-    # unpersist after the consuming action — callers release via
-    # release_persisted() once materialized (ADVICE r14 #2)
-    _PERSISTED.append(bucketed)
+        bucketed = persists.track(
+            bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+        )
     masks = [0] + ([1 << p for p in range(num_planes)] if multiprobe else [])
     a = bucketed.select(
         F.col(id_col).alias("id_a"),

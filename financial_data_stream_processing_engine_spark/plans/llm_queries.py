@@ -990,35 +990,38 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.similarity.bucketed_cosine_pairs.
     """
     embs = _embs(spark, sf_dir)
-    lsh_pairs = similarity.bucketed_cosine_pairs(
-        embs, id_col="vec_id", vec_col="embedding",
-        num_planes=4, threshold=0.3, multiprobe=True,
-    ).cache()
-    exact = dedup.embedding_cosine_pairs(
-        embs, id_col="vec_id", vec_col="embedding", threshold=0.3
-    ).cache()
-    # try/finally: a failed count must NOT strand the registered
-    # corpus-sized persist in the module registry (a hard reference a
-    # failure path would otherwise pin for the whole session — worse
-    # than the pre-registry leak plain GC could eventually reclaim)
-    try:
-        n_exact = exact.count()
-        n_lsh = lsh_pairs.count()
-        false_pos = lsh_pairs.join(exact, ["id_a", "id_b"], "left_anti").count()
-        cos_mismatch = (
-            lsh_pairs.alias("p")
-            .join(exact.alias("e"), ["id_a", "id_b"])
-            .filter(F.abs(F.col("p.cos") - F.col("e.cos")) > 1e-15)
-            .count()
-        )
-    finally:
-        lsh_pairs.unpersist()
-        exact.unpersist()
-        # release the operator-internal bucketing persist too — on the
-        # success path every count has materialized, so the blocks are
-        # dead weight; on the failure path they must not outlive the
-        # entry
-        similarity.release_persisted()
+    # this call site owns the operator-internal bucketing persist via a
+    # PersistHandle (ADVICE r15 #1: no module-global registry — a
+    # shared global would pin corpus-sized blocks session-wide if any
+    # caller forgot to release, and interleaved callers could unpersist
+    # each other's frames); the with-block releases on every path
+    with similarity.PersistHandle() as persists:
+        lsh_pairs = similarity.bucketed_cosine_pairs(
+            embs, id_col="vec_id", vec_col="embedding",
+            num_planes=4, threshold=0.3, multiprobe=True,
+            persists=persists,
+        ).cache()
+        exact = dedup.embedding_cosine_pairs(
+            embs, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).cache()
+        # try/finally for the entry-local caches; the bucketing persist
+        # is the handle's job (released by the with-block even when a
+        # count fails)
+        try:
+            n_exact = exact.count()
+            n_lsh = lsh_pairs.count()
+            false_pos = lsh_pairs.join(
+                exact, ["id_a", "id_b"], "left_anti"
+            ).count()
+            cos_mismatch = (
+                lsh_pairs.alias("p")
+                .join(exact.alias("e"), ["id_a", "id_b"])
+                .filter(F.abs(F.col("p.cos") - F.col("e.cos")) > 1e-15)
+                .count()
+            )
+        finally:
+            lsh_pairs.unpersist()
+            exact.unpersist()
     return spark.createDataFrame(
         [
             (

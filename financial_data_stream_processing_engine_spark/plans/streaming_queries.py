@@ -1478,10 +1478,16 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = scratch_dir(prefix="nb_cdc_model_")
     out_dir = scratch_dir(prefix="nb_cdc_scores_")
     expected = [0]
-    # newest written state version — an empty slice advances the clock
-    # without writing, so "previous" is "newest written", not v{sl-1}
-    # (the phash/unigram sparse-corpus fix, ADVICE r14 #1, applied to
-    # this sibling gate too)
+    # data slices actually processed — reconciled post-stop against the
+    # slices that contain rows, so a lost/undelivered NON-empty feed
+    # file fails loudly instead of silently merging without its data
+    # (ADVICE r15 #3: the relaxed sl >= expected guard alone would
+    # treat a dropped slice file as an empty slice)
+    seen_slices: set[int] = set()
+    # newest written state version — an empty or skipped slice leaves
+    # the state untouched, so "previous" is "newest written", not
+    # v{sl-1} (the phash/unigram sparse-corpus fix, ADVICE r14 #1,
+    # applied to this sibling gate too)
     last_state: list[str | None] = [None]
 
     def merge_and_score(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1496,16 +1502,21 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"expected slice >= {expected[0]} alone, got {sorted(slices)}"
             )
         if not slices:
-            # an empty slice's feed file still arrives as one (empty)
-            # micro-batch and must advance the slice clock — returning
-            # without counting it would trip the guard on the NEXT
-            # batch; merge is the identity, the state version carries
-            expected[0] += 1
+            # an empty slice's feed file arrives as one (empty)
+            # micro-batch: merge is the identity, the state version
+            # carries.  Do NOT advance the clock (ADVICE r15 #2): sl is
+            # data-derived and the guard tolerates forward jumps
+            # (sl >= expected), so the increment is redundant when the
+            # empty batch maps 1:1 to a feed file — and WRONG when it
+            # does not (any other zero-row micro-batch would over-
+            # advance past a genuine next slice).  A silently-skipped
+            # NON-empty slice is caught by the post-stop reconciliation
             return
         # sl from the DATA: an empty slice that produced NO feed file
         # lets the next non-empty slice arrive early and the clock
         # jumps with it; genuine out-of-order (sl < expected) raised
         sl = int(slices[0])
+        seen_slices.add(sl)
         # additive maintenance: batch counts merge into the model state
         batch_counts, _ = nb_train(batch_df)
         if last_state[0] is None:
@@ -1556,6 +1567,22 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feed.writeStream.foreachBatch(merge_and_score).start()
     q.processAllAvailable()
     q.stop()
+    # reconcile (ADVICE r15 #3): the forward-jump-tolerant guard means
+    # a lost NON-empty slice file would be silently absorbed as "an
+    # empty slice" — so assert the processed slices equal the slices
+    # that actually contain rows (a bounded ≤3-row distinct).  An
+    # eventually-arriving dropped file can no longer corrupt results
+    # undetected: the gap fails here, loudly, at the entry boundary.
+    data_slices = {
+        int(r[0])
+        for r in docs.select((F.col("doc_id") % 3).alias("s")).distinct().collect()
+    }
+    if seen_slices != data_slices:
+        raise RuntimeError(
+            f"slice reconciliation failed: processed {sorted(seen_slices)} "
+            f"but the source contains rows in {sorted(data_slices)} — a "
+            "feed file was lost or undelivered"
+        )
     return spark.read.parquet(f"{out_dir}/data")
 
 
@@ -1663,6 +1690,9 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = scratch_dir(prefix="phash_gate_index_")
     out_dir = scratch_dir(prefix="phash_gate_out_")
     expected = [0]
+    # processed data slices, reconciled post-stop (ADVICE r15 #3): a
+    # lost NON-empty feed file must fail loudly, not pass as empty
+    seen_slices: set[int] = set()
     # driver-side "index is non-empty" flag: slice membership is not
     # the right guard (an empty slice 0 would leave the index path
     # unwritten while slice 1 still has no priors to probe)
@@ -1680,19 +1710,19 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"expected slice >= {expected[0]} alone, got {sorted(slices)}"
             )
         if not slices:
-            # a sparse corpus can leave a slice empty; if its feed
-            # file was still written it arrives as one (empty)
-            # micro-batch, which must advance the slice clock —
-            # returning without counting it would make the NEXT batch
-            # trip the out-of-order guard (ADVICE r14 #1).  Nothing
-            # arrived: nothing to probe, nothing to append.
-            expected[0] += 1
+            # a sparse corpus can leave a slice empty; nothing arrived:
+            # nothing to probe, nothing to append.  Do NOT advance the
+            # clock (ADVICE r15 #2): sl is data-derived and the guard
+            # tolerates forward jumps, so the increment was redundant
+            # for the empty-feed-file case and over-advances on any
+            # zero-row micro-batch that is NOT a slice's feed file.
             return
         # sl comes from the DATA, not the batch counter: when an empty
         # slice produced NO feed file at all, the next non-empty slice
         # arrives early and the clock jumps with it.  Genuine
         # out-of-order (sl < expected) still raises above.
         sl = int(slices[0])
+        seen_slices.add(sl)
         media = multimodal.as_media(
             batch_df, id_col="doc_id", payload=F.col("payload"),
             kind="image", mime="image/png",
@@ -1749,6 +1779,19 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feed.writeStream.foreachBatch(gate_batch).start()
     q.processAllAvailable()
     q.stop()
+    # reconcile (ADVICE r15 #3): processed slices must equal the slices
+    # that actually contain rows — a dropped non-empty feed file fails
+    # loudly here instead of silently probing without its images
+    data_slices = {
+        int(r[0])
+        for r in staged.select((F.col("doc_id") % 3).alias("s")).distinct().collect()
+    }
+    if seen_slices != data_slices:
+        raise RuntimeError(
+            f"slice reconciliation failed: processed {sorted(seen_slices)} "
+            f"but the source contains rows in {sorted(data_slices)} — a "
+            "feed file was lost or undelivered"
+        )
     return spark.read.parquet(f"{out_dir}/data")
 
 
@@ -1900,9 +1943,12 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = scratch_dir(prefix="unigram_cdc_state_")
     out_dir = scratch_dir(prefix="unigram_cdc_scores_")
     expected = [0]
-    # path of the NEWEST written state version — an empty slice leaves
-    # the version clock advanced but the state untouched, so "previous
-    # state" is "newest written", not "v{sl-1}"
+    # processed data slices, reconciled post-stop (ADVICE r15 #3): a
+    # lost NON-empty feed file must fail loudly, not pass as empty
+    seen_slices: set[int] = set()
+    # path of the NEWEST written state version — an empty or skipped
+    # slice leaves the state untouched, so "previous state" is "newest
+    # written", not "v{sl-1}"
     last_state: list[str | None] = [None]
 
     def merge_and_segment(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1917,20 +1963,20 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"expected slice >= {expected[0]} alone, got {sorted(slices)}"
             )
         if not slices:
-            # a sparse corpus can leave a slice empty; if its feed
-            # file was still written it arrives as one (empty)
-            # micro-batch, which must advance the slice clock —
-            # returning without counting it would make the NEXT batch
-            # trip the out-of-order guard (ADVICE r14 #1).  No words
-            # arrived: merge is the identity, the state version is
-            # simply carried.
-            expected[0] += 1
+            # a sparse corpus can leave a slice empty; no words
+            # arrived: merge is the identity, the state version simply
+            # carries.  Do NOT advance the clock (ADVICE r15 #2): sl is
+            # data-derived and the guard tolerates forward jumps, so
+            # the increment was redundant for the empty-feed-file case
+            # and over-advances on any zero-row micro-batch that is NOT
+            # a slice's feed file.
             return
         # sl comes from the DATA, not the batch counter: when an empty
         # slice produced NO feed file at all, the next non-empty slice
         # arrives early and the clock jumps with it.  Genuine
         # out-of-order (sl < expected) still raises above.
         sl = int(slices[0])
+        seen_slices.add(sl)
         batch_words = unigram.word_freqs(batch_df)
         if last_state[0] is None:
             merged = batch_words
@@ -1990,4 +2036,17 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feed.writeStream.foreachBatch(merge_and_segment).start()
     q.processAllAvailable()
     q.stop()
+    # reconcile (ADVICE r15 #3): processed slices must equal the slices
+    # that actually contain rows — a dropped non-empty feed file fails
+    # loudly here instead of silently merging without its words
+    data_slices = {
+        int(r[0])
+        for r in docs.select((F.col("doc_id") % 3).alias("s")).distinct().collect()
+    }
+    if seen_slices != data_slices:
+        raise RuntimeError(
+            f"slice reconciliation failed: processed {sorted(seen_slices)} "
+            f"but the source contains rows in {sorted(data_slices)} — a "
+            "feed file was lost or undelivered"
+        )
     return spark.read.parquet(f"{out_dir}/data")

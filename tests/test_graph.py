@@ -1114,3 +1114,76 @@ def test_louvain_refine_multi_departure_stress_sweep(spark):
             r["q_contrib"] for r in partition_modularity(df, ref_labels).collect()
         )
         assert q1 >= q0 - 1e-12, (trial,)
+
+
+def test_gc_hint_floor_never_exceeds_pre_gc_usage():
+    """VERDICT r15 #7 / ADVICE r14 #4: System.gc() may be serviced
+    asynchronously, so the post-collection heap re-read can land HIGHER
+    than the pre-GC usage (another thread allocated in between).  The
+    floor _iterative_gc_hint stamps must be clamped to the PRE-GC
+    usage — an over-read floor would suppress future collections longer
+    than the 12.5%-growth back-off intends.  Driven with a scripted
+    fake JVM so the heap readings are deterministic (no behavior
+    change to the operator; this pins the existing clamp)."""
+    from types import SimpleNamespace
+
+    from financial_data_stream_processing_engine_spark.operators import graph as g
+
+    class FakeRuntime:
+        """totalMemory() always mx; freeMemory() walks a scripted list
+        of used-heap readings (used = total - free)."""
+
+        def __init__(self, mx, usages):
+            self._mx = mx
+            self._usages = list(usages)
+            self._i = 0
+
+        def maxMemory(self):
+            return self._mx
+
+        def totalMemory(self):
+            return self._mx
+
+        def freeMemory(self):
+            u = self._usages[min(self._i, len(self._usages) - 1)]
+            self._i += 1
+            return self._mx - u
+
+    mx = 1000
+    key = "fake-app-gc-clamp-test"
+    gc_calls = []
+
+    def fake_spark(rt):
+        return SimpleNamespace(
+            _jvm=SimpleNamespace(
+                java=SimpleNamespace(
+                    lang=SimpleNamespace(
+                        Runtime=SimpleNamespace(getRuntime=lambda: rt)
+                    )
+                ),
+                System=SimpleNamespace(gc=lambda: gc_calls.append(1)),
+            ),
+            sparkContext=SimpleNamespace(applicationId=key),
+        )
+
+    g._GC_LAST_AFTER.pop(key, None)
+    try:
+        # fire: used 800 > mx/2 and > floor(0) + 125; the post-GC
+        # re-read comes back HIGHER (900: concurrent allocation) —
+        # the stamped floor must clamp to the pre-GC 800
+        g._iterative_gc_hint(fake_spark(FakeRuntime(mx, [800, 900])))
+        assert gc_calls == [1]
+        assert g._GC_LAST_AFTER[key] == 800
+
+        # back-off: 890 < 800 + 125 → no collection fires
+        g._iterative_gc_hint(fake_spark(FakeRuntime(mx, [890])))
+        assert gc_calls == [1]
+        assert g._GC_LAST_AFTER[key] == 800
+
+        # growth past floor + 12.5% fires again; a genuine reclaim
+        # (post-GC 100 < pre-GC 930) stamps the lower floor unclamped
+        g._iterative_gc_hint(fake_spark(FakeRuntime(mx, [930, 100])))
+        assert gc_calls == [1, 1]
+        assert g._GC_LAST_AFTER[key] == 100
+    finally:
+        g._GC_LAST_AFTER.pop(key, None)

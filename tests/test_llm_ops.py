@@ -123,6 +123,29 @@ def test_lsh_buckets_deterministic(spark, sf_dir):
     assert 0 < len(set(b1.values())) <= 256
 
 
+def test_persist_handle_owns_lifecycle(spark, sf_dir):
+    """ADVICE r15 #1: the bucketing persist is owned by the CALL SITE
+    via PersistHandle, not a module-global registry.  With no handle
+    the operator persists nothing (leak-proof default); with a handle
+    the persist exists inside the with-block, is released on exit, and
+    release is idempotent.  Values are identical either way."""
+    embs = load_table(spark, sf_dir, "embeddings").limit(60)
+    no_handle = {
+        (r.id_a, r.id_b)
+        for r in similarity.bucketed_cosine_pairs(embs, threshold=0.3).collect()
+    }
+    with similarity.PersistHandle() as h:
+        pairs = similarity.bucketed_cosine_pairs(embs, threshold=0.3, persists=h)
+        with_handle = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert len(h._frames) == 1
+        tracked = h._frames[0]
+        assert tracked.storageLevel.useMemory or tracked.storageLevel.useDisk
+    assert not h._frames  # released on exit
+    assert tracked.storageLevel.useMemory is False  # actually unpersisted
+    assert h.release() == 0  # idempotent
+    assert with_handle == no_handle
+
+
 def test_multimodal_stub_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = multimodal.as_media(
