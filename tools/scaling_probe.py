@@ -102,6 +102,14 @@ DEFAULT_ENTRIES: dict[str, str] = {
     # O(|batch| x 4) band rows; the same O(delta) gate reading as the
     # two rows above (lifecycle floor deflates the ratio).
     "streaming_phash_gate": "documents",
+    # r16 (VERDICT r15 #6): the streamed LM quality gate — per batch
+    # it scores its delta against a BROADCAST bigram model trained
+    # once on the reference slice (model-sized state only, zero
+    # scoring state); this row turns that claim into a measured curve.
+    # The one-time reference training inside the entry is itself
+    # documents-scaled (linear), so the family normalizes both terms;
+    # the StreamingQuery lifecycle floor deflates the ratio as above.
+    "streaming_lm_quality_gate": "documents",
 }
 
 #: entries whose quadratic form is the DOCUMENTED baseline arm — their
