@@ -50,6 +50,30 @@ def _event_tick_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(TICK_SCHEMA).parquet(_TICK_DIRS[key])
 
 
+def _reconcile_slices(seen: "set[int]", source: DataFrame, id_col: str = "doc_id") -> None:
+    """Post-stop slice reconciliation for the doc_id%3-sliced CDC gates
+    (ADVICE r15 #3): the gates' out-of-order guard tolerates forward
+    jumps (an empty slice may produce no feed file), which means a
+    LOST or undelivered NON-empty feed file would otherwise be
+    silently absorbed as "an empty slice" and the gate would produce
+    wrong rolling state with no error.  So after ``q.stop()`` each
+    gate asserts that the slices it actually processed equal the
+    slices that contain rows in the source table (a bounded ≤3-row
+    distinct) — a dropped file fails loudly at the entry boundary,
+    before any consumer reads the output.  Shared by the three gates
+    so the contract cannot drift between them."""
+    data_slices = {
+        int(r[0])
+        for r in source.select((F.col(id_col) % 3).alias("s")).distinct().collect()
+    }
+    if seen != data_slices:
+        raise RuntimeError(
+            f"slice reconciliation failed: processed {sorted(seen)} "
+            f"but the source contains rows in {sorted(data_slices)} — a "
+            "feed file was lost or undelivered"
+        )
+
+
 def _run(df: DataFrame, spark: SparkSession, mode: str = "append") -> DataFrame:
     name = f"q_{uuid.uuid4().hex[:12]}"
     q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
@@ -1567,22 +1591,7 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feed.writeStream.foreachBatch(merge_and_score).start()
     q.processAllAvailable()
     q.stop()
-    # reconcile (ADVICE r15 #3): the forward-jump-tolerant guard means
-    # a lost NON-empty slice file would be silently absorbed as "an
-    # empty slice" — so assert the processed slices equal the slices
-    # that actually contain rows (a bounded ≤3-row distinct).  An
-    # eventually-arriving dropped file can no longer corrupt results
-    # undetected: the gap fails here, loudly, at the entry boundary.
-    data_slices = {
-        int(r[0])
-        for r in docs.select((F.col("doc_id") % 3).alias("s")).distinct().collect()
-    }
-    if seen_slices != data_slices:
-        raise RuntimeError(
-            f"slice reconciliation failed: processed {sorted(seen_slices)} "
-            f"but the source contains rows in {sorted(data_slices)} — a "
-            "feed file was lost or undelivered"
-        )
+    _reconcile_slices(seen_slices, docs)
     return spark.read.parquet(f"{out_dir}/data")
 
 
@@ -1779,19 +1788,7 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feed.writeStream.foreachBatch(gate_batch).start()
     q.processAllAvailable()
     q.stop()
-    # reconcile (ADVICE r15 #3): processed slices must equal the slices
-    # that actually contain rows — a dropped non-empty feed file fails
-    # loudly here instead of silently probing without its images
-    data_slices = {
-        int(r[0])
-        for r in staged.select((F.col("doc_id") % 3).alias("s")).distinct().collect()
-    }
-    if seen_slices != data_slices:
-        raise RuntimeError(
-            f"slice reconciliation failed: processed {sorted(seen_slices)} "
-            f"but the source contains rows in {sorted(data_slices)} — a "
-            "feed file was lost or undelivered"
-        )
+    _reconcile_slices(seen_slices, staged)
     return spark.read.parquet(f"{out_dir}/data")
 
 
@@ -2036,17 +2033,5 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feed.writeStream.foreachBatch(merge_and_segment).start()
     q.processAllAvailable()
     q.stop()
-    # reconcile (ADVICE r15 #3): processed slices must equal the slices
-    # that actually contain rows — a dropped non-empty feed file fails
-    # loudly here instead of silently merging without its words
-    data_slices = {
-        int(r[0])
-        for r in docs.select((F.col("doc_id") % 3).alias("s")).distinct().collect()
-    }
-    if seen_slices != data_slices:
-        raise RuntimeError(
-            f"slice reconciliation failed: processed {sorted(seen_slices)} "
-            f"but the source contains rows in {sorted(data_slices)} — a "
-            "feed file was lost or undelivered"
-        )
+    _reconcile_slices(seen_slices, docs)
     return spark.read.parquet(f"{out_dir}/data")
