@@ -622,3 +622,33 @@ def test_streaming_nb_model_cdc_sparse_corpus_empty_slice(spark, sparse_docs_dir
             assert r["mean_delta_roll"] == r["mean_delta_final"]
             assert r["n_oov_roll"] == r["n_oov_final"]
             assert not r["pred_flipped"]
+
+
+def test_reconcile_slices_catches_dropped_nonempty_slice(spark):
+    """ADVICE r15 #3: the CDC gates' out-of-order guard tolerates
+    forward jumps, so a LOST non-empty feed file would be silently
+    absorbed as an empty slice — the shared post-stop reconciliation
+    is what turns that loss into a loud failure.  Drive the helper
+    directly: a processed-slice set missing a populated slice raises,
+    the complete set (and the empty-slice case, where the data itself
+    lacks the slice) passes."""
+    import pytest as _pytest
+
+    from financial_data_stream_processing_engine_spark.plans.streaming_queries import (
+        _reconcile_slices,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(9)], "doc_id long, text string"
+    )
+    # all three slices populated and processed: passes
+    _reconcile_slices({0, 1, 2}, docs)
+    # slice 1's feed file was lost: the gate saw {0, 2} only — raises
+    with _pytest.raises(RuntimeError, match="slice reconciliation failed"):
+        _reconcile_slices({0, 2}, docs)
+    # genuinely-empty slice 1 (sparse corpus): {0, 2} is complete
+    sparse = docs.filter("doc_id % 3 != 1")
+    _reconcile_slices({0, 2}, sparse)
+    # a phantom processed slice (clock over-advance regression) raises
+    with _pytest.raises(RuntimeError, match="slice reconciliation failed"):
+        _reconcile_slices({0, 1, 2}, sparse)
