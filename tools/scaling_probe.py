@@ -163,17 +163,36 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    def measure_one(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(max(1, reps)):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    def excess_of(ts: list[float], fam: str) -> list[float]:
+        t1, t2, t3 = ts
+        g1, g2 = TABLE_GROWTH[fam]
+        ex = []
+        for ta, tb, g in ((t1, t2, g1), (t2, t3, g2)):
+            r = tb / ta if ta > 0 else float("inf")
+            ex.append(r / g)
+        return ex
+
+    def is_flagged(ts: list[float], ex: list[float]) -> bool:
+        return any(
+            e > EXCESS_LIMIT and tb >= MIN_SIGNAL
+            for e, tb in zip(ex, ts[1:])
+        )
+
     times: dict[str, list[float]] = {n: [] for n in entries}
     for sf_dir in SF_DIRS:
         for name in entries:
-            best = float("inf")
-            for _ in range(max(1, reps)):
-                t0 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.time() - t0)
-            times[name].append(round(best, 3))
+            best = measure_one(name, sf_dir)
+            times[name].append(best)
             print(f"  {Path(sf_dir).name:8s} {name:32s} {best:6.2f}s", flush=True)
 
     hot: list[str] = []
@@ -182,26 +201,34 @@ def main() -> int:
           f"{'sf.1':>7s} {'excess a':>9s} {'excess b':>9s}")
     for name, fam in entries.items():
         t1, t2, t3 = times[name]
-        g1, g2 = TABLE_GROWTH[fam]
-        ex = []
-        for ta, tb, g in ((t1, t2, g1), (t2, t3, g2)):
-            r = tb / ta if ta > 0 else float("inf")
-            ex.append(r / g)
-        flagged = any(
-            e > EXCESS_LIMIT and tb >= MIN_SIGNAL
-            for e, tb in zip(ex, (t2, t3))
-        )
+        ex = excess_of(times[name], fam)
+        flagged = is_flagged(times[name], ex)
+        row = {"entry": name, "table": fam, "sec": times[name],
+               "excess": [round(e, 2) for e in ex]}
         flag = ""
-        if flagged:
-            if name in EXPECTED_SUPERLINEAR:
-                flag = f"  (expected: {EXPECTED_SUPERLINEAR[name]})"
-            else:
+        if flagged and name in EXPECTED_SUPERLINEAR:
+            flag = f"  (expected: {EXPECTED_SUPERLINEAR[name]})"
+        elif flagged:
+            # a load spike during ONE scale's window fabricates excess —
+            # most visibly on a ×1-data step, where the time ratio is
+            # divided by 1.0 and worn verbatim (measured r16: three
+            # flat entries flagged at 2.5-3.8× during one spike, all
+            # clean on immediate re-measure with the ×10 step diluting
+            # the same spike to ≤0.11×).  So a flag must REPRODUCE on
+            # one fresh full re-measure before it fails the gate; both
+            # measurements are reported, nothing is hidden.
+            retry = [measure_one(name, sf_dir) for sf_dir in SF_DIRS]
+            rex = excess_of(retry, fam)
+            row["retry_sec"] = retry
+            row["retry_excess"] = [round(e, 2) for e in rex]
+            if is_flagged(retry, rex):
                 hot.append(name)
-                flag = "  << SUPER-LINEAR"
+                flag = "  << SUPER-LINEAR (reproduced on retry)"
+            else:
+                flag = "  (first-pass flag NOT reproduced: load spike)"
         print(f"{name:34s} {fam:>11s} {t1:7.2f} {t2:7.2f} {t3:7.2f} "
               f"{ex[0]:8.2f}x {ex[1]:8.2f}x{flag}")
-        rows.append({"entry": name, "table": fam, "sec": times[name],
-                     "excess": [round(e, 2) for e in ex]})
+        rows.append(row)
 
     payload = {"metric": "scaling_probe_excess_vs_data_growth", "unit": "sec",
                "excess_limit": EXCESS_LIMIT, "min_signal_sec": MIN_SIGNAL,
