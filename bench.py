@@ -189,6 +189,60 @@ HEADLINE = [
 ]
 
 
+#: Era calibration (VERDICT r16 #2): a FIXED synthetic workload, fully
+#: independent of catalog code (spark.range -> hash project -> groupBy
+#: agg -> noop), run FIRST with 3 reps; the median is published in the
+#: JSON as ``calibration.median_sec`` next to this reference constant,
+#: and their ratio as ``calibration.era_factor``.  Cross-round readers
+#: divide per-entry deltas by the era factor before calling anything a
+#: regression — r14-r16 showed byte-identical code drifting 1.2-3.7x
+#: with the environment, and a single un-repeated driver record cannot
+#: carry a cross-round claim on its own (three consecutive wrong-way
+#: Louvain records, all refuted by same-day controls).  The reference
+#: is the r17 builder-session median (best-documented era, same
+#: machine class as the driver); see BASELINE.md "How to attribute a
+#: bench delta".
+CAL_REFERENCE_SEC = 1.25
+
+
+def _calibrate(spark, reps: int = 3) -> dict:
+    from pyspark.sql import functions as F
+
+    times: list[float] = []
+    for _ in range(reps):
+        t0 = time.time()
+        df = (
+            spark.range(0, 60_000_000, 1, 32)
+            .selectExpr("id % 9973 AS k", "(id * 2654435761) % 1000003 AS v")
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.avg("v").alias("a"), F.count("*").alias("c"))
+        )
+        df.write.format("noop").mode("overwrite").save()
+        times.append(round(time.time() - t0, 3))
+    med = sorted(times)[len(times) // 2]
+    return {
+        "workload": "range60M-hash-groupBy9973-agg3-noop",
+        "reps_sec": times,
+        "median_sec": med,
+        "reference_sec": CAL_REFERENCE_SEC,
+        "era_factor": round(med / CAL_REFERENCE_SEC, 2),
+    }
+
+
+def _trailing_records() -> dict[str, float]:
+    """Per-query times from the newest BENCH_r*.json in the repo (the
+    trailing driver record), for the >2x retry rule.  Empty if none."""
+    recs = sorted(REPO.glob("BENCH_r*.json"))
+    if not recs:
+        return {}
+    try:
+        payload = json.loads(recs[-1].read_text().strip().splitlines()[0])
+        q = payload.get("queries", {})
+        return {k: float(v) for k, v in q.items()}
+    except Exception:
+        return {}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -206,11 +260,18 @@ def main() -> int:
     # measured query doesn't absorb session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Era calibration first (VERDICT r16 #2): 3 reps of the fixed
+    # synthetic workload; its median / CAL_REFERENCE_SEC is the era
+    # factor this run wears in its own JSON.
+    calibration = _calibrate(spark)
+
     # 3 reps: measured rep-by-rep, rep 1 carries plan+codegen setup and
     # rep 2 still pays residual JIT warmup (e.g. ma_alerts 3.18/0.77/
     # 0.59 s); the min of 3 is the steady state a long-running cluster
     # job actually sees.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    trailing = _trailing_records()
+    retimed: dict[str, dict] = {}
     timings: dict[str, float] = {}
     for name in names:
         # best-of-N: the first run pays one-time codegen/planning cost;
@@ -222,6 +283,25 @@ def main() -> int:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+        # Retry rule (VERDICT r16 #2): if even the best-of-N exceeds
+        # the trailing driver record by >2x, the number is likelier a
+        # transient (GC pause, load spike spanning all reps) than a
+        # real regression — re-time once (2 fresh reps) and keep the
+        # better, reporting BOTH so nothing is hidden.
+        prior = trailing.get(name)
+        if prior is not None and prior > 0 and best > 2.0 * prior:
+            retry_best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                retry_best = min(retry_best, time.time() - t0)
+            retimed[name] = {
+                "first_best": round(best, 3),
+                "retry_best": round(retry_best, 3),
+                "trailing_record": prior,
+            }
+            best = min(best, retry_best)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -260,21 +340,23 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "subtotals": subtotals,
+        "calibration": calibration,
+        "retimed": retimed,
         "queries": timings,
         "sf": sf,
         # Reference envelope for drift attribution, NOT a description
-        # of this run: the most recent same-code multi-run envelope,
-        # maintained in BASELINE.md's fixed-overhead ledger (currently
-        # the r13 triple run, 197.9/213.8/219.9 s over 83 entries —
-        # an 11% spread on byte-identical code that even flips the
-        # batch/iterative subtotal split). Update the ledger and this
-        # pointer whenever a new same-code envelope is measured.
+        # of this run (ADVICE r16 #2): the in-run calibration block
+        # above is the per-run instrument; this string records the
+        # measured cross-session spread so a JSON-only reader knows
+        # raw totals are not comparable across sessions.
         "noise_envelope": (
-            "same-code runs span 197.9-219.9s (r13 session, 83 entries); the"
-            " r14 session's machine measures the UNCHANGED r13 snapshot at"
-            " 243.3s same-day (~1.2x environment drift) - compare common-"
-            "subset ratios within a session, not totals across sessions;"
-            " see BASELINE.md"
+            "byte-identical code measured 1.8-3.7x slower in the r16 era than"
+            " its r15 records, with a 2.4x spread between consecutive"
+            " identical processes; same-day builder controls (the"
+            " BENCH_LATEST convention) are the only cross-round instrument -"
+            " divide per-entry deltas by calibration.era_factor and compare"
+            " common-subset ratios within a session, never raw totals across"
+            " sessions; see BASELINE.md 'How to attribute a bench delta'"
         ),
     }
     # Compact separators keep the line short, and the file copy
@@ -288,6 +370,7 @@ def main() -> int:
     # guaranteed to survive truncation — the ~2 KB per-query line goes
     # first, the short parseable JSON headline goes last.
     total_only = {k: payload[k] for k in ("metric", "value", "unit", "subtotals", "sf")}
+    total_only["era_factor"] = calibration["era_factor"]
     print(line, flush=True)
     print(json.dumps(total_only, separators=(",", ":")), flush=True)
     return 0

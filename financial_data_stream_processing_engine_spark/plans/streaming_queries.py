@@ -58,10 +58,14 @@ def _reconcile_slices(seen: "set[int]", source: DataFrame, id_col: str = "doc_id
     silently absorbed as "an empty slice" and the gate would produce
     wrong rolling state with no error.  So after ``q.stop()`` each
     gate asserts that the slices it actually processed equal the
-    slices that contain rows in the source table (a bounded ≤3-row
-    distinct) — a dropped file fails loudly at the entry boundary,
-    before any consumer reads the output.  Shared by the three gates
-    so the contract cannot drift between them."""
+    slices that contain rows in the source table.  Only the RESULT is
+    bounded (≤3 distinct slice ids): computing it is one full scan of
+    the corpus-sized source, column-pruned to ``id_col`` — a real,
+    measured per-entry tail cost on each of the three CDC gates
+    (ADVICE r16 #1), paid once after ``q.stop()``.  A dropped file
+    fails loudly at the entry boundary, before any consumer reads the
+    output.  Shared by the three gates so the contract cannot drift
+    between them."""
     data_slices = {
         int(r[0])
         for r in source.select((F.col(id_col) % 3).alias("s")).distinct().collect()

@@ -146,6 +146,46 @@ def test_persist_handle_owns_lifecycle(spark, sf_dir):
     assert with_handle == no_handle
 
 
+def test_persist_handle_nested_lifo(spark, sf_dir):
+    """VERDICT r16 #6: the interleaving ADVICE r15 #1 actually feared —
+    two NESTED handles releasing in LIFO order must not unpersist each
+    other's frames.  The inner with-block's exit releases only the
+    inner handle's frame; the outer frame stays hot until the outer
+    exit.  Each call site owns exactly its own persists.
+
+    Caveat this test documents: the two call sites must have DISTINCT
+    logical plans — Spark's CacheManager dedupes identical analyzed
+    plans into ONE cache entry, so two handles persisting the very
+    same plan share a block and either release cools it (values stay
+    correct; the block is just recomputed).  That is Spark cache
+    semantics, not a handle defect, hence the differing limits here."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    with similarity.PersistHandle() as outer:
+        outer_pairs = similarity.bucketed_cosine_pairs(
+            embs.limit(60), threshold=0.3, persists=outer
+        )
+        outer_vals = {(r.id_a, r.id_b) for r in outer_pairs.collect()}
+        assert len(outer._frames) == 1
+        outer_frame = outer._frames[0]
+        with similarity.PersistHandle() as inner:
+            inner_pairs = similarity.bucketed_cosine_pairs(
+                embs.limit(59), threshold=0.3, persists=inner
+            )
+            inner_pairs.collect()
+            assert len(inner._frames) == 1
+            inner_frame = inner._frames[0]
+            assert inner_frame is not outer_frame
+        # inner exit: ITS frame is released, the outer's is untouched
+        assert inner_frame.storageLevel.useMemory is False
+        assert outer._frames == [outer_frame]
+        assert outer_frame.storageLevel.useMemory or outer_frame.storageLevel.useDisk
+        # the outer frame is still usable after the inner release
+        assert {(r.id_a, r.id_b) for r in outer_pairs.collect()} == outer_vals
+    assert outer_frame.storageLevel.useMemory is False  # LIFO: outer last
+    assert not outer._frames
+    assert outer.release() == 0 and inner.release() == 0  # both idempotent
+
+
 def test_multimodal_stub_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = multimodal.as_media(

@@ -110,6 +110,16 @@ DEFAULT_ENTRIES: dict[str, str] = {
     # documents-scaled (linear), so the family normalizes both terms;
     # the StreamingQuery lifecycle floor deflates the ratio as above.
     "streaming_lm_quality_gate": "documents",
+    # r17 (VERDICT r16 #3): the streamed NB gate — the last un-probed
+    # streaming gate.  Per batch it scores its delta against a STATIC
+    # localCheckpoint-ed Naive-Bayes model trained once on the
+    # reference slice (vocabulary-sized state only, zero per-row
+    # scoring state), so per-batch work is O(delta · tokens).  The
+    # one-time reference training inside the entry is documents-scaled
+    # (linear); the StreamingQuery lifecycle floor deflates the ratio
+    # as for the other gates — read as an O(delta) gate, not an
+    # exponent.
+    "streaming_nb_gate": "documents",
 }
 
 #: entries whose quadratic form is the DOCUMENTED baseline arm — their
@@ -196,6 +206,13 @@ def main() -> int:
             print(f"  {Path(sf_dir).name:8s} {name:32s} {best:6.2f}s", flush=True)
 
     hot: list[str] = []
+    # first-pass flags that did NOT reproduce on the fresh re-measure
+    # (ADVICE r16 #3): surfaced as a dedicated field so round audits
+    # can spot an entry that flags repeatedly ACROSS rounds without
+    # ever reproducing within one — a genuinely intermittent
+    # super-linear term (e.g. cache-pressure-triggered) would show up
+    # here round after round, where a one-off load spike would not.
+    spike_flags: list[str] = []
     rows = []
     print(f"\n{'entry':34s} {'data':>11s} {'sf.001':>7s} {'sf.01':>7s} "
           f"{'sf.1':>7s} {'excess a':>9s} {'excess b':>9s}")
@@ -225,6 +242,7 @@ def main() -> int:
                 hot.append(name)
                 flag = "  << SUPER-LINEAR (reproduced on retry)"
             else:
+                spike_flags.append(name)
                 flag = "  (first-pass flag NOT reproduced: load spike)"
         print(f"{name:34s} {fam:>11s} {t1:7.2f} {t2:7.2f} {t3:7.2f} "
               f"{ex[0]:8.2f}x {ex[1]:8.2f}x{flag}")
@@ -232,7 +250,7 @@ def main() -> int:
 
     payload = {"metric": "scaling_probe_excess_vs_data_growth", "unit": "sec",
                "excess_limit": EXCESS_LIMIT, "min_signal_sec": MIN_SIGNAL,
-               "superlinear": hot, "rows": rows}
+               "superlinear": hot, "spike_flags": spike_flags, "rows": rows}
     print(json.dumps(payload, separators=(",", ":")), flush=True)
     if hot:
         print(f"SCALING PROBE FAILED: {hot}")
