@@ -19,6 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from financial_data_stream_processing_engine_spark.functions.exprs import bind
 from financial_data_stream_processing_engine_spark.operators.text import shingles, tokens
 
 
@@ -377,20 +378,21 @@ def dedup_segments(
 
     # coalesce like chunk_documents: NULL text must not silently drop
     # the document from the segment explode
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    n_seg = F.ceil(F.size(toks) / F.lit(window)).cast("int")
-    segs = (
-        df.select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_seg - 1),
-                    lambda i: F.array_join(
-                        F.slice(toks, i * window + 1, window), " "
-                    ),
-                )
-            ).alias("seg_idx", "seg_text"),
-        )
+    # bind the token array once per row (functions.exprs): the split
+    # would otherwise re-run per SEGMENT inside the transform lambda —
+    # O(len²/window) character work per document
+    seg_arr = bind(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(toks) / F.lit(window)).cast("int") - 1
+            ),
+            lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+        ),
+    )
+    segs = df.select(
+        id_col,
+        F.posexplode(seg_arr).alias("seg_idx", "seg_text"),
     )
     w = Window.partitionBy("seg_text").orderBy(id_col, "seg_idx")
     kept = segs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
@@ -403,6 +405,10 @@ def dedup_segments(
             " ",
         ).alias("dedup_text"),
     )
+    n_seg = F.ceil(
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        / F.lit(window)
+    ).cast("int")
     base = df.select(id_col, n_seg.alias("n_segments"))
     return (
         base.join(rebuilt, on=id_col, how="left")

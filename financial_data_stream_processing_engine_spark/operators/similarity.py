@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from financial_data_stream_processing_engine_spark.functions.exprs import bind
 from financial_data_stream_processing_engine_spark.functions.numeric import davg, qint
 from financial_data_stream_processing_engine_spark.operators.dedup import (
     cosine,
@@ -224,42 +225,59 @@ def quantize_int8(
     raises on x/0).
 
     Pure per-row array expressions: no shuffle, no Python, linear scan.
+    Every derived value (the cast vector, the scale, the codes, the
+    dequantized vector, the error array) is ``bind``-bound
+    (functions.exprs) so each is evaluated ONCE per row — the previous
+    spelling embedded ``scale`` (itself an O(d) array_max) inside the
+    per-element quantize/dequantize lambdas, an O(d²) re-evaluation.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs))
     zero = F.lit(0.0)
-    q = F.when(
-        scale > zero,
-        F.transform(v, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    dq = F.when(
-        scale > zero,
-        F.transform(F.col("q"), lambda c: c.cast("double") * scale / 127.0),
-    ).otherwise(F.transform(F.col("q"), lambda c: zero))
-    err = F.zip_with(F.col("dq"), v, lambda d, x: F.abs(d - x))
-    return (
-        df.select(
-            F.col(id_col),
-            v.alias(vec_col),
-            F.size(F.col(vec_col)).alias("n_dims"),
-            scale.alias("scale"),
-            q.alias("q"),
-        )
-        .withColumn("dq", dq)
-        .withColumn("err", err)
-        .select(
-            id_col,
-            "n_dims",
-            "scale",
-            "q",
-            F.array_max(F.col("err")).alias("max_abs_err"),
-            (
-                F.aggregate(
-                    F.col("err"), F.lit(0.0), lambda acc, e: acc + e * e
+
+    def over_v(v: Column) -> Column:
+        def over_scale(scale: Column) -> Column:
+            q = F.when(
+                scale > zero,
+                F.transform(
+                    v, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("int")
+                ),
+            ).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+            def over_q(qq: Column) -> Column:
+                dq = F.when(
+                    scale > zero,
+                    F.transform(qq, lambda c: c.cast("double") * scale / 127.0),
+                ).otherwise(F.transform(qq, lambda c: zero))
+
+                def over_err(err: Column) -> Column:
+                    return F.struct(
+                        F.size(v).alias("n_dims"),
+                        scale.alias("scale"),
+                        qq.alias("q"),
+                        F.array_max(err).alias("max_abs_err"),
+                        (
+                            F.aggregate(
+                                err, F.lit(0.0), lambda acc, e: acc + e * e
+                            )
+                            / F.size(v).cast("double")
+                        ).alias("mse"),
+                    )
+
+                return bind(
+                    F.zip_with(dq, v, lambda d, x: F.abs(d - x)), over_err
                 )
-                / F.col("n_dims").cast("double")
-            ).alias("mse"),
-        )
+
+            return bind(q, over_q)
+
+        return bind(F.array_max(F.transform(v, F.abs)), over_scale)
+
+    st = bind(F.transform(F.col(vec_col), lambda x: x.cast("double")), over_v)
+    return df.select(F.col(id_col), st.alias("__st")).select(
+        id_col,
+        F.col("__st.n_dims").alias("n_dims"),
+        F.col("__st.scale").alias("scale"),
+        F.col("__st.q").alias("q"),
+        F.col("__st.max_abs_err").alias("max_abs_err"),
+        F.col("__st.mse").alias("mse"),
     )
 
 

@@ -819,3 +819,72 @@ def test_retrieval_rrf_fusion_matches_arm_recomputation(spark, sf_dir):
         assert row["rrf_score"] == want  # bit-equal: same IEEE op order
     order = sorted(fused.values(), key=lambda r: (-r["rrf_score"], r["doc_id"]))
     assert [r["fused_rank"] for r in order] == list(range(1, len(order) + 1))
+
+
+def test_bind_let_semantics_match_inline(spark):
+    """functions.exprs.bind is an expression-level let: same values as
+    the inline spelling (including NULL and empty inputs), it only
+    changes HOW OFTEN the bound subtree evaluates (r17 optimization —
+    a lambda body re-evaluates outer computed expressions per array
+    element, so shingles() was O(len²) per row before binding)."""
+    from financial_data_stream_processing_engine_spark.functions.exprs import bind
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a"), (3, ""), (4, None), (5, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    # bind(x, f) == f(x) for a pure f, NULLs included
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    inline = df.select(
+        "doc_id", F.concat_ws("|", F.slice(toks, 1, 2)).alias("v")
+    ).collect()
+    bound = df.select(
+        "doc_id",
+        bind(toks, lambda t: F.concat_ws("|", F.slice(t, 1, 2))).alias("v"),
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, bound))
+    # NULL input rides through the body exactly as inline
+    null_inline = df.select(F.length(F.col("text")).alias("v")).collect()
+    null_bound = df.select(
+        bind(F.col("text"), lambda t: F.length(t)).alias("v")
+    ).collect()
+    assert [r.v for r in null_inline] == [r.v for r in null_bound]
+
+
+def test_shingles_bound_form_matches_reference(spark):
+    """The r17 bind-rewrite of shingles()/ngrams_with_repeats() is
+    value-identical to the pre-bind spelling (pinned here as a local
+    replica) on edge cases: short docs, repeated tokens, empty text."""
+    from financial_data_stream_processing_engine_spark.operators.text import (
+        ngrams_with_repeats,
+        shingles,
+        tokens,
+    )
+
+    def shingles_reference(text, n=3):  # the pre-r17 inline spelling
+        toks = tokens(text)
+        m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b"), (3, ""), (4, "x x x x x"), (5, "q")],
+        "doc_id long, text string",
+    )
+    got = df.select("doc_id", shingles("text", 3).alias("s")).collect()
+    want = df.select("doc_id", shingles_reference("text", 3).alias("s")).collect()
+    assert {r.doc_id: r.s for r in got} == {r.doc_id: r.s for r in want}
+    ng = df.select("doc_id", ngrams_with_repeats(F.col("text"), 2).alias("g")).collect()
+    for r in ng:
+        txt = {1: "a b c d e f", 2: "a b", 3: "", 4: "x x x x x", 5: "q"}[r.doc_id]
+        t = txt.split(" ")
+        exp = (
+            [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+            if len(t) >= 2
+            else [txt]
+        )
+        assert r.g == exp
