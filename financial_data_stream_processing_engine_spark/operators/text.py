@@ -765,43 +765,66 @@ def bpe_train_merges(
         "cnt",
     ).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
+    # pending replace from the previous round, applied (to fixpoint)
+    # before this round's pair counts are read
+    pat = rep = None
     for rank in range(1, k + 1):
-        pairs = (
-            vocab.select(
-                F.split(F.expr("trim(BOTH '|' FROM toks)"), "\\|").alias("l"), "cnt"
+        while True:
+            if pat is not None:
+                vocab = vocab.select(
+                    F.replace(F.col("toks"), F.lit(pat), F.lit(rep)).alias("toks"),
+                    "cnt",
+                ).localCheckpoint()
+            pairs = (
+                vocab.select(
+                    F.split(F.expr("trim(BOTH '|' FROM toks)"), "\\|").alias("l"),
+                    "cnt",
+                )
+                .select(
+                    # size(l) == 1 must yield NO pairs: Spark's
+                    # sequence(1, 0) DESCENDS instead of being empty
+                    F.explode(
+                        F.expr(
+                            "CASE WHEN size(l) >= 2 THEN"
+                            " transform(sequence(1, size(l) - 1),"
+                            " j -> struct(element_at(l, j) AS a,"
+                            " element_at(l, j + 1) AS b))"
+                            " ELSE array() END"
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("pc"))
             )
-            .select(
-                # size(l) == 1 must yield NO pairs: Spark's
-                # sequence(1, 0) DESCENDS instead of being empty
-                F.explode(
-                    F.expr(
-                        "CASE WHEN size(l) >= 2 THEN"
-                        " transform(sequence(1, size(l) - 1),"
-                        " j -> struct(element_at(l, j) AS a,"
-                        " element_at(l, j + 1) AS b))"
-                        " ELSE array() END"
-                    )
-                ).alias("p"),
-                "cnt",
+            sel = pairs.orderBy(F.desc("pc"), "a", "b").limit(1)
+            if pat is None:
+                best = sel.collect()
+                break
+            # FUSED fixpoint check (r17, one job fewer per round): the
+            # argmax job also reads "does the previous round's pattern
+            # survive one replace pass?" — adjacent occurrences share
+            # their boundary '|', so one pass can leave instances.  A
+            # flagged round discards this argmax and re-replaces, so
+            # the merge sequence is identical to the check-then-argmax
+            # spelling; converged rounds (the common case) pay ONE
+            # collect instead of a count job plus a collect.
+            flag = vocab.agg(
+                F.max(F.col("toks").contains(pat)).alias("again")
             )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("pc"))
-        )
-        best = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).collect()
+            best = sel.crossJoin(flag).collect()
+            if best and best[0]["again"]:
+                continue
+            # an EMPTY pairs frame proves convergence by itself: a
+            # surviving "|a|b|" instance implies an adjacent (a, b)
+            # pair, so pairs-empty ⟹ pattern absent (the crossJoin
+            # yields no row to read the flag from, and none is needed)
+            break
         if not best:
             break
         a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pc"])
         merges.append((rank, a, b, pc))
         pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
-        while True:
-            vocab = vocab.select(
-                F.replace(F.col("toks"), F.lit(pat), F.lit(rep)).alias("toks"),
-                "cnt",
-            ).localCheckpoint()
-            # fixpoint check: adjacent occurrences share their boundary
-            # '|', so one replace pass can leave pattern instances
-            if vocab.where(F.col("toks").contains(pat)).limit(1).count() == 0:
-                break
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left_tok string, right_tok string, pair_count bigint"

@@ -147,18 +147,6 @@ def init_vocab(words: DataFrame) -> DataFrame:
     )
 
 
-def _char_inventory(words: DataFrame) -> DataFrame:
-    """Distinct single characters across the (bounded) words — the
-    always-segmentable floor of every vocabulary update."""
-    spark = words.sparkSession
-    pos = spark.createDataFrame([(i,) for i in range(1, MAX_WORD_LEN + 1)], "i int")
-    return (
-        words.join(F.broadcast(pos), F.col("i") <= F.length("word"))
-        .select(F.expr("substr(word, i, 1)").alias("piece"))
-        .distinct()
-    )
-
-
 def _piece_costs(vocab: DataFrame, tot: DataFrame) -> DataFrame:
     """(piece, cnt, qcost) under model total ``tot(t)`` — the shared
     QCOST text on exact bigints."""
@@ -296,8 +284,16 @@ def unigram_train_words(
             return d
 
     words = spill(words_df, "words")
-    chars = spill(_char_inventory(words), "chars")
     vocab = spill(init_vocab(words), "v0")
+    # char inventory = v0's single-character pieces: init_vocab keeps
+    # every length-1 substring unconditionally (the `length == 1 |
+    # cnt >= MIN_COUNT` filter), and every character of every bounded
+    # word IS a (start, 1) grid slot — so the re-seed floor reads off
+    # the already-spilled v0 instead of paying its own corpus-
+    # vocabulary pass + distinct exchange + spill job (r17; the
+    # retired :func:`_char_inventory` computed the same set
+    # independently)
+    chars = vocab.where(F.length("piece") == 1).select("piece")
     vocabs: list[DataFrame] = [vocab]
     bests: list[DataFrame] = []
     for r in range(rounds):

@@ -30,6 +30,18 @@ def get_spark(
             master = f"local[{cpus}]" if cpus else "local[*]"
     builder = (
         builder.master(master)
+        # Size the local-mode JVM heap to the task slots (guide §5): the
+        # 1 GiB PySpark default serves local[32]'s 32 concurrent tasks
+        # plus every localCheckpoint/broadcast block through one heap —
+        # measured as progressive GC-pressure inflation across a long
+        # multi-query session (entries late in a bench run 1.5-2.5×
+        # their solo time).  ~256 MiB/slot; env-overridable so the same
+        # builder serves other machine shapes.  On a real cluster the
+        # executor/driver sizing flags replace this (the setting is
+        # inert once a JVM exists).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
