@@ -242,17 +242,28 @@ def kcore(
     rather than silently returning a non-core (the same loud-failure
     contract as the triangle order-key range guard above).
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")).localCheckpoint()
     prev_n = -1
-    for _ in range(max_rounds):
+    for i in range(max_rounds):
         deg = (
             e.select(F.col("id_a").alias("node"))
             .unionAll(e.select(F.col("id_b").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("core_deg"))
         )
-        alive = deg.where(F.col("core_deg") >= k).localCheckpoint()
-        n = alive.count()
+        # one job per round (r17, the connected_components idiom): the
+        # eager checkpoint materializes the survivors AND delivers the
+        # convergence count through the observation — the separate
+        # count() job it replaces re-scanned the checkpoint blocks
+        obs = Observation(f"kcore_round_{i}")
+        alive = (
+            deg.where(F.col("core_deg") >= k)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n = obs.get["n"]
         if n == prev_n:
             return alive
         prev_n = n
@@ -303,12 +314,14 @@ def ktruss(
     inflate triangle multiplicity), the same undirected-simple-graph
     precondition :func:`triangle_count` and :func:`kcore` state.
     """
+    from pyspark.sql import Observation
+
     t = k - 2
     e = edges.select(
         F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
     ).localCheckpoint()
     prev_n = -1
-    for _ in range(max_rounds):
+    for i in range(max_rounds):
         _deg, tris = _closed_triangles(e)
         tri_edges = tris.select(
             F.explode(
@@ -326,13 +339,19 @@ def ktruss(
             ).alias("ed")
         ).select(F.col("ed.ea").alias("a"), F.col("ed.eb").alias("b"))
         sup = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        # one job per round (r17, the connected_components idiom): the
+        # eager checkpoint materializes the survivors AND delivers the
+        # convergence count through the observation — no separate
+        # count() job re-scanning the checkpoint blocks
+        obs = Observation(f"ktruss_round_{i}")
         kept = (
             e.join(sup, ["a", "b"], "left")
             .select("a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
             .where(F.col("support") >= t)
-            .localCheckpoint()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
-        n = kept.count()
+        n = obs.get["n"]
         if n == prev_n:
             return kept.select(
                 F.col("a").alias(src),
