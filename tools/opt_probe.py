@@ -75,7 +75,8 @@ def main() -> int:
             "reps_sec": reps,
             "best_sec": min(reps),
             "exchanges": len(re.findall(r"\bExchange\b", plan_txt)),
-            "wscg": len(re.findall(r"WholeStageCodegen", plan_txt)),
+            # formatted explain marks codegen spans as "[codegen id : N]"
+            "wscg": len(set(re.findall(r"codegen id : (\d+)", plan_txt))),
             "python_nodes": len(
                 re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas|MapInArrow|FlatMapGroupsInPandas", plan_txt)
             ),
