@@ -229,6 +229,31 @@ def _calibrate(spark, reps: int = 3) -> dict:
     }
 
 
+def apply_retry_rule(
+    name: str,
+    best: float,
+    prior: float | None,
+    retime,
+    retimed: dict[str, dict],
+) -> float:
+    """The >2×-vs-trailing-record retry rule (VERDICT r16 #2), as a
+    pure function so its honesty contract is testable (VERDICT r17 #8):
+    when even the best-of-N exceeds the trailing driver record by >2×,
+    re-time once via ``retime()`` (fresh reps, caller-supplied), keep
+    the better number, and record BOTH readings plus the trailing
+    record under ``retimed[name]`` — a retimed entry can never hide its
+    first reading.  Returns the number the entry wears."""
+    if prior is not None and prior > 0 and best > 2.0 * prior:
+        retry_best = retime()
+        retimed[name] = {
+            "first_best": round(best, 3),
+            "retry_best": round(retry_best, 3),
+            "trailing_record": prior,
+        }
+        best = min(best, retry_best)
+    return best
+
+
 def _trailing_records() -> dict[str, float]:
     """Per-query times from the newest BENCH_r*.json in the repo (the
     trailing driver record), for the >2x retry rule.  Empty if none."""
@@ -287,21 +312,18 @@ def main() -> int:
         # the trailing driver record by >2x, the number is likelier a
         # transient (GC pause, load spike spanning all reps) than a
         # real regression — re-time once (2 fresh reps) and keep the
-        # better, reporting BOTH so nothing is hidden.
-        prior = trailing.get(name)
-        if prior is not None and prior > 0 and best > 2.0 * prior:
+        # better, reporting BOTH so nothing is hidden (the contract
+        # lives in apply_retry_rule, pinned by tests).
+        def _retime(name=name) -> float:
             retry_best = float("inf")
             for _ in range(2):
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 retry_best = min(retry_best, time.time() - t0)
-            retimed[name] = {
-                "first_best": round(best, 3),
-                "retry_best": round(retry_best, 3),
-                "trailing_record": prior,
-            }
-            best = min(best, retry_best)
+            return retry_best
+
+        best = apply_retry_rule(name, best, trailing.get(name), _retime, retimed)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -32,5 +32,14 @@ def bind(value: Column, fn: Callable[[Column], Column]) -> Column:
     Use whenever a lambda body would otherwise reference a computed
     outer column (the per-element re-evaluation trap above).  Plain
     attribute references and literals don't need it.
+
+    CONSTRAINT (ADVICE r17 #3): ``value`` and the body ``fn`` builds
+    must be pure ROW-LEVEL expressions — no aggregates, no window
+    functions, no nondeterministic expressions, and no generator
+    (``explode``-class) input — because both execute inside a
+    higher-order-function lambda, where Catalyst rejects those forms
+    at analysis time with an error far from this call site.  Audits of
+    lambda call sites (the ARCHITECTURE.md audit rule) should treat a
+    ``bind`` body exactly like any other HOF lambda body.
     """
     return F.element_at(F.transform(F.array(value), fn), 1)

@@ -363,6 +363,31 @@ def ktruss(
     raise RuntimeError(f"k-truss peel did not converge within {max_rounds} rounds")
 
 
+def truss_labels(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 40,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, community) over the k-truss — the label sub-chain of
+    :func:`truss_communities` WITHOUT the member-count aggregation:
+    peel to the k-truss (:func:`ktruss`), then min-label connected
+    components.  Callers that only consume the labels (the Louvain
+    refine/coarsen chain, partition modularity — which re-derives any
+    per-community sums it needs) previously paid truss_communities'
+    community-keyed count exchange + size join just to project it away
+    (r18, guide §1.2: don't compute what you throw away)."""
+    from financial_data_stream_processing_engine_spark.operators.dedup import (
+        connected_components,
+    )
+
+    kept = ktruss(edges, k=k, max_rounds=max_rounds, src=src, dst=dst)
+    return connected_components(kept, id_a=src, id_b=dst).select(
+        "node", F.col("component").alias("community")
+    )
+
+
 def truss_communities(
     edges: DataFrame,
     k: int = 3,
@@ -380,7 +405,8 @@ def truss_communities(
     community ids).  Composition of two proven iterative cores — the
     peel shrinks monotonically, the propagation converges in diameter
     rounds, both ``localCheckpoint`` per round and carry only bounded
-    convergence scalars to the driver.
+    convergence scalars to the driver.  Label-only consumers use
+    :func:`truss_labels` (no size aggregation).
 
     Returns (node, community, n_members) for every node keeping a
     truss edge — community the min reachable node id inside the truss,
@@ -388,14 +414,7 @@ def truss_communities(
     same-keyed join; the size frame is at most one row per community,
     so AQE broadcasts it when small and shuffles it when a pathological
     graph makes it wide — no hint forces the wrong strategy at scale)."""
-    from financial_data_stream_processing_engine_spark.operators.dedup import (
-        connected_components,
-    )
-
-    kept = ktruss(edges, k=k, max_rounds=max_rounds, src=src, dst=dst)
-    comp = connected_components(kept, id_a=src, id_b=dst).select(
-        "node", F.col("component").alias("community")
-    )
+    comp = truss_labels(edges, k=k, max_rounds=max_rounds, src=src, dst=dst)
     sizes = comp.groupBy("community").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )

@@ -598,9 +598,10 @@ def maintain_ivf_index(
     4. a touched cell left EMPTY by the delta is removed explicitly
        (dynamic overwrite only replaces partitions present in the
        written frame — the same metadata delete a lake-format MERGE
-       issues for emptied partitions); the emptied set is computed as
-       ONE anti-join frame (touched minus still-written cells), so
-       the driver loop runs only over genuinely emptied cells.
+       issues for emptied partitions); the emptied set is touched ∖
+       written, both read off Observations riding steps 1 and 3's own
+       jobs (r18 — no extra driver job), so the loop runs only over
+       genuinely emptied cells.
 
     The rewrite set is materialized (``localCheckpoint``) before the
     overwrite because Spark refuses a self-referencing file overwrite
@@ -610,6 +611,8 @@ def maintain_ivf_index(
     the few cells it touches, not the corpus scan + Lloyd retrain of
     a rebuild.  Returns the touched-cell frame (cell ids).
     """
+    from pyspark.sql import Observation
+
     up = diff.filter(F.col("change_type").isin("I", "U")).select(
         F.col(id_col), F.col(f"new_val.{vec_col}").alias(vec_col)
     )
@@ -618,13 +621,22 @@ def maintain_ivf_index(
     )
     up_cells = assign_cells(up, centroids, vec_col=vec_col, out_col="cell")
     old_cells = assign_cells(gone_old, centroids, vec_col=vec_col, out_col="cell")
+    # one job, not two (r18, the kcore/connected_components idiom): the
+    # eager checkpoint materializes the touched frame AND delivers the
+    # cell set through the observation — the separate count() job (and
+    # below, the emptied-cells collect() job) re-scanned what the
+    # checkpoint/write job had just materialized.  The set is bounded
+    # by min(|delta|, n_cells), driver-safe by construction.
+    obs_touched = Observation()
     touched = (
         up_cells.select("cell")
         .union(old_cells.select("cell"))
         .distinct()
+        .observe(obs_touched, F.collect_set("cell").alias("cells"))
         .localCheckpoint(eager=True)
     )
-    if touched.count() == 0:  # empty delta: nothing to rewrite
+    touched_cells = set(obs_touched.get["cells"])
+    if not touched_cells:  # empty delta: nothing to rewrite
         return touched
 
     corpus = spark.read.parquet(f"{path}/corpus")
@@ -632,9 +644,13 @@ def maintain_ivf_index(
     survivors = corpus.join(F.broadcast(touched), "cell", "left_semi").join(
         F.broadcast(stale_keys), id_col, "left_anti"
     )
-    new_content = survivors.unionByName(
-        up_cells.select(*survivors.columns)
-    ).localCheckpoint(eager=True)
+    obs_written = Observation()
+    new_content = (
+        survivors.unionByName(up_cells.select(*survivors.columns))
+        .observe(obs_written, F.collect_set("cell").alias("cells"))
+        .localCheckpoint(eager=True)
+    )
+    written_cells = set(obs_written.get["cells"])
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -647,17 +663,15 @@ def maintain_ivf_index(
 
     # cells the delta emptied entirely: dynamic overwrite wrote no
     # partition for them, so drop the stale directories (metadata-level
-    # delete, local-FS index layout) — the emptied set comes from ONE
-    # anti-join frame, so the driver touches only genuinely emptied
-    # cells, not every touched one
+    # delete, local-FS index layout).  Both cell sets were observed on
+    # the jobs above (touched ∖ written), so no extra job runs — the
+    # r17 anti-join frame still cost one collect() re-scanning the two
+    # checkpoints (r18).
     import shutil
     from pathlib import Path
 
-    emptied = touched.join(
-        new_content.select("cell").distinct(), "cell", "left_anti"
-    ).collect()
-    for r in emptied:
-        d = Path(f"{path}/corpus/cell={r['cell']}")
+    for cell in sorted(touched_cells - written_cells, key=str):
+        d = Path(f"{path}/corpus/cell={cell}")
         if d.is_dir():
             shutil.rmtree(d)
     return touched

@@ -769,12 +769,25 @@ def bpe_train_merges(
     # before this round's pair counts are read
     pat = rep = None
     for rank in range(1, k + 1):
+        retrying = False
         while True:
             if pat is not None:
                 vocab = vocab.select(
                     F.replace(F.col("toks"), F.lit(pat), F.lit(rep)).alias("toks"),
                     "cnt",
                 ).localCheckpoint()
+            if retrying:
+                # non-first replace pass (ADVICE r17 #2): the fused
+                # argmax below would re-pay the full pair explode /
+                # groupBy aggregation once per extra pass on corpora
+                # with long same-pair runs — but a retry pass only
+                # needs the cheap contains probe; the argmax runs once
+                # on the converged vocabulary when the loop exits
+                again = vocab.agg(
+                    F.max(F.col("toks").contains(pat)).alias("again")
+                ).collect()[0]["again"]
+                if again:
+                    continue
             pairs = (
                 vocab.select(
                     F.split(F.expr("trim(BOTH '|' FROM toks)"), "\\|").alias("l"),
@@ -798,22 +811,28 @@ def bpe_train_merges(
                 .agg(F.sum("cnt").alias("pc"))
             )
             sel = pairs.orderBy(F.desc("pc"), "a", "b").limit(1)
-            if pat is None:
+            if pat is None or retrying:
+                # rank 1 has no pending pattern; a retry pass already
+                # proved convergence with the cheap probe above —
+                # either way the argmax runs exactly once per round,
+                # on the converged vocabulary
                 best = sel.collect()
                 break
             # FUSED fixpoint check (r17, one job fewer per round): the
             # argmax job also reads "does the previous round's pattern
             # survive one replace pass?" — adjacent occurrences share
             # their boundary '|', so one pass can leave instances.  A
-            # flagged round discards this argmax and re-replaces, so
-            # the merge sequence is identical to the check-then-argmax
-            # spelling; converged rounds (the common case) pay ONE
-            # collect instead of a count job plus a collect.
+            # flagged round discards this argmax and re-replaces (via
+            # the cheap retry probe above, ADVICE r17 #2), so the merge
+            # sequence is identical to the check-then-argmax spelling;
+            # converged rounds (the common case) pay ONE collect
+            # instead of a count job plus a collect.
             flag = vocab.agg(
                 F.max(F.col("toks").contains(pat)).alias("again")
             )
             best = sel.crossJoin(flag).collect()
             if best and best[0]["again"]:
+                retrying = True
                 continue
             # an EMPTY pairs frame proves convergence by itself: a
             # surviving "|a|b|" instance implies an adjacent (a, b)

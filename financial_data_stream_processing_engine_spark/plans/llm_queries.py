@@ -3539,7 +3539,12 @@ def similarity_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs(spark, sf_dir)
     old = embs.select("vec_id", "embedding")
-    cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    # centroids materialized ONCE (r18): broadcast-built in
+    # save_ivf_index and twice more inside maintain_ivf_index, each
+    # build re-running the posexplode/davg plan on unbroken lineage
+    cent = similarity.train_centroids(
+        embs, by="label", vec_col="embedding"
+    ).localCheckpoint()
     idx = scratch_dir(prefix="ivf_maint_")
     similarity.save_ivf_index(old, cent, idx, vec_col="embedding")
 
@@ -3553,7 +3558,12 @@ def similarity_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_v = merge_upsert(old, upd.unionByName(ins), keys=["vec_id"]).where(
         F.col("vec_id") % 17 != 3
     )
-    diff = table_diff(old, new_v, keys=["vec_id"], compare_cols=["embedding"])
+    # diff materialized ONCE (r18): maintain_ivf_index references it in
+    # three subtrees (up/old assignments + stale keys) across two jobs,
+    # each re-executing the full-outer-join plan without this
+    diff = table_diff(
+        old, new_v, keys=["vec_id"], compare_cols=["embedding"]
+    ).localCheckpoint()
     touched = similarity.maintain_ivf_index(
         spark, idx, diff, cent, id_col="vec_id", vec_col="embedding"
     )
@@ -3598,7 +3608,14 @@ def streaming_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs(spark, sf_dir)
     old = embs.select("vec_id", "embedding")
-    cent = similarity.train_centroids(embs, by="label", vec_col="embedding")
+    # materialize the centroid frame ONCE (r18): it is broadcast-built
+    # in save_ivf_index and TWICE per micro-batch (up/old cell
+    # assignment in maintain_ivf_index), and broadcast builds re-run
+    # an unbroken lineage per job — ~7 re-executions of the
+    # posexplode/davg plan without this (the pagerank lineage rule)
+    cent = similarity.train_centroids(
+        embs, by="label", vec_col="embedding"
+    ).localCheckpoint()
     idx = scratch_dir(prefix="ivf_stream_maint_")
     similarity.save_ivf_index(old, cent, idx, vec_col="embedding")
 
@@ -3612,7 +3629,13 @@ def streaming_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_v = merge_upsert(old, upd.unionByName(ins), keys=["vec_id"]).where(
         F.col("vec_id") % 17 != 3
     )
-    diff = table_diff(old, new_v, keys=["vec_id"], compare_cols=["embedding"])
+    # materialize the diff ONCE (r18): the three slice writes below
+    # each re-executed the full-outer-join diff plan from scratch —
+    # one checkpoint job replaces two re-executions, and the readStream
+    # schema read stays file-backed
+    diff = table_diff(
+        old, new_v, keys=["vec_id"], compare_cols=["embedding"]
+    ).localCheckpoint()
 
     # ship the change feed as 3 key-sliced files → 3 real micro-batches
     feed_dir = scratch_dir(prefix="ivf_cdc_feed_")
@@ -5734,11 +5757,11 @@ def graph_louvain_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_stream_processing_engine_spark.operators.graph import (
         community_coarsen,
         louvain_refine,
-        truss_communities,
+        truss_labels,
     )
 
     pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
-    comm = truss_communities(pairs, k=3).select("node", "community")
+    comm = truss_labels(pairs, k=3)
     l1 = louvain_refine(pairs, comm, max_rounds=40).select("node", "community")
     l1 = l1.localCheckpoint()
     coarse = community_coarsen(pairs, l1)
@@ -5853,11 +5876,11 @@ def graph_louvain_level2_modularity(spark: SparkSession, sf_dir: str) -> DataFra
         community_coarsen,
         louvain_refine,
         partition_modularity,
-        truss_communities,
+        truss_labels,
     )
 
     pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
-    comm = truss_communities(pairs, k=3).select("node", "community")
+    comm = truss_labels(pairs, k=3)
     l1 = louvain_refine(pairs, comm, max_rounds=40).select("node", "community")
     l1 = l1.localCheckpoint()
     coarse = community_coarsen(pairs, l1)
@@ -5895,11 +5918,11 @@ def graph_community_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_stream_processing_engine_spark.operators.graph import (
         community_coarsen,
         louvain_refine,
-        truss_communities,
+        truss_labels,
     )
 
     pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
-    comm = truss_communities(pairs, k=3).select("node", "community")
+    comm = truss_labels(pairs, k=3)
     refined = louvain_refine(pairs, comm, max_rounds=40).select("node", "community")
     return community_coarsen(pairs, refined)
 
@@ -6072,11 +6095,11 @@ def graph_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint without raising."""
     from financial_data_stream_processing_engine_spark.operators.graph import (
         louvain_refine,
-        truss_communities,
+        truss_labels,
     )
 
     pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
-    comm = truss_communities(pairs, k=3).select("node", "community")
+    comm = truss_labels(pairs, k=3)
     return louvain_refine(pairs, comm, max_rounds=40)
 
 
@@ -6099,11 +6122,11 @@ def graph_truss_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _truss_modularity_sql)."""
     from financial_data_stream_processing_engine_spark.operators.graph import (
         partition_modularity,
-        truss_communities,
+        truss_labels,
     )
 
     pairs = _similarity_pairs(spark, sf_dir).localCheckpoint()
-    comm = truss_communities(pairs, k=3).select("node", "community")
+    comm = truss_labels(pairs, k=3)
     return partition_modularity(pairs, comm)
 
 

@@ -50,7 +50,27 @@ def _event_tick_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(TICK_SCHEMA).parquet(_TICK_DIRS[key])
 
 
-def _reconcile_slices(seen: "set[int]", source: DataFrame, id_col: str = "doc_id") -> None:
+def _observed_slice_source(df: DataFrame, id_col: str = "doc_id"):
+    """Attach the slice-set Observation to the frame the feed writer
+    slices (VERDICT r17 #2): ``collect_set(id_col % 3)`` rides the
+    writer's OWN pass — ``CollectMetrics`` is a pushdown barrier, so
+    the metric sees every pre-filter source row on the first slice
+    write, and the post-stop reconciliation no longer pays its own
+    corpus-sized distinct scan (the measured per-entry tail cost of
+    each CDC gate, ADVICE r16 #1).  Returns ``(frame, observation)``;
+    the writer must slice the returned frame."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return (
+        df.observe(
+            obs, F.collect_set((F.col(id_col) % 3).cast("int")).alias("s")
+        ),
+        obs,
+    )
+
+
+def _reconcile_slices(seen: "set[int]", slice_obs) -> None:
     """Post-stop slice reconciliation for the doc_id%3-sliced CDC gates
     (ADVICE r15 #3): the gates' out-of-order guard tolerates forward
     jumps (an empty slice may produce no feed file), which means a
@@ -58,24 +78,48 @@ def _reconcile_slices(seen: "set[int]", source: DataFrame, id_col: str = "doc_id
     silently absorbed as "an empty slice" and the gate would produce
     wrong rolling state with no error.  So after ``q.stop()`` each
     gate asserts that the slices it actually processed equal the
-    slices that contain rows in the source table.  Only the RESULT is
-    bounded (≤3 distinct slice ids): computing it is one full scan of
-    the corpus-sized source, column-pruned to ``id_col`` — a real,
-    measured per-entry tail cost on each of the three CDC gates
-    (ADVICE r16 #1), paid once after ``q.stop()``.  A dropped file
-    fails loudly at the entry boundary, before any consumer reads the
-    output.  Shared by the three gates so the contract cannot drift
-    between them."""
-    data_slices = {
-        int(r[0])
-        for r in source.select((F.col(id_col) % 3).alias("s")).distinct().collect()
-    }
+    slices that contain rows in the source table — read off the
+    :func:`_observed_slice_source` metric the feed writer's own pass
+    delivered (r18; previously one full column-pruned source scan per
+    gate).  A dropped file fails loudly at the entry boundary, before
+    any consumer reads the output.  Shared by the three gates so the
+    contract cannot drift between them."""
+    data_slices = {int(s) for s in slice_obs.get["s"]}
     if seen != data_slices:
         raise RuntimeError(
             f"slice reconciliation failed: processed {sorted(seen)} "
             f"but the source contains rows in {sorted(data_slices)} — a "
             "feed file was lost or undelivered"
         )
+
+
+def _nb_model_checkpointed(docs: DataFrame):
+    """Train-once NB model for the streaming gates, with the totals
+    row riding the word-count checkpoint's own job (r18): ``tot_pos``/
+    ``tot_neg`` are exact integer sums of the model's ``c_pos``/
+    ``c_neg`` columns and ``v_size`` is its row count (count_distinct
+    over the token stream ≡ the model's cardinality), so one
+    Observation on the checkpoint replaces the SECOND corpus-scale
+    aggregation job the totals-frame checkpoint used to execute.
+    Returns ``(word_counts, totals)`` with identical schemas/values to
+    ``nb_train``'s pair."""
+    from pyspark.sql import Observation
+
+    from financial_data_stream_processing_engine_spark.operators.lm import nb_train
+
+    wc_raw, _ = nb_train(docs)
+    obs = Observation()
+    wc = wc_raw.observe(
+        obs,
+        F.sum("c_pos").alias("tp"),
+        F.sum("c_neg").alias("tn"),
+        F.count(F.lit(1)).alias("vs"),
+    ).localCheckpoint()
+    m = obs.get
+    tot = docs.sparkSession.createDataFrame(
+        [(m["tp"], m["tn"], m["vs"])], "tot_pos long, tot_neg long, v_size long"
+    )
+    return wc, tot
 
 
 def _run(df: DataFrame, spark: SparkSession, mode: str = "append") -> DataFrame:
@@ -1317,13 +1361,10 @@ def streaming_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch, scoring state is zero, and classifier staleness is
     the trigger interval plus the model retrain cadence.
     """
-    from financial_data_stream_processing_engine_spark.operators.lm import (
-        nb_score,
-        nb_train,
-    )
+    from financial_data_stream_processing_engine_spark.operators.lm import nb_score
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    word_counts, totals = (df.localCheckpoint() for df in nb_train(docs))
+    word_counts, totals = _nb_model_checkpointed(docs)
 
     feed_dir = scratch_dir(prefix="nb_gate_feed_")
     for i in range(3):
@@ -1485,13 +1526,14 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    final_wc, final_tot = (df.localCheckpoint() for df in nb_train(docs))
+    final_wc, final_tot = _nb_model_checkpointed(docs)
 
     feed_dir = scratch_dir(prefix="nb_cdc_feed_")
     t0 = time.time() - 100
     stamped: set[str] = set()
+    feed_src, slice_obs = _observed_slice_source(docs)
     for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+        feed_src.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "append"
         ).parquet(feed_dir)
         # stagger mtimes so the file source's oldest-first order is the
@@ -1556,13 +1598,26 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("t")
                 .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
             )
+        # the model totals ride the state write's own job (r18, the
+        # _nb_model_checkpointed idiom): the written rows ARE the
+        # model, so the separate per-batch totals aggregation job that
+        # re-read v{sl} is replaced by one Observation on the write
+        from pyspark.sql import Observation
+
+        obs_tot = Observation()
+        merged = merged.observe(
+            obs_tot,
+            F.sum("c_pos").alias("tp"),
+            F.sum("c_neg").alias("tn"),
+            F.count(F.lit(1)).alias("vs"),
+        )
         merged.write.mode("overwrite").parquet(f"{state_dir}/v{sl}")
         last_state[0] = f"{state_dir}/v{sl}"
         model = spark.read.parquet(f"{state_dir}/v{sl}")
-        totals = model.agg(
-            F.sum("c_pos").alias("tot_pos"),
-            F.sum("c_neg").alias("tot_neg"),
-            F.count(F.lit(1)).alias("v_size"),
+        mt = obs_tot.get
+        totals = spark.createDataFrame(
+            [(mt["tp"], mt["tn"], mt["vs"])],
+            "tot_pos long, tot_neg long, v_size long",
         )
         roll = nb_score(batch_df, model, totals).select(
             "doc_id",
@@ -1595,7 +1650,7 @@ def streaming_nb_model_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feed.writeStream.foreachBatch(merge_and_score).start()
     q.processAllAvailable()
     q.stop()
-    _reconcile_slices(seen_slices, docs)
+    _reconcile_slices(seen_slices, slice_obs)
     return spark.read.parquet(f"{out_dir}/data")
 
 
@@ -1690,8 +1745,9 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = scratch_dir(prefix="phash_gate_feed_")
     t0 = 1_000_000_000.0
     stamped: set[str] = set()
+    feed_src, slice_obs = _observed_slice_source(staged)
     for i in range(3):
-        staged.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+        feed_src.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "append"
         ).parquet(feed_dir)
         for f in os.listdir(feed_dir):
@@ -1792,7 +1848,7 @@ def streaming_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feed.writeStream.foreachBatch(gate_batch).start()
     q.processAllAvailable()
     q.stop()
-    _reconcile_slices(seen_slices, staged)
+    _reconcile_slices(seen_slices, slice_obs)
     return spark.read.parquet(f"{out_dir}/data")
 
 
@@ -1931,8 +1987,9 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = scratch_dir(prefix="unigram_cdc_feed_")
     t0 = 1_000_000_000.0
     stamped: set[str] = set()
+    feed_src, slice_obs = _observed_slice_source(docs)
     for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+        feed_src.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "append"
         ).parquet(feed_dir)
         for f in os.listdir(feed_dir):
@@ -2037,5 +2094,5 @@ def streaming_unigram_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feed.writeStream.foreachBatch(merge_and_segment).start()
     q.processAllAvailable()
     q.stop()
-    _reconcile_slices(seen_slices, docs)
+    _reconcile_slices(seen_slices, slice_obs)
     return spark.read.parquet(f"{out_dir}/data")

@@ -16,6 +16,40 @@ from pyspark.sql import SparkSession
 from financial_data_stream_processing_engine_spark.config import DEFAULT_CONFIG, EngineConfig
 
 
+def _default_driver_mem(master: str) -> str:
+    """Local-mode JVM heap default: ~256 MiB per task slot (guide §5),
+    floored at PySpark's 1 GiB default, capped at a quarter of detected
+    physical memory (ADVICE r17 #1).  Non-local masters keep the 1 GiB
+    default — there the submit-time flags own sizing and this builder
+    conf is inert once a JVM exists."""
+    if not master.startswith("local"):
+        return "1g"
+    slots = os.cpu_count() or 1
+    if "[" in master:
+        n = master[master.index("[") + 1 : master.rindex("]")]
+        if n != "*":
+            try:
+                slots = max(1, int(n))
+            except ValueError:
+                pass
+    # Two heap populations: per-task execution (slot-scaled, 256 MiB/
+    # slot) and session-lifetime storage — localCheckpoint blocks,
+    # broadcasts, code cache — which is DATA-sized, not slot-sized, so
+    # a multi-slot local gets a 4 GiB floor (the r14 GC pathologies
+    # were storage-pressure, and a low-core bench run hosts the same
+    # blocks as the 32-core run).  Single-slot locals (unit tests)
+    # keep the 1 GiB PySpark default.
+    mem_mib = max(1024 if slots == 1 else 4096, slots * 256)
+    try:
+        phys_mib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) // (
+            1024 * 1024
+        )
+        mem_mib = min(mem_mib, max(1024, phys_mib // 4))
+    except (ValueError, OSError):  # pragma: no cover - exotic platforms
+        pass
+    return f"{mem_mib}m"
+
+
 def get_spark(
     app_name: str = "financial_data_stream_processing_engine_spark",
     config: EngineConfig = DEFAULT_CONFIG,
@@ -35,12 +69,17 @@ def get_spark(
         # plus every localCheckpoint/broadcast block through one heap —
         # measured as progressive GC-pressure inflation across a long
         # multi-query session (entries late in a bench run 1.5-2.5×
-        # their solo time).  ~256 MiB/slot; env-overridable so the same
-        # builder serves other machine shapes.  On a real cluster the
-        # executor/driver sizing flags replace this (the setting is
-        # inert once a JVM exists).
+        # their solo time).  ~256 MiB/slot, DERIVED from the resolved
+        # master (ADVICE r17 #1 — a fixed 8g oversized small-slot /
+        # small-RAM shapes), floored at the 1 GiB PySpark default,
+        # capped at a quarter of detected physical memory, and
+        # env-overridable (SPARK_GRAFT_DRIVER_MEM) so other machine
+        # shapes stay comparable.  On a real cluster the submit-time
+        # sizing flags replace this (the setting is inert once a JVM
+        # exists).
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(master),
         )
         .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -207,6 +207,62 @@ def test_bpe_train_matches_pure_python_reference(spark):
     assert got == reference(texts, k)
 
 
+def test_bpe_train_long_same_pair_runs_match_reference(spark):
+    """The r18 retry-path rewrite (ADVICE r17 #2: extra replace passes
+    probe convergence cheaply instead of re-paying the pair argmax)
+    must leave the merge sequence bit-identical on the corpus shape
+    that exercises it hardest — long same-symbol runs, where one
+    replace pass leaves instances and a round loops several times."""
+    import re
+    from collections import Counter
+
+    from financial_data_stream_processing_engine_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    texts = [
+        "xxxxxxxxx xxxxxx xxx",        # 9/6/3-run: multi-pass (x,x) rounds
+        "abababab abab ab",            # alternating pair cascade
+        "zzzz yyyy zzzz yyyy zz yy",
+    ]
+
+    def reference(texts, k):
+        vocab = Counter()
+        for t in texts:
+            for w in re.findall("[a-z]+", t.lower()):
+                vocab[w] += 1
+        words = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(k):
+            pairs = Counter()
+            for w, toks in words.items():
+                for i in range(len(toks) - 1):
+                    pairs[(toks[i], toks[i + 1])] += vocab[w]
+            if not pairs:
+                break
+            (a, b), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((a, b, cnt))
+            pat, rep = f"|{a}|{b}|", f"|{a}{b}|"
+            for w, toks in words.items():
+                s = "|" + "|".join(toks) + "|"
+                while pat in s:
+                    s = s.replace(pat, rep)
+                words[w] = s.strip("|").split("|")
+        return merges
+
+    k = 6
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["left_tok"], r["right_tok"], r["pair_count"])
+        for r in bpe_train_merges(df, k=k).orderBy("rank").collect()
+    ]
+    assert got == reference(texts, k)
+
+
 def test_bpe_train_stops_when_pairs_exhausted(spark):
     from financial_data_stream_processing_engine_spark.operators.text import (
         bpe_train_merges,

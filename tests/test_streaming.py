@@ -628,27 +628,43 @@ def test_reconcile_slices_catches_dropped_nonempty_slice(spark):
     """ADVICE r15 #3: the CDC gates' out-of-order guard tolerates
     forward jumps, so a LOST non-empty feed file would be silently
     absorbed as an empty slice — the shared post-stop reconciliation
-    is what turns that loss into a loud failure.  Drive the helper
-    directly: a processed-slice set missing a populated slice raises,
-    the complete set (and the empty-slice case, where the data itself
+    is what turns that loss into a loud failure.  Drive the helpers
+    directly, the way the gates do (r18: the slice set rides the feed
+    writer's own pass as an Observation — CollectMetrics is a pushdown
+    barrier, so a sliced write still observes every pre-filter source
+    row): a processed-slice set missing a populated slice raises, the
+    complete set (and the empty-slice case, where the data itself
     lacks the slice) passes."""
     import pytest as _pytest
 
+    from pyspark.sql import functions as F
+
     from financial_data_stream_processing_engine_spark.plans.streaming_queries import (
+        _observed_slice_source,
         _reconcile_slices,
     )
 
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(9)], "doc_id long, text string"
     )
+
+    def observed(df):
+        # the gate's feed-writer shape: slice the OBSERVED frame; the
+        # first slice action delivers the full pre-filter slice set
+        src, obs = _observed_slice_source(df)
+        src.filter(F.col("doc_id") % 3 == 0).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return obs
+
     # all three slices populated and processed: passes
-    _reconcile_slices({0, 1, 2}, docs)
+    _reconcile_slices({0, 1, 2}, observed(docs))
     # slice 1's feed file was lost: the gate saw {0, 2} only — raises
     with _pytest.raises(RuntimeError, match="slice reconciliation failed"):
-        _reconcile_slices({0, 2}, docs)
+        _reconcile_slices({0, 2}, observed(docs))
     # genuinely-empty slice 1 (sparse corpus): {0, 2} is complete
     sparse = docs.filter("doc_id % 3 != 1")
-    _reconcile_slices({0, 2}, sparse)
+    _reconcile_slices({0, 2}, observed(sparse))
     # a phantom processed slice (clock over-advance regression) raises
     with _pytest.raises(RuntimeError, match="slice reconciliation failed"):
-        _reconcile_slices({0, 1, 2}, sparse)
+        _reconcile_slices({0, 1, 2}, observed(sparse))
