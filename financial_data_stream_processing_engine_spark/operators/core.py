@@ -226,19 +226,29 @@ def ewma(
 
     A true sequential recurrence: unlike the row-count moving average
     there is no fixed-frame window formulation (every row depends on
-    the entire prefix), so this is the canonical grouped-map case —
-    ``groupBy(key).applyInPandas`` folds each group in Arrow batches.
+    the entire prefix), so this is the canonical grouped-fold case.
     NULL values carry the previous state and emit NULL (they do not
-    decay the average).
+    decay the average) — which rules out pandas' ``ewm`` (it emits the
+    carried mean at NaN positions instead of NULL), so the fold stays
+    an explicit per-group loop.
+
+    Seam shape (r18, guide §4.5 — the ``finance.macd`` fix): a
+    ``groupBy(key).applyInPandas`` invokes Python once PER GROUP, and
+    with numerous small keys the ~4 ms per-invocation overhead
+    dominates the fold itself.  The loop now rides ``mapInPandas``
+    over a key-repartitioned, key-sorted frame — one Python invocation
+    per Arrow batch, the batch-boundary key carried into the next
+    batch so every group still folds contiguously.
 
     NULL-key rows bypass the grouped fold entirely and emit NULL (the
     moving_average gotcha-2 convention, and the streaming twin's
     passthrough): folding them as one pseudo-key would chain an EWMA
     across unrelated keyless rows.
 
-    Scale: one shuffle on ``key``; per-group memory is O(group) for
-    the sort — for very large single keys, pre-bucket by a coarse time
-    range and stitch (same pattern as operators/asof.py).
+    Scale: one shuffle on ``key``; per-batch memory is the Arrow batch
+    plus at most one carried group — for very large single keys,
+    pre-bucket by a coarse time range and stitch (same pattern as
+    operators/asof.py).
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -253,10 +263,15 @@ def ewma(
     def fold(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # stable sort on (key, *order_by): groups contiguous, each
+        # group internally in exactly the old per-group sort order
+        pdf = pdf.sort_values([key, *sort_cols], kind="mergesort")
         state = None
+        prev_key = object()
         out = []
-        for v in pdf[value]:
+        for kv, v in zip(pdf[key], pdf[value]):
+            if kv != prev_key:
+                state, prev_key = None, kv
             if v is None or pd.isna(v):
                 out.append(None)
                 continue
@@ -266,10 +281,34 @@ def ewma(
         pdf[out_col] = pd.Series(out, index=pdf.index, dtype="float64")
         return pdf[cols + [out_col]]
 
+    def fold_batches(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            if not len(pdf):
+                continue
+            # hold back the trailing group: its remaining rows may
+            # arrive in the next batch (keys are non-null here, and
+            # rows are key-sorted within the partition)
+            tail_mask = pdf[key] == pdf[key].iloc[-1]
+            head = pdf[~tail_mask]
+            carry = pdf[tail_mask]
+            if len(head):
+                yield fold(head)
+        if carry is not None and len(carry):
+            yield fold(carry)
+
     keyed = df.filter(F.col(key).isNotNull())
     passthrough = df.filter(F.col(key).isNull()).withColumn(
         out_col, F.lit(None).cast("double")
     )
-    return keyed.groupBy(key).applyInPandas(fold, schema=out_schema).unionByName(
-        passthrough
+    return (
+        keyed.repartition(key)
+        .sortWithinPartitions(key, *sort_cols)
+        .mapInPandas(fold_batches, schema=out_schema)
+        .unionByName(passthrough)
     )

@@ -500,21 +500,37 @@ def macd(
     Three coupled sequential recurrences (EMA convention s₁ = v₁,
     sᵢ = α·vᵢ + (1−α)·sᵢ₋₁ with α = 2/(n+1)) — like
     :func:`~financial_data_stream_processing_engine_spark.operators.core.ewma` there is no
-    fixed-frame window form, so this is a grouped-map fold.  All three
-    states advance in ONE ``applyInPandas`` pass (one shuffle on the
-    key, each group streamed once) instead of three chained EWMA calls
-    (three shuffles).
+    fixed-frame window form, so this is a grouped fold.  All three
+    states advance in ONE Python pass (one shuffle on the key, each
+    group streamed once) instead of three chained EWMA calls (three
+    shuffles).
+
+    Seam shape (r18, guide §4.5): ``applyInPandas`` invokes the Python
+    function ONCE PER GROUP, and the per-invocation overhead — measured
+    ~4 ms × 1 500 symbol groups ≈ 6.5 s of a 6.9 s solo run at sf0.1 —
+    dominates everything else in the entry.  So the fold now rides
+    ``mapInPandas`` over a key-repartitioned, key-sorted frame: one
+    Python invocation per ARROW BATCH (thousands of rows), with the
+    batch-boundary symbol carried into the next batch so every group
+    still folds contiguously, and the EMA recurrences run as ONE
+    grouped ``ewm`` Cython call per batch.  Same shuffle, same
+    per-group memory bound, ~150× fewer JVM↔Python crossings.
 
     Determinism: per row the op order is fixed — advance fast EMA,
     advance slow EMA, subtract (macd), advance signal EMA on the macd
     value, subtract (histogram) — each a single IEEE double op, so the
     DuckDB oracle's identical left-to-right prefix folds are bitwise
-    equal.  NULL prices must be filtered upstream (the catalog entry
-    and oracle both drop them).
+    equal.  pandas' grouped ``ewm(span, adjust=False)`` is the same
+    s_i = α·v + (1−α)·s Cython update applied per group (verified
+    bitwise-equal to the per-group fold, which r17 had verified
+    bitwise-equal to the explicit Python loop).  NULL prices must be
+    filtered upstream (the catalog entry and oracle both drop them).
 
-    Scale: one shuffle; per-group memory is the Arrow batch + sort,
-    same bound as ewma.  At 100 TB, keys (symbols) are numerous and
-    small — the fold parallelizes across keys.
+    Scale: one shuffle; per-batch memory is the Arrow batch plus at
+    most one carried group, same bound as ewma.  At 100 TB, keys
+    (symbols) are numerous and small — the fold parallelizes across
+    partitions.  The streaming twin keeps the explicit loop because it
+    must seed mid-stream state, which ewm cannot.
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -529,27 +545,58 @@ def macd(
     cols = list(df.columns)
     sort_cols = list(order_by)
 
-    # The recurrences run as pandas ewm(span, adjust=False) — the same
-    # s_i = α·v + (1−α)·s update in Cython, verified BITWISE-equal to
-    # the explicit Python fold (IEEE + is commutative; the two products
-    # are identical), and ~50× faster per group than a Python-level
-    # row loop.  The streaming twin keeps the explicit loop because it
-    # must seed mid-stream state, which ewm cannot.
     def fold(pdf):
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        s = pdf[price].astype("float64")
-        m = (
-            s.ewm(span=fast, adjust=False).mean()
-            - s.ewm(span=slow, adjust=False).mean()
+        # stable sort on (key, *order_by): groups stay contiguous and
+        # each group's internal order is exactly the old per-group
+        # sort's, so the grouped ewm consumes identical sequences
+        pdf = pdf.sort_values([key, *sort_cols], kind="mergesort").reset_index(
+            drop=True
         )
-        sig = m.ewm(span=signal, adjust=False).mean()
         pdf = pdf.copy()
+        pdf["__p"] = pdf[price].astype("float64")
+        # dropna=False: Spark's groupBy keeps a NULL key group, so the
+        # pandas grouping must too (a silent dropna would lose rows)
+        def gewm(col, span):
+            r = (
+                pdf.groupby(key, sort=False, dropna=False)[col]
+                .ewm(span=span, adjust=False)
+                .mean()
+            )
+            return r.reset_index(level=0, drop=True).sort_index()
+
+        m = gewm("__p", fast) - gewm("__p", slow)
         pdf["macd"] = m
-        pdf["macd_signal"] = sig
-        pdf["macd_histogram"] = m - sig
+        pdf["macd_signal"] = gewm("macd", signal)
+        pdf["macd_histogram"] = pdf["macd"] - pdf["macd_signal"]
         return pdf[cols + ["macd", "macd_signal", "macd_histogram"]]
 
-    return df.groupBy(key).applyInPandas(fold, schema=out_schema)
+    def fold_batches(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            if not len(pdf):
+                continue
+            # hold back the batch's trailing group: its remaining rows
+            # may arrive in the next batch (rows are key-sorted within
+            # the partition, so a group is always a contiguous run)
+            last = pdf[key].iloc[-1]
+            tail_mask = pdf[key].isna() if pd.isna(last) else (pdf[key] == last)
+            head = pdf[~tail_mask]
+            carry = pdf[tail_mask]
+            if len(head):
+                yield fold(head)
+        if carry is not None and len(carry):
+            yield fold(carry)
+
+    return (
+        df.repartition(key)
+        .sortWithinPartitions(key, *sort_cols)
+        .mapInPandas(fold_batches, schema=out_schema)
+    )
 
 
 def atr(

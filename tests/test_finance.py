@@ -509,3 +509,77 @@ def test_fixture_ts_unique_per_key_makes_tiebreak_value_identical(spark, sf):
         .count()
     )
     assert dups == 0
+
+
+def test_macd_batched_seam_straddles_arrow_batches(spark):
+    """The r18 mapInPandas fold holds back the batch-boundary symbol
+    and re-folds it with its continuation (guide §4.5 seam batching).
+    Force 3-row Arrow batches so several multi-row symbols straddle
+    batch boundaries, and pin the output row-for-row against the
+    per-symbol pandas ewm reference — any carry-logic slip (dropped
+    tail group, split group folded twice, NULL-key mishandling) shifts
+    an EMA and fails."""
+    import pandas as pd
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        frames = [
+            ticks_df(spark, [10.0 + i + j for j in range(4 + i)],
+                     symbol=i, start_id=100 * i)
+            for i in range(1, 6)
+        ]
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        got = {
+            (r["symbol"], r["event_id"]): (r["macd"], r["macd_signal"], r["macd_histogram"])
+            for r in finance.macd(df).collect()
+        }
+        n_rows = 0
+        for i in range(1, 6):
+            s = pd.Series([10.0 + i + j for j in range(4 + i)])
+            m = s.ewm(span=12, adjust=False).mean() - s.ewm(span=26, adjust=False).mean()
+            sig = m.ewm(span=9, adjust=False).mean()
+            for j in range(len(s)):
+                gm, gs, gh = got[(i, 100 * i + j)]
+                assert gm == m[j] and gs == sig[j] and gh == m[j] - sig[j]
+                n_rows += 1
+        assert n_rows == len(got)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_ewma_batched_seam_straddles_arrow_batches(spark):
+    """Same straddle pin for core.ewma's r18 mapInPandas fold — with
+    NULL values (carry state, emit NULL) and NULL keys (passthrough)
+    in play."""
+    from financial_data_stream_processing_engine_spark.operators.core import ewma
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        rows = []
+        expected = {}
+        rid = 0
+        for sym in (1, 2, 3):
+            vals = [1.0, None, 2.0, 4.0, None, 8.0][: 3 + sym]
+            state = None
+            for v in vals:
+                rows.append((rid, sym, BASE + dt.timedelta(minutes=rid), v, 0))
+                if v is None:
+                    expected[rid] = None
+                else:
+                    state = v if state is None else 0.2 * v + 0.8 * state
+                    expected[rid] = state
+                rid += 1
+        rows.append((rid, None, BASE + dt.timedelta(minutes=rid), 5.0, 0))
+        expected[rid] = None  # NULL key: passthrough, NULL ewma
+        df = spark.createDataFrame(rows, TICK_SCHEMA)
+        got = {
+            r["event_id"]: r["ewma"]
+            for r in ewma(df, order_by=("ts", "event_id")).collect()
+        }
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
