@@ -334,8 +334,21 @@ def unigram_train_words(
         )
         report = row if report is None else report.unionByName(row)
     if not spill_rounds:
-        vocab = vocab.localCheckpoint(eager=True)
-    tot_k = vocab.agg(F.sum("cnt").cast("long").alias("t"))
+        # the model total rides the final checkpoint's own job (r18,
+        # the Observation idiom): every consumer broadcast of the cost
+        # frame re-executes the crossJoined tot subplan on unbroken
+        # lineage — a literal 1-row frame read off the checkpoint job
+        # makes that re-execution free.  Exact: sum over the same
+        # materialized rows the frame serves.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        vocab = vocab.observe(
+            obs, F.sum("cnt").cast("long").alias("t")
+        ).localCheckpoint(eager=True)
+        tot_k = spark.createDataFrame([(obs.get["t"],)], "t long")
+    else:
+        tot_k = vocab.agg(F.sum("cnt").cast("long").alias("t"))
     final_vocab = _piece_costs(vocab, tot_k).select(
         "piece", "cnt", F.col("qcost").alias("cost")
     )
