@@ -176,7 +176,7 @@ def generate(spark, out_dir: str, scale: int) -> None:
     orders.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
 
-def child_run(data_dir: str, reps: int) -> None:
+def child_run(data_dir: str, reps: int, entries: list[str]) -> None:
     from financial_data_stream_processing_engine_spark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -186,7 +186,7 @@ def child_run(data_dir: str, reps: int) -> None:
     qs = entrymod.queries()
     spark.range(1000).selectExpr("sum(id)").collect()
     out = {}
-    for name in ENTRIES:
+    for name in entries:
         best = float("inf")
         for i in range(reps):
             spark.sparkContext.setJobDescription(f"core_scaling:{name}:rep{i}")
@@ -202,12 +202,30 @@ def main() -> int:
     ap.add_argument("--cpus", default="32,8")
     ap.add_argument("--scale", type=int, default=20)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--passes",
+        type=int,
+        default=2,
+        help="interleaved child passes per core count (32,8,32,8,...): "
+        "this host's documented era drift (BASELINE.md noise envelope, "
+        "2.4x between consecutive identical processes) poisons any "
+        "single sequential A-then-B comparison, so the ratio is taken "
+        "over the per-entry BEST across interleaved passes",
+    )
     ap.add_argument("--data-dir", default=None)
+    ap.add_argument(
+        "--entries",
+        default=",".join(ENTRIES),
+        help="comma-separated subset of the default entry list (big "
+        "--scale runs drop the corpus-quadratic-ish entries to keep "
+        "the run bounded)",
+    )
     ap.add_argument("--child-run", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+    entries = [e.strip() for e in args.entries.split(",") if e.strip()]
 
     if args.child_run:
-        child_run(args.child_run, args.reps)
+        child_run(args.child_run, args.reps, entries)
         return 0
 
     import tempfile
@@ -230,24 +248,32 @@ def main() -> int:
 
     results: dict[str, dict[str, float]] = {}
     cpu_points = [c.strip() for c in args.cpus.split(",")]
-    for cpus in cpu_points:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
-        proc = subprocess.run(
-            [sys.executable, __file__, "--child-run", data_dir,
-             "--reps", str(args.reps)],
-            env=env, capture_output=True, text=True,
-        )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("CHILD_RESULT ")]
-        if not line:
-            print(proc.stdout[-2000:], file=sys.stderr)
-            print(proc.stderr[-2000:], file=sys.stderr)
-            raise RuntimeError(f"child run at {cpus} cores produced no result")
-        results[cpus] = json.loads(line[-1].removeprefix("CHILD_RESULT "))
-        print(f"-- {cpus} cores: {results[cpus]}", flush=True)
+    for p in range(args.passes):
+        for cpus in cpu_points:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child-run", data_dir,
+                 "--reps", str(args.reps), "--entries", args.entries],
+                env=env, capture_output=True, text=True,
+            )
+            line = [
+                ln for ln in proc.stdout.splitlines()
+                if ln.startswith("CHILD_RESULT ")
+            ]
+            if not line:
+                print(proc.stdout[-2000:], file=sys.stderr)
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"child run at {cpus} cores produced no result")
+            got = json.loads(line[-1].removeprefix("CHILD_RESULT "))
+            print(f"-- pass {p} {cpus} cores: {got}", flush=True)
+            prev = results.setdefault(cpus, got)
+            if prev is not got:
+                for k, v in got.items():
+                    prev[k] = min(prev[k], v)
 
     lo, hi = cpu_points[-1], cpu_points[0]
     per_entry = {}
-    for name in ENTRIES:
+    for name in entries:
         t_hi, t_lo = results[hi][name], results[lo][name]
         per_entry[name] = {
             f"t{hi}": t_hi,
